@@ -1,0 +1,153 @@
+"""The ``Lakeshack`` query facade: stats-pruned, predicate-pushdown Parquet
+scans with the reference's query semantics.
+
+Reference parity: ``Lakeshack.query`` (lakeshack/lakeshack.py:476-579) — a
+query is always *cluster-column IN-list ∧ optional AND-ed range clauses*,
+with optional projection and a row cap. The metastore prunes the file list;
+the scan re-applies exact predicates so pruning false-positives are harmless
+(README.rst:12-19). The reference's second path, ``query_s3_select``
+(lakeshack/lakeshack.py:303-474), is an offload mechanism, not a distinct
+semantic — Spark executors reading Parquet *are* the compute-near-storage
+path, so both collapse into one plan here.
+
+Scale notes (100 TB):
+
+- Pruning happens before ``spark.read`` sees the file list, so the driver
+  never even lists non-candidate files; with good clustering a point lookup
+  plans a 1-file scan regardless of dataset size.
+- Filters and projection are passed through the DataFrame API so Catalyst
+  pushes them into the Parquet reader (row-group stats, dictionary and
+  bloom filters) — check ``PushedFilters`` in ``.explain``.
+- ``limit(n)`` is exact and incremental (CollectLimit executes partitions
+  in batches), strictly stronger than the reference's soft cap that can
+  overshoot by a batch (lakeshack/lakeshack.py:504-507).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from lakeshack_spark.metastore import PRUNE_OPS, FileStatsMetastore, list_parquet_files
+from lakeshack_spark.session import configure_session
+
+logger = logging.getLogger(__name__)
+
+
+def build_predicate(
+    cluster_column: str,
+    cluster_values: Sequence[Any],
+    optional_where_clauses: Sequence[tuple[str, str, Any]] = (),
+):
+    """IN-list ∧ AND-ed comparison clauses as one Column expression
+    (reference builds the same as a pyarrow.dataset.Expression,
+    lakeshack/lakeshack.py:531-545). Unknown operator → ValueError
+    (lakeshack/lakeshack.py:543-545)."""
+    pred = F.col(cluster_column).isin(list(cluster_values))
+    for col, op, value in optional_where_clauses:
+        c, lit = F.col(col), F.lit(value)
+        if op == ">=":
+            clause = c >= lit
+        elif op == ">":
+            clause = c > lit
+        elif op in ("=", "=="):
+            clause = c == lit
+        elif op == "<":
+            clause = c < lit
+        elif op == "<=":
+            clause = c <= lit
+        else:
+            raise ValueError(f"unsupported operator {op!r}; use one of {PRUNE_OPS}")
+        pred = pred & clause
+    return pred
+
+
+class Lakeshack:
+    """Query facade over a clustered Parquet dataset + its stats metastore.
+
+    Equivalent of ``Lakeshack.__init__`` (lakeshack/lakeshack.py:60-98):
+    takes the dataset location, the cluster column, and optional (range-
+    indexed) columns; the metastore lives in Parquet at ``store_path``
+    (defaults to a ``_lakeshack_stats`` sibling of the data).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        data_path: str,
+        cluster_column: str,
+        optional_columns: Sequence[str] = (),
+        store_path: str | None = None,
+        schema: T.StructType | None = None,
+    ) -> None:
+        self.spark = configure_session(spark)
+        self.data_path = data_path
+        if schema is None:
+            sample = list_parquet_files(data_path)
+            if not sample:
+                raise ValueError(f"no parquet files under {data_path!r}")
+            schema = self.spark.read.parquet(sample[0]).schema
+        self.schema = schema
+        self.cluster_column = cluster_column
+        self.store_path = store_path or f"{data_path.rstrip('/')}/_lakeshack_stats"
+        self.metastore = FileStatsMetastore(
+            spark, self.store_path, schema, cluster_column, optional_columns
+        )
+
+    def update_metastore(self, path: str | None = None) -> int:
+        """Ingest (new) files' footer stats; idempotent."""
+        return self.metastore.update(path or self.data_path)
+
+    def candidate_files(
+        self,
+        cluster_column_values: Sequence[Any] | Any,
+        optional_where_clauses: Sequence[tuple[str, str, Any]] = (),
+    ) -> list[str]:
+        """Pruned file list for a query (exposed for tests / files-touched
+        accounting, mirroring docs/source/lakeshack.rst:245-250)."""
+        return self.metastore.prune_files(
+            cluster_column_values, optional_where_clauses
+        )
+
+    def query(
+        self,
+        cluster_column_values: Sequence[Any] | Any,
+        optional_where_clauses: Sequence[tuple[str, str, Any]] = (),
+        columns: Sequence[str] | None = None,
+        n_records_max: int | None = None,
+    ) -> DataFrame:
+        """Pruned scan; returns a *lazy* DataFrame (the reference returns a
+        materialized Arrow table — call ``.toArrow()``/``.toPandas()`` at
+        the edge to match, per SURVEY §1.1).
+
+        Semantics of ``Lakeshack.query`` (lakeshack/lakeshack.py:476-579):
+        scalar value → 1-list; clauses filter exactly even on columns the
+        metastore does not index (pruning is best-effort, filtering exact —
+        tests/test_lakeshack.py:265-284); ``n_records_max`` caps the result
+        (exact here, soft in the reference).
+        """
+        if not isinstance(cluster_column_values, (list, tuple)):
+            cluster_column_values = [cluster_column_values]
+        files = self.candidate_files(cluster_column_values, optional_where_clauses)
+        if not files:
+            empty = self.spark.createDataFrame([], self.schema)
+            df = empty
+        else:
+            df = self.spark.read.schema(self.schema).parquet(*files)
+        df = df.filter(
+            build_predicate(
+                self.cluster_column, cluster_column_values, optional_where_clauses
+            )
+        )
+        if columns is not None:
+            df = df.select(*columns)
+        if n_records_max is not None:
+            df = df.limit(n_records_max)
+        return df
+
+    def query_arrow(self, *args, **kwargs):
+        """Materialized variant returning a pyarrow.Table, the reference's
+        return type (lakeshack/lakeshack.py:412,579)."""
+        return self.query(*args, **kwargs).toArrow()

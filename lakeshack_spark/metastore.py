@@ -1,0 +1,318 @@
+"""File-level min/max statistics metastore ("zone map") for Parquet datasets.
+
+Reference parity: lakeshack/metastore.py (560 lines) — one row per Parquet
+file holding ``filepath`` plus ``{col}_min`` / ``{col}_max`` for the cluster
+column and each optional column, built from Parquet *footer* statistics only
+(reference ``Metastore._get_min_max``, lakeshack/metastore.py:278-339), with
+idempotent ingest (anti-join on filepath, lakeshack/metastore.py:243-260) and
+an interval-overlap pruning query (lakeshack/metastore.py:414-481).
+
+Spark-first design:
+
+- The stats table is itself Parquet, loaded as a DataFrame; pruning is a
+  filter + broadcast range-join on that DataFrame — no RDBMS round-trips
+  (the reference issues one SQL query *per cluster value*,
+  lakeshack/metastore.py:474-476).
+- Ingest fans footer reads out across executors with ``mapPartitions`` +
+  pyarrow: metadata-only I/O, so a 100 TB dataset with millions of files
+  costs millions of ~10 KB footer reads spread over the cluster, never a
+  data read.
+- At 1000-executor scale the stats table for 10M files is ~GBs — still a
+  single broadcastable DataFrame; pruning stays a sub-second driver-side
+  plan step.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from datetime import date, datetime, timezone
+from typing import Any, Iterable, Iterator, Sequence
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F, types as T
+
+logger = logging.getLogger(__name__)
+
+#: Comparison operators accepted in optional where-clauses, and how each one
+#: inverts onto file-level [min, max] intervals for pruning
+#: (truth table from lakeshack/metastore.py:453-467).
+PRUNE_OPS = (">=", ">", "=", "==", "<", "<=")
+
+
+def _spark_stat_type(dtype: T.DataType) -> T.DataType | None:
+    """Spark type used to *store* min/max for a data column of ``dtype``.
+
+    Mirrors ``Metastore._map_pa_type`` (lakeshack/metastore.py:483-511):
+    string→string, any integer→long, any floating→double, date→date,
+    timestamp→timestamp; anything else is not indexable (returns None and
+    the caller skips the column with a warning,
+    lakeshack/metastore.py:540-553).
+    """
+    if isinstance(dtype, (T.StringType, T.VarcharType, T.CharType)):
+        return T.StringType()
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return T.LongType()
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return T.DoubleType()
+    if isinstance(dtype, T.DateType):
+        return T.DateType()
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        return T.TimestampType()
+    return None
+
+
+def _to_py_stat(value: Any) -> Any:
+    """Normalize a pyarrow footer statistic to a plain Python value.
+
+    tz-aware timestamps are converted to naive UTC (the engine runs with
+    ``spark.sql.session.timeZone=UTC``); the reference instead re-localizes
+    with pytz (lakeshack/metastore.py:312-331) because it round-trips
+    through SQLAlchemy.
+    """
+    if isinstance(value, datetime) and value.tzinfo is not None:
+        return value.astimezone(timezone.utc).replace(tzinfo=None)
+    return value
+
+
+def _footer_stats_for_files(
+    filepaths: Iterable[str], columns: Sequence[str]
+) -> Iterator[dict[str, Any]]:
+    """Executor-side: read Parquet *footers* only and emit one stats row per
+    file: ``{filepath, num_rows, {col}_min, {col}_max, ...}``.
+
+    Seeds from row group 0 then folds min/max across all row groups, like
+    ``Metastore._get_min_max`` (lakeshack/metastore.py:307-337). Columns with
+    missing statistics get NULL min/max (the file then always survives
+    pruning for predicates on that column — safe, just not skippable).
+    """
+    import pyarrow.parquet as pq  # local import: runs on executors
+
+    for filepath in filepaths:
+        try:
+            pf = pq.ParquetFile(filepath)
+        except Exception as exc:  # non-parquet / unreadable: skip with a log
+            logger.warning("skipping unreadable file %s: %s", filepath, exc)
+            continue
+        md = pf.metadata
+        name_to_idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        row: dict[str, Any] = {"filepath": filepath, "num_rows": md.num_rows}
+        for col in columns:
+            cmin = cmax = None
+            idx = name_to_idx.get(col)
+            if idx is not None:
+                for rg in range(md.num_row_groups):
+                    stats = md.row_group(rg).column(idx).statistics
+                    if stats is None or not stats.has_min_max:
+                        cmin = cmax = None
+                        break
+                    lo, hi = _to_py_stat(stats.min), _to_py_stat(stats.max)
+                    cmin = lo if cmin is None or lo < cmin else cmin
+                    cmax = hi if cmax is None or hi > cmax else cmax
+            row[f"{col}_min"] = cmin
+            row[f"{col}_max"] = cmax
+        yield row
+
+
+def list_parquet_files(path: str) -> list[str]:
+    """Recursive Parquet file discovery (reference ``_gather_metadata``,
+    lakeshack/metastore.py:341-412). Accepts a single file or a directory;
+    skips non-Parquet names and Spark/metastore side files."""
+    if os.path.isfile(path):
+        return [path]
+    found: list[str] = []
+    for root, _dirs, files in os.walk(path):
+        if "_lakeshack_stats" in root:
+            continue
+        for name in sorted(files):
+            if name.endswith(".parquet") and not name.startswith((".", "_")):
+                found.append(os.path.join(root, name))
+    return sorted(found)
+
+
+class FileStatsMetastore:
+    """Min/max-per-file stats table over immutable Parquet files.
+
+    Parameters mirror ``Metastore.__init__`` (lakeshack/metastore.py:79-204)
+    minus the RDBMS machinery: column roles are real metadata here, not
+    ``_min``-suffix naming conventions recovered by parsing DB columns
+    (lakeshack/metastore.py:117-126).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str,
+        schema: T.StructType,
+        cluster_column: str,
+        optional_columns: Sequence[str] = (),
+    ) -> None:
+        self.spark = spark
+        self.store_path = store_path
+        self.data_schema = schema
+        self.cluster_column = cluster_column
+        field_types = {f.name: f.dataType for f in schema.fields}
+        if cluster_column not in field_types:
+            raise ValueError(f"cluster column {cluster_column!r} not in schema")
+        if _spark_stat_type(field_types[cluster_column]) is None:
+            raise ValueError(
+                f"cluster column {cluster_column!r} has non-indexable type "
+                f"{field_types[cluster_column]}"
+            )
+        # Optional columns with non-indexable types are skipped with a
+        # warning (parity: lakeshack/metastore.py:540-553).
+        self.optional_columns: list[str] = []
+        for col in optional_columns:
+            if col not in field_types:
+                raise ValueError(f"optional column {col!r} not in schema")
+            if _spark_stat_type(field_types[col]) is None:
+                logger.warning(
+                    "optional column %s has non-indexable type %s; skipping",
+                    col,
+                    field_types[col],
+                )
+            else:
+                self.optional_columns.append(col)
+        self.tracked_columns = [cluster_column, *self.optional_columns]
+        fields = [
+            T.StructField("filepath", T.StringType(), False),
+            T.StructField("num_rows", T.LongType(), False),
+        ]
+        for col in self.tracked_columns:
+            stat_type = _spark_stat_type(field_types[col])
+            fields.append(T.StructField(f"{col}_min", stat_type, True))
+            fields.append(T.StructField(f"{col}_max", stat_type, True))
+        self.stats_schema = T.StructType(fields)
+
+    # ------------------------------------------------------------- ingest
+
+    def _exists(self) -> bool:
+        return os.path.exists(self.store_path) and any(
+            name.endswith(".parquet")
+            for _root, _dirs, files in os.walk(self.store_path)
+            for name in files
+        )
+
+    def stats_df(self) -> DataFrame:
+        """The stats table as a DataFrame (empty if never updated)."""
+        if not self._exists():
+            return self.spark.createDataFrame([], self.stats_schema)
+        return self.spark.read.schema(self.stats_schema).parquet(self.store_path)
+
+    def update(self, parquet_file_or_dir: str | Sequence[str]) -> int:
+        """Idempotent ingest: discover files → distributed footer reads →
+        anti-join against already-ingested filepaths → append.
+
+        Returns the number of newly ingested files. Replaces the reference's
+        ThreadPool + read-then-insert (lakeshack/metastore.py:206-276) with
+        an executor fan-out and a left-anti join, so concurrent/incremental
+        updates stay metadata-only at any file count.
+        """
+        if isinstance(parquet_file_or_dir, str):
+            files = list_parquet_files(parquet_file_or_dir)
+        else:
+            files = [f for p in parquet_file_or_dir for f in list_parquet_files(p)]
+        if not files:
+            return 0
+        sc = self.spark.sparkContext
+        n_slices = min(len(files), max(sc.defaultParallelism, 1))
+        tracked = list(self.tracked_columns)
+        schema = self.stats_schema
+        rows_rdd = sc.parallelize(files, n_slices).mapPartitions(
+            lambda part: (
+                Row(**{f.name: r.get(f.name) for f in schema.fields})
+                for r in _footer_stats_for_files(part, tracked)
+            )
+        )
+        new_stats = self.spark.createDataFrame(rows_rdd, schema)
+        existing = self.stats_df().select("filepath")
+        fresh = new_stats.join(existing, "filepath", "left_anti")
+        fresh = fresh.persist()
+        n_new = fresh.count()
+        if n_new:
+            # Stats rows are tiny; a single output file per update keeps the
+            # table compact. At very large file counts, raise this.
+            fresh.coalesce(1).write.mode("append").parquet(self.store_path)
+        fresh.unpersist()
+        return n_new
+
+    # ------------------------------------------------------------- pruning
+
+    def _clause_prune_filter(self, clauses: Sequence[tuple[str, str, Any]]):
+        """AND-ed file-survival predicate over stats columns for the
+        range-clause truth table (lakeshack/metastore.py:453-467):
+
+        - ``col >= v`` keeps the file iff ``v <= col_max``
+        - ``col >  v`` keeps the file iff ``v <  col_max``
+        - ``col <= v`` keeps the file iff ``v >= col_min``
+        - ``col <  v`` keeps the file iff ``v >  col_min``
+        - ``col = v``  keeps the file iff ``col_min <= v <= col_max``
+
+        A file with NULL stats for the column always survives (pruning is
+        best-effort; the scan re-applies exact predicates).
+        """
+        pred = F.lit(True)
+        for col, op, value in clauses:
+            if op not in PRUNE_OPS:
+                raise ValueError(f"unsupported operator {op!r}; use one of {PRUNE_OPS}")
+            lo, hi = F.col(f"{col}_min"), F.col(f"{col}_max")
+            if col not in self.tracked_columns:
+                continue  # untracked column: cannot prune, scan still filters
+            lit = F.lit(value)
+            if op == ">=":
+                keep = hi >= lit
+            elif op == ">":
+                keep = hi > lit
+            elif op == "<=":
+                keep = lo <= lit
+            elif op == "<":
+                keep = lo < lit
+            else:  # "=", "=="
+                keep = (lo <= lit) & (hi >= lit)
+            pred = pred & (lo.isNull() | keep)
+        return pred
+
+    def prune(
+        self,
+        cluster_column_values: Sequence[Any] | Any,
+        optional_where_clauses: Sequence[tuple[str, str, Any]] = (),
+    ) -> dict[str, list[Any]]:
+        """``{filepath: [candidate cluster values]}`` for files whose
+        [min, max] interval might contain each value AND that survive every
+        range clause — reference ``Metastore.query``
+        (lakeshack/metastore.py:414-481), vectorized as one broadcast
+        interval-join instead of one DB query per value."""
+        if not isinstance(cluster_column_values, (list, tuple)):
+            cluster_column_values = [cluster_column_values]
+        values = list(dict.fromkeys(cluster_column_values))
+        if not values:
+            return {}
+        cluster_type = _spark_stat_type(
+            {f.name: f.dataType for f in self.data_schema.fields}[self.cluster_column]
+        )
+        values_df = self.spark.createDataFrame(
+            [(v,) for v in values],
+            T.StructType([T.StructField("__cluster_value", cluster_type, False)]),
+        )
+        lo = F.col(f"{self.cluster_column}_min")
+        hi = F.col(f"{self.cluster_column}_max")
+        v = F.col("__cluster_value")
+        survivors = self.stats_df().filter(
+            self._clause_prune_filter(optional_where_clauses)
+        )
+        matched = survivors.join(
+            F.broadcast(values_df), (v >= lo) & (v <= hi), "inner"
+        )
+        rows = (
+            matched.groupBy("filepath")
+            .agg(F.collect_set("__cluster_value").alias("values"))
+            .collect()
+        )
+        return {r["filepath"]: sorted(r["values"]) for r in rows}
+
+    def prune_files(
+        self,
+        cluster_column_values: Sequence[Any] | Any,
+        optional_where_clauses: Sequence[tuple[str, str, Any]] = (),
+    ) -> list[str]:
+        """Just the surviving file list, sorted."""
+        return sorted(self.prune(cluster_column_values, optional_where_clauses))

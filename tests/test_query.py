@@ -1,0 +1,107 @@
+"""End-to-end pruned-query golden values, ported 1:1 from the reference's
+tests/test_lakeshack.py semantics (values re-verified per FIXTURES.md §A),
+plus a pruned≡unpruned property check.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeshack_spark.engine import Lakeshack
+
+TEN_IDS = ["01", "22", "35", "4f", "70", "8a", "a0", "bf", "d1", "f0"]
+
+
+@pytest.fixture(scope="module")
+def shack(spark, sales_fixture, tmp_path_factory):
+    root, _files = sales_fixture
+    ls = Lakeshack(
+        spark,
+        root,
+        cluster_column="id",
+        optional_columns=["timestamp"],
+        store_path=str(tmp_path_factory.mktemp("shack_stats")),
+    )
+    ls.update_metastore()
+    return ls
+
+
+def test_point_lookup_golden(shack):
+    """query("00") → 3 rows (reference tests/test_lakeshack.py:211-212)."""
+    assert shack.query("00").count() == 3
+
+
+def test_in_list_projection_golden(shack):
+    """10-value IN-list with projection → 31 rows, 2 cols, sum(x)=7108
+    (reference tests/test_lakeshack.py:214-223)."""
+    df = shack.query(TEN_IDS, columns=["id", "x"])
+    rows = df.collect()
+    assert len(rows) == 31
+    assert len(df.columns) == 2
+    assert sum(r["x"] for r in rows) == 7108
+
+
+def test_range_clause_golden(shack):
+    """query("00", timestamp <= <boundary>) → 2 rows, sum(x)=609
+    (reference tests/test_lakeshack.py:236-241). The reference hardcodes
+    "2021-08-10T22:50:53", which is epoch 1628650253 rendered in the
+    author's US/Eastern local time — the fixture writes local-naive
+    timestamps (datetime.fromtimestamp), so the portable boundary is the
+    same epoch rendered in *this* host's local time."""
+    clause = [("timestamp", "<=", datetime.fromtimestamp(1_628_650_253))]
+    rows = shack.query("00", clause).collect()
+    assert len(rows) == 2
+    assert sum(r["x"] for r in rows) == 609
+
+
+def test_limit_semantics(shack):
+    """query("a9") → 9 rows; with n_records_max=6 exactly 6 (our limit is
+    exact where the reference's soft cap may overshoot by a batch,
+    reference tests/test_lakeshack.py:329-355 asserts ≤ 6+batch)."""
+    assert shack.query("a9").count() == 9
+    assert shack.query("a9", n_records_max=6).count() == 6
+
+
+def test_pruning_reduces_files_touched(shack):
+    """Point lookup plans a scan over ≤ 2 files out of 10 (ideal
+    clustering: docs/source/lakeshack.rst:245-250 'files touched')."""
+    files = shack.candidate_files(["00"])
+    assert 1 <= len(files) <= 2
+
+
+def test_empty_result_when_nothing_matches(shack):
+    df = shack.query(["zz"])  # beyond every id range (hex max is 'ff')
+    assert df.count() == 0
+    assert df.columns == ["id", "timestamp", "x"]
+
+
+def test_pruned_equals_unpruned(shack, spark, sales_fixture):
+    """Property: pruned scan ≡ full scan + exact filter, for a mix of
+    predicates (SURVEY §5 'our plan')."""
+    root, files = sales_fixture
+    full = spark.read.parquet(*files)
+    cases = [
+        (["00", "a9", "ff"], []),
+        (TEN_IDS, [("timestamp", ">=", datetime(2021, 9, 1))]),
+        (["4f"], [("x", ">=", 250)]),
+        (["10", "20", "30"], [("timestamp", "<", datetime(2021, 8, 1)), ("x", "<", 400)]),
+    ]
+    for values, clauses in cases:
+        got = shack.query(values, clauses)
+        pred = F.col("id").isin(values)
+        for c, op, v in clauses:
+            col = F.col(c)
+            pred = pred & {
+                ">=": col >= v,
+                ">": col > v,
+                "<": col < v,
+                "<=": col <= v,
+                "=": col == v,
+            }[op]
+        want = full.filter(pred)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
