@@ -1,0 +1,265 @@
+"""Deduplication operators for large document corpora.
+
+Five strategies, cheapest-first — the standard LLM-training-data ladder:
+
+1. exact (hash groupBy)           — O(n) shuffle on a 128-bit digest
+2. normalized exact               — same, after canonicalization
+3. MinHash + LSH banding          — near-dup candidate pairs at O(n·k)
+4. SimHash                        — 64-bit fingerprint, hamming buckets
+5. n-gram Jaccard                 — exact similarity on candidate pairs
+
+Scale notes (100 TB): every strategy is shuffle-on-key with no driver-side
+loops. MinHash/LSH shuffles on (band, bucket) — the band hash spreads
+uniformly, so no skew; the candidate-pair join is an equi-join on bucket
+keys, never a cross join. The exact Jaccard verify runs only on LSH
+survivors (tiny fraction of n²).
+
+All hashing is md5-derived so results are engine-portable and seed-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from lakeshack_spark.operators.text import words_col
+
+
+# --------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: keeper id (min), duplicate count, digest."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonicalize: lowercase + trim (the corpus is already
+    space-normalized; extend with regexp_replace for real-world text)."""
+    return F.trim(F.lower(text))
+
+
+def normalized_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return (
+        df.groupBy(F.md5(normalize_text(F.col(text_col))).alias("norm_md5"))
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+def shingles_col(text_col: str, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of ``text_col`` (empty if < k words)."""
+    w = words_col(text_col)
+    n = F.size(w)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)])
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _h64(col: Column) -> Column:
+    """Portable 63-bit hash: first 15 hex digits of md5 → bigint via conv.
+    (xxhash64 would be faster but is Spark-specific; md5 keeps every
+    strategy reproducible in any engine.)"""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# -------------------------------------------------------------- minhash
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 32, k: int = 3,
+) -> DataFrame:
+    """Adds ``sig``: array of ``num_hashes`` min-hash values over word
+    k-gram shingles. Hash family i is md5(i || ':' || shingle); documents
+    with < k words get an all-null-free sentinel signature and never pair.
+    """
+    sh = shingles_col(text_col, k).alias("__sh")
+    out = df.withColumn("__sh", sh)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__sh"),
+                    lambda s, i=i: _h64(F.concat_ws(":", F.lit(str(i)), s)),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return out.withColumn("sig", sig).drop("__sh")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 32, bands: int = 8, k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding: split the signature
+    into ``bands`` rows of ``num_hashes/bands``, bucket on md5(band values),
+    self-join per bucket with ``id < id``. Returns distinct (id_a, id_b).
+
+    The self-join is an equi-join on (band, bucket-hash): each shuffle key
+    holds only colliding docs, so cost tracks true-duplicate density, not
+    n². A hot bucket (giant duplicate cluster) is handled by AQE skew
+    splitting.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, k).select(
+        F.col(id_col), F.col("sig"), F.size(shingles_col(text_col, k)).alias("__nsh")
+    ).filter(F.col("__nsh") > 0)
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col(f"b.band"))
+            & (F.col(f"a.bucket") == F.col(f"b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """Adds ``simhash``: 64-bit fingerprint — bit j is 1 iff the sum over
+    distinct tokens of ±1 (sign of md5-derived bit j of the token) is
+    positive. Near-identical token sets → small hamming distance."""
+    tokens = F.array_distinct(words_col(text_col))
+    th = F.transform(tokens, _h64)  # one 63-bit hash per token
+
+    def bit_sum(j: int) -> Column:
+        # +1 if bit j set else -1, summed over tokens
+        return F.aggregate(
+            th,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    fp = F.lit(0).cast("long")
+    for j in range(min(bits, 63)):
+        fp = fp + F.when(bit_sum(j) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.withColumn("simhash", fp)
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int = 3, blocks: int = 4,
+) -> DataFrame:
+    """Near-pairs by simhash: block the 64-bit fingerprint into ``blocks``
+    16-bit segments; by pigeonhole any pair within ``max_hamming < blocks``
+    shares at least one exact segment → equi-join per segment, then exact
+    hamming filter via bit_count(xor)."""
+    fps = simhash(df, text_col, id_col).select(id_col, "simhash")
+    seg = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg_no"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("seg"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_col, "simhash", "s.seg_no", "s.seg")
+    a, b = seg.alias("a"), seg.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.seg_no") == F.col("b.seg_no"))
+            & (F.col("a.seg") == F.col("b.seg"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+def ngram_jaccard_pairs(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.0,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity of word k-gram shingle sets over document
+    pairs (``id_a < id_b``). ``block_col`` restricts pairs to equal blocks
+    (e.g. same source) — at scale always block or feed LSH candidates, the
+    unblocked version is a cross join."""
+    right = right if right is not None else left
+    cols = [F.col(id_col), shingles_col(text_col, k).alias("sh")]
+    if block_col:
+        cols.append(F.col(block_col))
+    a = left.select(*cols).alias("a")
+    b = right.select(*cols).alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    out = (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out

@@ -1,0 +1,127 @@
+"""Text-analysis operators over a document table: tokenization, language
+ID, quality scoring, fingerprinting, term statistics.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs. Every operator is a pure column
+transform, so Catalyst prunes/pushes around it freely; at 100 TB these run
+as map-only stages with no shuffle except the final aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Tiny marker vocabularies for the n-gram/keyword language-ID heuristic.
+#: Deliberately simple + deterministic (the oracle re-expresses the same
+#: arithmetic in SQL); swap for fastText/CLD3 via a Pandas UDF in a real
+#: deployment.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("de5", "le5", "shi4", "zai4"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def words_col(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space split; the corpus is
+    space-normalized). For BPE-ish subword counts see
+    :func:`token_count_regex`."""
+    return F.split(F.col(text) if isinstance(text, str) else text, " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``n_tokens`` (whitespace tokens)."""
+    return df.withColumn("n_tokens", F.size(words_col(text_col)))
+
+
+def token_count_regex(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``n_subtokens``: a BPE-ish proxy that splits word-internal
+    transitions (letter↔digit boundaries and punctuation) as well as
+    whitespace. Regex engines differ across systems, so this operator is
+    verified by unit test rather than a cross-engine oracle."""
+    return df.withColumn(
+        "n_subtokens",
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"\s+|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"),
+                lambda t: t != F.lit(""),
+            )
+        ),
+    )
+
+
+def marker_hits(text_col: str, markers: tuple[str, ...]) -> Column:
+    """Number of tokens that appear in ``markers`` (duplicates counted)."""
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words_col(text_col), lambda w: F.array_contains(arr, w)))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``lang_pred``: argmax of per-language marker-hit counts with a
+    fixed preference order on ties (alphabetical), 'und' when no marker
+    hits at all."""
+    scores = {lang: marker_hits(text_col, m) for lang, m in sorted(LANG_MARKERS.items())}
+    best_score = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # Reverse order so earlier (alphabetical) languages win ties.
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best_score, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_score <= 0, F.lit("und")).otherwise(pred)
+    return df.withColumn("lang_pred", pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds length/stopword/diversity quality signals and a composite
+    ``quality`` in [0, ~1]:
+
+    - ``n_words``, ``n_chars_calc``
+    - ``avg_word_len`` = chars / words
+    - ``stopword_ratio`` = stopword tokens / tokens
+    - ``distinct_ratio`` = distinct tokens / tokens
+    """
+    w = words_col(text_col)
+    n_words = F.size(w)
+    n_chars = F.length(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t)))
+    n_distinct = F.size(F.array_distinct(w))
+    avg_word_len = n_chars.cast("double") / n_words
+    stopword_ratio = n_stop.cast("double") / n_words
+    distinct_ratio = n_distinct.cast("double") / n_words
+    quality = (
+        F.least(avg_word_len / F.lit(8.0), F.lit(1.0)) * F.lit(0.3)
+        + F.least(stopword_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.3)
+        + distinct_ratio * F.lit(0.4)
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("avg_word_len", avg_word_len)
+        .withColumn("stopword_ratio", stopword_ratio)
+        .withColumn("distinct_ratio", distinct_ratio)
+        .withColumn("quality", quality)
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``fp``: an order-insensitive document fingerprint — md5 of the
+    sorted distinct token set (classic "fingerprint" key for clustering
+    near-identical documents that differ only in word order/duplication)."""
+    normalized = F.concat_ws(
+        " ", F.array_sort(F.array_distinct(words_col(F.lower(F.col(text_col)))))
+    )
+    return df.withColumn("fp", F.md5(normalized))
+
+
+def term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explodes tokens → ``(term, n)`` counts. The groupBy shuffles on the
+    term (high cardinality → well-spread); at scale add a salt on very hot
+    terms or use partial top-k per partition."""
+    return (
+        df.select(F.explode(words_col(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )

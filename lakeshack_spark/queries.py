@@ -1,0 +1,1055 @@
+"""The declared query corpus: every operator from SURVEY §2 (reference
+parity + the capability-gap surface + LLM-pipeline operators) as paired
+(PySpark DataFrame query, DuckDB oracle SQL) entries.
+
+Conventions that make the cross-engine value-hash exact:
+
+- Every computed column is aliased identically on both sides.
+- Double aggregations go through decimal space (`functions.deterministic`)
+  so accumulation order cannot change the result.
+- Every LIMIT has a total ORDER BY with a unique tiebreaker.
+- Integer-ish scalars are cast so Spark and DuckDB agree on width.
+- events.ts is TIMESTAMP(NANOS): Spark sees a raw nanos long (see
+  sources.catalog), the oracle uses ``epoch_ns(ts)``.
+
+Queries with no SQL-expressible oracle (MinHash LSH, SimHash) are registered
+with ``oracle=None`` → the driver records a weaker rows-only check; their
+semantics are pinned by unit tests against independent Python
+implementations instead.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from lakeshack_spark.engine import Lakeshack
+from lakeshack_spark.functions.deterministic import davg, dsum, oracle_davg, oracle_dsum
+from lakeshack_spark.operators import dedup, relational, similarity, text
+from lakeshack_spark.sources.catalog import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+SPECS: dict[str, tuple[QueryFn, Optional[str]]] = {}
+
+
+def register(name: str, oracle: Optional[str]):
+    def deco(fn: QueryFn) -> QueryFn:
+        SPECS[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# Reference-parity family: pruned scan, filters, projection, limit
+# (SURVEY §2 O1, O3-O8)
+# =====================================================================
+
+_SHACK_CACHE: dict[str, Lakeshack] = {}
+
+
+def _orders_shack(spark: SparkSession, sf_dir: str) -> Lakeshack:
+    """Lakeshack over the orders table, stats in a per-sf temp dir (the
+    testdata directory is read-only)."""
+    key = sf_dir.rstrip("/")
+    shack = _SHACK_CACHE.get(key)
+    if shack is None:
+        store = os.path.join(
+            tempfile.gettempdir(),
+            "lakeshack_stats_cache",
+            key.strip("/").replace("/", "_"),
+            "orders",
+        )
+        shack = Lakeshack(
+            spark,
+            f"{key}/orders.parquet",
+            cluster_column="o_custkey",
+            optional_columns=["o_orderdate"],
+            store_path=store,
+        )
+        shack.update_metastore()
+        _SHACK_CACHE[key] = shack
+    return shack
+
+
+@register(
+    "shack_pruned_lookup",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_custkey IN (11, 47, 102, 999)
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def shack_pruned_lookup(spark, sf_dir):
+    """O1+O3-O6: metastore-pruned scan, IN-list ∧ range clause ∧ projection
+    (reference lakeshack/lakeshack.py:476-579)."""
+    from datetime import datetime
+
+    return _orders_shack(spark, sf_dir).query(
+        [11, 47, 102, 999],
+        [("o_orderdate", ">=", datetime(1997, 1, 1))],
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+
+@register(
+    "scan_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+)
+def scan_filter_project(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+
+
+@register(
+    "in_list_filter",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_acctbal >= 0
+    """,
+)
+def in_list_filter(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE") & (F.col("c_acctbal") >= 0)
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "topk_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def topk_orders(spark, sf_dir):
+    """Sort + exact limit (Spark plans TakeOrderedAndProject — no full
+    sort, a per-partition top-k then a driver merge)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# =====================================================================
+# Aggregation family
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {oracle_dsum('l_quantity', 2)} AS sum_qty,
+           {oracle_dsum('l_extendedprice', 2)} AS sum_base_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {oracle_davg('l_quantity', 2)} AS avg_qty,
+           {oracle_davg('l_extendedprice', 2)} AS avg_price,
+           {oracle_davg('l_discount', 2)} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped hash aggregate; partial (map-side) agg + final,
+    all decimal-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum("l_extendedprice * (1 - l_discount)", 6).alias("sum_disc_price"),
+            dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6).alias(
+                "sum_charge"
+            ),
+            davg("l_quantity", 2).alias("avg_qty"),
+            davg("l_extendedprice", 2).alias("avg_price"),
+            davg("l_discount", 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_orders_by_status",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           {oracle_dsum('o_totalprice', 2)} AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_orders_by_status(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        dsum("o_totalprice", 2).alias("sum_price"),
+    )
+
+
+@register(
+    "rollup_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {oracle_dsum('l_quantity', 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity", 2).alias("sum_qty")
+    )
+
+
+@register(
+    "cube_orders",
+    """
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "pivot_orderstatus",
+    """
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_orderstatus(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+# =====================================================================
+# Join family
+# =====================================================================
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           o_orderdate
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+      AND l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped: dim filter → broadcast join → agg → top-k."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-07-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-07-01"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 6).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_revenue_by_nation",
+    f"""
+    SELECT n_name, {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5-shaped 6-table join; dims broadcast, facts shuffle on keys."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 6).alias("revenue"))
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'MACHINERY' AND o.o_orderstatus = 'O'
+    """,
+)
+def join_broadcast_dim(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "MACHINERY"
+    )
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "semi_join_big_spenders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 400000
+    )
+    """,
+)
+def semi_join_big_spenders(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_no_pending",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    """,
+)
+def anti_join_no_pending(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "asof_join_events_orders",
+    """
+    WITH ev AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT ev.event_id, ev.user_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (
+               PARTITION BY ev.event_id
+               ORDER BY epoch_us(o.o_orderdate) DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM ev JOIN orders o
+        ON o.o_custkey = ev.user_id
+       AND epoch_us(o.o_orderdate) * 1000 <= ev.ts_ns
+    )
+    SELECT event_id, user_id, o_orderkey, o_totalprice FROM j WHERE rn = 1
+    """,
+)
+def asof_join_events_orders(spark, sf_dir):
+    """As-of (backward) join: each purchase event picks the latest order of
+    the same user at-or-before the event time (operators.relational)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("ts_ns"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        "o_totalprice",
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 1000).alias(
+            "order_ns"
+        ),
+    )
+    out = relational.asof_join(
+        ev,
+        o,
+        on="user_id",
+        left_time="ts_ns",
+        right_time="order_ns",
+        left_key="event_id",
+        right_tiebreak="o_orderkey",
+    )
+    return out.filter(F.col("o_orderkey").isNotNull()).select(
+        "event_id", "user_id", "o_orderkey", "o_totalprice"
+    )
+
+
+# =====================================================================
+# Window family
+# =====================================================================
+
+
+@register(
+    "window_top2_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def window_top2_per_customer(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    """
+    SELECT o_custkey, o_orderkey,
+           o_totalprice - lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ) AS delta_prev
+    FROM orders
+    """,
+)
+def window_lag_delta(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_prev"),
+    )
+
+
+# =====================================================================
+# Sort / set-op family
+# =====================================================================
+
+
+@register(
+    "sort_priority_top20",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def sort_priority_top20(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(
+            F.col("o_orderpriority").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(20)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
+
+
+@register(
+    "set_except_nations",
+    """
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except_nations(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.distinct().subtract(s.distinct())
+
+
+@register(
+    "set_intersect_nations",
+    """
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect_nations(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+# =====================================================================
+# Scalar-function family
+# =====================================================================
+
+
+@register(
+    "scalar_string_part",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           substr(p_type, 1, 5) AS type_pfx,
+           p_brand || '-' || p_type AS brand_type,
+           replace(p_name, ' ', '_') AS name_snake
+    FROM part
+    """,
+)
+def scalar_string_part(spark, sf_dir):
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_pfx"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )
+
+
+@register(
+    "scalar_date_orders",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER)
+             AS days_since_1995
+    FROM orders
+    """,
+)
+def scalar_date_orders(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_1995"
+        ),
+    )
+
+
+@register(
+    "case_bucket_totalprice",
+    f"""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n,
+           {oracle_dsum('o_totalprice', 2)} AS sum_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def case_bucket_totalprice(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    return (
+        o.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", 2).alias("sum_price"))
+    )
+
+
+@register(
+    "json_extract_events",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def json_extract_events(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    )
+
+
+# =====================================================================
+# Events / time family (batch equivalents of the streaming operators)
+# =====================================================================
+
+
+@register(
+    "events_hourly_stats",
+    f"""
+    SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+           event_type,
+           COUNT(*) AS n,
+           {oracle_dsum('value', 8)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_stats(spark, sf_dir):
+    """Tumbling-window aggregate in the nanos domain (streaming twin:
+    streaming.windows.tumbling_counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("hour_bucket", F.expr("ts div 3600000000000"))
+        .groupBy("hour_bucket", "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", 8).alias("sum_value"))
+    )
+
+
+@register(
+    "sessionize_users",
+    """
+    WITH gaps AS (
+      SELECT user_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM gaps GROUP BY user_id
+    """,
+)
+def sessionize_users(spark, sf_dir):
+    """Gap-based sessionization (30-min gap), then sessions per user.
+    Gaps measured in the µs domain (DuckDB's exact view of the nanos ts)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.expr("ts div 1000").alias("ts_us"), "event_id")
+    )
+    sess = relational.sessionize(
+        ev, user_col="user_id", time_col="ts_us", gap=1_800_000_000,
+        tiebreak_col="event_id",
+    )
+    return sess.groupBy("user_id").agg(F.max("session_id").alias("n_sessions"))
+
+
+@register(
+    "dedup_events_first",
+    """
+    SELECT user_id, event_type,
+           MIN(epoch_us(ts)) AS first_ts_us,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def dedup_events_first(spark, sf_dir):
+    """Keep-first dedup by (user, type) — batch twin of the streaming
+    dropDuplicatesWithinWatermark path. Timestamps reported in µs: DuckDB
+    truncates the nanos parquet type to TIMESTAMP (µs) on read, so µs is
+    the shared exact domain (floor-div commutes with MIN)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.expr("MIN(ts) div 1000").alias("first_ts_us"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# =====================================================================
+# LLM-pipeline: deduplication (operators.dedup)
+# =====================================================================
+
+
+@register(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS text_md5, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    return dedup.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_normalized_docs",
+    """
+    SELECT md5(trim(lower(text))) AS norm_md5, MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(trim(lower(text)))
+    """,
+)
+def dedup_normalized_docs(spark, sf_dir):
+    return dedup.normalized_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH docs AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 300
+    ), sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                      for i in range(1, len(w) - 1)])
+                  ELSE CAST([] AS VARCHAR[]) END AS s
+      FROM docs
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.1
+    """,
+)
+def ngram_jaccard_pairs_docs(spark, sf_dir):
+    """Exact 3-gram Jaccard over same-source doc pairs (doc_id < 300)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.1, block_col="source"
+    )
+
+
+@register("minhash_lsh_candidates", None)  # not SQL-expressible → rows-only check
+def minhash_lsh_candidates(spark, sf_dir):
+    """MinHash(32) + 8-band LSH near-dup candidate pairs; semantics pinned
+    by tests/test_dedup.py against an independent Python implementation."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8)
+
+
+@register("simhash_near_pairs", None)  # not SQL-expressible → rows-only check
+def simhash_near_pairs_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dedup.simhash_near_pairs(docs, max_hamming=3)
+
+
+# =====================================================================
+# LLM-pipeline: text analysis (operators.text)
+# =====================================================================
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             string_split(lower(text), ' '))), ' ')) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "fp")
+
+
+@register(
+    "lang_id_docs",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split(text,' '), x -> list_contains(['der','die','und','das'], x))) AS s_de,
+        len(list_filter(string_split(text,' '), x -> list_contains(['the','a','and','of'], x))) AS s_en,
+        len(list_filter(string_split(text,' '), x -> list_contains(['el','la','de','que'], x))) AS s_es,
+        len(list_filter(string_split(text,' '), x -> list_contains(['le','la','et','les'], x))) AS s_fr,
+        len(list_filter(string_split(text,' '), x -> list_contains(['de5','le5','shi4','zai4'], x))) AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM scored
+    """,
+)
+def lang_id_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+@register(
+    "quality_score_docs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS w,
+             CAST(length(text) AS DOUBLE) AS n_chars_d
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             n_chars_d / len(w) AS avg_word_len,
+             CAST(len(list_filter(w, x -> list_contains(
+               ['the','a','and','of','to','in','is'], x))) AS DOUBLE) / len(w)
+               AS stopword_ratio,
+             CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio
+      FROM t
+    )
+    SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, avg_word_len,
+           stopword_ratio, distinct_ratio,
+           least(avg_word_len / 8.0, 1.0) * 0.3
+             + least(stopword_ratio * 5.0, 1.0) * 0.3
+             + distinct_ratio * 0.4 AS quality
+    FROM m
+    """,
+)
+def quality_score_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_score(docs).select(
+        "doc_id", "n_words", "avg_word_len", "stopword_ratio", "distinct_ratio",
+        "quality",
+    )
+
+
+@register(
+    "token_stats_by_lang",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
+             AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def token_stats_by_lang(spark, sf_dir):
+    docs = text.token_count(load_table(spark, sf_dir, "documents"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+        (F.sum(F.col("n_tokens").cast("long")).cast("double") / F.count("*")).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+@register(
+    "top_terms",
+    """
+    SELECT term, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ) t
+    GROUP BY term
+    ORDER BY n DESC, term ASC
+    LIMIT 20
+    """,
+)
+def top_terms(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        text.term_counts(docs)
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+# =====================================================================
+# LLM-pipeline: similarity search (operators.similarity)
+# =====================================================================
+
+_COSINE_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[]))))
+               AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register("cosine_topk_bruteforce", _COSINE_ORACLE)
+def cosine_topk_bruteforce(spark, sf_dir):
+    """Exact top-5 cosine neighbors for query vectors vec_id < 3."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+@register("ivf_topk_full_probe", _COSINE_ORACLE)
+def ivf_topk_full_probe(spark, sf_dir):
+    """IVF-bucketed ANN with nprobe = n_centroids: exercises the scale path
+    (cell assignment + probe pruning) while remaining exactly equal to the
+    brute-force oracle — the correctness configuration of the ANN operator."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    centroids = similarity.sample_centroids(emb, 8)
+    return similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=8)
+
+
+@register(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+             AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+          >= 0.8
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, blocked by label (cosine ≥ 0.8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.8, block_col="label")
+
+
+# =====================================================================
+# Entry points used by __spark_entry__.py
+# =====================================================================
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _oracle) in SPECS.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: oracle for name, (_fn, oracle) in SPECS.items() if oracle is not None
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the TPC-H Q3-shaped join/agg/top-k on sf0.001."""
+    return q3_shipping_priority(spark, "/root/testdata/sf0.001")

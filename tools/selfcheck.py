@@ -1,0 +1,118 @@
+"""Self-check harness mirroring the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
+same parquet tables, then compare row count, column names, and exact cell
+values (order-insensitive).
+
+Usage: python tools/selfcheck.py [--sf /root/testdata/sf0.01] [--only name1,name2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Sorted-columns, sorted-rows canonical form for comparison."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return df
+
+
+def cells_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            af, bf = float(a), float(b)
+        except (TypeError, ValueError):
+            return False
+        if math.isnan(af) and math.isnan(bf):
+            return True
+        return af == bf
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, pd.Timestamp) or isinstance(b, pd.Timestamp):
+        return pd.Timestamp(a) == pd.Timestamp(b)
+    return a == b
+
+
+def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
+    if sorted(a.columns) != sorted(b.columns):
+        return False, f"columns differ: {sorted(a.columns)} vs {sorted(b.columns)}"
+    if len(a) != len(b):
+        return False, f"row counts differ: {len(a)} vs {len(b)}"
+    ca, cb = canon(a), canon(b)
+    for col in ca.columns:
+        va, vb = ca[col].tolist(), cb[col].tolist()
+        for i, (x, y) in enumerate(zip(va, vb)):
+            if not cells_equal(x, y):
+                return False, f"col {col} row {i}: spark={x!r} oracle={y!r}"
+    return True, ""
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entrymod
+    from lakeshack_spark.session import get_spark
+    from lakeshack_spark.sources.catalog import TABLE_NAMES
+
+    spark = get_spark(app_name="selfcheck")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+
+    n_ok = n_bad = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf).toPandas()
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            n_bad += 1
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            n_weak += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:
+            print(f"FAIL  {name}: oracle error: {exc}")
+            n_bad += 1
+            continue
+        ok, why = frames_equal(sdf, odf)
+        if ok:
+            print(f"ok    {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            n_ok += 1
+        else:
+            print(f"FAIL  {name}: {why}")
+            n_bad += 1
+    print(f"\n{n_ok} ok, {n_weak} rows-only, {n_bad} FAILED")
+    spark.stop()
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
