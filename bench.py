@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is materialized through the noop sink (full execution, no
+driver-side collection cost). One uncounted warm-up query absorbs JVM/
+codegen warm-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "shack_pruned_lookup",
+    "scan_filter_project",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "window_top2_per_customer",
+    "events_hourly_stats",
+    "sessionize_users",
+    "dedup_exact_docs",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "cosine_topk_bruteforce",
+    "ivf_topk_full_probe",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from lakeshack_spark.session import get_spark
+    from lakeshack_spark.queries import queries
+
+    spark = get_spark(app_name="lakeshack_bench")
+    qs = queries()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("topk_orders")  # warm-up, uncounted (JVM/codegen)
+    # Metastore ingest is write-path work, not query latency: build the
+    # stats table outside the timed window (idempotent).
+    from lakeshack_spark.queries import _orders_shack
+
+    _orders_shack(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(run(name), 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -74,28 +74,54 @@ def _h64(col: Column) -> Column:
 
 # -------------------------------------------------------------- minhash
 
+#: Mersenne prime 2^31-1 for the universal-hash permutation family: keeps
+#: a·x + b below 2^62, so the whole MinHash pipeline runs in native int64
+#: inside whole-stage codegen (no decimal, no per-permutation md5).
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _permutation_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a_i·x + b_i) mod (2^31-1),
+    derived from md5 so every engine/run agrees without an RNG."""
+    import hashlib
+
+    params = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"lakeshack-minhash-{i}".encode()).hexdigest()
+        a = (int(d[:15], 16) % (_MERSENNE31 - 1)) + 1
+        b = int(d[15:30], 16) % _MERSENNE31
+        params.append((a, b))
+    return params
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 32, k: int = 3,
 ) -> DataFrame:
     """Adds ``sig``: array of ``num_hashes`` min-hash values over word
-    k-gram shingles. Hash family i is md5(i || ':' || shingle); documents
-    with < k words get an all-null-free sentinel signature and never pair.
+    k-gram shingles.
+
+    One md5-derived 31-bit base hash per shingle, then ``num_hashes``
+    universal-hash permutations h_i(x) = (a_i·x + b_i) mod (2^31-1) — pure
+    int64 ops per shingle instead of per-permutation md5s (the hash call
+    count, not the min, dominates the naive formulation). 31-bit base
+    hashes trade a negligible similarity-estimate bias for staying
+    native-long end-to-end in whole-stage codegen.
     """
-    sh = shingles_col(text_col, k).alias("__sh")
-    out = df.withColumn("__sh", sh)
+    out = df.withColumn("__sh", shingles_col(text_col, k))
+    base = F.transform(F.col("__sh"), lambda s: _h64(s) % F.lit(_MERSENNE31))
+    out = out.withColumn("__bh", base)
+
+    def perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31)
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("__sh"),
-                    lambda s, i=i: _h64(F.concat_ws(":", F.lit(str(i)), s)),
-                )
-            )
-            for i in range(num_hashes)
+            F.array_min(F.transform(F.col("__bh"), perm(a, b)))
+            for a, b in _permutation_params(num_hashes)
         ]
     )
-    return out.withColumn("sig", sig).drop("__sh")
+    return out.withColumn("sig", sig).drop("__sh", "__bh")
 
 
 def minhash_lsh_pairs(

@@ -1,0 +1,148 @@
+"""Operator unit tests: the non-SQL-expressible dedup operators are pinned
+against independent pure-Python reference implementations (the oracle-backed
+operators are covered by tools/selfcheck.py and the driver's gate).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeshack_spark.operators import dedup, similarity, text
+from lakeshack_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+# ----------------------------------------------------- python references
+
+def py_shingles(txt: str, k: int = 3) -> set[str]:
+    w = txt.split(" ")
+    if len(w) < k:
+        return set()
+    return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+
+def py_h64(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def py_minhash_sig(txt: str, num_hashes: int = 32, k: int = 3) -> list[int] | None:
+    sh = py_shingles(txt, k)
+    if not sh:
+        return None
+    base = [py_h64(s) % dedup._MERSENNE31 for s in sh]
+    sig = []
+    for a, b in dedup._permutation_params(num_hashes):
+        sig.append(min((a * h + b) % dedup._MERSENNE31 for h in base))
+    return sig
+
+
+def py_simhash(txt: str) -> int:
+    tokens = list(dict.fromkeys(txt.split(" ")))
+    fp = 0
+    for j in range(63):
+        s = sum(1 if py_h64(t) & (1 << j) else -1 for t in tokens)
+        if s > 0:
+            fp |= 1 << j
+    return fp
+
+
+# ----------------------------------------------------------------- tests
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").filter(F.col("doc_id") < 40)
+
+
+def test_minhash_signature_matches_python(spark, docs):
+    rows = dedup.minhash_signature(docs, num_hashes=16).select(
+        "doc_id", "text", "sig"
+    ).collect()
+    assert rows
+    for r in rows[:10]:
+        expect = py_minhash_sig(r["text"], num_hashes=16)
+        if expect is None:
+            continue
+        assert list(r["sig"]) == expect, f"doc {r['doc_id']}"
+
+
+def test_minhash_lsh_finds_exact_duplicates(spark, docs):
+    """A duplicated document must always be an LSH candidate pair."""
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 10_000)
+    both = docs.unionByName(dup)
+    pairs = dedup.minhash_lsh_pairs(both).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    for r in docs.limit(3).collect():
+        assert (r["doc_id"], r["doc_id"] + 10_000) in found
+
+
+def test_simhash_matches_python(spark, docs):
+    rows = dedup.simhash(docs).select("doc_id", "text", "simhash").collect()
+    for r in rows[:10]:
+        assert r["simhash"] == py_simhash(r["text"]), f"doc {r['doc_id']}"
+
+
+def test_simhash_identical_docs_zero_hamming(spark, docs):
+    dup = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 10_000)
+    both = docs.unionByName(dup)
+    pairs = dedup.simhash_near_pairs(both, max_hamming=0).collect()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    for r in docs.limit(2).collect():
+        assert (r["doc_id"], r["doc_id"] + 10_000) in found
+
+
+def test_ngram_jaccard_self_pair_is_one(spark, docs):
+    dup = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 10_000)
+    both = docs.unionByName(dup).withColumn("blk", F.lit(1))
+    pairs = dedup.ngram_jaccard_pairs(both, block_col="blk", threshold=0.999).collect()
+    found = {(p["id_a"], p["id_b"]): p["jaccard"] for p in pairs}
+    for r in docs.limit(2).collect():
+        assert found.get((r["doc_id"], r["doc_id"] + 10_000)) == 1.0
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.sample_centroids(emb, 8)
+    bf = similarity.cosine_topk(emb, queries, k=3).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    ivf = similarity.ivf_topk(emb, queries, cents, k=3, nprobe=8).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    assert bf.exceptAll(ivf).count() == 0 and ivf.exceptAll(bf).count() == 0
+
+
+def test_ivf_low_probe_is_subset_with_decent_recall(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = similarity.sample_centroids(emb, 8)
+    bf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_topk(emb, queries, cents, k=5, nprobe=4).collect()
+    }
+    recall = len(bf & approx) / len(bf)
+    assert recall >= 0.5, f"recall {recall}"
+
+
+def test_token_count_regex(spark):
+    df = spark.createDataFrame([(1, "abc123 def x9y")], "id int, text string")
+    row = text.token_count_regex(df).collect()[0]
+    # abc|123, def, x|9|y → 6 subtokens
+    assert row["n_subtokens"] == 6
+
+
+def test_lang_id_marker_sanity(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat"), (2, "el gato de la casa"), (3, "xyz qrs")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(df).collect()}
+    assert rows[1] == "en" and rows[2] == "es" and rows[3] == "und"
