@@ -1,0 +1,13 @@
+from lakeshack_spark.streaming.ingest import stream_ingest_clustered
+from lakeshack_spark.streaming.windows import (
+    dedup_within_watermark,
+    session_window_stats,
+    tumbling_window_stats,
+)
+
+__all__ = [
+    "stream_ingest_clustered",
+    "tumbling_window_stats",
+    "session_window_stats",
+    "dedup_within_watermark",
+]

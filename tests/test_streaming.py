@@ -1,0 +1,163 @@
+"""Structured Streaming: windowed aggs match their batch twins; the ingest
+stream lands clustered files and indexes them in the metastore."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeshack_spark.engine import Lakeshack
+from lakeshack_spark.sources.catalog import load_table
+from lakeshack_spark.streaming import (
+    dedup_within_watermark,
+    session_window_stats,
+    stream_ingest_clustered,
+    tumbling_window_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_landing")
+    shutil.copy(f"{SF}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _events_stream(spark, events_stream_dir):
+    batch = load_table(spark, SF, "events")
+    stream = (
+        spark.readStream.schema(batch.drop("ts_utc").schema)
+        .parquet(events_stream_dir)
+        .withColumn(
+            "ts_utc", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    )
+    return batch, stream
+
+
+def _run_stream_to_memory(spark, df, name, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumbling_window_stream_matches_batch(spark, events_stream_dir):
+    """Complete mode (no watermark): stream result ≡ batch result."""
+    batch, stream = _events_stream(spark, events_stream_dir)
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in tumbling_window_stats(batch).collect()
+    }
+    got_df = _run_stream_to_memory(
+        spark,
+        tumbling_window_stats(stream, watermark=None),
+        "tumbling_mem",
+        "complete",
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in got_df.collect()
+    }
+    assert got == want
+
+
+def test_tumbling_append_withholds_open_windows(spark, events_stream_dir):
+    """Append mode + watermark: windows not yet past the watermark when the
+    stream ends are withheld (finalized-only emission) — the documented
+    late-data policy replacing the reference's immutable-partition advice
+    (docs/source/lakeshack.rst:120-161)."""
+    batch, stream = _events_stream(spark, events_stream_dir)
+    n_batch = tumbling_window_stats(batch).count()
+    got_df = _run_stream_to_memory(
+        spark,
+        tumbling_window_stats(stream, watermark="2 hours"),
+        "tumbling_append_mem",
+        "append",
+    )
+    n_stream = got_df.count()
+    assert n_stream < n_batch  # open windows withheld
+    assert n_stream >= n_batch - 10  # but only the tail
+
+
+def test_session_window_stream_matches_batch(spark, events_stream_dir):
+    batch, stream = _events_stream(spark, events_stream_dir)
+    want = {
+        (r["session_start"], r["user_id"]): r["n_events"]
+        for r in session_window_stats(batch).collect()
+    }
+    got_df = _run_stream_to_memory(
+        spark,
+        session_window_stats(stream, watermark=None),
+        "session_mem",
+        "complete",
+    )
+    got = {
+        (r["session_start"], r["user_id"]): r["n_events"] for r in got_df.collect()
+    }
+    assert got == want
+
+
+def test_dedup_within_watermark_stream(spark, events_stream_dir):
+    batch, stream = _events_stream(spark, events_stream_dir)
+    # keys = (user_id, event_type): stream-dedup count must equal batch
+    # distinct count (all rows are within one watermark horizon per key
+    # ordering in this small fixture, so state never evicts early).
+    want = batch.select("user_id", "event_type").distinct().count()
+    got_df = _run_stream_to_memory(
+        spark,
+        dedup_within_watermark(stream, ["user_id", "event_type"], watermark="100 days"),
+        "dedup_mem",
+        "append",
+    )
+    assert got_df.count() == want
+
+
+def test_stream_ingest_clustered(spark, tmp_path_factory):
+    landing = tmp_path_factory.mktemp("landing")
+    data_dir = str(tmp_path_factory.mktemp("lake"))
+    store = str(tmp_path_factory.mktemp("stats"))
+
+    orders = load_table(spark, SF, "orders")
+    orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(landing / "batch1"))
+    orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(landing / "batch2"))
+
+    shack = Lakeshack(
+        spark,
+        data_dir,
+        cluster_column="o_custkey",
+        optional_columns=["o_orderdate"],
+        store_path=store,
+        schema=orders.schema,
+    )
+    q = stream_ingest_clustered(
+        spark,
+        f"{landing}/*",
+        shack,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt")),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+
+    assert shack.metastore.stats_df().count() > 0
+    total = shack.query(
+        list(range(0, 1500))
+    ).count()
+    assert total == orders.count()
+    # a point lookup touches a strict subset of the landed files
+    all_files = shack.metastore.stats_df().count()
+    touched = len(shack.candidate_files([5]))
+    assert touched <= all_files
