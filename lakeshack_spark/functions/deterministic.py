@@ -31,7 +31,11 @@ from pyspark.sql import Column, functions as F
 
 
 def _sum_sql(expr: str, scale: int) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
+    # DECIMAL(18,s): Spark's compact (single long) decimal representation —
+    # measurably faster in codegen than DECIMAL(38,s), and 18-s integer
+    # digits comfortably hold every per-row value here. The SUM accumulator
+    # widens automatically (Spark: 28,s; DuckDB: 38,s) so totals stay exact.
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,{scale}))) AS DOUBLE)"
 
 
 def dsum(expr: str, scale: int = 6) -> Column:

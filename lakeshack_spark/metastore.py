@@ -271,6 +271,78 @@ class FileStatsMetastore:
             pred = pred & (lo.isNull() | keep)
         return pred
 
+    #: Below this stats-table row count, pruning runs driver-side on a
+    #: direct pyarrow read — metadata operations on metadata-sized tables
+    #: should not launch distributed jobs (a 10k-file dataset's stats are
+    #: ~1 MB; even 1M files is ~100 MB, still driver-feasible).
+    DRIVER_PRUNE_MAX_FILES = 100_000
+
+    def _prune_driver_side(
+        self,
+        values: list[Any],
+        clauses: Sequence[tuple[str, str, Any]],
+    ) -> dict[str, list[Any]] | None:
+        """Fast path: evaluate the interval tests in-process over the stats
+        parquet. Returns None when the stats table is too large (caller
+        falls back to the distributed path)."""
+        import pyarrow.dataset as pads
+
+        values = [_to_py_stat(v) for v in values]
+        clauses = [(c, op, _to_py_stat(v)) for c, op, v in clauses]
+
+        dataset = pads.dataset(
+            [f for f in list_parquet_files(self.store_path)], format="parquet"
+        )
+        if dataset.count_rows() > self.DRIVER_PRUNE_MAX_FILES:
+            return None
+        table = dataset.to_table()
+        # Spark writes TimestampType as UTC-adjusted; normalize to naive
+        # UTC so comparisons against (naive) clause values work.
+        cols = {
+            name: [_to_py_stat(v) for v in table.column(name).to_pylist()]
+            for name in table.column_names
+        }
+        n = table.num_rows
+        cc = self.cluster_column
+
+        def survives(i: int) -> bool:
+            for col, op, value in clauses:
+                if op not in PRUNE_OPS:
+                    raise ValueError(
+                        f"unsupported operator {op!r}; use one of {PRUNE_OPS}"
+                    )
+                if col not in self.tracked_columns:
+                    continue
+                lo, hi = cols[f"{col}_min"][i], cols[f"{col}_max"][i]
+                if lo is None or hi is None:
+                    continue
+                if op == ">=" and not hi >= value:
+                    return False
+                if op == ">" and not hi > value:
+                    return False
+                if op == "<=" and not lo <= value:
+                    return False
+                if op == "<" and not lo < value:
+                    return False
+                if op in ("=", "==") and not (lo <= value <= hi):
+                    return False
+            return True
+
+        out: dict[str, list[Any]] = {}
+        lo_c, hi_c = cols[f"{cc}_min"], cols[f"{cc}_max"]
+        for i in range(n):
+            if not survives(i):
+                continue
+            lo, hi = lo_c[i], hi_c[i]
+            matched = (
+                list(values)
+                if lo is None or hi is None
+                else [v for v in values if lo <= v <= hi]
+            )
+            if matched:
+                out[cols["filepath"][i]] = sorted(matched)
+        return out
+
     def prune(
         self,
         cluster_column_values: Sequence[Any] | Any,
@@ -280,12 +352,22 @@ class FileStatsMetastore:
         [min, max] interval might contain each value AND that survive every
         range clause — reference ``Metastore.query``
         (lakeshack/metastore.py:414-481), vectorized as one broadcast
-        interval-join instead of one DB query per value."""
+        interval-join instead of one DB query per value.
+
+        Small stats tables (the overwhelmingly common case — one row per
+        *file*) are pruned driver-side with zero Spark jobs; the
+        distributed path kicks in past ``DRIVER_PRUNE_MAX_FILES``.
+        """
         if not isinstance(cluster_column_values, (list, tuple)):
             cluster_column_values = [cluster_column_values]
         values = list(dict.fromkeys(cluster_column_values))
         if not values:
             return {}
+        if not self._exists():
+            return {}
+        fast = self._prune_driver_side(values, optional_where_clauses)
+        if fast is not None:
+            return fast
         cluster_type = _spark_stat_type(
             {f.name: f.dataType for f in self.data_schema.fields}[self.cluster_column]
         )

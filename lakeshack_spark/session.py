@@ -41,6 +41,17 @@ def configure_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:  # pragma: no cover - static conf on some builds
             pass
+    try:
+        # Split small file sets into at least one partition per core —
+        # default 128 MB split sizing leaves a 32-core machine running a
+        # 3-partition scan. On a real cluster this floor is harmless: big
+        # datasets already exceed it.
+        spark.conf.set(
+            "spark.sql.files.minPartitionNum",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    except Exception:  # pragma: no cover
+        pass
     return spark
 
 

@@ -94,6 +94,19 @@ def test_date_variant_pruning(spark, tmp_path_factory):
     assert len(ms.prune(TEN_IDS, [("timestamp", "<=", MID_2021_08_01.date())])) == 1
 
 
+def test_distributed_prune_path_matches_driver_path(metastore):
+    """Forcing the Spark interval-join path (as if the stats table were
+    huge) must give identical pruning to the driver-side fast path."""
+    fast = metastore.prune(TEN_IDS, [("timestamp", ">=", MID_2021_08_01)])
+    old = metastore.DRIVER_PRUNE_MAX_FILES
+    metastore.DRIVER_PRUNE_MAX_FILES = 0
+    try:
+        slow = metastore.prune(TEN_IDS, [("timestamp", ">=", MID_2021_08_01)])
+    finally:
+        metastore.DRIVER_PRUNE_MAX_FILES = old
+    assert fast == slow
+
+
 def test_non_indexable_optional_column_skipped(spark, sales_fixture):
     """A non-indexable optional column type is skipped with a warning, not
     an error (reference lakeshack/metastore.py:540-553)."""
