@@ -581,6 +581,35 @@ def set_except_nations(spark, sf_dir):
 
 
 @register(
+    "set_union_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_nations(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@register(
+    "distinct_status_priority",
+    """
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def distinct_status_priority(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
     "set_intersect_nations",
     """
     SELECT DISTINCT c_nationkey AS nationkey FROM customer

@@ -1,0 +1,76 @@
+"""Plan-shape contracts: the properties that make these queries survive a
+100× scale-up, asserted against the physical plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeshack_spark import plans
+from lakeshack_spark.queries import SPECS
+
+SF = "/root/testdata/sf0.01"
+
+
+def q(name, spark):
+    return SPECS[name][0](spark, SF)
+
+
+def test_filter_reaches_parquet_scan(spark):
+    df = q("scan_filter_project", spark)
+    pf = plans.pushed_filters(df)
+    assert any("l_shipdate" in f for f in pf), pf
+
+
+def test_projection_prunes_read_schema(spark):
+    df = q("scan_filter_project", spark)
+    for cols in plans.read_schema_columns(df):
+        assert set(cols) <= {
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_shipdate",
+        }, cols
+
+
+def test_pruned_lookup_pushes_in_list(spark):
+    df = q("shack_pruned_lookup", spark)
+    pf = plans.pushed_filters(df)
+    assert any("o_custkey" in f for f in pf), pf
+    assert any("o_orderdate" in f for f in pf), pf
+
+
+def test_q3_broadcasts_dimension(spark):
+    assert plans.has_broadcast_hash_join(q("q3_shipping_priority", spark))
+
+
+def test_q5_broadcasts_dims(spark):
+    assert plans.has_broadcast_hash_join(q("q5_revenue_by_nation", spark))
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    assert plans.has_take_ordered(q("topk_orders", spark))
+
+
+def test_q1_has_map_side_combine(spark):
+    assert plans.has_partial_aggregation(q("q1_pricing_summary", spark))
+
+
+def test_q1_single_shuffle(spark):
+    """Partial+final agg → exactly one Exchange in the whole plan."""
+    plan = plans.explain_str(q("q1_pricing_summary", spark))
+    assert plan.count("(5) Exchange") + plan.count("Exchange (") <= 2
+    assert plan.count("Exchange") >= 1
+
+
+def test_semi_join_is_semi_in_plan(spark):
+    plan = plans.explain_str(q("semi_join_big_spenders", spark))
+    assert "LeftSemi" in plan
+
+
+def test_minhash_no_cartesian_product(spark):
+    """LSH candidate generation must be an equi-join on (band, bucket),
+    never a cartesian/nested-loop product."""
+    plan = plans.explain_str(q("minhash_lsh_candidates", spark))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
