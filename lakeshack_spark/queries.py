@@ -455,6 +455,150 @@ def asof_join_events_orders(spark, sf_dir):
     )
 
 
+@register(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c.c_custkey AS c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13-shaped: left outer join with a join-side predicate, then a
+    distribution over per-customer counts (two aggregations, two shuffles)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q18_large_orders",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           {oracle_dsum('l_quantity', 2)} AS total_qty
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_custkey, o_orderdate
+    HAVING {oracle_dsum('l_quantity', 2)} >= 120
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18-shaped: join + group + HAVING on the aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .filter(F.col("total_qty") >= 120)
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o_totalprice AS
+      DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+    """,
+)
+def scalar_subquery_above_avg(spark, sf_dir):
+    """Scalar subquery: orders above 2× the (deterministic) mean price.
+    Physical plan: the subquery aggregates once and broadcasts as a
+    literal — no per-row recomputation."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > 1.8 * (SELECT CAST(SUM(CAST(o_totalprice AS
+          DECIMAL(18,2))) AS DOUBLE) / COUNT(*) FROM orders)
+        """
+    )
+
+
+@register(
+    "in_subquery_hot_parts",
+    f"""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE p_partkey IN (
+      SELECT l_partkey FROM lineitem GROUP BY l_partkey
+      HAVING {oracle_dsum('l_quantity', 2)} >= 900
+    )
+    """,
+)
+def in_subquery_hot_parts(spark, sf_dir):
+    """IN-subquery (planned as a semi join): parts with high total demand."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = (
+        li.groupBy("l_partkey")
+        .agg(dsum("l_quantity", 2).alias("tq"))
+        .filter(F.col("tq") >= 900)
+        .select("l_partkey")
+    )
+    return p.join(hot, p.p_partkey == hot.l_partkey, "left_semi").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+
+
+@register(
+    "q7_volume_by_year",
+    f"""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE n1.n_name < n2.n_name
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+)
+def q7_volume_by_year(spark, sf_dir):
+    """TPC-H Q7-shaped: nation self-join on both sides of the trade + a
+    theta condition, grouped by derived year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .groupBy(
+            "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 6).alias("volume"))
+    )
+
+
 # =====================================================================
 # Window family
 # =====================================================================
@@ -1062,6 +1206,30 @@ def embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, blocked by label (cosine ≥ 0.8)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(emb, threshold=0.8, block_col="label")
+
+
+@register("cosine_topk_pandas_udf", None)  # NumPy ulp-rounding → rows-only
+def cosine_topk_pandas_udf(spark, sf_dir):
+    """Arrow-batched NumPy top-k — the high-dimensionality scale path.
+    Same ranks as cosine_topk_bruteforce (unit-tested); float values carry
+    BLAS rounding so there is no cell-exact SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return similarity.cosine_topk_pandas(emb, queries, k=5)
+
+
+@register("sketch_distinct_and_quantiles", None)  # approximate → rows-only
+def sketch_distinct_and_quantiles(spark, sf_dir):
+    """Sketch surface: HyperLogLog++ distinct counts and approximate
+    quantiles per order status (both deterministic within Spark; accuracy
+    bounds unit-tested against exact answers)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000).alias(
+            "price_quantiles"
+        ),
+    )
 
 
 # =====================================================================

@@ -132,6 +132,44 @@ def test_ivf_low_probe_is_subset_with_decent_recall(spark):
     assert recall >= 0.5, f"recall {recall}"
 
 
+def test_cosine_pandas_matches_fold_ranks(spark):
+    """NumPy path must produce the same (query, neighbor, rank) triples as
+    the exact expression-fold path; cosine values agree to ~1e-12."""
+    from lakeshack_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    fold = similarity.cosine_topk(emb, queries, k=5).collect()
+    fast = similarity.cosine_topk_pandas(emb, queries, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    fold_m = {key(r): r for r in fold}
+    fast_m = {key(r): r for r in fast}
+    assert fold_m.keys() == fast_m.keys()
+    for kk in fold_m:
+        assert fold_m[kk]["neighbor_id"] == fast_m[kk]["neighbor_id"]
+        assert abs(fold_m[kk]["cosine"] - fast_m[kk]["cosine"]) < 1e-9
+
+
+def test_sketches_within_tolerance(spark):
+    from lakeshack_spark.queries import SPECS
+
+    rows = SPECS["sketch_distinct_and_quantiles"][0](spark, SF).collect()
+    from lakeshack_spark.sources.catalog import load_table
+
+    o = load_table(spark, SF, "orders")
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        e = exact[r["o_orderstatus"]]
+        assert abs(r["approx_customers"] - e) / e < 0.1
+        q50, q90, q99 = r["price_quantiles"]
+        assert q50 < q90 < q99
+
+
 def test_token_count_regex(spark):
     df = spark.createDataFrame([(1, "abc123 def x9y")], "id int, text string")
     row = text.token_count_regex(df).collect()[0]
