@@ -121,7 +121,11 @@ def minhash_signature(
             for a, b in _permutation_params(num_hashes)
         ]
     )
-    return out.withColumn("sig", sig).drop("__sh", "__bh")
+    return (
+        out.withColumn("sig", sig)
+        .withColumn("n_shingles", F.size("__sh"))
+        .drop("__sh", "__bh")
+    )
 
 
 def minhash_lsh_pairs(
@@ -138,9 +142,11 @@ def minhash_lsh_pairs(
     splitting.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, k).select(
-        F.col(id_col), F.col("sig"), F.size(shingles_col(text_col, k)).alias("__nsh")
-    ).filter(F.col("__nsh") > 0)
+    sigs = (
+        minhash_signature(df, text_col, id_col, num_hashes, k)
+        .select(F.col(id_col), F.col("sig"), F.col("n_shingles"))
+        .filter(F.col("n_shingles") > 0)
+    )
     banded = sigs.select(
         F.col(id_col),
         F.explode(

@@ -1,0 +1,68 @@
+"""Skew mitigation: explicit salting for aggregations and joins.
+
+AQE (`spark.sql.adaptive.skewJoin`) already splits skewed *join* partitions
+at runtime — that is the first line of defense and is enabled by the
+session factory. These helpers cover the cases AQE does not: skewed
+aggregation keys (one giant group serializes into one task) and broadcast-
+averse skewed joins on engines/configs without AQE.
+
+Both are exact rewrites for decomposable aggregates: COUNT/SUM/MIN/MAX
+split across salt buckets and recombine losslessly (decimal sums stay
+exact because decimal addition is associative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def salted_count(
+    df: DataFrame, keys: list[str], salt_buckets: int = 16
+) -> DataFrame:
+    """COUNT(*) per key, resistant to a single key dominating the data:
+    phase 1 groups by (keys, salt) — splitting a hot key across
+    ``salt_buckets`` tasks — phase 2 sums the partials per key."""
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=0) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(F.count("*").alias("__n"))
+    return partial.groupBy(*keys).agg(F.sum("__n").alias("n"))
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: list[str],
+    value_expr: str,
+    scale: int = 6,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Deterministic decimal SUM per key with salting; exact regardless of
+    how rows land in buckets (decimal addition is associative)."""
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=0) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.expr(f"SUM(CAST(({value_expr}) AS DECIMAL(18,{scale})))").alias("__s")
+    )
+    return partial.groupBy(*keys).agg(
+        F.expr("CAST(SUM(__s) AS DOUBLE)").alias("total")
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Inner equi-join with a skewed left key distribution: salt the left
+    side, replicate each right row into every bucket, join on
+    (key, salt). Right side grows ×salt_buckets — use only when the right
+    side is small-ish but above the broadcast threshold and AQE is
+    unavailable; otherwise prefer broadcast() or AQE skew-join."""
+    l = left.withColumn("__salt", (F.rand(seed=0) * salt_buckets).cast("int"))
+    r = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return l.join(r, [key, "__salt"]).drop("__salt")
