@@ -113,6 +113,24 @@ def _footer_stats_for_files(
         yield row
 
 
+def interval_keeps(op: str, lo: Any, hi: Any, value: Any) -> bool:
+    """The zone-map survival predicate for one clause against one file's
+    [lo, hi] interval — the pure core of the truth table
+    (lakeshack/metastore.py:453-467). NULL stats always keep the file
+    (pruning is best-effort; the scan re-applies exact predicates)."""
+    if lo is None or hi is None:
+        return True
+    if op == ">=":
+        return hi >= value
+    if op == ">":
+        return hi > value
+    if op == "<=":
+        return lo <= value
+    if op == "<":
+        return lo < value
+    return lo <= value <= hi  # "=", "=="
+
+
 def list_parquet_files(path: str) -> list[str]:
     """Recursive Parquet file discovery (reference ``_gather_metadata``,
     lakeshack/metastore.py:341-412). Accepts a single file or a directory;
@@ -314,17 +332,7 @@ class FileStatsMetastore:
                 if col not in self.tracked_columns:
                     continue
                 lo, hi = cols[f"{col}_min"][i], cols[f"{col}_max"][i]
-                if lo is None or hi is None:
-                    continue
-                if op == ">=" and not hi >= value:
-                    return False
-                if op == ">" and not hi > value:
-                    return False
-                if op == "<=" and not lo <= value:
-                    return False
-                if op == "<" and not lo < value:
-                    return False
-                if op in ("=", "==") and not (lo <= value <= hi):
+                if not interval_keeps(op, lo, hi, value):
                     return False
             return True
 

@@ -1,4 +1,5 @@
 from lakeshack_spark.streaming.ingest import stream_ingest_clustered
+from lakeshack_spark.streaming.stateful import running_user_stats
 from lakeshack_spark.streaming.windows import (
     dedup_within_watermark,
     session_window_stats,
@@ -10,4 +11,5 @@ __all__ = [
     "tumbling_window_stats",
     "session_window_stats",
     "dedup_within_watermark",
+    "running_user_stats",
 ]

@@ -122,6 +122,36 @@ def test_dedup_within_watermark_stream(spark, events_stream_dir):
     assert got_df.count() == want
 
 
+def test_stateful_running_user_stats(spark, events_stream_dir):
+    """applyInPandasWithState (streaming) converges to the same final
+    per-user stats as the batch pass; with multiple micro-batches the
+    update-mode output's LAST row per user is the running total."""
+    from lakeshack_spark.streaming import running_user_stats
+
+    batch, stream = _events_stream(spark, events_stream_dir)
+    prep = lambda df: df.select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "value"
+    )
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts_us"])
+        for r in running_user_stats(prep(batch)).collect()
+    }
+    q = (
+        running_user_stats(prep(stream))
+        .writeStream.format("memory")
+        .queryName("stateful_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_ts_us"])
+        for r in spark.table("stateful_mem").collect()
+    }
+    assert got == want
+
+
 def test_stream_ingest_clustered(spark, tmp_path_factory):
     landing = tmp_path_factory.mktemp("landing")
     data_dir = str(tmp_path_factory.mktemp("lake"))
