@@ -85,7 +85,7 @@ class Lakeshack:
         self.spark = configure_session(spark)
         self.data_path = data_path
         if schema is None:
-            sample = list_parquet_files(data_path)
+            sample = list_parquet_files(data_path, self.spark)
             if not sample:
                 raise ValueError(f"no parquet files under {data_path!r}")
             schema = self.spark.read.parquet(sample[0]).schema

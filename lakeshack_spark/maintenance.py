@@ -33,7 +33,12 @@ def compact(
     """Rewrite ``shack``'s dataset as ``n_files`` globally range-clustered
     files and rebuild the metastore. Returns the number of files removed.
     """
-    old_files = list_parquet_files(shack.data_path)
+    if "://" in shack.data_path and not shack.data_path.startswith("file://"):
+        raise NotImplementedError(
+            "compact() swaps files with local renames; on object storage "
+            "run the rewrite under a table-format commit (Delta/Iceberg)"
+        )
+    old_files = list_parquet_files(shack.data_path, shack.spark)
     if not old_files:
         return 0
     df = shack.spark.read.schema(shack.schema).parquet(*old_files)

@@ -89,7 +89,12 @@ def _footer_stats_for_files(
 
     for filepath in filepaths:
         try:
-            pf = pq.ParquetFile(filepath)
+            # pyarrow resolves the filesystem from the URI; normalize the
+            # Hadoop-style schemes it does not know (s3a -> s3, file -> bare)
+            arrow_path = _strip_file_scheme(filepath)
+            if arrow_path.startswith("s3a://"):
+                arrow_path = "s3://" + arrow_path[len("s3a://"):]
+            pf = pq.ParquetFile(arrow_path)
         except Exception as exc:  # non-parquet / unreadable: skip with a log
             logger.warning("skipping unreadable file %s: %s", filepath, exc)
             continue
@@ -131,18 +136,67 @@ def interval_keeps(op: str, lo: Any, hi: Any, value: Any) -> bool:
     return lo <= value <= hi  # "=", "=="
 
 
-def list_parquet_files(path: str) -> list[str]:
+def _is_remote(path: str) -> bool:
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    return scheme not in ("", "file")
+
+
+def _strip_file_scheme(path: str) -> str:
+    return path[len("file://"):] if path.startswith("file://") else path
+
+
+def list_parquet_files(
+    path: str,
+    spark: SparkSession | None = None,
+    skip_side_dirs: bool = True,
+) -> list[str]:
     """Recursive Parquet file discovery (reference ``_gather_metadata``,
     lakeshack/metastore.py:341-412). Accepts a single file or a directory;
-    skips non-Parquet names and Spark/metastore side files."""
+    skips non-Parquet names and Spark/metastore side files.
+
+    Local paths walk the filesystem directly; remote schemes (s3a://,
+    hdfs://, ...) go through the JVM Hadoop FileSystem so the same engine
+    runs against object storage — pass ``spark`` for those. (The reference
+    swaps pyarrow.fs implementations the same way,
+    lakeshack/metastore.py:206-231.)
+
+    ``skip_side_dirs`` excludes a co-located ``_lakeshack_stats`` store from
+    *data* listings; pass False when listing the stats store itself.
+    """
+
+    def keep(name: str) -> bool:
+        return name.endswith(".parquet") and not name.startswith((".", "_"))
+
+    if _is_remote(path):
+        if spark is None:
+            raise ValueError(f"remote path {path!r} requires a SparkSession")
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return []
+        found: list[str] = []
+        it = fs.listFiles(hpath, True)  # recursive
+        while it.hasNext():
+            status = it.next()
+            p = status.getPath()
+            full = p.toString()
+            if skip_side_dirs and "_lakeshack_stats" in full:
+                continue
+            if keep(p.getName()):
+                found.append(full)
+        return sorted(found)
+
+    path = _strip_file_scheme(path)
     if os.path.isfile(path):
         return [path]
-    found: list[str] = []
+    found = []
     for root, _dirs, files in os.walk(path):
-        if "_lakeshack_stats" in root:
+        if skip_side_dirs and "_lakeshack_stats" in root:
             continue
         for name in sorted(files):
-            if name.endswith(".parquet") and not name.startswith((".", "_")):
+            if keep(name):
                 found.append(os.path.join(root, name))
     return sorted(found)
 
@@ -204,11 +258,12 @@ class FileStatsMetastore:
     # ------------------------------------------------------------- ingest
 
     def _exists(self) -> bool:
-        return os.path.exists(self.store_path) and any(
-            name.endswith(".parquet")
-            for _root, _dirs, files in os.walk(self.store_path)
-            for name in files
-        )
+        try:
+            return bool(
+                list_parquet_files(self.store_path, self.spark, skip_side_dirs=False)
+            )
+        except Exception:
+            return False
 
     def stats_df(self) -> DataFrame:
         """The stats table as a DataFrame (empty if never updated)."""
@@ -226,9 +281,13 @@ class FileStatsMetastore:
         updates stay metadata-only at any file count.
         """
         if isinstance(parquet_file_or_dir, str):
-            files = list_parquet_files(parquet_file_or_dir)
+            files = list_parquet_files(parquet_file_or_dir, self.spark)
         else:
-            files = [f for p in parquet_file_or_dir for f in list_parquet_files(p)]
+            files = [
+                f
+                for p in parquet_file_or_dir
+                for f in list_parquet_files(p, self.spark)
+            ]
         if not files:
             return 0
         sc = self.spark.sparkContext
@@ -305,11 +364,14 @@ class FileStatsMetastore:
         falls back to the distributed path)."""
         import pyarrow.dataset as pads
 
+        if _is_remote(self.store_path):
+            return None  # remote stats store: use the distributed path
         values = [_to_py_stat(v) for v in values]
         clauses = [(c, op, _to_py_stat(v)) for c, op, v in clauses]
 
         dataset = pads.dataset(
-            [f for f in list_parquet_files(self.store_path)], format="parquet"
+            list_parquet_files(self.store_path, self.spark, skip_side_dirs=False),
+            format="parquet",
         )
         if dataset.count_rows() > self.DRIVER_PRUNE_MAX_FILES:
             return None

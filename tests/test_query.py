@@ -78,6 +78,24 @@ def test_empty_result_when_nothing_matches(shack):
     assert df.columns == ["id", "timestamp", "x"]
 
 
+def test_default_colocated_store(spark, sales_fixture, tmp_path_factory):
+    """Default store_path (a _lakeshack_stats dir INSIDE the data dir) must
+    be self-consistent: ingest sees it, re-ingest is idempotent, and data
+    listings exclude it (regression: the side-dir skip used to hide the
+    store from itself)."""
+    import shutil
+
+    root, files = sales_fixture
+    lake = str(tmp_path_factory.mktemp("colocated"))
+    for f in files:
+        shutil.copy(f, lake)
+    ls = Lakeshack(spark, lake, cluster_column="id", optional_columns=["timestamp"])
+    assert ls.update_metastore() == 10
+    assert ls.update_metastore() == 0
+    assert ls.metastore.stats_df().count() == 10
+    assert ls.query(["00"]).count() == 3
+
+
 def test_pruned_equals_unpruned(shack, spark, sales_fixture):
     """Property: pruned scan ≡ full scan + exact filter, for a mix of
     predicates (SURVEY §5 'our plan')."""

@@ -1,0 +1,77 @@
+"""Metastore scale stress: N clustered files → ingest throughput, prune
+latency, and pruning selectivity. Local stand-in for the millions-of-files
+regime (the driver-side prune path is exercised up to its 100k-file
+cutover; the distributed path above it).
+
+Usage: python tools/stress_metastore.py [--files 1000] [--rows-per-file 1000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=1000)
+    ap.add_argument("--rows-per-file", type=int, default=1000)
+    args = ap.parse_args()
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakeshack_spark.engine import Lakeshack
+    from lakeshack_spark.session import get_spark
+
+    lake = tempfile.mkdtemp(prefix="stress_lake_")
+    n, rows = args.files, args.rows_per_file
+    t0 = time.time()
+    # Ideal clustering: file i owns keys [i*rows, (i+1)*rows)
+    for i in range(n):
+        keys = np.arange(i * rows, (i + 1) * rows, dtype=np.int64)
+        table = pa.table(
+            {
+                "k": keys,
+                "ts": pa.array(
+                    (1_700_000_000 + keys % 86_400) * 1_000_000,
+                    type=pa.timestamp("us"),
+                ),
+                "v": np.random.default_rng(i).random(rows),
+            }
+        )
+        pq.write_table(table, f"{lake}/part-{i:05d}.parquet", row_group_size=rows)
+    print(f"wrote {n} files x {rows} rows in {time.time()-t0:.1f}s")
+
+    spark = get_spark(app_name="stress_metastore")
+    shack = Lakeshack(spark, lake, cluster_column="k", optional_columns=["ts"])
+    t0 = time.time()
+    n_new = shack.update_metastore()
+    t_ingest = time.time() - t0
+    print(f"ingest: {n_new} files in {t_ingest:.1f}s ({n_new/t_ingest:.0f} files/s)")
+
+    t0 = time.time()
+    assert shack.update_metastore() == 0
+    print(f"idempotent re-ingest: {time.time()-t0:.1f}s")
+
+    lookups = [5, rows * n // 2, rows * n - 1]
+    for key in lookups:
+        t0 = time.time()
+        files = shack.candidate_files([key])
+        dt = (time.time() - t0) * 1000
+        print(f"prune k={key}: {len(files)}/{n} files in {dt:.0f}ms")
+        assert len(files) == 1, files
+
+    t0 = time.time()
+    got = shack.query([5, rows * n // 2, rows * n - 1]).count()
+    print(f"end-to-end 3-key lookup: {got} rows in {time.time()-t0:.1f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
