@@ -47,7 +47,11 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    run("topk_orders")  # warm-up, uncounted (JVM/codegen)
+    # Warm-up, uncounted: JIT/codegen across the main plan shapes (scan,
+    # agg, join), so timed numbers reflect steady-state engine throughput
+    # rather than first-query JVM warm-up.
+    for wq in ("topk_orders", "q1_pricing_summary", "q3_shipping_priority"):
+        run(wq)
     # Metastore ingest is write-path work, not query latency: build the
     # stats table outside the timed window (idempotent).
     from lakeshack_spark.queries import _orders_shack

@@ -58,6 +58,8 @@ def _orders_shack(spark: SparkSession, sf_dir: str) -> Lakeshack:
     testdata directory is read-only)."""
     key = sf_dir.rstrip("/")
     shack = _SHACK_CACHE.get(key)
+    if shack is not None and shack.spark is not spark:
+        shack = None  # caller runs a different session; rebind (store is reused)
     if shack is None:
         store = os.path.join(
             tempfile.gettempdir(),
