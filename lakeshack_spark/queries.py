@@ -994,14 +994,48 @@ def dedup_normalized_docs(spark, sf_dir):
     FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
     WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
       AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.s, b.s))) >= 0.1
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.015
     """,
 )
 def ngram_jaccard_pairs_docs(spark, sf_dir):
     """Exact 3-gram Jaccard over same-source doc pairs (doc_id < 300)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return dedup.ngram_jaccard_pairs(
-        docs, k=3, threshold=0.1, block_col="source"
+        docs, k=3, threshold=0.015, block_col="source"
+    )
+
+
+@register(
+    "docs_near_deduped",
+    """
+    WITH docs AS (
+      SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS s
+      FROM documents WHERE doc_id < 300
+    ), dupes AS (
+      SELECT DISTINCT b.doc_id AS dup_id
+      FROM docs a JOIN docs b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id < 300
+      AND d.doc_id NOT IN (SELECT dup_id FROM dupes)
+    """,
+)
+def docs_near_deduped(spark, sf_dir):
+    """End-to-end near-dedup pipeline: candidate pairs (same-source
+    blocking) → exact token-set Jaccard ≥ 0.9 → drop the later doc of each
+    pair → surviving corpus (drops ~70/300 on this data). The greedy
+    keep-earliest rule means a doc is dropped iff it near-matches ANY
+    earlier doc; token-set (k=1) similarity is the right granularity for
+    this corpus (shared vocabulary, shuffled order)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = dedup.ngram_jaccard_pairs(docs, k=1, threshold=0.9, block_col="source")
+    dupes = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return docs.join(dupes, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
     )
 
 
