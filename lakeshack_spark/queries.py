@@ -275,6 +275,100 @@ def pivot_orderstatus(spark, sf_dir):
     )
 
 
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping() indicators (distinct from
+    rollup/cube: an arbitrary set list)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+               CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "window_rank_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           percent_rank() OVER w AS prnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def window_rank_suite(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "array_functions_embeddings",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           embedding[1] AS first_val,
+           list_min(list_slice(embedding, 1, 4)) AS head4_min,
+           list_max(list_slice(embedding, 1, 4)) AS head4_max,
+           CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+             + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE)
+             AS head4_sum,
+           list_contains(CAST(embedding AS DOUBLE[]), 0.0) AS has_zero
+    FROM embeddings
+    """,
+)
+def array_functions_embeddings(spark, sf_dir):
+    """Array scalar-function surface over the embedding column (size /
+    element_at / slice / array_min / array_max / array_contains). Output
+    columns are scalars — array-typed result cells are not portable
+    through row-order-insensitive hashing."""
+    e = load_table(spark, sf_dir, "embeddings")
+    h4 = F.slice("embedding", 1, 4)
+    sum4 = (
+        F.element_at("embedding", 1).cast("double")
+        + F.element_at("embedding", 2).cast("double")
+        + F.element_at("embedding", 3).cast("double")
+        + F.element_at("embedding", 4).cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.array_min(h4).alias("head4_min"),
+        F.array_max(h4).alias("head4_max"),
+        sum4.alias("head4_sum"),
+        F.array_contains(F.col("embedding").cast("array<double>"), 0.0).alias(
+            "has_zero"
+        ),
+    )
+
+
 # =====================================================================
 # Join family
 # =====================================================================

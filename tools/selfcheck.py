@@ -18,12 +18,14 @@ import pandas as pd
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Sorted-columns, sorted-rows canonical form for comparison."""
+    """Sorted-columns, sorted-rows canonical form for comparison.
+    List/array cells are stringified for the sort key (they are unhashable
+    and unorderable as numpy arrays)."""
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df):
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
-            drop=True
-        )
+        key = df.map(lambda v: str(v) if isinstance(v, (list, tuple)) or hasattr(v, "__len__") and not isinstance(v, str) else v)
+        order = key.sort_values(by=list(key.columns), kind="mergesort").index
+        df = df.loc[order].reset_index(drop=True)
     return df
 
 
