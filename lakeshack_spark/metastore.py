@@ -280,14 +280,13 @@ class FileStatsMetastore:
         an executor fan-out and a left-anti join, so concurrent/incremental
         updates stay metadata-only at any file count.
         """
-        if isinstance(parquet_file_or_dir, str):
-            files = list_parquet_files(parquet_file_or_dir, self.spark)
-        else:
-            files = [
-                f
-                for p in parquet_file_or_dir
-                for f in list_parquet_files(p, self.spark)
-            ]
+        roots = (
+            [parquet_file_or_dir]
+            if isinstance(parquet_file_or_dir, str)
+            else list(parquet_file_or_dir)
+        )
+        files = [f for p in roots for f in list_parquet_files(p, self.spark)]
+        self._reconcile_deleted(roots, set(files))
         if not files:
             return 0
         sc = self.spark.sparkContext
@@ -311,6 +310,33 @@ class FileStatsMetastore:
             fresh.coalesce(1).write.mode("append").parquet(self.store_path)
         fresh.unpersist()
         return n_new
+
+    def _reconcile_deleted(
+        self, roots: Sequence[str], live_files: set[str]
+    ) -> int:
+        """Drop stats rows for files that no longer exist under ``roots``
+        (rewrites/compactions/overwritten batches replace files with new
+        names — stale rows would send queries to deleted paths). Rewrites
+        the store only when stale rows exist. Returns rows dropped."""
+        if not self._exists():
+            return 0
+        stored = [r["filepath"] for r in self.stats_df().select("filepath").collect()]
+        norm_roots = [r.rstrip("/") for r in roots]
+        stale = {
+            p
+            for p in stored
+            if p not in live_files
+            and any(p == r or p.startswith(r + "/") for r in norm_roots)
+        }
+        if not stale:
+            return 0
+        keep = self.stats_df().filter(~F.col("filepath").isin(list(stale)))
+        kept_rows = keep.collect()  # materialize before overwriting the store
+        self.spark.createDataFrame(kept_rows, self.stats_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(self.store_path)
+        logger.info("reconciled %d stale stats rows", len(stale))
+        return len(stale)
 
     # ------------------------------------------------------------- pruning
 

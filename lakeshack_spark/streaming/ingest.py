@@ -58,12 +58,18 @@ def stream_ingest_clustered(
         n_files = max(
             1, batch_df.rdd.getNumPartitions() // max(files_per_cluster_file, 1)
         )
+        # Each micro-batch owns a batch-<id> directory written with
+        # overwrite: a retried batch (foreachBatch replays after failure)
+        # replaces its own output instead of appending duplicates —
+        # idempotent commits end-to-end, since the metastore update
+        # anti-joins on filepath. (Deliberately not `batch=<id>`: an
+        # equals-sign dir would be Hive-partition-inferred on reads.)
         cluster_write(
             batch_df,
-            shack.data_path,
+            f"{shack.data_path.rstrip('/')}/batch-{batch_id:05d}",
             shack.cluster_column,
             n_files=n_files,
-            mode="append",
+            mode="overwrite",
         )
         shack.update_metastore()
 

@@ -191,3 +191,29 @@ def test_stream_ingest_clustered(spark, tmp_path_factory):
     all_files = shack.metastore.stats_df().count()
     touched = len(shack.candidate_files([5]))
     assert touched <= all_files
+
+
+def test_stream_ingest_batch_retry_is_idempotent(spark, tmp_path_factory):
+    """Replaying a micro-batch (crash-recovery semantics of foreachBatch)
+    must not duplicate rows: each batch overwrites its own batch dir."""
+    from lakeshack_spark.streaming.ingest import stream_ingest_clustered
+
+    landing = tmp_path_factory.mktemp("landing_retry")
+    data_dir = str(tmp_path_factory.mktemp("lake_retry"))
+    orders = load_table(spark, SF, "orders")
+    orders.coalesce(1).write.parquet(str(landing / "d"))
+    shack = Lakeshack(
+        spark, data_dir, "o_custkey",
+        store_path=str(tmp_path_factory.mktemp("stats_retry")),
+        schema=orders.schema,
+    )
+    ck1 = str(tmp_path_factory.mktemp("ck1"))
+    q = stream_ingest_clustered(spark, f"{landing}/*", shack, checkpoint_dir=ck1)
+    q.awaitTermination(120)
+    n1 = shack.query(list(range(1500))).count()
+    # simulate a replay of batch 0: fresh checkpoint, same landing data
+    ck2 = str(tmp_path_factory.mktemp("ck2"))
+    q = stream_ingest_clustered(spark, f"{landing}/*", shack, checkpoint_dir=ck2)
+    q.awaitTermination(120)
+    n2 = shack.query(list(range(1500))).count()
+    assert n1 == n2 == orders.count()
