@@ -276,6 +276,27 @@ def pivot_orderstatus(spark, sf_dir):
 
 
 @register(
+    "exact_percentiles_by_status",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def exact_percentiles_by_status(spark, sf_dir):
+    """Exact continuous percentiles (sort-based; Spark `percentile` and
+    DuckDB `quantile_cont` share the SQL-standard interpolation, so results
+    are cell-exact). The sketch-based approximate twin is
+    sketch_distinct_and_quantiles."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+    )
+
+
+@register(
     "grouping_sets_orders",
     """
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
