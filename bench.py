@@ -23,12 +23,16 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
+    "q13_order_count_distribution",
+    "q18_large_orders",
+    "asof_join_events_orders",
     "window_top2_per_customer",
     "events_hourly_stats",
     "sessionize_users",
     "dedup_exact_docs",
-    "minhash_lsh_candidates",
+    "minhash_dedup_verified",
     "ngram_jaccard_pairs",
+    "top_terms",
     "cosine_topk_bruteforce",
     "ivf_topk_full_probe",
 ]

@@ -254,6 +254,39 @@ class FileStatsMetastore:
             fields.append(T.StructField(f"{col}_min", stat_type, True))
             fields.append(T.StructField(f"{col}_max", stat_type, True))
         self.stats_schema = T.StructType(fields)
+        self._validate_existing_store()
+
+    def _validate_existing_store(self) -> None:
+        """Reconnect-time validation: an existing store at ``store_path``
+        whose columns or types do not match the declared table must fail
+        fast — silently reading mismatched stats would *mis-prune* (wrong
+        query results, not an error). Mirrors the reference's column-by-
+        column reflection check on reconnect
+        (lakeshack/metastore.py:128-204)."""
+        if not self._exists():
+            return
+        actual = self.spark.read.parquet(self.store_path).schema
+        expected = {f.name: f.dataType for f in self.stats_schema.fields}
+        got = {f.name: f.dataType for f in actual.fields}
+        problems = []
+        for name, dtype in expected.items():
+            if name not in got:
+                problems.append(f"missing column {name!r}")
+            elif got[name] != dtype:
+                problems.append(
+                    f"column {name!r} has type {got[name].simpleString()}, "
+                    f"expected {dtype.simpleString()}"
+                )
+        problems.extend(
+            f"unexpected column {name!r}" for name in got if name not in expected
+        )
+        if problems:
+            raise ValueError(
+                f"existing stats store at {self.store_path!r} does not match "
+                f"the declared table (cluster column {self.cluster_column!r}, "
+                f"optional columns {self.optional_columns}): "
+                + "; ".join(sorted(problems))
+            )
 
     # ------------------------------------------------------------- ingest
 
@@ -305,11 +338,76 @@ class FileStatsMetastore:
         fresh = fresh.persist()
         n_new = fresh.count()
         if n_new:
-            # Stats rows are tiny; a single output file per update keeps the
-            # table compact. At very large file counts, raise this.
-            fresh.coalesce(1).write.mode("append").parquet(self.store_path)
+            # Output file count sized by row count (stats rows are tiny),
+            # never a hard-coded single-task funnel.
+            fresh.coalesce(self._n_output_files(n_new)).write.mode("append").parquet(
+                self.store_path
+            )
         fresh.unpersist()
+        self._maybe_compact_store()
         return n_new
+
+    #: Target stats rows per store file: ~500k rows ≈ 100 MB of stats —
+    #: appends stay single-file until updates are huge, and compaction
+    #: folds a 10M-file dataset's store into ~20 files.
+    STATS_ROWS_PER_FILE = 500_000
+
+    #: Auto-compact the stats store once per-update appends have
+    #: accumulated this many files (keeps the prune-time read to a few
+    #: files no matter how many ingest ticks have run).
+    STATS_COMPACT_FILE_THRESHOLD = 64
+
+    def _n_output_files(self, n_rows: int) -> int:
+        return max(1, -(-n_rows // self.STATS_ROWS_PER_FILE))
+
+    def _store_files(self) -> list[str]:
+        return list_parquet_files(self.store_path, self.spark, skip_side_dirs=False)
+
+    def _rewrite_store(self, df: DataFrame) -> int:
+        """Replace the store's contents with ``df`` without materializing
+        rows on the driver: stage to a sibling directory sized by row
+        count, then swap. (Local swap is rename-based and not atomic under
+        concurrent readers; at production scale the same rewrite runs
+        under a table-format commit — see maintenance module docstring.)
+        Returns the row count written."""
+        import shutil
+
+        staging = self.store_path.rstrip("/") + "__staging"
+        n_rows = df.count()
+        df.repartition(self._n_output_files(n_rows)).write.mode("overwrite").parquet(
+            staging
+        )
+        if _is_remote(self.store_path):
+            jvm = self.spark.sparkContext._jvm
+            jsc = self.spark.sparkContext._jsc
+            dst = jvm.org.apache.hadoop.fs.Path(self.store_path)
+            src = jvm.org.apache.hadoop.fs.Path(staging)
+            fs = dst.getFileSystem(jsc.hadoopConfiguration())
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            fs.rename(src, dst)
+        else:
+            store = _strip_file_scheme(self.store_path)
+            stag = _strip_file_scheme(staging)
+            if os.path.exists(store):
+                shutil.rmtree(store)
+            os.replace(stag, store)
+        return n_rows
+
+    def compact_store(self) -> int:
+        """Fold the store's accumulated per-update append files into
+        row-count-sized files. Returns the resulting file count."""
+        if not self._exists():
+            return 0
+        self._rewrite_store(self.stats_df())
+        return len(self._store_files())
+
+    def _maybe_compact_store(self) -> None:
+        try:
+            if len(self._store_files()) > self.STATS_COMPACT_FILE_THRESHOLD:
+                self.compact_store()
+        except Exception as exc:  # compaction is best-effort maintenance
+            logger.warning("stats store compaction skipped: %s", exc)
 
     def _reconcile_deleted(
         self, roots: Sequence[str], live_files: set[str]
@@ -317,26 +415,39 @@ class FileStatsMetastore:
         """Drop stats rows for files that no longer exist under ``roots``
         (rewrites/compactions/overwritten batches replace files with new
         names — stale rows would send queries to deleted paths). Rewrites
-        the store only when stale rows exist. Returns rows dropped."""
+        the store only when stale rows exist. Returns rows dropped.
+
+        Runs as DataFrame anti-joins end-to-end: no stored filepath list
+        and no kept-row set ever materializes on the driver (the round-1
+        version collected both — GBs through the driver per ingest tick at
+        10M files). The listing in ``live_files`` already exists driver-
+        side (it drove discovery), so parallelizing it adds nothing new.
+        """
         if not self._exists():
             return 0
-        stored = [r["filepath"] for r in self.stats_df().select("filepath").collect()]
+        stats = self.stats_df()
         norm_roots = [r.rstrip("/") for r in roots]
-        stale = {
-            p
-            for p in stored
-            if p not in live_files
-            and any(p == r or p.startswith(r + "/") for r in norm_roots)
-        }
-        if not stale:
+        under_roots = F.lit(False)
+        for r in norm_roots:
+            under_roots = (
+                under_roots
+                | (F.col("filepath") == r)
+                | F.col("filepath").startswith(r + "/")
+            )
+        live_df = self.spark.createDataFrame(
+            [(f,) for f in sorted(live_files)],
+            T.StructType([T.StructField("filepath", T.StringType(), False)]),
+        )
+        stale = stats.filter(under_roots).join(live_df, "filepath", "left_anti")
+        n_stale = stale.count()
+        if not n_stale:
             return 0
-        keep = self.stats_df().filter(~F.col("filepath").isin(list(stale)))
-        kept_rows = keep.collect()  # materialize before overwriting the store
-        self.spark.createDataFrame(kept_rows, self.stats_schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(self.store_path)
-        logger.info("reconciled %d stale stats rows", len(stale))
-        return len(stale)
+        keep = stats.join(
+            F.broadcast(stale.select("filepath")), "filepath", "left_anti"
+        )
+        self._rewrite_store(keep)
+        logger.info("reconciled %d stale stats rows", n_stale)
+        return n_stale
 
     # ------------------------------------------------------------- pruning
 
@@ -477,8 +588,15 @@ class FileStatsMetastore:
         survivors = self.stats_df().filter(
             self._clause_prune_filter(optional_where_clauses)
         )
+        # NULL cluster-column stats must keep the file for EVERY candidate
+        # value (pruning is best-effort; the scan re-applies exact
+        # predicates) — a bare range condition evaluates NULL→false and
+        # would silently drop such files, diverging from interval_keeps and
+        # the driver-side fast path.
         matched = survivors.join(
-            F.broadcast(values_df), (v >= lo) & (v <= hi), "inner"
+            F.broadcast(values_df),
+            lo.isNull() | hi.isNull() | ((v >= lo) & (v <= hi)),
+            "inner",
         )
         rows = (
             matched.groupBy("filepath")

@@ -185,6 +185,37 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_verified_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_hashes: int = 64, bands: int = 16, k: int = 1,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """The full two-stage near-dedup discovery pipeline: MinHash+LSH
+    banding proposes candidate pairs (sub-quadratic), exact shingle-set
+    Jaccard verifies them (runs only on candidates). Returns
+    (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    This is the shape that scales to 100 TB: discovery cost tracks
+    true-duplicate density via the (band, bucket) equi-join, and the O(|c|)
+    verify join touches only LSH survivors. With enough bands the output
+    equals the all-pairs exact answer (16 bands × 4 rows: a J=0.9 pair is
+    missed with p ≈ (1−0.9⁴)¹⁶ ≈ 2e-8), which is what makes the whole
+    banding path checkable against a SQL oracle.
+    """
+    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, k)
+    sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("__sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    joined = cands.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # -------------------------------------------------------------- simhash
 
 def simhash(

@@ -171,33 +171,66 @@ def ivf_assign(
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (by cosine). Centroids
-    are broadcast; returns the input plus ``cell``."""
-    c = centroids.select(
-        F.col(centroid_id_col).alias("__cid"), F.col(centroid_vec_col).alias("__cvec")
+    """Assign each vector to its nearest centroid (by cosine), entirely
+    map-side: returns the input plus ``cell``.
+
+    The centroid set is bounded (C ≪ n, same as the query set in
+    ``cosine_topk_pandas``), so it is collected once and folded into the
+    plan as literal arrays — the argmax is a per-row ``array_max`` over a
+    C-element struct array inside whole-stage codegen. No crossJoin, no
+    window, no Exchange between scoring and assignment. (The round-1
+    formulation shuffled n×C scored rows through a window just to pick
+    each vector's argmin — at 100 TB that shuffle dominated the ANN
+    build.) Ties break toward the smallest centroid id, matching the old
+    ``orderBy(sim desc, cid asc)`` rule.
+
+    Each centroid's norm is precomputed in Python with the same
+    sequential IEEE-double fold as :func:`dot_d`, so cosine values are
+    bit-identical to the previous in-plan computation.
+    """
+    import math
+
+    rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    entries = []
+    for r in rows:
+        cv = [float(x) for x in r[centroid_vec_col]]
+        acc = 0.0
+        for x in cv:
+            acc += x * x
+        entries.append((int(r[centroid_id_col]), cv, math.sqrt(acc)))
+    entries.sort()
+    vnorm = norm_d(F.col(vec_col))
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        dot_d(F.col(vec_col), F.array(*[F.lit(x) for x in cv]))
+                        / (vnorm * F.lit(cnorm))
+                    ).alias("sim"),
+                    F.lit(-cid).cast("long").alias("neg_cid"),
+                )
+                for cid, cv, cnorm in entries
+            ]
+        )
     )
-    scored = vectors.crossJoin(F.broadcast(c)).withColumn(
-        "__sim", cosine_col(F.col(vec_col), F.col("__cvec"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("__cid").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__sim", "__rn", "__cvec")
-        .withColumnRenamed("__cid", "cell")
-    )
+    return vectors.withColumn("cell", (-best["neg_cid"]).cast("long"))
 
 
 def sample_centroids(
     vectors: DataFrame, n: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Deterministic centroid seed: the n vectors with the smallest ids
-    (k-means init is out of scope; any fixed rule works for bucketing)."""
+    (k-means init is out of scope; any fixed rule works for bucketing).
+    Centroid ids come from row_number over the explicit id order —
+    monotonically_increasing_id after orderBy().limit() depends on
+    physical partitioning and is not guaranteed stable."""
+    w = Window.orderBy(F.col(id_col).asc())
     return (
         vectors.orderBy(F.col(id_col).asc())
         .limit(n)
         .select(
-            F.monotonically_increasing_id().alias("centroid_id"),
+            (F.row_number().over(w) - 1).cast("long").alias("centroid_id"),
             F.col(vec_col).alias("centroid"),
         )
     )

@@ -16,15 +16,26 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _salt_col(df: DataFrame, salt_buckets: int, salt_cols: list[str] | None) -> Column:
+    """Deterministic salt in [0, salt_buckets): hash-mod over ``salt_cols``
+    (default: every column). No RNG — reruns and retried tasks land each
+    row in the same bucket, so results are reproducible and speculative
+    execution stays safe. A hot key's rows still spread across buckets
+    because the non-key columns vary."""
+    cols = salt_cols if salt_cols is not None else df.columns
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets)).cast(
+        "int"
+    )
+
+
 def salted_count(
-    df: DataFrame, keys: list[str], salt_buckets: int = 16
+    df: DataFrame, keys: list[str], salt_buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """COUNT(*) per key, resistant to a single key dominating the data:
     phase 1 groups by (keys, salt) — splitting a hot key across
     ``salt_buckets`` tasks — phase 2 sums the partials per key."""
-    salted = df.withColumn(
-        "__salt", (F.rand(seed=0) * salt_buckets).cast("int")
-    )
+    salted = df.withColumn("__salt", _salt_col(df, salt_buckets, salt_cols))
     partial = salted.groupBy(*keys, "__salt").agg(F.count("*").alias("__n"))
     return partial.groupBy(*keys).agg(F.sum("__n").alias("n"))
 
@@ -35,12 +46,11 @@ def salted_sum(
     value_expr: str,
     scale: int = 6,
     salt_buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic decimal SUM per key with salting; exact regardless of
     how rows land in buckets (decimal addition is associative)."""
-    salted = df.withColumn(
-        "__salt", (F.rand(seed=0) * salt_buckets).cast("int")
-    )
+    salted = df.withColumn("__salt", _salt_col(df, salt_buckets, salt_cols))
     partial = salted.groupBy(*keys, "__salt").agg(
         F.expr(f"SUM(CAST(({value_expr}) AS DECIMAL(18,{scale})))").alias("__s")
     )
@@ -54,13 +64,14 @@ def salted_join(
     right: DataFrame,
     key: str,
     salt_buckets: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Inner equi-join with a skewed left key distribution: salt the left
     side, replicate each right row into every bucket, join on
     (key, salt). Right side grows ×salt_buckets — use only when the right
     side is small-ish but above the broadcast threshold and AQE is
     unavailable; otherwise prefer broadcast() or AQE skew-join."""
-    l = left.withColumn("__salt", (F.rand(seed=0) * salt_buckets).cast("int"))
+    l = left.withColumn("__salt", _salt_col(left, salt_buckets, salt_cols))
     r = right.withColumn(
         "__salt",
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),

@@ -162,8 +162,8 @@ def topk_orders(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            {oracle_dsum('l_quantity', 2)} AS sum_qty,
            {oracle_dsum('l_extendedprice', 2)} AS sum_base_price,
-           {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
-           {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {oracle_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)} AS sum_charge,
            {oracle_davg('l_quantity', 2)} AS avg_qty,
            {oracle_davg('l_extendedprice', 2)} AS avg_price,
            {oracle_davg('l_discount', 2)} AS avg_disc,
@@ -175,7 +175,14 @@ def topk_orders(spark, sf_dir):
 )
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped hash aggregate; partial (map-side) agg + final,
-    all decimal-deterministic."""
+    all decimal-deterministic.
+
+    Scale choice: the large-magnitude sums use s=4, not 6, so the
+    total × 10^s < 2^53 exactness contract (functions.deterministic) holds
+    to sf≈16 instead of breaching around sf1. sum_disc_price is exactly
+    4-decimal (2+2), so s=4 is lossless; sum_charge is 6-decimal and gets
+    a per-addend half-away round at s=4 — computed on the identical double
+    in both engines, hence still cell-exact cross-engine."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= "2000-12-01")
@@ -183,8 +190,8 @@ def q1_pricing_summary(spark, sf_dir):
         .agg(
             dsum("l_quantity", 2).alias("sum_qty"),
             dsum("l_extendedprice", 2).alias("sum_base_price"),
-            dsum("l_extendedprice * (1 - l_discount)", 6).alias("sum_disc_price"),
-            dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6).alias(
+            dsum("l_extendedprice * (1 - l_discount)", 4).alias("sum_disc_price"),
+            dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4).alias(
                 "sum_charge"
             ),
             davg("l_quantity", 2).alias("avg_qty"),
@@ -203,12 +210,18 @@ def q1_pricing_summary(spark, sf_dir):
            COUNT(DISTINCT o_custkey) AS n_customers,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price,
-           {oracle_dsum('o_totalprice', 2)} AS sum_price
+           {oracle_dsum('o_totalprice', 2)} AS sum_price,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90
     FROM orders
     GROUP BY o_orderstatus
     """,
 )
 def agg_orders_by_status(spark, sf_dir):
+    """Hash aggregate with count-distinct, min/max, deterministic sum, and
+    exact continuous percentiles (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the SQL-standard interpolation — cell-exact;
+    the sketch-based approximate twin is sketch_distinct_and_quantiles)."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
@@ -216,6 +229,8 @@ def agg_orders_by_status(spark, sf_dir):
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
         dsum("o_totalprice", 2).alias("sum_price"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
     )
 
 
@@ -272,27 +287,6 @@ def pivot_orderstatus(spark, sf_dir):
             F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
             F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
         )
-    )
-
-
-@register(
-    "exact_percentiles_by_status",
-    """
-    SELECT o_orderstatus,
-           quantile_cont(o_totalprice, 0.5) AS p50,
-           quantile_cont(o_totalprice, 0.9) AS p90
-    FROM orders GROUP BY o_orderstatus
-    """,
-)
-def exact_percentiles_by_status(spark, sf_dir):
-    """Exact continuous percentiles (sort-based; Spark `percentile` and
-    DuckDB `quantile_cont` share the SQL-standard interpolation, so results
-    are cell-exact). The sketch-based approximate twin is
-    sketch_distinct_and_quantiles."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
     )
 
 
@@ -399,7 +393,7 @@ def array_functions_embeddings(spark, sf_dir):
     "q3_shipping_priority",
     f"""
     SELECT l_orderkey,
-           {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
            o_orderdate
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -412,7 +406,12 @@ def array_functions_embeddings(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3-shaped: dim filter → broadcast join → agg → top-k."""
+    """TPC-H Q3-shaped: dim filter → join → agg → top-k.
+
+    No broadcast hint on customer: a hard hint outlives the data size it
+    was tuned for (multi-GB broadcast OOM at 100×). AQE/statistics pick
+    broadcast-vs-SMJ from the filtered size at runtime (plan-asserted at
+    sf0.01 in tests/test_plans.py)."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -424,9 +423,9 @@ def q3_shipping_priority(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(dsum("l_extendedprice * (1 - l_discount)", 6).alias("revenue"))
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -436,7 +435,7 @@ def q3_shipping_priority(spark, sf_dir):
 @register(
     "q5_revenue_by_nation",
     f"""
-    SELECT n_name, {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    SELECT n_name, {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -448,7 +447,10 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_revenue_by_nation(spark, sf_dir):
-    """TPC-H Q5-shaped 6-table join; dims broadcast, facts shuffle on keys."""
+    """TPC-H Q5-shaped 6-table join. Only genuinely bounded dims (nation:
+    25 rows, region: 5) carry explicit broadcast hints; customer/supplier
+    grow with the dataset, so AQE picks broadcast-vs-SMJ from runtime
+    sizes — a hard hint there would OOM executors at 100×."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
@@ -459,12 +461,12 @@ def q5_revenue_by_nation(spark, sf_dir):
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum("l_extendedprice * (1 - l_discount)", 6).alias("revenue"))
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"))
     )
 
 
@@ -678,7 +680,7 @@ def in_subquery_hot_parts(spark, sf_dir):
     f"""
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
            CAST(year(l_shipdate) AS INTEGER) AS ship_year,
-           {oracle_dsum('l_extendedprice * (1 - l_discount)', 6)} AS volume
+           {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS volume
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -691,7 +693,8 @@ def in_subquery_hot_parts(spark, sf_dir):
 )
 def q7_volume_by_year(spark, sf_dir):
     """TPC-H Q7-shaped: nation self-join on both sides of the trade + a
-    theta condition, grouped by derived year."""
+    theta condition, grouped by derived year. nation (25 rows) broadcasts
+    explicitly; customer/supplier are unbounded → AQE decides."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -704,15 +707,15 @@ def q7_volume_by_year(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
         .filter(F.col("cust_nation") < F.col("supp_nation"))
         .groupBy(
             "cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year")
         )
-        .agg(dsum("l_extendedprice * (1 - l_discount)", 6).alias("volume"))
+        .agg(dsum("l_extendedprice * (1 - l_discount)", 4).alias("volume"))
     )
 
 
@@ -747,52 +750,39 @@ def window_top2_per_customer(spark, sf_dir):
 
 
 @register(
-    "window_running_total",
+    "window_running_and_lag",
     """
     SELECT o_custkey, o_orderkey,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_spend
-    FROM orders
-    """,
-)
-def window_running_total(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
-        .over(w)
-        .cast("double")
-        .alias("running_spend"),
-    )
-
-
-@register(
-    "window_lag_delta",
-    """
-    SELECT o_custkey, o_orderkey,
+           ) AS DOUBLE) AS running_spend,
            o_totalprice - lag(o_totalprice) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
            ) AS delta_prev
     FROM orders
     """,
 )
-def window_lag_delta(spark, sf_dir):
+def window_running_and_lag(spark, sf_dir):
+    """Running decimal sum + lag delta over the SAME window spec — both
+    frames evaluate in one Window exchange (one shuffle on o_custkey),
+    which is also why they merge into a single corpus entry. (Round 1 had
+    them as two queries; consolidated for the driver's 50-entry window.)"""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
+    order_w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
     )
+    running_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return o.select(
         "o_custkey",
         "o_orderkey",
-        (F.col("o_totalprice") - F.lag("o_totalprice").over(w)).alias("delta_prev"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+        .over(running_w)
+        .cast("double")
+        .alias("running_spend"),
+        (F.col("o_totalprice") - F.lag("o_totalprice").over(order_w)).alias(
+            "delta_prev"
+        ),
     )
 
 
@@ -802,61 +792,50 @@ def window_lag_delta(spark, sf_dir):
 
 
 @register(
-    "sort_priority_top20",
+    "set_ops_nations",
     """
-    SELECT o_orderkey, o_orderpriority, o_totalprice
-    FROM orders
-    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
-    LIMIT 20
-    """,
-)
-def sort_priority_top20(spark, sf_dir):
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.orderBy(
-            F.col("o_orderpriority").asc(),
-            F.col("o_totalprice").desc(),
-            F.col("o_orderkey").asc(),
-        )
-        .limit(20)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    SELECT 'union' AS op, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey AS nationkey FROM supplier
     )
-
-
-@register(
-    "set_except_nations",
-    """
-    SELECT DISTINCT c_nationkey AS nationkey FROM customer
-    EXCEPT
-    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    UNION ALL
+    SELECT 'intersect' AS op, nationkey FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'except' AS op, nationkey FROM (
+      SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    )
     """,
 )
-def set_except_nations(spark, sf_dir):
+def set_ops_nations(spark, sf_dir):
+    """The full set-op surface in one checked result: UNION (distinct),
+    INTERSECT, and EXCEPT of the customer/supplier nation-key sets, each
+    row tagged with the operator that produced it. (Round 1 registered
+    these as three separate queries; consolidated so the whole corpus fits
+    the driver's 50-entry correctness window.)"""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey")
     )
     s = load_table(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey")
     )
-    return c.distinct().subtract(s.distinct())
-
-
-@register(
-    "set_union_nations",
-    """
-    SELECT c_nationkey AS nationkey FROM customer
-    UNION
-    SELECT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def set_union_nations(spark, sf_dir):
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.union(s).distinct()
+    tagged = [
+        c.union(s).distinct().select(F.lit("union").alias("op"), "nationkey"),
+        c.intersect(s).select(F.lit("intersect").alias("op"), "nationkey"),
+        c.distinct()
+        .subtract(s.distinct())
+        .select(F.lit("except").alias("op"), "nationkey"),
+    ]
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionByName(t)
+    return out
 
 
 @register(
@@ -868,24 +847,6 @@ def set_union_nations(spark, sf_dir):
 def distinct_status_priority(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     return o.select("o_orderstatus", "o_orderpriority").distinct()
-
-
-@register(
-    "set_intersect_nations",
-    """
-    SELECT DISTINCT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
-    """,
-)
-def set_intersect_nations(spark, sf_dir):
-    c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.intersect(s)
 
 
 # =====================================================================
@@ -1154,18 +1115,32 @@ def docs_near_deduped(spark, sf_dir):
     )
 
 
-@register("minhash_lsh_candidates", None)  # not SQL-expressible → rows-only check
-def minhash_lsh_candidates(spark, sf_dir):
-    """MinHash(32) + 8-band LSH near-dup candidate pairs; semantics pinned
-    by tests/test_dedup.py against an independent Python implementation."""
+@register(
+    "minhash_dedup_verified",
+    """
+    WITH docs AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+    """,
+)
+def minhash_dedup_verified(spark, sf_dir):
+    """MinHash(64) + 16-band LSH candidates → exact token-set Jaccard
+    verify ≥ 0.9. The LSH banding path hash-matches an all-pairs SQL
+    oracle because at 16 bands its recall on J ≥ 0.9 pairs is 1−2e-8 (see
+    operators.dedup.minhash_verified_pairs) and the verify stage removes
+    every false positive."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=8)
-
-
-@register("simhash_near_pairs", None)  # not SQL-expressible → rows-only check
-def simhash_near_pairs_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return dedup.simhash_near_pairs(docs, max_hamming=3)
+    return dedup.minhash_verified_pairs(
+        docs, num_hashes=64, bands=16, k=1, threshold=0.9
+    )
 
 
 # =====================================================================
@@ -1253,7 +1228,7 @@ def quality_score_docs(spark, sf_dir):
     """
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*)
              AS avg_tokens
     FROM documents
@@ -1350,23 +1325,69 @@ def ivf_topk_full_probe(spark, sf_dir):
     WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
-          >= 0.8
+          >= 0.4
     """,
 )
 def embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, blocked by label (cosine ≥ 0.8)."""
+    """Embedding-cosine near-dup pairs, blocked by label. Threshold 0.4 is
+    calibrated to this synthetic corpus (max same-label cosine ≈ 0.475 at
+    sf0.01) so the checked result is non-empty — a 0-row hash match proves
+    nothing."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.8, block_col="label")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.4, block_col="label")
 
 
-@register("cosine_topk_pandas_udf", None)  # NumPy ulp-rounding → rows-only
+_COSINE_RANKS_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[]))))
+               AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@register("cosine_topk_pandas_udf", _COSINE_RANKS_ORACLE)
 def cosine_topk_pandas_udf(spark, sf_dir):
     """Arrow-batched NumPy top-k — the high-dimensionality scale path.
-    Same ranks as cosine_topk_bruteforce (unit-tested); float values carry
-    BLAS rounding so there is no cell-exact SQL oracle."""
+    The cosine values carry BLAS final-ulp rounding, so the checked output
+    is the rank list (query_id, neighbor_id, rank) only — exactly equal to
+    the exact-arithmetic oracle's ranks; the values are pinned separately
+    by unit tests against cosine_topk_bruteforce."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
-    return similarity.cosine_topk_pandas(emb, queries, k=5)
+    return similarity.cosine_topk_pandas(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+# =====================================================================
+# Rows-only tail: no SQL-expressible cell-exact oracle exists for these
+# (the driver checks them rows-only). Registered LAST so every
+# oracle-backed query precedes them in the driver's correctness window.
+# =====================================================================
+
+
+@register("simhash_near_pairs", None)  # not SQL-expressible → rows-only check
+def simhash_near_pairs_docs(spark, sf_dir):
+    """SimHash(64) near-pairs via 16-bit pigeonhole segments + exact
+    hamming filter; semantics pinned by tests/test_operators.py against an
+    independent pure-Python implementation."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dedup.simhash_near_pairs(docs, max_hamming=3)
 
 
 @register("sketch_distinct_and_quantiles", None)  # approximate → rows-only

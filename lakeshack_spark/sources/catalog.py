@@ -34,9 +34,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
-        df = df.withColumn(
-            "ts_utc", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # Exact integer division: nanos epoch values (~1.7e18) exceed
+        # double's 2^53 range, so `(ts / 1000).cast("long")` could be off
+        # by 1 µs near boundaries.
+        df = df.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -40,11 +40,19 @@ def stream_ingest_clustered(
     files_per_cluster_file: int = 4,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    compact_every: int | None = None,
+    compact_n_files: int = 8,
 ) -> StreamingQuery:
     """Start the ingest stream into ``shack``'s dataset + metastore.
 
     ``available_now=True`` processes the current landing-dir contents and
     stops (batch-like catch-up, used in tests); ``False`` runs continuously.
+
+    ``compact_every=N`` closes the small-files loop: after every N
+    micro-batches the whole dataset is rewritten as ``compact_n_files``
+    globally range-clustered files (maintenance.compact), restoring
+    1-file point lookups that per-batch clustering cannot provide (each
+    batch's cluster-key range overlaps every other batch's).
     """
     schema = schema or shack.schema
     reader = spark.readStream.schema(schema)
@@ -72,6 +80,10 @@ def stream_ingest_clustered(
             mode="overwrite",
         )
         shack.update_metastore()
+        if compact_every is not None and (batch_id + 1) % compact_every == 0:
+            from lakeshack_spark.maintenance import compact
+
+            compact(shack, n_files=compact_n_files)
 
     writer = (
         stream.writeStream.foreachBatch(commit_batch)

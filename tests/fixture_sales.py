@@ -65,14 +65,26 @@ def generate_sales_fixture(out_dir: str, variant: str = "ts") -> list[str]:
             int(e) for e in rng.integers(lo + DAY_S, hi - DAY_S, ROWS_PER_FILE - 2)
         )
         epochs.append(hi)
-        stamps = [datetime.fromtimestamp(e, tz=tz) for e in epochs]
-        if variant == "dt":
-            stamps = [s.date() for s in stamps]
+        if variant == "tz":
+            # Build the tz-aware column from raw epoch µs: this pyarrow
+            # build drops the tzinfo of aware datetimes (wall time stored
+            # as UTC — unfaithful round-trip), while int→timestamp casts
+            # store the true instant and the tz stays metadata.
+            ts_arr = (
+                pa.array([e * 1_000_000 for e in epochs], type=pa.int64())
+                .cast(pa.timestamp("us"))
+                .cast(ts_type)
+            )
+        else:
+            stamps = [datetime.fromtimestamp(e, tz=tz) for e in epochs]
+            if variant == "dt":
+                stamps = [s.date() for s in stamps]
+            ts_arr = pa.array(stamps, type=ts_type)
         sl = slice(i * ROWS_PER_FILE, (i + 1) * ROWS_PER_FILE)
         table = pa.table(
             {
                 "id": pa.array(ids[sl], type=pa.string()),
-                "timestamp": pa.array(stamps, type=ts_type),
+                "timestamp": ts_arr,
                 "x": pa.array(xs[sl].tolist(), type=pa.int32()),
             }
         )

@@ -80,18 +80,91 @@ def test_untracked_column_does_not_prune(metastore):
     assert len(pruned) == 10
 
 
-def test_date_variant_pruning(spark, tmp_path_factory):
-    """date32 temporal variant (reference tests/test_metastore.py dt
-    tests)."""
+# ---------------------------------------------------------------------
+# Temporal variants: the reference runs its ingest + truth-table suites
+# against naive-µs, tz-aware (US/Eastern), and date32 timestamp flavors
+# (reference tests/test_metastore.py:230-287, tests/utils.py:41-51). The
+# tz-aware flavor pins the footer-stat normalization path (_to_py_stat —
+# Parquet footer stats come back UTC; reference re-localizes via pytz,
+# lakeshack/metastore.py:312-331; we canonicalize to naive UTC).
+# ---------------------------------------------------------------------
+
+EPOCH_START = 1_626_365_594
+
+
+def _variant_boundaries(variant):
+    """(global_min, mid-2021-08-01) boundary literals per flavor: naive-ts
+    fixtures render host-local wall time; tz-aware stats are naive UTC;
+    date32 is the host-local date."""
+    from datetime import timezone
+
+    if variant == "ts":
+        return GLOBAL_MIN_TS, MID_2021_08_01
+    if variant == "tz":
+        gmin = datetime.fromtimestamp(EPOCH_START, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+        return gmin, MID_2021_08_01
+    return GLOBAL_MIN_TS.date(), MID_2021_08_01.date()
+
+
+@pytest.fixture(scope="module", params=["ts", "tz", "dt"])
+def variant_metastore(spark, request, tmp_path_factory):
     from tests.fixture_sales import generate_sales_fixture
 
-    root = str(tmp_path_factory.mktemp("sales_dt"))
-    files = generate_sales_fixture(root, variant="dt")
+    variant = request.param
+    root = str(tmp_path_factory.mktemp(f"sales_{variant}"))
+    files = generate_sales_fixture(root, variant=variant)
     schema = spark.read.parquet(files[0]).schema
-    store = str(tmp_path_factory.mktemp("stats_dt"))
+    store = str(tmp_path_factory.mktemp(f"stats_{variant}"))
     ms = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
     assert ms.update(root) == 10
-    assert len(ms.prune(TEN_IDS, [("timestamp", "<=", MID_2021_08_01.date())])) == 1
+    return variant, ms
+
+
+def test_variant_stats_match_filenames(variant_metastore):
+    """Ingest golden ×3 flavors: stored id_min/id_max reconstruct each
+    filename's encoded range (reference tests/test_metastore.py:203-287)."""
+    _variant, ms = variant_metastore
+    for row in ms.stats_df().collect():
+        stem = row["filepath"].rsplit("/", 1)[-1]
+        id_range = stem.split("-")[2].split(".")[0]
+        assert id_range == f"{row['id_min']}_{row['id_max']}"
+
+
+def test_variant_footer_min_pinned(variant_metastore):
+    """File 0's timestamp_min must equal the pinned global min instant in
+    the flavor's canonical domain — for tz-aware data this is exactly the
+    UTC re-normalization of a tz-bearing footer stat."""
+    from datetime import timezone
+
+    variant, ms = variant_metastore
+    row = min(ms.stats_df().collect(), key=lambda r: r["filepath"])
+    if variant == "ts":
+        want = datetime.fromtimestamp(EPOCH_START)
+    elif variant == "tz":
+        want = datetime.fromtimestamp(EPOCH_START, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+    else:
+        want = datetime.fromtimestamp(EPOCH_START).date()
+    assert row["timestamp_min"] == want
+
+
+def test_variant_truth_table(variant_metastore):
+    """The operator × boundary truth table holds in every temporal flavor:
+    < global-min prunes all, <= keeps the pinned-min file, mid-range
+    boundaries keep 1/10 per side (file windows are ~45 days apart, so a
+    tz offset of hours cannot change the counts)."""
+    variant, ms = variant_metastore
+    gmin, mid = _variant_boundaries(variant)
+    assert len(ms.prune(TEN_IDS, [("timestamp", "<", gmin)])) == 0
+    assert len(ms.prune(TEN_IDS, [("timestamp", "<=", gmin)])) == 1
+    assert len(ms.prune(TEN_IDS, [("timestamp", ">=", mid)])) == 10
+    assert len(ms.prune(TEN_IDS, [("timestamp", "<=", mid)])) == 1
+    assert len(ms.prune(TEN_IDS, [("timestamp", ">", mid)])) == 10
+    assert len(ms.prune(TEN_IDS, [("timestamp", "<", mid)])) == 1
+    assert len(ms.prune(TEN_IDS, [("timestamp", "=", mid)])) == 1
 
 
 def test_distributed_prune_path_matches_driver_path(metastore):
@@ -105,6 +178,75 @@ def test_distributed_prune_path_matches_driver_path(metastore):
     finally:
         metastore.DRIVER_PRUNE_MAX_FILES = old
     assert fast == slow
+
+
+# ---------------------------------------------------------------------
+# Reconnect validation (reference Metastore.__init__ reflection check,
+# lakeshack/metastore.py:128-204): reconnecting to an existing store with
+# a mismatched declaration must raise, never silently mis-prune.
+# ---------------------------------------------------------------------
+
+
+@pytest.fixture()
+def reconnect_store(spark, sales_fixture, tmp_path_factory):
+    root, files = sales_fixture
+    schema = spark.read.parquet(files[0]).schema
+    store = str(tmp_path_factory.mktemp("stats_reconnect"))
+    ms = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
+    ms.update(root)
+    return root, files, schema, store
+
+
+def test_reconnect_happy_path(spark, reconnect_store):
+    """Same declaration → reconnect succeeds and pruning still works."""
+    root, files, schema, store = reconnect_store
+    ms2 = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
+    assert ms2.update(root) == 0  # idempotent across reconnects
+    assert len(ms2.prune(TEN_IDS)) == 10
+
+
+def test_reconnect_changed_cluster_column_raises(spark, reconnect_store):
+    _root, files, schema, store = reconnect_store
+    with pytest.raises(ValueError, match="does not match"):
+        FileStatsMetastore(spark, store, schema, "x", ["timestamp"])
+
+
+def test_reconnect_changed_optional_columns_raises(spark, reconnect_store):
+    _root, files, schema, store = reconnect_store
+    with pytest.raises(ValueError, match="does not match"):
+        FileStatsMetastore(spark, store, schema, "id", [])
+
+
+def test_reconnect_changed_type_raises(spark, reconnect_store):
+    """Same column names but a changed data type (e.g. the table was
+    rewritten with id as an integer) must fail fast."""
+    from pyspark.sql import types as T
+
+    _root, files, schema, store = reconnect_store
+    changed = T.StructType(
+        [
+            T.StructField("id", T.LongType(), True),
+            *[f for f in schema.fields if f.name != "id"],
+        ]
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        FileStatsMetastore(spark, store, changed, "id", ["timestamp"])
+
+
+def test_store_compaction_folds_append_files(spark, sales_fixture, tmp_path_factory):
+    """Per-update appends accumulate one file each; compact_store folds
+    them into a row-count-sized file set and pruning is unchanged."""
+    root, files = sales_fixture
+    schema = spark.read.parquet(files[0]).schema
+    store = str(tmp_path_factory.mktemp("stats_compact"))
+    ms = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
+    for f in files[:4]:
+        ms.update(f)  # one append (≥1 file) per update
+    assert len(ms._store_files()) >= 4
+    before = ms.prune(TEN_IDS)
+    assert ms.compact_store() == 1  # 4 stats rows ≪ STATS_ROWS_PER_FILE
+    assert ms.stats_df().count() == 4
+    assert ms.prune(TEN_IDS) == before
 
 
 def test_non_indexable_optional_column_skipped(spark, sales_fixture):

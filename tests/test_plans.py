@@ -70,7 +70,22 @@ def test_semi_join_is_semi_in_plan(spark):
 
 def test_minhash_no_cartesian_product(spark):
     """LSH candidate generation must be an equi-join on (band, bucket),
-    never a cartesian/nested-loop product."""
-    plan = plans.explain_str(q("minhash_lsh_candidates", spark))
+    never a cartesian/nested-loop product — and the exact-Jaccard verify
+    stage must join only on candidate ids, not all pairs."""
+    plan = plans.explain_str(q("minhash_dedup_verified", spark))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_assign_is_map_side(spark):
+    """IVF cell assignment must not shuffle: no Exchange (and no window)
+    between scoring and argmax — the centroid argmax folds into the row
+    projection."""
+    from lakeshack_spark.operators import similarity
+    from lakeshack_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    cells = similarity.ivf_assign(emb, similarity.sample_centroids(emb, 4))
+    plan = plans.explain_str(cells.select("vec_id", "cell"))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan

@@ -32,9 +32,7 @@ def _events_stream(spark, events_stream_dir):
     stream = (
         spark.readStream.schema(batch.drop("ts_utc").schema)
         .parquet(events_stream_dir)
-        .withColumn(
-            "ts_utc", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        .withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
     )
     return batch, stream
 
@@ -191,6 +189,48 @@ def test_stream_ingest_clustered(spark, tmp_path_factory):
     all_files = shack.metastore.stats_df().count()
     touched = len(shack.candidate_files([5]))
     assert touched <= all_files
+
+
+def test_stream_ingest_multibatch_with_compaction(spark, tmp_path_factory):
+    """Continuous-mode realism: maxFilesPerTrigger=1 over 3 landing files
+    → 3 micro-batches, each landing its own clustered batch dir; the
+    compact_every=3 cadence then folds them into one globally
+    range-clustered file set, so a point lookup plans a 1-file scan —
+    closing the small-files loop the ingest docstring warns about."""
+    landing = tmp_path_factory.mktemp("landing_multi")
+    data_dir = str(tmp_path_factory.mktemp("lake_multi"))
+    store = str(tmp_path_factory.mktemp("stats_multi"))
+
+    orders = load_table(spark, SF, "orders")
+    for i in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / f"slice{i}"))
+
+    shack = Lakeshack(
+        spark,
+        data_dir,
+        cluster_column="o_custkey",
+        optional_columns=["o_orderdate"],
+        store_path=store,
+        schema=orders.schema,
+    )
+    q = stream_ingest_clustered(
+        spark,
+        f"{landing}/*",
+        shack,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_multi")),
+        max_files_per_trigger=1,
+        available_now=True,
+        compact_every=3,
+        compact_n_files=4,
+    )
+    q.awaitTermination(240)
+
+    assert shack.query(list(range(0, 1500))).count() == orders.count()
+    # post-compaction: 4 globally-clustered files, point lookup touches 1
+    assert shack.metastore.stats_df().count() == 4
+    assert len(shack.candidate_files([5])) == 1
 
 
 def test_stream_ingest_batch_retry_is_idempotent(spark, tmp_path_factory):
