@@ -70,6 +70,39 @@ def main() -> None:
     t0 = time.time()
     got = shack.query([5, rows * n // 2, rows * n - 1]).count()
     print(f"end-to-end 3-key lookup: {got} rows in {time.time()-t0:.1f}s")
+
+    # 50 consecutive incremental updates (2 new files each): latency must
+    # stay flat — the reconcile/append path is DataFrame-only, with no
+    # driver materialization of stored filepaths or kept rows, so cost
+    # tracks the NEW files, not the store size.
+    lat = []
+    for u in range(50):
+        for j in range(2):
+            i = n + u * 2 + j
+            keys = np.arange(i * rows, (i + 1) * rows, dtype=np.int64)
+            table = pa.table(
+                {
+                    "k": keys,
+                    "ts": pa.array(
+                        (1_700_000_000 + keys % 86_400) * 1_000_000,
+                        type=pa.timestamp("us"),
+                    ),
+                    "v": np.random.default_rng(i).random(rows),
+                }
+            )
+            pq.write_table(
+                table, f"{lake}/part-{i:05d}.parquet", row_group_size=rows
+            )
+        t0 = time.time()
+        assert shack.update_metastore() == 2
+        lat.append(time.time() - t0)
+    lat_sorted = sorted(lat)
+    print(
+        f"50 incremental updates: first={lat[0]:.2f}s last={lat[-1]:.2f}s "
+        f"median={lat_sorted[25]:.2f}s p90={lat_sorted[45]:.2f}s"
+    )
+    n_total = shack.metastore.stats_df().count()
+    assert n_total == n + 100, n_total
     spark.stop()
 
 
