@@ -1374,20 +1374,57 @@ def cosine_topk_pandas_udf(spark, sf_dir):
     )
 
 
+@register(
+    "simhash_near_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents WHERE doc_id < 300
+    ), th AS (
+      -- portable 60-bit token hash: first 15 hex digits of md5, summed
+      -- in integer domain (bit shifts, never double powers: 16^14 > 2^53)
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(1, 16),
+          p -> CAST(strpos('0123456789abcdef', substr(md5(tok), p, 1)) - 1
+                 AS BIGINT) << (4 * (15 - p))
+        )) AS BIGINT) AS h
+      FROM toks
+    ), bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th, generate_series(0, 62) t(j)
+      GROUP BY doc_id, j
+    ), fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+               AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def simhash_near_pairs_docs(spark, sf_dir):
+    """SimHash(64) near-pairs via 16-bit pigeonhole segments + exact
+    hamming filter; semantics also pinned by tests/test_operators.py
+    against an independent pure-Python implementation.
+
+    The segmented path hash-matches an all-pairs SQL oracle because the
+    pigeonhole bound is exact, not probabilistic: a pair within hamming 3
+    of a 64-bit fingerprint split into 4 segments MUST share one segment
+    verbatim, so the candidate set is a strict superset of the answer and
+    the exact hamming filter removes every false positive."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dedup.simhash_near_pairs(docs, max_hamming=3)
+
+
 # =====================================================================
 # Rows-only tail: no SQL-expressible cell-exact oracle exists for these
 # (the driver checks them rows-only). Registered LAST so every
 # oracle-backed query precedes them in the driver's correctness window.
 # =====================================================================
-
-
-@register("simhash_near_pairs", None)  # not SQL-expressible → rows-only check
-def simhash_near_pairs_docs(spark, sf_dir):
-    """SimHash(64) near-pairs via 16-bit pigeonhole segments + exact
-    hamming filter; semantics pinned by tests/test_operators.py against an
-    independent pure-Python implementation."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return dedup.simhash_near_pairs(docs, max_hamming=3)
 
 
 @register("sketch_distinct_and_quantiles", None)  # approximate → rows-only
