@@ -107,19 +107,38 @@ def minhash_signature(
     count, not the min, dominates the naive formulation). 31-bit base
     hashes trade a negligible similarity-estimate bias for staying
     native-long end-to-end in whole-stage codegen.
+
+    All permutations fold in ONE ``aggregate`` pass over the shingles: the
+    accumulator is the running 64-element min array, updated per shingle
+    with ``zip_with(acc, params, least)``. The permutation (a, b) pairs
+    enter the plan as a single literal struct array, so the expression
+    tree is constant-size in ``num_hashes`` (one transform+array_min copy
+    per permutation made Catalyst analysis cost scale with the
+    permutation count and dominate wall time at data sizes under ~1M
+    docs).
     """
     out = df.withColumn("__sh", shingles_col(text_col, k))
     base = F.transform(F.col("__sh"), lambda s: _h64(s) % F.lit(_MERSENNE31))
     out = out.withColumn("__bh", base)
 
-    def perm(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31)
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("__bh"), perm(a, b)))
+    # One parsed SQL string, not 2×num_hashes F.lit py4j round trips.
+    params_lit = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('a', {a}L, 'b', {b}L)"
             for a, b in _permutation_params(num_hashes)
-        ]
+        )
+        + ")"
+    )
+    init = F.array_repeat(F.lit(_MERSENNE31).cast("long"), num_hashes)
+    sig = F.aggregate(
+        F.col("__bh"),
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            params_lit,
+            lambda m, p: F.least(m, (h * p["a"] + p["b"]) % F.lit(_MERSENNE31)),
+        ),
     )
     return (
         out.withColumn("sig", sig)

@@ -1,7 +1,8 @@
 """Relational operators Spark lacks as single calls, composed from
-DataFrame primitives: as-of join and sessionization.
+DataFrame primitives: as-of join (equi-join + max_by/min_by pick) and
+sessionization (window).
 
-Both are expressed with equi-join + window (no Python), so Catalyst keeps
+Both stay in built-in functions (no Python), so Catalyst keeps
 pushdown/codegen and AQE handles skew. For streaming sessionization see
 :mod:`lakeshack_spark.streaming`.
 """
@@ -29,39 +30,64 @@ def asof_join(
     to partition the pick-one window (defaults to all left columns);
     ``right_tiebreak`` resolves equal right times deterministically.
 
-    Physical plan: equi-join on the key(s) + inequality filter + per-left-
-    row window top-1. At scale prefer bucketing both sides on the key; for
-    strongly skewed keys AQE skew-join splits the hot partitions. (A
-    merge-based as-of would need a custom physical operator; the join+window
-    form stays entirely in codegen and scales with the join, not n².)
+    Physical plan: equi-join on the key(s) + inequality filter + pick-one
+    via ``max_by``/``min_by`` keyed on ``struct(right_time, tiebreak)``.
+    The aggregation gets map-side partial combine: the equi-join leaves
+    all matches for a left row co-located, so each partition pre-collapses
+    to ONE candidate per left row before the shuffle — the shuffle carries
+    |left| rows, not |joined| rows. (The window formulation this replaces
+    shuffled and sorted the full join output; with many right matches per
+    left row — the common as-of shape, e.g. all earlier trades per quote —
+    that multiplier is the dominant cost at scale.) At scale prefer
+    bucketing both sides on the key; for strongly skewed keys AQE
+    skew-join splits the hot partitions. A merge-based as-of would need a
+    custom physical operator; the join+agg form stays entirely in codegen
+    and scales with the join, not n².
     """
     keys = [on] if isinstance(on, str) else list(on)
     lt, rt = F.col(f"__l.{left_time}"), F.col(f"__r.{right_time}")
     cond = [F.col(f"__l.{k}") == F.col(f"__r.{k}") for k in keys]
     cond.append(rt <= lt if direction == "backward" else rt >= lt)
     joined = left.alias("__l").join(right.alias("__r"), cond, "left")
-    order = [rt.desc() if direction == "backward" else rt.asc()]
+    ord_fields = [rt]
     if right_tiebreak:
-        tb = F.col(f"__r.{right_tiebreak}")
-        order.append(tb.desc() if direction == "backward" else tb.asc())
-    part = (
-        [F.col(f"__l.{left_key}")]
-        if left_key
-        else [F.col(f"__l.{c}") for c in left.columns]
+        ord_fields.append(F.col(f"__r.{right_tiebreak}"))
+    ordkey = F.struct(*ord_fields)
+    right_struct = F.struct(*[F.col(f"__r.{c}").alias(c) for c in right.columns])
+    pick = (
+        F.max_by(right_struct, ordkey)
+        if direction == "backward"
+        else F.min_by(right_struct, ordkey)
     )
-    w = Window.partitionBy(*part).orderBy(*order)
-    picked = joined.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
-    )
+    # A left-join group is either all-matched or a single unmatched row
+    # (NULL ordering struct), so the pick is deterministic given a unique
+    # (right_time, tiebreak) — same contract as the old row_number form.
+    if left_key:
+        left_struct = F.struct(*[F.col(f"__l.{c}").alias(c) for c in left.columns])
+        grouped = (
+            joined.groupBy(F.col(f"__l.{left_key}"))
+            .agg(
+                F.any_value(left_struct).alias("__lrow"),
+                pick.alias("__rrow"),
+            )
+        )
+        lref, rref = "__lrow", "__rrow"
+    else:
+        grouped = joined.groupBy(
+            *[F.col(f"__l.{c}").alias(c) for c in left.columns]
+        ).agg(pick.alias("__rrow"))
+        lref, rref = None, "__rrow"
     # Output: all left columns, plus right columns minus the join keys
     # (suffixed _right on residual name collisions).
-    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out_cols = [
+        (F.col(f"{lref}.{c}") if lref else F.col(c)).alias(c) for c in left.columns
+    ]
     for c in right.columns:
         if c in keys:
             continue
         alias = f"{c}_right" if c in left.columns else c
-        out_cols.append(F.col(f"__r.{c}").alias(alias))
-    return picked.select(*out_cols)
+        out_cols.append(F.col(f"{rref}.{c}").alias(alias))
+    return grouped.select(*out_cols)
 
 
 def sessionize(

@@ -1,0 +1,109 @@
+"""Deterministic sampling and dataset splitting for training pipelines.
+
+Everything here is hash-based, never RNG-based: a row's assignment is a
+pure function of its key and a split label, so (a) re-running on the same
+data gives byte-identical splits, (b) adding files/partitions never
+reassigns existing rows, and (c) train/test membership is reproducible
+across engines (md5 is portable; Spark's ``rand()`` is not even stable
+across partitionings). This is the property a 100 TB corpus refresh needs:
+incremental ingest must not leak yesterday's training rows into today's
+holdout.
+
+All operators are map-only column transforms — no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Hash buckets for split assignment; weights resolve to bucket ranges.
+#: 1e6 buckets keeps quantization error ≤ 1e-6 of the weight spec.
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(key: Column, label: str, buckets: int = _BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets) from md5(label || key) — the first
+    15 hex digits (60 bits) in integer domain, like the dedup/minhash
+    hashes (operators.dedup._h64)."""
+    digest = F.md5(F.concat(F.lit(label), F.lit(":"), key.cast("string")))
+    return (F.conv(F.substring(digest, 1, 15), 16, 10).cast("long") % buckets).cast(
+        "long"
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    weights: Mapping[str, float],
+    label: str = "split",
+) -> DataFrame:
+    """Adds ``split``: deterministic disjoint assignment of every row to
+    one of ``weights``' keys, proportional to the weight values.
+
+    ``label`` salts the hash — two splits with different labels are
+    independent, while the same label always reproduces the same
+    assignment. Assignment is per *key*, so duplicate keys (e.g. multiple
+    rows of one document) land in the same split — the leakage-safe
+    default for training data.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    bucket = hash_bucket(F.col(key_col), label)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        bound = int(cum * _BUCKETS)
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(names[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", out)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    label: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by key hash. Unlike
+    ``DataFrame.sample`` this is stable across runs, partitionings, and
+    engines, and composes: ``fraction=0.5`` then ``0.5`` with the same
+    label yields the same rows as ``0.25`` directly."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError("fraction must be in [0, 1]")
+    bound = int(fraction * _BUCKETS)
+    return df.filter(hash_bucket(F.col(key_col), label) < F.lit(bound))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    label: str = "stratified",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum value keeps its
+    own fraction (unlisted strata keep ``default_fraction``). The hash is
+    salted with the stratum so strata sample independently."""
+    bucket = hash_bucket(
+        F.concat(F.col(strata_col).cast("string"), F.lit("|"), F.col(key_col).cast("string")),
+        label,
+    )
+    bound = F.lit(int(default_fraction * _BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        bound = F.when(
+            F.col(strata_col).cast("string") == F.lit(str(value)),
+            F.lit(int(frac * _BUCKETS)),
+        ).otherwise(bound)
+    return df.filter(bucket < bound)

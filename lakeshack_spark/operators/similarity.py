@@ -19,7 +19,7 @@ reproducible across engines and runs. Scores stay in whole-stage codegen
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 
 def dot_d(a: Column, b: Column) -> Column:
@@ -176,18 +176,34 @@ def ivf_assign(
 
     The centroid set is bounded (C ≪ n, same as the query set in
     ``cosine_topk_pandas``), so it is collected once and folded into the
-    plan as literal arrays — the argmax is a per-row ``array_max`` over a
-    C-element struct array inside whole-stage codegen. No crossJoin, no
-    window, no Exchange between scoring and assignment. (The round-1
-    formulation shuffled n×C scored rows through a window just to pick
-    each vector's argmin — at 100 TB that shuffle dominated the ANN
-    build.) Ties break toward the smallest centroid id, matching the old
-    ``orderBy(sim desc, cid asc)`` rule.
+    plan as ONE literal array of (cvec, cnorm, cid) structs — the argmax
+    is a per-row ``array_max`` over a ``transform`` of that array, inside
+    whole-stage codegen. No crossJoin, no window, no Exchange between
+    scoring and assignment. (The round-1 formulation shuffled n×C scored
+    rows through a window just to pick each vector's argmin — at 100 TB
+    that shuffle dominated the ANN build.) The scoring lambda appears
+    once in the plan regardless of C; inlining a copy of the dot-product
+    aggregate per centroid made analysis/codegen cost scale with C and
+    dominated wall time even at C=8. Ties break toward the smallest
+    centroid id, matching the old ``orderBy(sim desc, cid asc)`` rule.
 
     Each centroid's norm is precomputed in Python with the same
     sequential IEEE-double fold as :func:`dot_d`, so cosine values are
     bit-identical to the previous in-plan computation.
     """
+    entries = _centroid_entries(centroids, centroid_id_col, centroid_vec_col)
+    return _assign_cells(vectors, entries, vec_col)
+
+
+def _centroid_entries(
+    centroids: DataFrame,
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> list[tuple[int, list[float], float]]:
+    """Collect the (bounded) centroid set once: (cid, vector, norm) sorted
+    by cid. Norms use the same sequential IEEE-double fold as
+    :func:`dot_d` so downstream cosines are bit-identical to an in-plan
+    computation."""
     import math
 
     rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
@@ -199,22 +215,43 @@ def ivf_assign(
             acc += x * x
         entries.append((int(r[centroid_id_col]), cv, math.sqrt(acc)))
     entries.sort()
-    vnorm = norm_d(F.col(vec_col))
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    (
-                        dot_d(F.col(vec_col), F.array(*[F.lit(x) for x in cv]))
-                        / (vnorm * F.lit(cnorm))
-                    ).alias("sim"),
-                    F.lit(-cid).cast("long").alias("neg_cid"),
-                )
-                for cid, cv, cnorm in entries
-            ]
+    return entries
+
+
+def _centroid_literal(entries: list[tuple[int, list[float], float]]) -> Column:
+    """One literal array<struct<cvec,cnorm,cid>> built as a single SQL
+    expression. Element-wise ``F.lit`` construction costs one py4j round
+    trip per scalar — C×dim of them dominated wall time before any data
+    moved; one parsed string is one round trip total. ``%.17e`` literals
+    lex as DOUBLE in Spark SQL and round-trip IEEE doubles exactly."""
+    parts = []
+    for cid, cv, cnorm in entries:
+        vec = ",".join("%.17e" % x for x in cv)
+        parts.append(
+            f"named_struct('cvec', array({vec}), "
+            f"'cnorm', {'%.17e' % cnorm}, 'cid', {cid}L)"
         )
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
+def _scored_centroids(entries, vec_col: str, vnorm: Column) -> Column:
+    """Per-row array of (sim, neg_cid) structs — cosine of the row's
+    vector against every centroid, one transform over the centroid
+    literal. ``array_max`` picks the assignment; descending ``sort_array``
+    + ``slice`` picks probe cells."""
+    return F.transform(
+        _centroid_literal(entries),
+        lambda c: F.struct(
+            (dot_d(F.col(vec_col), c["cvec"]) / (vnorm * c["cnorm"])).alias("sim"),
+            (-c["cid"]).alias("neg_cid"),
+        ),
     )
-    return vectors.withColumn("cell", (-best["neg_cid"]).cast("long"))
+
+
+def _assign_cells(vectors: DataFrame, entries, vec_col: str) -> DataFrame:
+    out = vectors.withColumn("__vnorm", norm_d(F.col(vec_col)))
+    best = F.array_max(_scored_centroids(entries, vec_col, F.col("__vnorm")))
+    return out.withColumn("cell", (-best["neg_cid"]).cast("long")).drop("__vnorm")
 
 
 def sample_centroids(
@@ -222,17 +259,30 @@ def sample_centroids(
 ) -> DataFrame:
     """Deterministic centroid seed: the n vectors with the smallest ids
     (k-means init is out of scope; any fixed rule works for bucketing).
-    Centroid ids come from row_number over the explicit id order —
-    monotonically_increasing_id after orderBy().limit() depends on
-    physical partitioning and is not guaranteed stable."""
-    w = Window.orderBy(F.col(id_col).asc())
-    return (
-        vectors.orderBy(F.col(id_col).asc())
+
+    Evaluated EAGERLY into a local-relation DataFrame: the centroid set is
+    bounded by definition, the limit collapses to a top-n collect, and
+    every consumer (assignment, probe selection) needs the rows driver-
+    side anyway — keeping this lazy re-ran a global-sort + window job per
+    consumer. Centroid ids are enumeration order of the sorted collect,
+    which is exactly the old row_number-over-id rule."""
+    rows = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
         .limit(n)
-        .select(
-            (F.row_number().over(w) - 1).cast("long").alias("centroid_id"),
-            F.col(vec_col).alias("centroid"),
-        )
+        .collect()
+    )
+    spark = vectors.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType(), False),
+            T.StructField(
+                "centroid", vectors.schema[vec_col].dataType, False
+            ),
+        ]
+    )
+    return spark.createDataFrame(
+        [(i, r[vec_col]) for i, r in enumerate(rows)], schema
     )
 
 
@@ -247,26 +297,28 @@ def ivf_topk(
 ) -> DataFrame:
     """Approximate top-k: score only candidates whose IVF cell is among the
     query's ``nprobe`` nearest centroids. With ``nprobe >= n_centroids``
-    this returns exactly the brute-force result."""
-    cells = ivf_assign(vectors, centroids, id_col, vec_col)
-    c = centroids.select(
-        F.col("centroid_id").alias("__cid"), F.col("centroid").alias("__cvec")
+    this returns exactly the brute-force result.
+
+    Probe-cell selection is map-side over the query rows: score the
+    centroid literal, ``sort_array`` descending (highest sim first; ties
+    toward the smaller cid via the negated id, matching the assignment
+    rule), ``slice`` the first ``nprobe``, explode. The centroid set is
+    collected ONCE for both the assignment and the probe step — no
+    crossJoin, no per-query window, no extra centroid-side jobs.
+    """
+    entries = _centroid_entries(centroids)
+    cells = _assign_cells(vectors, entries, vec_col)
+    probe_cells = F.slice(
+        F.sort_array(
+            _scored_centroids(entries, vec_col, norm_d(F.col(vec_col))), asc=False
+        ),
+        1,
+        nprobe,
     )
-    qcells = (
-        queries.crossJoin(F.broadcast(c))
-        .withColumn("__sim", cosine_col(F.col(vec_col), F.col("__cvec")))
-    )
-    w = Window.partitionBy(F.col(id_col)).orderBy(
-        F.col("__sim").desc(), F.col("__cid").asc()
-    )
-    probes = (
-        qcells.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= nprobe)
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qv"),
-            F.col("__cid").alias("cell"),
-        )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(F.transform(probe_cells, lambda t: -t["neg_cid"])).alias("cell"),
     )
     cand = cells.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"

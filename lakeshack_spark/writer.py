@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def cluster_write(
@@ -44,3 +44,49 @@ def cluster_write(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def bucket_write(
+    df: DataFrame,
+    table: str,
+    bucket_column: str,
+    n_buckets: int,
+    sort_columns: Sequence[str] = (),
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed, sorted table registered in the session
+    catalog: ``bucketBy(n_buckets, bucket_column)`` + ``sortBy``.
+
+    Bucketing is the co-located-join layout: two tables bucketed the same
+    way on their join key hash-partition identically at write time, so a
+    join between them needs NO Exchange — the shuffle is paid once, at
+    write, instead of on every query. At 100 TB this is the difference
+    between an every-query multi-TB shuffle and a mostly-local sort-merge
+    join; it composes with ``cluster_write``'s zone-map layout (bucket on
+    the join key, range-cluster *within* sorted buckets on the filter
+    key). Pick ``n_buckets`` ≈ dataset_size / 1 GB and keep it IDENTICAL
+    across the tables you intend to co-join — mismatched bucket counts
+    re-shuffle one side (Spark re-bucketing join support notwithstanding).
+
+    ``path`` makes the table external (data at ``path``, metadata in the
+    catalog). Plain ``spark.read.parquet`` on the files ignores bucketing
+    — read back via ``spark.table(table)`` so Catalyst sees the layout.
+    """
+    sorts = list(sort_columns) or [bucket_column]
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, bucket_column)
+        .sortBy(*sorts)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a :func:`bucket_write` table with its bucket layout visible to
+    Catalyst (file-path reads of the same data lose the layout and
+    re-shuffle on join)."""
+    return spark.table(table)

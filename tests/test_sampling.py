@@ -1,0 +1,97 @@
+"""Deterministic split/sample operators: disjointness, stability,
+proportions, composability, and engine-portability of the hash."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeshack_spark.operators import sampling
+from lakeshack_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents")
+
+
+def test_hash_split_exhaustive_and_disjoint(spark, docs):
+    out = sampling.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    # proportions within a loose tolerance at n=100
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+
+
+def test_hash_split_deterministic_and_portable(spark, docs):
+    out = sampling.hash_split(docs, "doc_id", {"train": 0.8, "hold": 0.2})
+    rows = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    again = {
+        r["doc_id"]: r["split"]
+        for r in sampling.hash_split(docs, "doc_id", {"train": 0.8, "hold": 0.2})
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert rows == again
+    # independent reimplementation of the bucket in pure Python
+    for doc_id, split in list(rows.items())[:20]:
+        digest = hashlib.md5(f"split:{doc_id}".encode()).hexdigest()
+        bucket = int(digest[:15], 16) % 1_000_000
+        assert split == ("train" if bucket < 800_000 else "hold"), doc_id
+
+
+def test_labels_are_independent(spark, docs):
+    a = sampling.hash_split(docs, "doc_id", {"x": 0.5, "y": 0.5}, label="a")
+    b = sampling.hash_split(docs, "doc_id", {"x": 0.5, "y": 0.5}, label="b")
+    da = {r["doc_id"]: r["split"] for r in a.select("doc_id", "split").collect()}
+    db = {r["doc_id"]: r["split"] for r in b.select("doc_id", "split").collect()}
+    assert da != db  # overwhelmingly likely under independence
+
+
+def test_deterministic_sample_composes(spark, docs):
+    half = sampling.deterministic_sample(docs, "doc_id", 0.5)
+    quarter_direct = sampling.deterministic_sample(docs, "doc_id", 0.25)
+    quarter_nested = sampling.deterministic_sample(half, "doc_id", 0.25)
+    ids_direct = {r["doc_id"] for r in quarter_direct.select("doc_id").collect()}
+    ids_nested = {r["doc_id"] for r in quarter_nested.select("doc_id").collect()}
+    assert ids_nested == ids_direct  # 0.25 ⊂ 0.5 under one threshold hash
+
+
+def test_stratified_fractions(spark, docs):
+    out = sampling.stratified_sample(
+        docs, "lang", {"en": 1.0, "de": 0.0}, key_col="doc_id", default_fraction=0.5
+    )
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    full = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_lang.get("en", 0) == full["en"]  # fraction 1.0 keeps all
+    assert "de" not in by_lang  # fraction 0.0 keeps none
+    for lang, n in by_lang.items():
+        if lang not in ("en", "de"):
+            assert 0 < n <= full[lang]
+
+
+def test_split_is_map_only(spark, docs):
+    from lakeshack_spark import plans
+
+    out = sampling.hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
+    plan = plans.explain_str(out)
+    assert "Exchange" not in plan
+
+
+def test_bad_args(spark, docs):
+    with pytest.raises(ValueError):
+        sampling.hash_split(docs, "doc_id", {})
+    with pytest.raises(ValueError):
+        sampling.deterministic_sample(docs, "doc_id", 1.5)
