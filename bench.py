@@ -62,9 +62,17 @@ def main() -> None:
 
     _orders_shack(spark, sf_dir)
 
+    # Two runs per query: the FIRST run is the headline (comparable to
+    # earlier rounds' single-shot methodology and honest about per-query
+    # plan/codegen cost); the min of both is reported separately as the
+    # steady-state number so compile-time noise is visible.
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
-        timings[name] = round(run(name), 3)
+        first = run(name)
+        second = run(name)
+        timings[name] = round(first, 3)
+        steady[name] = round(min(first, second), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -76,6 +84,8 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "value_steady": round(sum(steady.values()), 3),
+        "queries_steady": steady,
         "sf": sf_val,
     }
     print(json.dumps(out))

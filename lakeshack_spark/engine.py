@@ -69,8 +69,10 @@ class Lakeshack:
 
     Equivalent of ``Lakeshack.__init__`` (lakeshack/lakeshack.py:60-98):
     takes the dataset location, the cluster column, and optional (range-
-    indexed) columns; the metastore lives in Parquet at ``store_path``
-    (defaults to a ``_lakeshack_stats`` sibling of the data).
+    indexed) columns; the metastore lives at ``store_path`` (defaults to
+    a ``_lakeshack_stats`` Parquet sibling of the data; pass a
+    ``*.duckdb`` path for the RDBMS-backed store — parity with the
+    reference's SQLAlchemy store URL, lakeshack/metastore.py:79-98).
     """
 
     def __init__(

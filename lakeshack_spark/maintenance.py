@@ -58,7 +58,6 @@ def compact(
     for path in old_files:
         os.remove(path)
     # Rebuild stats from scratch: the old rows describe deleted files.
-    if os.path.exists(shack.store_path):
-        shutil.rmtree(shack.store_path)
+    shack.metastore.backend.drop()
     shack.update_metastore()
     return len(old_files)

@@ -31,6 +31,8 @@ from typing import Any, Iterable, Iterator, Sequence
 
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F, types as T
 
+from lakeshack_spark.stats_backends import StatsBackend, make_backend
+
 logger = logging.getLogger(__name__)
 
 #: Comparison operators accepted in optional where-clauses, and how each one
@@ -204,10 +206,14 @@ def list_parquet_files(
 class FileStatsMetastore:
     """Min/max-per-file stats table over immutable Parquet files.
 
-    Parameters mirror ``Metastore.__init__`` (lakeshack/metastore.py:79-204)
-    minus the RDBMS machinery: column roles are real metadata here, not
-    ``_min``-suffix naming conventions recovered by parsing DB columns
-    (lakeshack/metastore.py:117-126).
+    Parameters mirror ``Metastore.__init__`` (lakeshack/metastore.py:79-204):
+    column roles are real metadata here, not ``_min``-suffix naming
+    conventions recovered by parsing DB columns
+    (lakeshack/metastore.py:117-126), and storage is a swappable
+    :class:`~lakeshack_spark.stats_backends.StatsBackend` — Parquet
+    directory by default, a DuckDB file when ``store_path`` ends in
+    ``.duckdb`` (parity with the reference's any-RDBMS SQLAlchemy store,
+    lakeshack/metastore.py:79-98).
     """
 
     def __init__(
@@ -217,6 +223,7 @@ class FileStatsMetastore:
         schema: T.StructType,
         cluster_column: str,
         optional_columns: Sequence[str] = (),
+        backend: StatsBackend | None = None,
     ) -> None:
         self.spark = spark
         self.store_path = store_path
@@ -254,6 +261,8 @@ class FileStatsMetastore:
             fields.append(T.StructField(f"{col}_min", stat_type, True))
             fields.append(T.StructField(f"{col}_max", stat_type, True))
         self.stats_schema = T.StructType(fields)
+        self.backend = backend or make_backend(spark, store_path)
+        self.backend.bind(self.stats_schema)
         self._validate_existing_store()
 
     def _validate_existing_store(self) -> None:
@@ -263,9 +272,9 @@ class FileStatsMetastore:
         query results, not an error). Mirrors the reference's column-by-
         column reflection check on reconnect
         (lakeshack/metastore.py:128-204)."""
-        if not self._exists():
+        actual = self.backend.actual_schema()
+        if actual is None:
             return
-        actual = self.spark.read.parquet(self.store_path).schema
         expected = {f.name: f.dataType for f in self.stats_schema.fields}
         got = {f.name: f.dataType for f in actual.fields}
         problems = []
@@ -291,18 +300,11 @@ class FileStatsMetastore:
     # ------------------------------------------------------------- ingest
 
     def _exists(self) -> bool:
-        try:
-            return bool(
-                list_parquet_files(self.store_path, self.spark, skip_side_dirs=False)
-            )
-        except Exception:
-            return False
+        return self.backend.exists()
 
     def stats_df(self) -> DataFrame:
         """The stats table as a DataFrame (empty if never updated)."""
-        if not self._exists():
-            return self.spark.createDataFrame([], self.stats_schema)
-        return self.spark.read.schema(self.stats_schema).parquet(self.store_path)
+        return self.backend.read_df()
 
     def update(self, parquet_file_or_dir: str | Sequence[str]) -> int:
         """Idempotent ingest: discover files → distributed footer reads →
@@ -338,76 +340,19 @@ class FileStatsMetastore:
         fresh = fresh.persist()
         n_new = fresh.count()
         if n_new:
-            # Output file count sized by row count (stats rows are tiny),
-            # never a hard-coded single-task funnel.
-            fresh.coalesce(self._n_output_files(n_new)).write.mode("append").parquet(
-                self.store_path
-            )
+            self.backend.append(fresh, n_new)
         fresh.unpersist()
-        self._maybe_compact_store()
+        self.backend.maybe_compact()
         return n_new
 
-    #: Target stats rows per store file: ~500k rows ≈ 100 MB of stats —
-    #: appends stay single-file until updates are huge, and compaction
-    #: folds a 10M-file dataset's store into ~20 files.
-    STATS_ROWS_PER_FILE = 500_000
-
-    #: Auto-compact the stats store once per-update appends have
-    #: accumulated this many files (keeps the prune-time read to a few
-    #: files no matter how many ingest ticks have run).
-    STATS_COMPACT_FILE_THRESHOLD = 64
-
-    def _n_output_files(self, n_rows: int) -> int:
-        return max(1, -(-n_rows // self.STATS_ROWS_PER_FILE))
-
     def _store_files(self) -> list[str]:
-        return list_parquet_files(self.store_path, self.spark, skip_side_dirs=False)
-
-    def _rewrite_store(self, df: DataFrame) -> int:
-        """Replace the store's contents with ``df`` without materializing
-        rows on the driver: stage to a sibling directory sized by row
-        count, then swap. (Local swap is rename-based and not atomic under
-        concurrent readers; at production scale the same rewrite runs
-        under a table-format commit — see maintenance module docstring.)
-        Returns the row count written."""
-        import shutil
-
-        staging = self.store_path.rstrip("/") + "__staging"
-        n_rows = df.count()
-        df.repartition(self._n_output_files(n_rows)).write.mode("overwrite").parquet(
-            staging
-        )
-        if _is_remote(self.store_path):
-            jvm = self.spark.sparkContext._jvm
-            jsc = self.spark.sparkContext._jsc
-            dst = jvm.org.apache.hadoop.fs.Path(self.store_path)
-            src = jvm.org.apache.hadoop.fs.Path(staging)
-            fs = dst.getFileSystem(jsc.hadoopConfiguration())
-            if fs.exists(dst):
-                fs.delete(dst, True)
-            fs.rename(src, dst)
-        else:
-            store = _strip_file_scheme(self.store_path)
-            stag = _strip_file_scheme(staging)
-            if os.path.exists(store):
-                shutil.rmtree(store)
-            os.replace(stag, store)
-        return n_rows
+        return self.backend.store_files()  # type: ignore[attr-defined]
 
     def compact_store(self) -> int:
-        """Fold the store's accumulated per-update append files into
-        row-count-sized files. Returns the resulting file count."""
-        if not self._exists():
-            return 0
-        self._rewrite_store(self.stats_df())
-        return len(self._store_files())
-
-    def _maybe_compact_store(self) -> None:
-        try:
-            if len(self._store_files()) > self.STATS_COMPACT_FILE_THRESHOLD:
-                self.compact_store()
-        except Exception as exc:  # compaction is best-effort maintenance
-            logger.warning("stats store compaction skipped: %s", exc)
+        """Fold the store's physical fragmentation (per-update append
+        files on the Parquet backend; no-op under an RDBMS backend).
+        Returns the resulting file count."""
+        return self.backend.compact()
 
     def _reconcile_deleted(
         self, roots: Sequence[str], live_files: set[str]
@@ -445,7 +390,7 @@ class FileStatsMetastore:
         keep = stats.join(
             F.broadcast(stale.select("filepath")), "filepath", "left_anti"
         )
-        self._rewrite_store(keep)
+        self.backend.rewrite(keep)
         logger.info("reconciled %d stale stats rows", n_stale)
         return n_stale
 
@@ -496,23 +441,16 @@ class FileStatsMetastore:
         values: list[Any],
         clauses: Sequence[tuple[str, str, Any]],
     ) -> dict[str, list[Any]] | None:
-        """Fast path: evaluate the interval tests in-process over the stats
-        parquet. Returns None when the stats table is too large (caller
-        falls back to the distributed path)."""
-        import pyarrow.dataset as pads
-
-        if _is_remote(self.store_path):
-            return None  # remote stats store: use the distributed path
+        """Fast path: evaluate the interval tests in-process over the
+        backend's driver-side read. Returns None when the backend defers
+        (remote or too-large Parquet store — caller falls back to the
+        distributed path)."""
         values = [_to_py_stat(v) for v in values]
         clauses = [(c, op, _to_py_stat(v)) for c, op, v in clauses]
 
-        dataset = pads.dataset(
-            list_parquet_files(self.store_path, self.spark, skip_side_dirs=False),
-            format="parquet",
-        )
-        if dataset.count_rows() > self.DRIVER_PRUNE_MAX_FILES:
+        table = self.backend.read_arrow(self.DRIVER_PRUNE_MAX_FILES)
+        if table is None:
             return None
-        table = dataset.to_table()
         # Spark writes TimestampType as UTC-adjusted; normalize to naive
         # UTC so comparisons against (naive) clause values work.
         cols = {

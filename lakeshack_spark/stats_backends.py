@@ -1,0 +1,372 @@
+"""Pluggable storage backends for the file-stats metastore.
+
+The reference persists its stats table in any SQLAlchemy-supported RDBMS
+(lakeshack/metastore.py:79-98 — SQLite in every test/doc); this module is
+the same swappable-storage idea with the engine's two natural homes:
+
+- :class:`ParquetStatsBackend` (default): the stats table is itself
+  Parquet, readable as a DataFrame by every executor. The right choice on
+  a cluster — appends/rewrites are Spark jobs and pruning can run
+  distributed past the driver-side threshold.
+- :class:`DuckDBStatsBackend`: a single-file RDBMS store (``*.duckdb``),
+  driver-side like the reference's database connection. The right choice
+  for single-node deployments or when the stats table should live next to
+  other operational tables. Stats are metadata-scale (one row per data
+  FILE), so driver-side reads are bounded by design — the same argument
+  the reference makes for its DB round-trips.
+
+A backend only moves bytes: discovery, footer reads, idempotency joins,
+validation policy, and pruning semantics all live in
+:class:`~lakeshack_spark.metastore.FileStatsMetastore` and are identical
+across backends (the backend-parametrized tests in
+``tests/test_metastore.py`` pin that).
+"""
+
+from __future__ import annotations
+
+import abc
+import logging
+import os
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession, types as T
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pyarrow as pa
+
+logger = logging.getLogger(__name__)
+
+
+def make_backend(spark: SparkSession, store_path: str) -> "StatsBackend":
+    """Pick a backend from the store path: ``*.duckdb`` → DuckDB file,
+    anything else → Parquet directory."""
+    if store_path.endswith(".duckdb"):
+        return DuckDBStatsBackend(spark, store_path)
+    return ParquetStatsBackend(spark, store_path)
+
+
+class StatsBackend(abc.ABC):
+    """Storage contract for the stats table. ``bind`` is called once by
+    the metastore with the expected stats schema before any other use."""
+
+    stats_schema: T.StructType
+
+    def bind(self, stats_schema: T.StructType) -> None:
+        self.stats_schema = stats_schema
+
+    @abc.abstractmethod
+    def exists(self) -> bool: ...
+
+    @abc.abstractmethod
+    def actual_schema(self) -> T.StructType | None:
+        """Schema of an existing store, or None when nothing exists yet.
+        Used for reconnect validation — must reflect what is stored, not
+        what is expected."""
+
+    @abc.abstractmethod
+    def read_df(self) -> DataFrame:
+        """The stats table as a DataFrame (empty if never written)."""
+
+    @abc.abstractmethod
+    def read_arrow(self, max_rows: int) -> "pa.Table | None":
+        """Driver-side fast-path read; None when the caller should use
+        the distributed path instead (remote store / too large)."""
+
+    @abc.abstractmethod
+    def append(self, df: DataFrame, n_rows: int) -> None: ...
+
+    @abc.abstractmethod
+    def rewrite(self, df: DataFrame) -> int:
+        """Replace the store contents with ``df``; returns rows written."""
+
+    @abc.abstractmethod
+    def compact(self) -> int:
+        """Fold physical fragmentation; returns resulting file count (0
+        when the backend has nothing to compact)."""
+
+    def maybe_compact(self) -> None:
+        """Best-effort automatic compaction hook after appends."""
+
+    @abc.abstractmethod
+    def drop(self) -> None:
+        """Delete the store entirely (maintenance rebuilds call this)."""
+
+
+# --------------------------------------------------------------- parquet
+
+
+class ParquetStatsBackend(StatsBackend):
+    """Stats table as Parquet files under a directory (the default)."""
+
+    #: Target stats rows per store file: ~500k rows ≈ 100 MB of stats —
+    #: appends stay single-file until updates are huge, and compaction
+    #: folds a 10M-file dataset's store into ~20 files.
+    STATS_ROWS_PER_FILE = 500_000
+
+    #: Auto-compact once per-update appends have accumulated this many
+    #: files (keeps the prune-time read to a few files no matter how many
+    #: ingest ticks have run).
+    STATS_COMPACT_FILE_THRESHOLD = 64
+
+    def __init__(self, spark: SparkSession, store_path: str) -> None:
+        self.spark = spark
+        self.store_path = store_path
+
+    # -- helpers
+
+    def _n_output_files(self, n_rows: int) -> int:
+        return max(1, -(-n_rows // self.STATS_ROWS_PER_FILE))
+
+    def store_files(self) -> list[str]:
+        from lakeshack_spark.metastore import list_parquet_files
+
+        return list_parquet_files(self.store_path, self.spark, skip_side_dirs=False)
+
+    # -- contract
+
+    def exists(self) -> bool:
+        try:
+            return bool(self.store_files())
+        except Exception:
+            return False
+
+    def actual_schema(self) -> T.StructType | None:
+        if not self.exists():
+            return None
+        return self.spark.read.parquet(self.store_path).schema
+
+    def read_df(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], self.stats_schema)
+        return self.spark.read.schema(self.stats_schema).parquet(self.store_path)
+
+    def read_arrow(self, max_rows: int) -> "pa.Table | None":
+        from lakeshack_spark.metastore import _is_remote
+
+        import pyarrow.dataset as pads
+
+        if _is_remote(self.store_path):
+            return None  # remote store: executors read it, not the driver
+        dataset = pads.dataset(self.store_files(), format="parquet")
+        if dataset.count_rows() > max_rows:
+            return None
+        return dataset.to_table()
+
+    def append(self, df: DataFrame, n_rows: int) -> None:
+        # Output file count sized by row count (stats rows are tiny),
+        # never a hard-coded single-task funnel.
+        df.coalesce(self._n_output_files(n_rows)).write.mode("append").parquet(
+            self.store_path
+        )
+
+    def rewrite(self, df: DataFrame) -> int:
+        """Stage to a sibling directory sized by row count, then swap —
+        no driver materialization. (Local swap is rename-based and not
+        atomic under concurrent readers; at production scale the same
+        rewrite runs under a table-format commit — see the maintenance
+        module docstring.)"""
+        import shutil
+
+        from lakeshack_spark.metastore import _is_remote, _strip_file_scheme
+
+        staging = self.store_path.rstrip("/") + "__staging"
+        n_rows = df.count()
+        df.repartition(self._n_output_files(n_rows)).write.mode("overwrite").parquet(
+            staging
+        )
+        if _is_remote(self.store_path):
+            jvm = self.spark.sparkContext._jvm
+            jsc = self.spark.sparkContext._jsc
+            dst = jvm.org.apache.hadoop.fs.Path(self.store_path)
+            src = jvm.org.apache.hadoop.fs.Path(staging)
+            fs = dst.getFileSystem(jsc.hadoopConfiguration())
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            fs.rename(src, dst)
+        else:
+            store = _strip_file_scheme(self.store_path)
+            stag = _strip_file_scheme(staging)
+            if os.path.exists(store):
+                shutil.rmtree(store)
+            os.replace(stag, store)
+        return n_rows
+
+    def compact(self) -> int:
+        if not self.exists():
+            return 0
+        self.rewrite(self.read_df())
+        return len(self.store_files())
+
+    def maybe_compact(self) -> None:
+        try:
+            if len(self.store_files()) > self.STATS_COMPACT_FILE_THRESHOLD:
+                self.compact()
+        except Exception as exc:  # compaction is best-effort maintenance
+            logger.warning("stats store compaction skipped: %s", exc)
+
+    def drop(self) -> None:
+        import shutil
+
+        from lakeshack_spark.metastore import _is_remote, _strip_file_scheme
+
+        if _is_remote(self.store_path):
+            jvm = self.spark.sparkContext._jvm
+            jsc = self.spark.sparkContext._jsc
+            p = jvm.org.apache.hadoop.fs.Path(self.store_path)
+            fs = p.getFileSystem(jsc.hadoopConfiguration())
+            if fs.exists(p):
+                fs.delete(p, True)
+            return
+        path = _strip_file_scheme(self.store_path)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+
+
+# ---------------------------------------------------------------- duckdb
+
+#: Spark ⇄ DuckDB DDL type map for the (narrow) set of stat column types
+#: (mirrors the reference's ``Metastore._map_pa_type`` → SQLAlchemy map,
+#: lakeshack/metastore.py:483-511).
+_SPARK_TO_DUCK = {
+    T.LongType(): "BIGINT",
+    T.DoubleType(): "DOUBLE",
+    T.StringType(): "VARCHAR",
+    T.DateType(): "DATE",
+    T.TimestampType(): "TIMESTAMP",
+}
+_DUCK_TO_SPARK = {v: k for k, v in _SPARK_TO_DUCK.items()}
+
+
+class DuckDBStatsBackend(StatsBackend):
+    """Stats table in a single-file DuckDB database — the RDBMS-backed
+    store, driver-side by construction like the reference's SQLAlchemy
+    engine. Timestamp stats are stored naive-UTC (the engine runs with
+    ``spark.sql.session.timeZone=UTC``), matching what the Parquet
+    backend's footer normalization produces."""
+
+    TABLE = "file_stats"
+
+    def __init__(self, spark: SparkSession, db_path: str) -> None:
+        self.spark = spark
+        self.db_path = db_path
+
+    def _connect(self):
+        import duckdb
+
+        return duckdb.connect(self.db_path)
+
+    def _table_exists(self, con) -> bool:
+        rows = con.execute(
+            "SELECT 1 FROM information_schema.tables WHERE table_name = ?",
+            [self.TABLE],
+        ).fetchall()
+        return bool(rows)
+
+    def _ddl(self) -> str:
+        cols = []
+        for f in self.stats_schema.fields:
+            try:
+                duck = _SPARK_TO_DUCK[f.dataType]
+            except KeyError:  # pragma: no cover - stat types are closed
+                raise ValueError(
+                    f"stat column {f.name!r} has unmappable type {f.dataType}"
+                )
+            pk = " PRIMARY KEY" if f.name == "filepath" else ""
+            null = "" if f.nullable else " NOT NULL"
+            cols.append(f'"{f.name}" {duck}{pk}{null}')
+        return f'CREATE TABLE IF NOT EXISTS "{self.TABLE}" ({", ".join(cols)})'
+
+    @staticmethod
+    def _strip_tz(table: "pa.Table") -> "pa.Table":
+        """Spark's toArrow stamps TimestampType as timestamp[us, UTC];
+        drop the zone (values are already UTC instants) so DuckDB stores
+        plain TIMESTAMP."""
+        import pyarrow as pa
+
+        fields = []
+        changed = False
+        for f in table.schema:
+            if isinstance(f.type, pa.TimestampType) and f.type.tz is not None:
+                fields.append(pa.field(f.name, pa.timestamp(f.type.unit)))
+                changed = True
+            else:
+                fields.append(f)
+        return table.cast(pa.schema(fields)) if changed else table
+
+    # -- contract
+
+    def exists(self) -> bool:
+        if not os.path.exists(self.db_path):
+            return False
+        with self._connect() as con:
+            return self._table_exists(con)
+
+    def actual_schema(self) -> T.StructType | None:
+        if not self.exists():
+            return None
+        with self._connect() as con:
+            desc = con.execute(f'DESCRIBE "{self.TABLE}"').fetchall()
+        fields = []
+        for name, coltype, *_rest in desc:
+            spark_type = _DUCK_TO_SPARK.get(coltype.upper())
+            if spark_type is None:
+                # Surface the mismatch as an impossible type so the
+                # metastore's validation reports it instead of crashing.
+                spark_type = T.NullType()
+            fields.append(T.StructField(name, spark_type, True))
+        return T.StructType(fields)
+
+    def read_df(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], self.stats_schema)
+        table = self.read_arrow(0)
+        if table.num_rows == 0:
+            return self.spark.createDataFrame([], self.stats_schema)
+        return self.spark.createDataFrame(table.to_pandas(), self.stats_schema)
+
+    def read_arrow(self, max_rows: int) -> "pa.Table":
+        """The store is driver-side by definition (single-file DB), so
+        the fast path always applies; ``max_rows`` is a no-op here."""
+        with self._connect() as con:
+            if not self._table_exists(con):
+                import pyarrow as pa
+
+                return pa.table({})
+            return con.execute(f'SELECT * FROM "{self.TABLE}"').fetch_arrow_table()
+
+    def append(self, df: DataFrame, n_rows: int) -> None:
+        table = self._strip_tz(df.toArrow())
+        cols = ", ".join(f'"{f.name}"' for f in self.stats_schema.fields)
+        with self._connect() as con:
+            con.execute(self._ddl())
+            con.register("__new_stats", table)
+            con.execute(
+                f'INSERT INTO "{self.TABLE}" ({cols}) '
+                f"SELECT {cols} FROM __new_stats"
+            )
+
+    def rewrite(self, df: DataFrame) -> int:
+        # DROP + CREATE + INSERT in one transaction, not DELETE + INSERT:
+        # DuckDB's ART index keeps deleted keys visible until commit, so
+        # re-inserting a surviving filepath inside the same transaction
+        # would trip the primary-key constraint.
+        table = self._strip_tz(df.toArrow())
+        cols = ", ".join(f'"{f.name}"' for f in self.stats_schema.fields)
+        with self._connect() as con:
+            con.execute("BEGIN")
+            con.execute(f'DROP TABLE IF EXISTS "{self.TABLE}"')
+            con.execute(self._ddl())
+            con.register("__rewrite_stats", table)
+            con.execute(
+                f'INSERT INTO "{self.TABLE}" ({cols}) '
+                f"SELECT {cols} FROM __rewrite_stats"
+            )
+            con.execute("COMMIT")
+        return table.num_rows
+
+    def compact(self) -> int:
+        return 0  # the RDBMS manages its own physical layout
+
+    def drop(self) -> None:
+        if os.path.exists(self.db_path):
+            os.remove(self.db_path)

