@@ -56,13 +56,16 @@ def shingles_col(text_col: str, k: int = 3) -> Column:
     """Distinct word k-gram shingles of ``text_col`` (empty if < k words)."""
     w = words_col(text_col)
     n = F.size(w)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    # Guard the index array itself: sequence(0, n-k) with n < k counts
+    # DOWN (e.g. [0, -1]) and the out-of-range element_at would error in
+    # any evaluation mode that does not short-circuit the outer when().
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)])
     )
-    return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.array_distinct(grams)
 
 
 def _h64(col: Column) -> Column:

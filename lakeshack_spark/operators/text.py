@@ -116,6 +116,55 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp", F.md5(normalized))
 
 
+def winnow_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 3, window: int = 4
+) -> DataFrame:
+    """Adds ``fps``: the document's winnowing fingerprint set — word
+    k-gram hashes, min-selected over every sliding window of ``window``
+    consecutive hashes (Schleimer/Wilkerson/Aiken, SIGMOD 2003). The
+    guarantee: any match of ``window + k - 1`` consecutive tokens between
+    two documents shares at least one selected fingerprint, at ~1/window
+    the storage of the full hash sequence.
+
+    Winnowing is the *selection* algorithm; the per-gram hash here is the
+    repo's portable md5-derived integer (operators.dedup._h64) rather
+    than a Rabin-Karp rolling product — on a column engine every gram is
+    hashed in one vectorized pass either way, so the classic O(1) hash
+    update buys nothing while breaking cross-engine reproducibility.
+    Map-only; at scale pair with ``F.explode(fps)`` + groupBy for the
+    posting-list (fingerprint → docs) inversion.
+    """
+    w = words_col(text_col)
+    n = F.size(w)
+    # Guard the INDEX array, not just the result: sequence(0, -1) counts
+    # DOWN to [0, -1], and the out-of-range element_at would be evaluated
+    # before any outer when() could mask it.
+    gram_idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        gram_idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
+    )
+    hashes = F.transform(grams, _winnow_h64)
+    n_h = F.size(hashes)
+    win_idx = F.sequence(F.lit(1), F.greatest(n_h - window + 1, F.lit(0)))
+    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    fps = (
+        F.when(n_h >= window, F.array_sort(F.array_distinct(mins)))
+        # shorter than one window (but non-empty): degenerate single window
+        .when(n_h >= 1, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return df.withColumn("fps", fps)
+
+
+def _winnow_h64(col: Column) -> Column:
+    from lakeshack_spark.operators import dedup  # deferred: dedup imports text
+
+    return dedup._h64(col)
+
+
 def term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Explodes tokens → ``(term, n)`` counts. The groupBy shuffles on the
     term (high cardinality → well-spread); at scale add a salt on very hot

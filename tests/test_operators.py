@@ -184,3 +184,58 @@ def test_lang_id_marker_sanity(spark):
     )
     rows = {r["doc_id"]: r["lang_pred"] for r in text.lang_id(df).collect()}
     assert rows[1] == "en" and rows[2] == "es" and rows[3] == "und"
+
+
+def test_winnow_fingerprint_matches_reference_impl(spark):
+    """Winnowing pinned against an independent pure-Python implementation
+    (same md5-derived gram hash, classic min-per-window selection)."""
+    import hashlib
+
+    from lakeshack_spark.operators.text import winnow_fingerprint
+
+    texts = [
+        "a b c d e f g h i j",
+        "the quick brown fox jumps over the lazy dog again and again",
+        "x y",                # fewer grams than one window
+        "solo",               # no k-gram at all (k=3)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["fps"])
+        for r in winnow_fingerprint(df, k=3, window=4).collect()
+    }
+
+    def h64(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        grams = [" ".join(words[j : j + 3]) for j in range(len(words) - 2)]
+        hashes = [h64(g) for g in grams]
+        if len(hashes) >= 4:
+            want = sorted({min(hashes[j : j + 4]) for j in range(len(hashes) - 3)})
+        elif hashes:
+            want = [min(hashes)]
+        else:
+            want = []
+        assert got[i] == want, (i, t)
+
+
+def test_winnow_guarantee_shared_fingerprint(spark):
+    """Two docs sharing >= window+k-1 consecutive tokens must share at
+    least one selected fingerprint (the winnowing guarantee)."""
+    from lakeshack_spark.operators.text import winnow_fingerprint
+
+    shared = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (0, f"alpha beta {shared} gamma"),
+            (1, f"{shared} delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: set(r["fps"]) for r in
+            winnow_fingerprint(df, k=3, window=4).collect()}
+    assert rows[0] & rows[1]

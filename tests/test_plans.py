@@ -89,3 +89,22 @@ def test_ivf_assign_is_map_side(spark):
     plan = plans.explain_str(cells.select("vec_id", "cell"))
     assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_asof_join_partial_aggregates_before_shuffle(spark):
+    """The as-of pick-one must be an aggregation with map-side partial
+    combine (shuffle carries one candidate per left row), never a window
+    over the full join output."""
+    plan = plans.explain_str(q("asof_join_events_orders", spark))
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan, plan
+
+
+def test_hash_split_is_map_only(spark):
+    """Dataset splitting must never shuffle (pure column transform)."""
+    from lakeshack_spark.operators import sampling
+    from lakeshack_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = sampling.hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
+    assert "Exchange" not in plans.explain_str(out)

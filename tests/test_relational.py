@@ -93,3 +93,86 @@ def test_column_collision_suffix(spark):
     assert set(out.columns) == {"id", "k", "t", "price", "rt", "price_right"}
     row = out.collect()[0]
     assert (row["price"], row["price_right"]) == (1.0, 2.0)
+
+
+# ----------------------------------------------------------- range join
+
+
+@pytest.fixture(scope="module")
+def points_intervals(spark):
+    points = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([-25, -10, -1, 0, 3, 7, 49, 50, 51, 120])],
+        "pid long, p long",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, -30, -5),
+            (2, -2, 4),
+            (3, 0, 0),
+            (4, 5, 60),
+            (5, 45, 55),
+            (6, 200, 300),  # matches nothing
+        ],
+        "iid long, lo long, hi long",
+    )
+    return points, intervals
+
+
+def _exact(points, intervals, extra=None):
+    from pyspark.sql import functions as F
+
+    cond = (points.p >= intervals.lo) & (points.p <= intervals.hi)
+    if extra is not None:
+        cond = cond & extra(points, intervals)
+    return {(r["pid"], r["iid"]) for r in points.join(intervals, cond).collect()}
+
+
+@pytest.mark.parametrize("width", [1, 7, 100])
+def test_range_join_matches_theta_join(spark, points_intervals, width):
+    from lakeshack_spark.operators.relational import range_join
+
+    points, intervals = points_intervals
+    got = range_join(points, intervals, "p", "lo", "hi", width)
+    assert {(r["pid"], r["iid"]) for r in got.collect()} == _exact(
+        points, intervals
+    )
+    # exactly-once: no dedup hidden in the operator
+    assert got.count() == len(_exact(points, intervals))
+
+
+def test_range_join_float_domain(spark):
+    from lakeshack_spark.operators.relational import range_join
+
+    points = spark.createDataFrame(
+        [(1, -0.5), (2, 0.0), (3, 2.25)], "pid long, p double"
+    )
+    intervals = spark.createDataFrame(
+        [(1, -1.0, -0.25), (2, -0.1, 2.5)], "iid long, lo double, hi double"
+    )
+    got = {(r["pid"], r["iid"]) for r in
+           range_join(points, intervals, "p", "lo", "hi", 0.5).collect()}
+    assert got == {(1, 1), (2, 2), (3, 2)}
+
+
+def test_range_join_with_equi_keys(spark):
+    from lakeshack_spark.operators.relational import range_join
+
+    points = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "pid long, k string, p long"
+    )
+    intervals = spark.createDataFrame(
+        [(1, "a", 0, 20), (2, "b", 15, 20)], "iid long, k string, lo long, hi long"
+    )
+    got = {(r["pid"], r["iid"]) for r in
+           range_join(points, intervals, "p", "lo", "hi", 8, on=["k"]).collect()}
+    assert got == {(1, 1)}  # pid 2 is in range of iid 1 but keys differ
+
+
+def test_range_join_no_nested_loop(spark, points_intervals):
+    from lakeshack_spark import plans
+    from lakeshack_spark.operators.relational import range_join
+
+    points, intervals = points_intervals
+    plan = plans.explain_str(range_join(points, intervals, "p", "lo", "hi", 10))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
