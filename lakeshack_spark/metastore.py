@@ -387,8 +387,15 @@ class FileStatsMetastore:
         n_stale = stale.count()
         if not n_stale:
             return 0
-        keep = stats.join(
-            F.broadcast(stale.select("filepath")), "filepath", "left_anti"
+        # Kept = rows outside the updated roots, plus under-root rows that
+        # are still live. live_df is bounded (it IS the driver-side
+        # listing), so IT is the broadcast side — broadcasting the stale
+        # set instead would re-materialize up to the whole store on the
+        # driver exactly when a rewrite replaces most files.
+        keep = stats.filter(~under_roots).unionByName(
+            stats.filter(under_roots).join(
+                F.broadcast(live_df), "filepath", "left_semi"
+            )
         )
         self.backend.rewrite(keep)
         logger.info("reconciled %d stale stats rows", n_stale)

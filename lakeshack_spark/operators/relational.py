@@ -26,9 +26,12 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the single right row with the same key(s)
     and the greatest ``right_time <= left_time`` (backward; forward = least
-    ``right_time >= left_time``). ``left_key`` is a unique left row id used
-    to partition the pick-one window (defaults to all left columns);
-    ``right_tiebreak`` resolves equal right times deterministically.
+    ``right_time >= left_time``). ``left_key`` MUST be a unique left row id
+    (omit it to group by all left columns instead): with a non-unique key
+    the group mixes several left rows, and the any_value(left)/max_by(right)
+    pair could come from DIFFERENT left rows — silently pairing a row with
+    a match that violates its own time bound. ``right_tiebreak`` resolves
+    equal right times deterministically.
 
     Physical plan: equi-join on the key(s) + inequality filter + pick-one
     via ``max_by``/``min_by`` keyed on ``struct(right_time, tiebreak)``.
@@ -145,12 +148,28 @@ def range_join(
     lb = bucket(left_point, "__rjl").alias("__bucket")
     rb_seq = F.sequence(bucket(right_lo, "__rjr"), bucket(right_hi, "__rjr"))
     lsel = l.select(F.col("__rjl.*"), lb)
-    rsel = r.select(F.col("__rjr.*"), F.explode(rb_seq).alias("__bucket"))
+    # Right columns that collide with left ones (other than the equi-keys,
+    # which the name-based join merges) get an _right suffix, same rule as
+    # asof_join — without it the interval filter or any downstream select
+    # of a shared name is ambiguous.
+    taken = set(left.columns)
+    renames = {
+        c: f"{c}_right" for c in right.columns if c in taken and c not in on
+    }
+    rcols = [
+        F.col(f"__rjr.{c}").alias(renames.get(c, c))
+        for c in right.columns
+        if c not in on
+    ]
+    rkey_cols = [F.col(f"__rjr.{c}").alias(c) for c in on]
+    rsel = r.select(*rkey_cols, *rcols, F.explode(rb_seq).alias("__bucket"))
     keys = ["__bucket", *on]
     joined = lsel.join(rsel, keys, "inner").drop("__bucket")
+    lo_name = renames.get(right_lo, right_lo)
+    hi_name = renames.get(right_hi, right_hi)
     return joined.filter(
-        (F.col(left_point) >= F.col(right_lo))
-        & (F.col(left_point) <= F.col(right_hi))
+        (F.col(left_point) >= F.col(lo_name))
+        & (F.col(left_point) <= F.col(hi_name))
     )
 
 

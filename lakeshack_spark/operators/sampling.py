@@ -24,13 +24,14 @@ _BUCKETS = 1_000_000
 
 
 def hash_bucket(key: Column, label: str, buckets: int = _BUCKETS) -> Column:
-    """Uniform bucket in [0, buckets) from md5(label || key) — the first
-    15 hex digits (60 bits) in integer domain, like the dedup/minhash
-    hashes (operators.dedup._h64)."""
-    digest = F.md5(F.concat(F.lit(label), F.lit(":"), key.cast("string")))
-    return (F.conv(F.substring(digest, 1, 15), 16, 10).cast("long") % buckets).cast(
-        "long"
-    )
+    """Uniform bucket in [0, buckets) from md5(label || key), via the
+    repo's ONE portable 60-bit hash (operators.dedup._h64) so split
+    assignment can never drift from the documented hash."""
+    from lakeshack_spark.operators.dedup import _h64
+
+    return (
+        _h64(F.concat(F.lit(label), F.lit(":"), key.cast("string"))) % buckets
+    ).cast("long")
 
 
 def hash_split(
@@ -77,8 +78,11 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep a deterministic ``fraction`` of rows by key hash. Unlike
     ``DataFrame.sample`` this is stable across runs, partitionings, and
-    engines, and composes: ``fraction=0.5`` then ``0.5`` with the same
-    label yields the same rows as ``0.25`` directly."""
+    engines, and samples NEST under one label: every ``fraction=0.25``
+    row is also a ``fraction=0.5`` row, and re-sampling a sample keeps
+    ``min`` of the fractions (same threshold test on the same hash — so
+    growing a sample never reshuffles which rows are in it; use distinct
+    labels for independent draws)."""
     if not (0.0 <= fraction <= 1.0):
         raise ValueError("fraction must be in [0, 1]")
     bound = int(fraction * _BUCKETS)

@@ -17,15 +17,28 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _salt_col(df: DataFrame, salt_buckets: int, salt_cols: list[str] | None) -> Column:
-    """Deterministic salt in [0, salt_buckets): hash-mod over ``salt_cols``
-    (default: every column). No RNG — reruns and retried tasks land each
-    row in the same bucket, so results are reproducible and speculative
-    execution stays safe. A hot key's rows still spread across buckets
-    because the non-key columns vary."""
-    cols = salt_cols if salt_cols is not None else df.columns
-    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets)).cast(
-        "int"
-    )
+    """Salt in [0, salt_buckets).
+
+    With ``salt_cols``: hash-mod over those columns — fully deterministic
+    per row content. Without: round-robin on ``monotonically_increasing_id``
+    — the default, because content-hashing EVERY column collapses when a
+    hot key's rows are byte-identical (the classic skew case: the salt
+    would put all of them back into one bucket, silently disabling the
+    mitigation). The id-based salt spreads identical rows perfectly; it
+    depends on physical partitioning, which is safe here because the salt
+    never reaches results — every consumer re-aggregates or drops it, so
+    query output is identical for ANY salt assignment (that invariance,
+    not salt stability, is what the repo's no-RNG rule protects; task
+    retries re-derive the id deterministically within a partition, unlike
+    rand())."""
+    if salt_cols is not None:
+        from lakeshack_spark.operators.dedup import _h64
+
+        return F.pmod(
+            _h64(F.concat_ws("\x1f", *[F.col(c) for c in salt_cols])),
+            F.lit(salt_buckets),
+        ).cast("int")
+    return (F.monotonically_increasing_id() % salt_buckets).cast("int")
 
 
 def salted_count(

@@ -148,7 +148,12 @@ def winnow_fingerprint(
     )
     hashes = F.transform(grams, _winnow_h64)
     n_h = F.size(hashes)
-    win_idx = F.sequence(F.lit(1), F.greatest(n_h - window + 1, F.lit(0)))
+    # Same index-guard discipline as gram_idx above: for n_h < window,
+    # sequence(1, n_h - window + 1) counts DOWN through 0 and the
+    # slice(hashes, 0, ...) it feeds is illegal (SQL slices are 1-based).
+    win_idx = F.when(n_h >= window, F.sequence(F.lit(1), n_h - window + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     mins = F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i, window)))
     fps = (
         F.when(n_h >= window, F.array_sort(F.array_distinct(mins)))

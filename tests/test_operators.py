@@ -196,8 +196,9 @@ def test_winnow_fingerprint_matches_reference_impl(spark):
     texts = [
         "a b c d e f g h i j",
         "the quick brown fox jumps over the lazy dog again and again",
-        "x y",                # fewer grams than one window
+        "x y",                # no k-gram at all (k=3)
         "solo",               # no k-gram at all (k=3)
+        "p q r s t",          # 3 grams: non-empty but under one window
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
