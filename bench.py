@@ -74,6 +74,17 @@ def main() -> None:
         timings[name] = round(first, 3)
         steady[name] = round(min(first, second), 3)
 
+    # Flagship composition, tracked separately so the headline total stays
+    # comparable round-over-round: the full corpus-cleaning pipeline
+    # (filters -> PII mask -> exact dedup -> MinHash near-dedup).
+    from lakeshack_spark.operators.pipeline import clean_corpus
+    from lakeshack_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    clean_corpus(docs).write.format("noop").mode("overwrite").save()
+    pipeline_sec = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -86,6 +97,7 @@ def main() -> None:
         "queries": timings,
         "value_steady": round(sum(steady.values()), 3),
         "queries_steady": steady,
+        "pipeline_clean_corpus": pipeline_sec,
         "sf": sf_val,
     }
     print(json.dumps(out))

@@ -37,6 +37,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def exact_dedup_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Row-level exact dedup: keep the smallest-``id_col`` row of every
+    distinct text, with ALL columns intact (``exact_dedup`` returns group
+    summaries; this returns the surviving corpus). One shuffle on the
+    text digest with map-side partial ``min_by`` — the same
+    partial-combine shape as ``asof_join``, so the post-shuffle volume is
+    one candidate row per distinct text per map partition, not the full
+    corpus."""
+    keeper = F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__keep")
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("__md5"))
+        .agg(keeper)
+        .select("__keep.*")
+    )
+
+
 def normalize_text(text: Column) -> Column:
     """Canonicalize: lowercase + trim (the corpus is already
     space-normalized; extend with regexp_replace for real-world text)."""
@@ -348,3 +366,43 @@ def ngram_jaccard_pairs(
         )
     )
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+# -------------------------------------------------- benchmark contamination
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag training documents that share ≥ ``min_hits`` distinct word
+    ``k``-grams with a benchmark/eval set (the standard decontamination
+    test, e.g. GPT-3 appendix C / PaLM §7: 8-13-gram overlap).
+
+    Returns ``(id_col, n_hits)`` for contaminated docs only. Physical
+    plan: both sides explode to distinct (gram-hash) rows; benchmark
+    grams are ``distinct()``-ed and the join is an equi-join on the hash
+    — the benchmark side is tiny (eval sets), so AQE broadcasts it and
+    the corpus side stays map-only: no corpus-sized shuffle at 100 TB.
+    Hashes use the portable 63-bit md5 (:func:`_h64`), so a benchmark
+    gram set exported from another engine matches bit-for-bit.
+    """
+    g = F.explode(shingles_col(text_col, k)).alias("gram")
+    doc_grams = docs.select(F.col(id_col), g).select(
+        id_col, _h64(F.col("gram")).alias("__gh")
+    )
+    bench_grams = (
+        benchmark.select(g)
+        .select(_h64(F.col("gram")).alias("__gh"))
+        .distinct()
+    )
+    return (
+        doc_grams.join(bench_grams, "__gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )

@@ -1,0 +1,137 @@
+"""End-to-end corpus-cleaning pipeline: the composition a pretraining data
+team actually runs, chained from this repo's hygiene operators.
+
+Stage order is the cheap-filter-first rule that matters at 100 TB: map-only
+signals (language, quality, repetition, PII) cut the corpus before anything
+that shuffles (exact dedup) and before the most expensive stage (MinHash
+LSH near-dedup) sees a single row — each stage's cost is paid only on the
+previous stage's survivors. Everything stays in the DataFrame API, so
+Catalyst collapses the map-only stages into one codegen pass over the scan.
+
+The report side (per-stage removal counts) runs the SAME lazy plan with
+count() per stage — use it on samples/audits; the `clean` path itself never
+materializes intermediates.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from lakeshack_spark.operators import dedup, text
+
+
+@dataclass(frozen=True)
+class CleanConfig:
+    """Thresholds for :func:`clean_corpus` (defaults are Gopher-ish,
+    loosened for short synthetic docs)."""
+
+    languages: tuple[str, ...] = ()  # empty = keep all predicted languages
+    min_words: int = 3
+    min_quality: float = 0.0
+    max_word_frac: float = 0.9  # most frequent word dominates the doc
+    max_top2gram_frac: float = 0.9
+    mask_pii: bool = True
+    near_dedup: bool = True
+    jaccard_threshold: float = 0.9
+    minhash_cfg: dict = field(
+        default_factory=lambda: dict(num_hashes=64, bands=16, k=1)
+    )
+
+
+def clean_corpus(
+    docs: DataFrame,
+    cfg: CleanConfig = CleanConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Returns the cleaned corpus: language/quality/repetition-filtered,
+    PII-masked (``text_masked`` column), exact-deduped, and near-deduped
+    (keep-earliest by id within each near-duplicate pair, the same rule
+    as the ``docs_near_deduped`` corpus query).
+
+    Deterministic end to end — every filter is a pure column predicate and
+    both dedup stages break ties by smallest id, so reruns and retried
+    stages produce byte-identical corpora (the property that makes a
+    100 TB pipeline resumable).
+
+    Two plan-shape rules this function enforces (each was measured as a
+    >100× wall-time cliff, not a nicety):
+
+    - Heavy per-row signal expressions (the quadratic repetition trees)
+      live in FILTER position only and are ``select``-ed away right after
+      — output lineage carries plain columns plus ``lang_pred``/
+      ``quality``/``text_masked``. Leaving the signal trees in the output
+      schema re-inlines them into every downstream consumer; the
+      near-dedup self-join then recompiles and re-executes them per side.
+    - The dedup survivor set is ``persist()``-ed before near-dedup: the
+      pair join consumes it three times (both self-join sides + the final
+      anti-join), and without a materialization point each consumer
+      re-runs the whole upstream pipeline. At 100 TB this materialization
+      is the natural stage boundary a real pipeline writes to storage
+      anyway; call ``.unpersist()`` on the result's lineage when done or
+      let it age out of the executor cache.
+    """
+    df = text.lang_id(docs, text_col)
+    df = text.quality_score(df, text_col)
+    df = text.repetition_stats(df, text_col)
+    pred = (
+        (F.col("n_words") >= cfg.min_words)
+        & (F.col("quality") >= cfg.min_quality)
+        & (F.col("max_word_frac") <= cfg.max_word_frac)
+        & (F.col("top2gram_frac") <= cfg.max_top2gram_frac)
+    )
+    if cfg.languages:
+        pred = pred & F.col("lang_pred").isin(list(cfg.languages))
+    df = df.filter(pred).select(*docs.columns, "lang_pred", "quality")
+    if cfg.mask_pii:
+        df = text.mask_pii(df, text_col)
+    df = dedup.exact_dedup_rows(df, text_col, id_col)
+    if cfg.near_dedup:
+        df = df.persist()
+        pairs = dedup.minhash_verified_pairs(
+            df.select(id_col, text_col), text_col, id_col,
+            threshold=cfg.jaccard_threshold, **cfg.minhash_cfg,
+        )
+        # Keep-earliest: drop the larger id of each verified pair. The
+        # drop set is pair-derived (≪ corpus) → broadcast anti-join.
+        drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        df = df.join(F.broadcast(drops), id_col, "left_anti")
+    return df
+
+
+def clean_report(
+    docs: DataFrame,
+    cfg: CleanConfig = CleanConfig(),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, int]:
+    """Per-stage survivor counts (runs the pipeline stage-by-stage; use on
+    samples or audits — each count is a job)."""
+    counts: dict[str, int] = {"input": docs.count()}
+    df = text.repetition_stats(
+        text.quality_score(text.lang_id(docs, text_col), text_col), text_col
+    )
+    pred = (
+        (F.col("n_words") >= cfg.min_words)
+        & (F.col("quality") >= cfg.min_quality)
+        & (F.col("max_word_frac") <= cfg.max_word_frac)
+        & (F.col("top2gram_frac") <= cfg.max_top2gram_frac)
+    )
+    if cfg.languages:
+        pred = pred & F.col("lang_pred").isin(list(cfg.languages))
+    df = df.filter(pred).select(*docs.columns)
+    counts["after_quality_filters"] = df.count()
+    df = dedup.exact_dedup_rows(df, text_col, id_col)
+    counts["after_exact_dedup"] = df.count()
+    if cfg.near_dedup:
+        df = df.persist()
+        pairs = dedup.minhash_verified_pairs(
+            df.select(id_col, text_col), text_col, id_col,
+            threshold=cfg.jaccard_threshold, **cfg.minhash_cfg,
+        )
+        drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        df = df.join(F.broadcast(drops), id_col, "left_anti")
+        counts["after_near_dedup"] = df.count()
+    return counts

@@ -339,3 +339,129 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(wk))
         .filter(F.col("rank") <= k)
     )
+
+
+# ------------------------------------------------- sign-random-projection
+
+#: Denominator turning 60-bit md5 integers into [0, 1) doubles.
+_MD5_SCALE = float(1 << 60)
+
+
+def _srp_hyperplanes(n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for angular LSH (Charikar,
+    STOC 2002): component (i, d) is an md5-derived uniform in [-1, 1).
+    Sign-projection only needs a sign-symmetric component distribution —
+    uniform works as well as gaussian for the collision-probability
+    monotonicity (P[bit match] = 1 - angle/pi), and md5 keeps the planes
+    identical across engines/runs with no RNG."""
+    import hashlib
+
+    planes = []
+    for i in range(n_bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"lakeshack-srp-{i}-{d}".encode()).hexdigest()
+            row.append(2.0 * (int(h[:15], 16) / _MD5_SCALE) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(
+    vectors: DataFrame,
+    n_bits: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds ``srp_bits``: array of ``n_bits`` sign bits (1 if the vector's
+    dot product with hyperplane i is >= 0). The hyperplane matrix enters
+    the plan as ONE literal array<array<double>> expression (a single
+    parsed SQL string — per-scalar ``F.lit`` is a py4j round trip each),
+    and the per-row cost is ``n_bits`` codegen dot products, map-only."""
+    dim = len(vectors.select(vec_col).first()[0])
+    planes = _srp_hyperplanes(n_bits, dim)
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join("%.17e" % x for x in row) + ")" for row in planes
+        )
+        + ")"
+    )
+    bits = F.transform(
+        planes_lit,
+        lambda h: F.when(dot_d(F.col(vec_col), h) >= 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return vectors.withColumn("srp_bits", bits)
+
+
+def srp_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sub-quadratic embedding near-duplicate discovery: SRP-LSH banding
+    proposes candidates, exact cosine verifies — the embedding-space
+    analogue of ``dedup.minhash_verified_pairs``. Returns (id_a, id_b,
+    cosine ≥ threshold) pairs.
+
+    Candidates collide when ALL bits of any band agree; for cosine s the
+    per-bit match probability is 1 - arccos(s)/pi, so with 4 bands of 4
+    bits a 0.95-cosine pair is missed with p ≈ (1-0.9^4)^4 ≈ 2e-3 and a
+    0.5-cosine pair collides with p ≈ 1 - (1-0.67^4)^4 ≈ 0.6 — tune
+    bands/bits to the corpus density. The self-join is an equi-join on
+    (band, band-bits): shuffle keys hold only colliding vectors, so cost
+    tracks near-duplicate density, not n²; brute-force
+    ``embedding_near_dup_pairs`` stays the oracle at test scale.
+    """
+    bits_per_band = n_bits // bands
+    sigs = srp_signature(vectors, n_bits, id_col, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("srp_bits")
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(
+                                    F.col("srp_bits"), b * bits_per_band + r + 1
+                                )
+                                for r in range(bits_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, vec_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b", cosine_col(F.col("__va"), F.col("__vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

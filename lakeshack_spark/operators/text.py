@@ -170,6 +170,123 @@ def _winnow_h64(col: Column) -> Column:
     return dedup._h64(col)
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds Gopher-style (Rae et al. 2021, §A1.1) repetition signals —
+    the standard pretraining filter for boilerplate/spam documents:
+
+    - ``max_word_frac``: occurrences of the most frequent word / words
+    - ``top2gram_frac``: characters inside occurrences of the most
+      frequent word 2-gram / total characters
+    - ``top3gram_frac``: same for 3-grams
+    - ``dup_word_ratio``: 1 - distinct words / words
+
+    All computed per-row in array domain (no explode → groupBy shuffle;
+    the "mode of my own n-grams" never leaves the row). The per-row mode
+    is a SINGLE ``aggregate`` pass over the sorted gram array — never a
+    nested ``filter(grams, ...)`` per distinct gram: higher-order
+    functions evaluate interpreted (no codegen, no common-subexpression
+    elimination), so a lambda body that references the gram-array
+    expression re-BUILDS that array per element — O(n³) splits per row,
+    a measured ~400× wall-time cliff once the optimizer substitutes these
+    trees into a filter predicate. The sorted single-pass form keeps the
+    whole operator O(n log n) per row in any evaluation mode. The corpus
+    here is single-line; line-level dup ratios collapse to these
+    word/gram forms.
+    """
+    w = words_col(text_col)
+    n_words = F.size(w)
+    n_chars = F.length(F.col(text_col))
+
+    def mode_struct(arr: Column) -> Column:
+        """One fold over array_sort(arr): longest run of equal adjacent
+        elements, ties toward the longer element (count ``c``, element
+        length ``len``). Accumulator: (prev, run, c, len)."""
+        return F.aggregate(
+            F.array_sort(arr),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("c"),
+                F.lit(0).alias("len"),
+            ),
+            lambda acc, g: _mode_step(acc, g),
+        )
+
+    def top_frac(k: int) -> Column:
+        idx = F.when(n_words >= k, F.sequence(F.lit(0), n_words - k)).otherwise(
+            F.array().cast("array<int>")
+        )
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
+        )
+        best = mode_struct(grams)
+        return F.when(
+            best["c"] > 0,
+            (best["c"] * best["len"]).cast("double") / n_chars,
+        ).otherwise(F.lit(0.0))
+
+    max_word_frac = F.when(
+        n_words > 0, mode_struct(w)["c"].cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    dup_word_ratio = F.when(
+        n_words > 0,
+        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("max_word_frac", max_word_frac)
+        .withColumn("top2gram_frac", top_frac(2))
+        .withColumn("top3gram_frac", top_frac(3))
+        .withColumn("dup_word_ratio", dup_word_ratio)
+    )
+
+
+def _mode_step(acc: Column, g: Column) -> Column:
+    """Fold step for :func:`repetition_stats`'s sorted-run mode scan."""
+    run = F.when(acc["prev"].isNotNull() & (g == acc["prev"]), acc["run"] + 1).otherwise(
+        F.lit(1)
+    )
+    better = (run > acc["c"]) | ((run == acc["c"]) & (F.length(g) > acc["len"]))
+    return F.struct(
+        g.alias("prev"),
+        run.alias("run"),
+        F.when(better, run).otherwise(acc["c"]).alias("c"),
+        F.when(better, F.length(g)).otherwise(acc["len"]).alias("len"),
+    )
+
+
+#: Conservative PII patterns shared by the masker and its tests. Kept to
+#: syntax that means the same thing in Java regex (Spark) and RE2-style
+#: engines: character classes, bounded repeats, no backrefs/lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "phone": r"\+?[0-9]{3}[ .-][0-9]{3}[ .-][0-9]{4}",
+}
+
+
+def mask_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``text_masked`` with emails / SSN-ish / phone-ish spans
+    replaced by ``<TYPE>`` tokens, plus per-type match counts
+    (``n_email``, ``n_ssn``, ``n_phone``) for corpus-level PII audits.
+
+    Pure ``regexp_replace`` / ``regexp_count`` — map-only, codegen,
+    no Python. Order matters: SSN before phone, so the 3-2-4 digit shape
+    isn't half-eaten by the looser phone pattern. These are scrub
+    heuristics (pretraining hygiene), not a compliance guarantee — swap
+    in an NER model via ``mapInPandas`` where recall matters.
+    """
+    masked = F.col(text_col)
+    for name in ("email", "ssn", "phone"):
+        masked = F.regexp_replace(masked, PII_PATTERNS[name], f"<{name.upper()}>")
+    out = df.withColumn("text_masked", masked)
+    for name in ("email", "ssn", "phone"):
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[name]))
+        )
+    return out
+
+
 def term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Explodes tokens → ``(term, n)`` counts. The groupBy shuffles on the
     term (high cardinality → well-spread); at scale add a salt on very hot

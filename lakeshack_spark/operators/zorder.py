@@ -47,6 +47,21 @@ DEFAULT_BITS = 8
 ZVAL_COL = "__zval"
 
 
+def _norm_sql(df: DataFrame, col: str) -> str:
+    """SQL mapping ``col`` to an order-preserving double. ANSI mode (the
+    Spark 4 default) rejects ``cast(date as double)``, so temporal types
+    go through their integer epoch forms first (µs epoch ≈ 1.7e15 stays
+    well inside double's 2^53 exact range)."""
+    dt = {f.name: f.dataType.simpleString() for f in df.schema.fields}.get(col)
+    if dt == "date":
+        return f"cast(unix_date({col}) as double)"
+    if dt == "timestamp":
+        return f"cast(unix_micros({col}) as double)"
+    if dt == "timestamp_ntz":
+        return f"cast(unix_micros(cast({col} as timestamp)) as double)"
+    return f"cast({col} as double)"
+
+
 def _cutpoints(df: DataFrame, columns: Sequence[str], bits: int) -> dict[str, list]:
     """One bounded aggregation → 2^bits - 1 quantile cutpoints per column
     (driver-side size: columns × 255 doubles — trivial)."""
@@ -54,7 +69,7 @@ def _cutpoints(df: DataFrame, columns: Sequence[str], bits: int) -> dict[str, li
     qs = ", ".join(f"{(i + 1) / (n + 1):.17e}" for i in range(n))
     aggs = [
         F.expr(
-            f"approx_percentile(cast({c} as double), array({qs}), 10000)"
+            f"approx_percentile({_norm_sql(df, c)}, array({qs}), 10000)"
         ).alias(c)
         for c in columns
     ]
@@ -62,14 +77,14 @@ def _cutpoints(df: DataFrame, columns: Sequence[str], bits: int) -> dict[str, li
     return {c: list(row[c] or []) for c in columns}
 
 
-def _bucket_expr(col: str, cuts: list) -> str:
-    """SQL for the quantile-rank bucket of ``col``: how many cutpoints lie
-    at or below the value. NULL predicate results are dropped by
-    ``filter`` → NULLs land in bucket 0, clustering together at the curve
-    origin (their footer stat is NULL anyway; NULL stats always survive
-    pruning)."""
+def _bucket_expr(norm: str, cuts: list) -> str:
+    """SQL for the quantile-rank bucket of the normalized column ``norm``:
+    how many cutpoints lie at or below the value. NULL predicate results
+    are dropped by ``filter`` → NULLs land in bucket 0, clustering
+    together at the curve origin (their footer stat is NULL anyway; NULL
+    stats always survive pruning)."""
     arr = "array(" + ",".join(f"{v:.17e}" for v in cuts) + ")"
-    return f"size(filter({arr}, p -> p <= cast({col} as double)))"
+    return f"size(filter({arr}, p -> p <= {norm}))"
 
 
 def _interleave_expr(bucket_sql: Sequence[str], bits: int) -> str:
@@ -97,7 +112,7 @@ def zorder_value(
     if bits * len(columns) > 62:
         raise ValueError("bits * n_cols must fit a signed long")
     cuts = _cutpoints(df, columns, bits)
-    buckets = [_bucket_expr(c, cuts[c]) for c in columns]
+    buckets = [_bucket_expr(_norm_sql(df, c), cuts[c]) for c in columns]
     return F.expr(_interleave_expr(buckets, bits))
 
 

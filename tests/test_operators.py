@@ -240,3 +240,191 @@ def test_winnow_guarantee_shared_fingerprint(spark):
     rows = {r["doc_id"]: set(r["fps"]) for r in
             winnow_fingerprint(df, k=3, window=4).collect()}
     assert rows[0] & rows[1]
+
+
+# --------------------------------------- pipeline hygiene: repetition/PII
+
+
+def py_repetition(txt: str):
+    w = txt.split(" ")
+    n_words, n_chars = len(w), len(txt)
+    from collections import Counter
+
+    def top_frac(k):
+        grams = [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+        if not grams:
+            return 0.0
+        cnt = Counter(grams)
+        best = max(cnt.items(), key=lambda kv: (kv[1], len(kv[0])))
+        return best[1] * len(best[0]) / n_chars
+
+    return {
+        "max_word_frac": max(Counter(w).values()) / n_words,
+        "top2gram_frac": top_frac(2),
+        "top3gram_frac": top_frac(3),
+        "dup_word_ratio": 1.0 - len(set(w)) / n_words,
+    }
+
+
+def test_repetition_stats_matches_python(spark):
+    texts = [
+        "spam spam spam spam spam",
+        "the quick brown fox jumps over the lazy dog",
+        "buy now buy now buy now limited offer",
+        "a b a b a b a b c",
+        "unique words only here today",
+        "solo",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.asDict() for r in text.repetition_stats(df).collect()
+    }
+    for i, t in enumerate(texts):
+        want = py_repetition(t)
+        for key, val in want.items():
+            assert got[i][key] == pytest.approx(val), (i, key)
+
+
+def test_repetition_stats_flags_the_spammy_docs(spark, docs):
+    out = text.repetition_stats(docs)
+    # real corpus rows: all signals defined, in range, and not all equal
+    rows = out.select("max_word_frac", "top2gram_frac", "dup_word_ratio").collect()
+    assert all(0.0 <= r.max_word_frac <= 1.0 for r in rows)
+    assert all(0.0 <= r.top2gram_frac <= 1.0 for r in rows)
+    assert len({round(r.dup_word_ratio, 6) for r in rows}) > 1
+
+
+def test_mask_pii_masks_and_counts(spark):
+    rows = [
+        (0, "contact bob.smith+x@example.co.uk or call 555-123-4567 now"),
+        (1, "ssn 123-45-6789 should vanish"),
+        (2, "no pii here just words and numbers 12345"),
+        (3, "two mails a@b.io c@d.org and +1 212.555.0199 is not matched"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.mask_pii(df).collect()}
+    assert got[0].text_masked == "contact <EMAIL> or call <PHONE> now"
+    assert (got[0].n_email, got[0].n_phone, got[0].n_ssn) == (1, 1, 0)
+    assert got[1].text_masked == "ssn <SSN> should vanish"
+    assert got[1].n_ssn == 1 and got[1].n_phone == 0
+    assert got[2].text_masked == got[2].text and got[2].n_email == 0
+    assert got[3].n_email == 2
+    # 212.555.0199 matches the 3-3-4 phone shape
+    assert "<EMAIL>" in got[3].text_masked and "<PHONE>" in got[3].text_masked
+
+
+def test_contamination_flags_planted_overlap(spark, docs):
+    k = 8
+    sample = [r.text for r in docs.orderBy("doc_id").limit(3).collect()]
+    # benchmark: an 8-gram lifted verbatim from doc 0 and 2, plus noise
+    bench_rows = []
+    for j, t in enumerate(sample):
+        w = t.split(" ")
+        if j != 1 and len(w) >= k:
+            bench_rows.append((j, " ".join(w[2 : 2 + k])))
+    bench_rows.append((99, "totally novel benchmark prompt nothing shares this"))
+    bench = spark.createDataFrame(bench_rows, "qid long, text string")
+
+    flagged = {
+        r.doc_id: r.n_hits
+        for r in dedup.contamination_flags(docs, bench, k=k).collect()
+    }
+    lifted = {j for j, _ in enumerate(sample) if j != 1 and len(sample[j].split(" ")) >= k}
+    for j in lifted:
+        assert flagged.get(j, 0) >= 1, f"doc {j} shares a planted {k}-gram"
+    # doc 1 contributed nothing to the benchmark: it can only be flagged
+    # via an accidental real 8-gram collision, which the corpus does not
+    # contain for these first docs
+    assert 1 not in flagged
+
+
+def test_contamination_min_hits_threshold(spark):
+    doc = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    docs = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+    bench = spark.createDataFrame([(0, doc)], "qid long, text string")
+    out = dedup.contamination_flags(docs, bench, k=8, min_hits=5)
+    got = out.collect()
+    assert len(got) == 1 and got[0].n_hits == 5  # 12 words → 5 distinct 8-grams
+    assert (
+        dedup.contamination_flags(docs, bench, k=8, min_hits=6).count() == 0
+    )
+
+
+# ------------------------------------------------ SRP-LSH embedding dedup
+
+
+def py_srp_bits(vec, n_bits=16):
+    planes = similarity._srp_hyperplanes(n_bits, len(vec))
+    out = []
+    for row in planes:
+        acc = 0.0
+        for x, h in zip(vec, row):
+            acc += float(x) * h
+        out.append(1 if acc >= 0 else 0)
+    return out
+
+
+@pytest.fixture(scope="module")
+def vecs_with_dups(spark):
+    base = load_table(spark, SF, "embeddings").select("vec_id", "embedding").limit(40)
+    rows = base.collect()
+    planted = []
+    for r in rows[:10]:
+        v = list(r.embedding)
+        v[0] = float(v[0]) + 0.01  # cosine vs original ≈ 0.9999
+        planted.append((int(r.vec_id) + 10_000, v))
+    dup = spark.createDataFrame(planted, base.schema)
+    return base.unionByName(dup)
+
+
+def test_srp_signature_matches_python(spark, vecs_with_dups):
+    got = {
+        r.vec_id: list(r.srp_bits)
+        for r in similarity.srp_signature(vecs_with_dups, n_bits=16).collect()
+    }
+    for r in vecs_with_dups.limit(5).collect():
+        assert got[r.vec_id] == py_srp_bits(list(r.embedding)), r.vec_id
+
+
+def test_srp_near_dup_finds_planted_pairs(spark, vecs_with_dups):
+    srp = {
+        (r.id_a, r.id_b)
+        for r in similarity.srp_near_dup_pairs(
+            vecs_with_dups, threshold=0.99, n_bits=16, bands=4
+        ).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dup_pairs(
+            vecs_with_dups, threshold=0.99
+        ).collect()
+    }
+    # verify stage makes SRP precision exact: strictly a subset
+    assert srp <= brute
+    # every planted near-identical pair must be discovered (per-bit match
+    # probability ≈ 1 - arccos(.9999)/pi ≈ 0.996 → miss p ≈ 2e-7)
+    planted = {
+        (r.vec_id, r.vec_id + 10_000)
+        for r in vecs_with_dups.filter(F.col("vec_id") < 10).collect()
+    }
+    planted = {p for p in planted if p in brute}
+    assert planted and planted <= srp
+
+
+def test_srp_cosines_match_bruteforce_exactly(spark, vecs_with_dups):
+    srp = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.srp_near_dup_pairs(
+            vecs_with_dups, threshold=0.99, n_bits=16, bands=4
+        ).collect()
+    }
+    brute = {
+        (r.id_a, r.id_b): r.cosine
+        for r in similarity.embedding_near_dup_pairs(
+            vecs_with_dups, threshold=0.99
+        ).collect()
+    }
+    for pair, cos in srp.items():
+        assert cos == brute[pair], pair  # same fold order → bit-identical

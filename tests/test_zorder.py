@@ -153,3 +153,24 @@ def test_zorder_compact_rejects_untracked_columns(spark, grid, tmp_path_factory)
     shack.update_metastore()
     with pytest.raises(ValueError, match="not stats-tracked"):
         zorder_compact(shack, n_files=4, zorder_columns=("x", "y"))
+
+
+def test_zorder_handles_date_and_timestamp_columns(spark, tmp_path_factory):
+    # ANSI mode rejects cast(date as double); the normalizer must route
+    # temporal types through their epoch forms and still produce a
+    # monotone z-value per column.
+    df = spark.range(512).select(
+        F.col("id"),
+        F.expr("date_add(DATE'2020-01-01', cast(id % 64 as int))").alias("d"),
+        F.timestamp_micros((F.col("id") % 32) * 3_600_000_000).alias("ts"),
+    )
+    z = df.withColumn("z", zorder_value(df, ["d", "ts"])).collect()
+    by_key = {}
+    for r in z:
+        by_key.setdefault((r.d, r.ts), set()).add(r.z)
+    # z-value is a pure function of (d, ts)
+    assert all(len(v) == 1 for v in by_key.values())
+    zmap = {k: v.pop() for k, v in by_key.items()}
+    ks = sorted(zmap)
+    assert zmap[ks[0]] == min(zmap.values())
+    assert zmap[ks[-1]] == max(zmap.values())
