@@ -33,6 +33,29 @@ def words_col(text: Column | str) -> Column:
     return F.split(F.col(text) if isinstance(text, str) else text, " ")
 
 
+def gram_array(w: Column, k: int) -> Column:
+    """Word k-grams of the token array ``w`` (ordered, WITH duplicates;
+    empty when there are fewer than k tokens).
+
+    Built from k shifted ``slice``s folded with ``zip_with`` — never
+    ``element_at(w, i)`` inside a per-index lambda: higher-order functions
+    evaluate interpreted with no common-subexpression elimination, so a
+    lambda body referencing ``w`` re-evaluates the token split PER
+    ELEMENT — O(n²) string work per row. Slices take ``w`` as an
+    argument, evaluated once each: O(n·k) per row in any eval mode.
+    """
+    n = F.size(w)
+    length = F.greatest(n - k + 1, F.lit(0))  # slice len must be >= 0
+
+    def shifted(j: int) -> Column:
+        return F.slice(w, j + 1, length)
+
+    g = shifted(0)
+    for j in range(1, k):
+        g = F.zip_with(g, shifted(j), lambda a, b: F.concat(a, F.lit(" "), b))
+    return g
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds ``n_tokens`` (whitespace tokens)."""
     return df.withColumn("n_tokens", F.size(words_col(text_col)))
@@ -135,26 +158,19 @@ def winnow_fingerprint(
     posting-list (fingerprint → docs) inversion.
     """
     w = words_col(text_col)
-    n = F.size(w)
-    # Guard the INDEX array, not just the result: sequence(0, -1) counts
-    # DOWN to [0, -1], and the out-of-range element_at would be evaluated
-    # before any outer when() could mask it.
-    gram_idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(
-        gram_idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
-    )
-    hashes = F.transform(grams, _winnow_h64)
+    hashes = F.transform(gram_array(w, k), _winnow_h64)
     n_h = F.size(hashes)
-    # Same index-guard discipline as gram_idx above: for n_h < window,
-    # sequence(1, n_h - window + 1) counts DOWN through 0 and the
-    # slice(hashes, 0, ...) it feeds is illegal (SQL slices are 1-based).
-    win_idx = F.when(n_h >= window, F.sequence(F.lit(1), n_h - window + 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    # Sliding-window min as a fold of `window` shifted slices (same
+    # O(n·window) discipline as gram_array — `slice(hashes, i, window)`
+    # inside a per-index lambda would rebuild + re-hash the gram array
+    # per window position). greatest(.., 0) keeps the slice length legal
+    # when the doc is shorter than one window.
+    wlen = F.greatest(n_h - window + 1, F.lit(0))
+    mins = F.slice(hashes, 1, wlen)
+    for j in range(1, window):
+        mins = F.zip_with(
+            mins, F.slice(hashes, j + 1, wlen), lambda a, b: F.least(a, b)
+        )
     fps = (
         F.when(n_h >= window, F.array_sort(F.array_distinct(mins)))
         # shorter than one window (but non-empty): degenerate single window
@@ -213,14 +229,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
 
     def top_frac(k: int) -> Column:
-        idx = F.when(n_words >= k, F.sequence(F.lit(0), n_words - k)).otherwise(
-            F.array().cast("array<int>")
-        )
-        grams = F.transform(
-            idx,
-            lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)]),
-        )
-        best = mode_struct(grams)
+        best = mode_struct(gram_array(w, k))
         return F.when(
             best["c"] > 0,
             (best["c"] * best["len"]).cast("double") / n_chars,

@@ -428,3 +428,43 @@ def test_srp_cosines_match_bruteforce_exactly(spark, vecs_with_dups):
     }
     for pair, cos in srp.items():
         assert cos == brute[pair], pair  # same fold order → bit-identical
+
+
+# ------------------------------- property: repetition mode-scan vs python
+
+
+from hypothesis import given, settings, strategies as st
+
+_words = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "dd", "e", "spam", "x1"]),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(batch=st.lists(_words, min_size=1, max_size=20))
+def test_repetition_stats_property(spark, batch):
+    texts = [" ".join(w) for w in batch]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.asDict() for r in text.repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        want = py_repetition(t)
+        for key, val in want.items():
+            assert got[i][key] == pytest.approx(val), (t, key)
+
+
+def test_minhash_drop_set_equals_pairwise_drop_set(spark, docs):
+    pairs = dedup.minhash_verified_pairs(
+        docs, num_hashes=32, bands=8, k=1, threshold=0.9
+    )
+    want = {r.id_b for r in pairs.select("id_b").distinct().collect()}
+    got = {
+        r.doc_id
+        for r in dedup.minhash_drop_set(
+            docs, num_hashes=32, bands=8, k=1, threshold=0.9
+        ).collect()
+    }
+    assert got == want and len(want) > 0
