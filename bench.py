@@ -81,9 +81,16 @@ def main() -> None:
     from lakeshack_spark.sources.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    t0 = time.time()
-    clean_corpus(docs).write.format("noop").mode("overwrite").save()
-    pipeline_sec = round(time.time() - t0, 3)
+
+    def run_pipeline() -> float:
+        t0 = time.time()
+        clean_corpus(docs).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    p_first = run_pipeline()
+    p_second = run_pipeline()
+    pipeline_sec = round(p_first, 3)
+    pipeline_steady = round(min(p_first, p_second), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -98,6 +105,7 @@ def main() -> None:
         "value_steady": round(sum(steady.values()), 3),
         "queries_steady": steady,
         "pipeline_clean_corpus": pipeline_sec,
+        "pipeline_clean_corpus_steady": pipeline_steady,
         "sf": sf_val,
     }
     print(json.dumps(out))

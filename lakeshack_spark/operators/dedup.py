@@ -411,6 +411,24 @@ def contamination_flags(
     )
 
 
+def minhash_first_candidates(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Each doc's FIRST near-dup candidate: the smallest bucket-min id
+    below its own, across its bands — (id_b, id_a) rows, at most one per
+    doc. JOIN-FREE by construction (a window min over the bucket plus a
+    groupBy), which is the property that makes keep-earliest dedup
+    linear in docs instead of quadratic in cluster size; pinned by a plan
+    test asserting no Join node."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("__bucket_min", F.min(id_col).over(w))
+        .filter(F.col("__bucket_min") < F.col(id_col))
+        .groupBy(F.col(id_col).alias("id_b"))
+        .agg(F.min("__bucket_min").alias("id_a"))
+    )
+
+
 def minhash_drop_set(
     df: DataFrame,
     text_col: str = "text",
@@ -448,6 +466,7 @@ def minhash_drop_set(
     """
     banded = _banded(df, text_col, id_col, num_hashes, bands, k).persist()
     sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("__sh"))
+    first = minhash_first_candidates(banded, id_col)
 
     def verified(pairs: DataFrame) -> DataFrame:
         a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
@@ -458,15 +477,6 @@ def minhash_drop_set(
         jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
         return j.select("id_a", "id_b", jac.alias("__j"))
 
-    bmin = banded.groupBy("band", "bucket").agg(
-        F.min(id_col).alias("__bucket_min")
-    )
-    first = (
-        banded.join(bmin, ["band", "bucket"])
-        .filter(F.col("__bucket_min") < F.col(id_col))
-        .groupBy(F.col(id_col).alias("id_b"))
-        .agg(F.min("__bucket_min").alias("id_a"))
-    )
     v1 = verified(first).persist()
     dropped1 = v1.filter(F.col("__j") >= threshold).select("id_b")
     failed = v1.filter(F.col("__j") < threshold).select("id_b", "id_a")

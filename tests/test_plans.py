@@ -108,3 +108,19 @@ def test_hash_split_is_map_only(spark):
     docs = load_table(spark, SF, "documents")
     out = sampling.hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
     assert "Exchange" not in plans.explain_str(out)
+
+
+def test_first_candidates_plan_has_no_join(spark):
+    """The drop-set pass-1 candidate computation must stay join-free —
+    a pair join here would reintroduce the O(cluster²) blowup that
+    minhash_drop_set exists to avoid."""
+    from lakeshack_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    banded = dedup._banded(docs, "text", "doc_id", 32, 8, 1)
+    first = dedup.minhash_first_candidates(banded)
+    plan = first._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan

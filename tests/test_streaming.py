@@ -257,3 +257,31 @@ def test_stream_ingest_batch_retry_is_idempotent(spark, tmp_path_factory):
     q.awaitTermination(120)
     n2 = shack.query(list(range(1500))).count()
     assert n1 == n2 == orders.count()
+
+
+def test_hygiene_prefix_is_streaming_compatible(spark, tmp_path_factory):
+    """The corpus-cleaning prefix (lang-ID -> quality -> repetition ->
+    PII mask -> filter) is pure map-only column logic, so the SAME code
+    runs unmodified over a stream — only the dedup stages are batch-side
+    (they need global state). Stream result == batch result, row for row."""
+    import shutil
+
+    from lakeshack_spark.operators import text
+
+    d = tmp_path_factory.mktemp("docs_landing")
+    shutil.copy(f"{SF}/documents.parquet", d / "documents.parquet")
+    batch = load_table(spark, SF, "documents")
+
+    def prefix(df):
+        out = text.mask_pii(
+            text.repetition_stats(text.quality_score(text.lang_id(df)))
+        )
+        return out.filter(
+            (F.col("n_words") >= 3) & (F.col("max_word_frac") <= 0.9)
+        ).select("doc_id", "lang_pred", "quality", "text_masked")
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(d))
+    got = _run_stream_to_memory(spark, prefix(stream), "hygiene_stream")
+    want = sorted(tuple(r) for r in prefix(batch).collect())
+    assert sorted(tuple(r) for r in got.collect()) == want
+    assert len(want) > 0
