@@ -412,20 +412,30 @@ def contamination_flags(
 
 
 def minhash_first_candidates(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Each doc's FIRST near-dup candidate: the smallest bucket-min id
-    below its own, across its bands — (id_b, id_a) rows, at most one per
-    doc. JOIN-FREE by construction (a window min over the bucket plus a
-    groupBy), which is the property that makes keep-earliest dedup
-    linear in docs instead of quadratic in cluster size; pinned by a plan
-    test asserting no Join node."""
+    """Each doc's bucket-min candidates: for every band, the smallest id
+    in the doc's bucket (when below its own) — distinct (id_b, id_a)
+    rows, AT MOST ``bands`` per doc. JOIN-FREE by construction (a window
+    min over the bucket), which is the property that makes keep-earliest
+    dedup linear in docs instead of quadratic in cluster size; pinned by
+    a plan test asserting no Join node.
+
+    All bucket-mins (not just the global smallest) are kept: on corpora
+    whose buckets mix true near-dups with look-alikes (shared vocabulary,
+    sub-threshold Jaccard), a single candidate per doc almost always
+    fails verification and pushes everything into the pairwise fallback —
+    measured 4984/4991 failures on the bench corpus. Up to ``bands``
+    candidates keeps pass 1 O(docs × bands) while catching any dup that
+    is ITS bucket's minimum in at least one band."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "bucket")
     return (
         banded.withColumn("__bucket_min", F.min(id_col).over(w))
         .filter(F.col("__bucket_min") < F.col(id_col))
-        .groupBy(F.col(id_col).alias("id_b"))
-        .agg(F.min("__bucket_min").alias("id_a"))
+        .select(
+            F.col(id_col).alias("id_b"), F.col("__bucket_min").alias("id_a")
+        )
+        .distinct()
     )
 
 
@@ -465,6 +475,9 @@ def minhash_drop_set(
     ~25k verifies). Returns a one-column DataFrame named ``id_col``.
     """
     banded = _banded(df, text_col, id_col, num_hashes, bands, k).persist()
+    banded.count()  # eager: 4 downstream branches — an unmaterialized
+    # cache re-computes the signature per branch inside one job (measured
+    # 172 s vs 36 s on the bench corpus)
     sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("__sh"))
     first = minhash_first_candidates(banded, id_col)
 
@@ -478,14 +491,19 @@ def minhash_drop_set(
         return j.select("id_a", "id_b", jac.alias("__j"))
 
     v1 = verified(first).persist()
-    dropped1 = v1.filter(F.col("__j") >= threshold).select("id_b")
-    failed = v1.filter(F.col("__j") < threshold).select("id_b", "id_a")
+    v1.count()  # eager, same reason
+    dropped1 = v1.filter(F.col("__j") >= threshold).select("id_b").distinct()
+    # Docs with candidates but no verified bucket-min match.
+    failed_docs = (
+        v1.select("id_b").distinct().join(dropped1, "id_b", "left_anti")
+    )
     # Pass 2: full candidate join, but only for buckets containing a
     # failed doc — the explosion is bounded by the failures' bucket sizes.
+    # No broadcast hint: failures are small BY CONSTRUCTION (LSH false
+    # positives), but a hint would outlive that assumption on adversarial
+    # data — AQE picks broadcast from the runtime size.
     fb = banded.join(
-        F.broadcast(failed.select(F.col("id_b").alias(id_col))),
-        id_col,
-        "left_semi",
+        failed_docs.select(F.col("id_b").alias(id_col)), id_col, "left_semi"
     )
     rest = (
         banded.alias("a")
@@ -500,7 +518,7 @@ def minhash_drop_set(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
-        .join(failed, ["id_b", "id_a"], "left_anti")  # already tried
+        .join(first, ["id_b", "id_a"], "left_anti")  # already tried
     )
     dropped2 = (
         verified(rest).filter(F.col("__j") >= threshold).select("id_b").distinct()
