@@ -174,3 +174,39 @@ def test_zorder_handles_date_and_timestamp_columns(spark, tmp_path_factory):
     ks = sorted(zmap)
     assert zmap[ks[0]] == min(zmap.values())
     assert zmap[ks[-1]] == max(zmap.values())
+
+
+def test_zorder_quantile_buckets_balance_skewed_columns(spark, tmp_path_factory):
+    # 90% of the mass in x < 100, a sparse tail to ~1e6: uniform min/max
+    # binning would put ~all rows in one bucket (one giant file range);
+    # quantile cutpoints must keep the layout balanced so pruning still
+    # subdivides the dense region.
+    n = 1 << 13
+    df = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.col("id") % 100)
+        .otherwise((F.col("id") * 121) % 1_000_000)
+        .alias("x"),
+        (F.col("id") % 64).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    lake = str(tmp_path_factory.mktemp("skewed") / "lake")
+    zorder_write(df, lake, ["x", "y"], n_files=16)
+    import glob
+
+    sizes = []
+    for f in sorted(glob.glob(lake + "/part-*.parquet")):
+        sizes.append(spark.read.parquet(f).count())
+    assert sum(sizes) == n
+    # range partitioning on the z-value keeps files balanced despite the
+    # skew: no file more than ~3x the mean
+    assert max(sizes) <= 3 * (n // len(sizes))
+    # and the dense region is subdivided: a tight x-band inside x<100
+    # must NOT touch every file (uniform binning would collapse x<100
+    # into one bucket value -> no locality)
+    shack = Lakeshack(
+        spark, lake, "x", ["y"],
+        store_path=str(tmp_path_factory.mktemp("skewed_stats")), schema=df.schema,
+    )
+    shack.update_metastore()
+    touched = len(shack.candidate_files(list(range(10, 20))))
+    assert touched < 16
