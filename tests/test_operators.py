@@ -468,3 +468,59 @@ def test_minhash_drop_set_equals_pairwise_drop_set(spark, docs):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_contamination_matches_duckdb_oracle(spark, docs):
+    """Cross-engine pin: the gram-hash semi-join must produce exactly the
+    doc_id -> n_hits map a direct string-overlap computation gives (the
+    md5-60bit hash is injective on any realistic gram set)."""
+    import duckdb
+
+    k = 8
+    rows = docs.select("doc_id", "text").orderBy("doc_id").limit(60).collect()
+    pdf = __import__("pandas").DataFrame(
+        [(r.doc_id, r.text) for r in rows], columns=["doc_id", "text"]
+    )
+    bench_rows = []
+    for j, r in enumerate(rows[:8]):
+        w = r.text.split(" ")
+        if len(w) >= k + 2:
+            bench_rows.append((j, " ".join(w[1 : 1 + k])))
+    bench_pdf = __import__("pandas").DataFrame(
+        bench_rows, columns=["qid", "text"]
+    )
+
+    sdocs = spark.createDataFrame(pdf)
+    sbench = spark.createDataFrame(bench_pdf)
+    got = {
+        r.doc_id: r.n_hits
+        for r in dedup.contamination_flags(sdocs, sbench, k=k).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    con.register("bench", bench_pdf)
+    want = {
+        int(r[0]): int(r[1])
+        for r in con.execute(
+            """
+            WITH dg AS (
+              SELECT DISTINCT doc_id, unnest(
+                [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)]
+              ) AS gram
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM docs)
+              WHERE len(w) >= 8
+            ), bg AS (
+              SELECT DISTINCT unnest(
+                [array_to_string(w[i:i+7], ' ') for i in range(1, len(w)-6)]
+              ) AS gram
+              FROM (SELECT string_split(text, ' ') AS w FROM bench)
+              WHERE len(w) >= 8
+            )
+            SELECT doc_id, COUNT(*) AS n_hits
+            FROM dg JOIN bg USING (gram)
+            GROUP BY doc_id
+            """
+        ).fetchall()
+    }
+    assert got == want and len(want) > 0
