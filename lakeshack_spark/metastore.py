@@ -303,8 +303,19 @@ class FileStatsMetastore:
         return self.backend.exists()
 
     def stats_df(self) -> DataFrame:
-        """The stats table as a DataFrame (empty if never updated)."""
-        return self.backend.read_df()
+        """The stats table as a DataFrame (empty if never updated).
+
+        Deduplicated by filepath: two *concurrent* ``update()`` calls can
+        both anti-join against the same pre-append snapshot and append the
+        same file's stats row twice (the reference instead drops the
+        collision on the DB's unique constraint,
+        lakeshack/metastore.py:268-270). Duplicate rows are always
+        identical — both writers read the same immutable footer — so any
+        row per filepath is the right one; read-side dedup makes the race
+        harmless without a lock. Reconcile rewrites through this view, so
+        duplicates also physically disappear on the next maintenance
+        pass."""
+        return self.backend.read_df().dropDuplicates(["filepath"])
 
     def update(self, parquet_file_or_dir: str | Sequence[str]) -> int:
         """Idempotent ingest: discover files → distributed footer reads →
@@ -434,7 +445,11 @@ class FileStatsMetastore:
                 keep = lo < lit
             else:  # "=", "=="
                 keep = (lo <= lit) & (hi >= lit)
-            pred = pred & (lo.isNull() | keep)
+            # Either stat NULL keeps the file, matching interval_keeps: a
+            # non-NULL min with NULL max under >=/> would evaluate
+            # hi>=lit to NULL and silently prune in this distributed path
+            # while the driver fast path keeps it.
+            pred = pred & (lo.isNull() | hi.isNull() | keep)
         return pred
 
     #: Below this stats-table row count, pruning runs driver-side on a
@@ -557,3 +572,50 @@ class FileStatsMetastore:
     ) -> list[str]:
         """Just the surviving file list, sorted."""
         return sorted(self.prune(cluster_column_values, optional_where_clauses))
+
+    def stats_summary(self, candidate_files: Sequence[str] = ()) -> dict[str, Any]:
+        """Planning-time I/O accounting from the stats store: total /
+        candidate / pruned file counts plus the candidate files' footer
+        row-count total (the upper bound on rows the scan can touch).
+
+        Reference parity: the ``n_files`` / ``n_records`` counters the
+        reference logs per query (lakeshack/lakeshack.py:463-472,566-577).
+        Driver-side on the arrow fast path (zero Spark jobs); past
+        ``DRIVER_PRUNE_MAX_FILES`` it is one metadata-sized aggregate.
+        Filepath-deduped to match ``stats_df()``'s concurrent-update
+        discipline.
+        """
+        cand = set(candidate_files)
+        if not self.backend.exists():
+            return {
+                "n_files_total": 0,
+                "n_files_candidate": len(cand),
+                "n_files_pruned": 0,
+                "n_rows_candidate": 0,
+            }
+        table = self.backend.read_arrow(self.DRIVER_PRUNE_MAX_FILES)
+        if table is not None and "filepath" in table.column_names:
+            seen: dict[str, int] = {}
+            for p, n in zip(
+                table.column("filepath").to_pylist(),
+                table.column("num_rows").to_pylist(),
+            ):
+                seen.setdefault(p, n)
+            n_total = len(seen)
+            rows_cand = sum(n for p, n in seen.items() if p in cand)
+        else:
+            row = self.stats_df().agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(
+                        F.col("filepath").isin(list(cand)), F.col("num_rows")
+                    ).otherwise(F.lit(0))
+                ).alias("rc"),
+            ).collect()[0]
+            n_total, rows_cand = row["n"] or 0, row["rc"] or 0
+        return {
+            "n_files_total": n_total,
+            "n_files_candidate": len(cand),
+            "n_files_pruned": n_total - len(cand),
+            "n_rows_candidate": rows_cand,
+        }

@@ -479,11 +479,17 @@ def q5_revenue_by_nation(spark, sf_dir):
     """,
 )
 def join_broadcast_dim(spark, sf_dir):
+    """No broadcast hint: the MACHINERY slice is ~1/5 of customer, which
+    GROWS with the dataset — a hard F.broadcast here is a multi-GB
+    driver OOM at 100×. AQE picks BHJ while the slice is under the
+    threshold and falls back to SMJ when it isn't (the choice at sf0.01
+    is plan-asserted in tests/test_plans.py); hard hints are reserved
+    for genuinely bounded dims (nation/region/probe sets)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "MACHINERY"
     )
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
     )
 
@@ -1433,11 +1439,14 @@ def sketch_distinct_and_quantiles(spark, sf_dir):
     quantiles per order status (both deterministic within Spark; accuracy
     bounds unit-tested against exact answers)."""
     o = load_table(spark, sf_dir, "orders")
+    q = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000)
+    # Output scalars, never arrays: the driver's order-insensitive hash
+    # canonicalizer cannot handle array-typed cells (repo convention).
     return o.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000).alias(
-            "price_quantiles"
-        ),
+        F.element_at(q, 1).alias("p50_approx"),
+        F.element_at(q, 2).alias("p90_approx"),
+        F.element_at(q, 3).alias("p99_approx"),
     )
 
 

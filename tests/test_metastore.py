@@ -341,3 +341,73 @@ def test_duckdb_engine_end_to_end(spark, sales_fixture, tmp_path_factory):
     assert got.exceptAll(full).count() == 0
     # pruning actually pruned: candidate files < total files
     assert len(shack.candidate_files(TEN_IDS[:3])) <= len(files)
+
+
+def test_distributed_clause_filter_matches_interval_keeps(spark, metastore):
+    """The distributed prune predicate must agree with ``interval_keeps``
+    on every partial-NULL stats combination: a row with non-NULL min but
+    NULL max (or vice versa) must survive every clause, exactly like the
+    driver fast path — SQL three-valued logic would otherwise silently
+    prune it (hi >= lit is NULL, not False)."""
+    from lakeshack_spark.metastore import PRUNE_OPS, interval_keeps
+
+    combos = [(1, 9), (None, 9), (1, None), (None, None)]
+    rows = [
+        {"filepath": f"f{i}", "timestamp_min": lo, "timestamp_max": hi}
+        for i, (lo, hi) in enumerate(combos)
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("filepath", T.StringType(), False),
+            T.StructField("timestamp_min", T.IntegerType(), True),
+            T.StructField("timestamp_max", T.IntegerType(), True),
+        ]
+    )
+    stats = spark.createDataFrame(rows, schema)
+    for op in PRUNE_OPS:
+        for value in (0, 1, 5, 9, 10):
+            pred = metastore._clause_prune_filter([("timestamp", op, value)])
+            kept = {
+                r["filepath"] for r in stats.filter(pred).collect()
+            }
+            want = {
+                f"f{i}"
+                for i, (lo, hi) in enumerate(combos)
+                if interval_keeps(op, lo, hi, value)
+            }
+            assert kept == want, (op, value, kept, want)
+
+
+def test_concurrent_update_duplicate_rows_deduped(spark, sales_fixture, tmp_path_factory):
+    """Two concurrent update() calls can both anti-join against the same
+    pre-append snapshot and double-append a file's stats row (the
+    reference drops the collision on the DB unique constraint,
+    lakeshack/metastore.py:268-270). The read side must dedup by
+    filepath so candidate lists are never inflated."""
+    import os
+    import shutil
+
+    root, files = sales_fixture
+    lake = str(tmp_path_factory.mktemp("race_lake"))
+    for f in files:
+        shutil.copy(f, lake)
+    schema = spark.read.parquet(files[0]).schema
+    store = str(tmp_path_factory.mktemp("stats_race"))
+    ms = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
+    ms.update(lake)
+    # simulate the race: re-append the same footer rows behind update()'s
+    # anti-join (the second writer saw the pre-append snapshot)
+    raw = ms.backend.read_df()
+    ms.backend.append(raw, raw.count())
+    assert ms.backend.read_df().count() == 20  # physically duplicated
+    assert ms.stats_df().count() == 10  # logically deduped
+    kept = ms.prune_files(TEN_IDS)
+    assert len(kept) == len(set(kept)) == 10  # candidate list not inflated
+    assert ms.stats_summary(kept)["n_files_total"] == 10
+    # the next reconcile-triggering update rewrites through the deduped
+    # view → duplicates also physically disappear
+    os.remove(os.path.join(lake, os.path.basename(kept[0])))
+    ms.update(lake)
+    assert ms.backend.read_df().count() == 9

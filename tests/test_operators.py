@@ -166,8 +166,7 @@ def test_sketches_within_tolerance(spark):
     for r in rows:
         e = exact[r["o_orderstatus"]]
         assert abs(r["approx_customers"] - e) / e < 0.1
-        q50, q90, q99 = r["price_quantiles"]
-        assert q50 < q90 < q99
+        assert r["p50_approx"] < r["p90_approx"] < r["p99_approx"]
 
 
 def test_token_count_regex(spark):

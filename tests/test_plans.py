@@ -124,3 +124,15 @@ def test_first_candidates_plan_has_no_join(spark):
     first = dedup.minhash_first_candidates(banded)
     plan = first._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_join_broadcast_dim_is_aqe_choice_not_hint(spark):
+    """join_broadcast_dim carries NO broadcast hint (the MACHINERY slice
+    of customer grows with the dataset — a hard hint is an OOM at 100×);
+    at sf0.01 the optimizer still picks BHJ on its own because the slice
+    is under the threshold. Hint-free-ness is asserted on the analyzed
+    logical plan (no ResolvedHint/UnresolvedHint node)."""
+    df = q("join_broadcast_dim", spark)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "Hint" not in logical, logical
+    assert plans.has_broadcast_hash_join(df)

@@ -123,3 +123,32 @@ def test_pruned_equals_unpruned(shack, spark, sales_fixture):
         assert got.count() == want.count()
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+def test_query_telemetry_point_lookup(shack):
+    """I/O telemetry parity with the reference's per-query counters
+    (lakeshack/lakeshack.py:236-243,463-472,566-577): a point lookup on
+    the clustered fixture plans a 1-file scan — 9 of 10 files pruned —
+    and status() reports the candidate bytes/rows upper bounds."""
+    table = shack.query_arrow("00")
+    st = shack.status()
+    assert st["n_files_total"] == 10
+    assert st["n_files_candidate"] == 1
+    assert st["n_files_pruned"] == 9
+    assert st["n_rows_candidate"] == 100  # one 100-row file's footer count
+    assert st["n_rows_returned"] == table.num_rows == 3
+    assert st["bytes_candidate"] > 0
+    assert st["prune_sec"] >= 0
+
+
+def test_query_telemetry_full_scan_and_reset(shack):
+    """A no-pruning query touches all 10 files; each query() overwrites
+    the previous status (lazy query leaves n_rows_returned unset)."""
+    df = shack.query([f"{i:02x}" for i in range(256)])
+    st = shack.status()
+    assert st["n_files_total"] == 10
+    assert st["n_files_candidate"] == 10
+    assert st["n_files_pruned"] == 0
+    assert st["n_rows_candidate"] == 1000
+    assert "n_rows_returned" not in st
+    assert df.count() == 1000

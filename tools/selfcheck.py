@@ -19,14 +19,30 @@ import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     """Sorted-columns, sorted-rows canonical form for comparison.
-    List/array cells are stringified for the sort key (they are unhashable
-    and unorderable as numpy arrays)."""
+
+    Mirrors the driver's canonicalizer: complex (array/struct/map) cells
+    are NOT tolerated — ``complex_columns`` must be checked first so such
+    queries fail here before they crash the driver."""
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df):
-        key = df.map(lambda v: str(v) if isinstance(v, (list, tuple)) or hasattr(v, "__len__") and not isinstance(v, str) else v)
-        order = key.sort_values(by=list(key.columns), kind="mergesort").index
+        order = df.sort_values(by=list(df.columns), kind="mergesort").index
         df = df.loc[order].reset_index(drop=True)
     return df
+
+
+def complex_columns(schema) -> list[str]:
+    """Names of output columns whose Spark type is array/struct/map.
+
+    The driver's canonicalizer crashes on such cells (unhashable
+    numpy.ndarray), so any query emitting one must fail the local gate
+    even when it is a rows-only (no-oracle) entry."""
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.StructType, T.MapType))
+    ]
 
 
 def cells_equal(a, b) -> bool:
@@ -89,7 +105,17 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, args.sf).toPandas()
+            frame = fn(spark, args.sf)
+            bad_cols = complex_columns(frame.schema)
+            if bad_cols:
+                print(
+                    f"FAIL  {name}: complex-typed output columns {bad_cols} "
+                    "(driver canonicalizer rejects array/struct/map cells "
+                    "— output scalars)"
+                )
+                n_bad += 1
+                continue
+            sdf = frame.toPandas()
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
             n_bad += 1
