@@ -269,21 +269,38 @@ def simhash(
     positive. Near-identical token sets → small hamming distance."""
     tokens = F.array_distinct(words_col(text_col))
     th = F.transform(tokens, _h64)  # one 63-bit hash per token
-
-    def bit_sum(j: int) -> Column:
-        # +1 if bit j set else -1, summed over tokens
-        return F.aggregate(
-            th,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        )
-
-    fp = F.lit(0).cast("long")
-    for j in range(min(bits, 63)):
-        fp = fp + F.when(bit_sum(j) > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+    nbits = min(bits, 63)
+    # ONE literal mask array [1<<0 .. 1<<nbits-1] as a single SQL string
+    # (per-scalar F.lit is one py4j round trip each — CLAUDE.md).
+    masks = F.expr(
+        "array(" + ",".join(f"{1 << j}L" for j in range(nbits)) + ")"
+    )
+    # Single interpreted pass over the token hashes (HOFs get no codegen
+    # and re-evaluate the lambda body per element): the accumulator is
+    # the whole 63-counter array, updated by one zip_with per token —
+    # counter j gains +1 when bit j of the hash is set, else -1. The old
+    # form ran 63 separate aggregate traversals of the same array.
+    counters = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0), nbits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    # bit j of the fingerprint is set iff counter j is positive: sum the
+    # masks of positive counters (disjoint bits, so + == bitwise OR).
+    fp = F.aggregate(
+        F.zip_with(
+            counters,
+            masks,
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return df.withColumn("simhash", fp)
 
 
@@ -472,7 +489,9 @@ def minhash_drop_set(
     ``minhash_verified_pairs`` (pinned by test): pass 1's candidate is
     sufficient when it verifies, pass 2 exhausts the rest. Measured 45 s
     → 8 s on the 30k-doc bench corpus (965k verified pairs collapsed to
-    ~25k verifies). Returns a one-column DataFrame named ``id_col``.
+    ~25k verifies). Returns a one-column DataFrame named ``id_col``,
+    eagerly materialized and persisted (its heavyweight inputs are
+    unpersisted before return) — callers unpersist it when done.
     """
     banded = _banded(df, text_col, id_col, num_hashes, bands, k).persist()
     banded.count()  # eager: 4 downstream branches — an unmaterialized
@@ -523,8 +542,18 @@ def minhash_drop_set(
     dropped2 = (
         verified(rest).filter(F.col("__j") >= threshold).select("id_b").distinct()
     )
-    return (
+    result = (
         dropped1.unionByName(dropped2)
         .distinct()
         .select(F.col("id_b").alias(id_col))
+        .persist()
     )
+    # Materialize the (one-column) drop set eagerly so the big
+    # intermediates can be released NOW: banded is O(docs × bands) rows
+    # and v1 carries shingle-join lineage — leaving them cached leaks
+    # executor memory across invocations in a long-lived session. The
+    # returned frame is persisted; callers unpersist it when done.
+    result.count()
+    banded.unpersist()
+    v1.unpersist()
+    return result

@@ -136,6 +136,9 @@ def clean_report(
             df.select(id_col, text_col), text_col, id_col,
             threshold=cfg.jaccard_threshold, **cfg.minhash_cfg,
         )
-        df = df.join(drops, id_col, "left_anti")
-        counts["after_near_dedup"] = df.count()
+        cleaned = df.join(drops, id_col, "left_anti")
+        counts["after_near_dedup"] = cleaned.count()
+        # report returns only counts — release every cache we created
+        drops.unpersist()
+        df.unpersist()
     return counts

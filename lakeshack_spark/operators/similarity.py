@@ -376,8 +376,19 @@ def srp_signature(
     dot product with hyperplane i is >= 0). The hyperplane matrix enters
     the plan as ONE literal array<array<double>> expression (a single
     parsed SQL string — per-scalar ``F.lit`` is a py4j round trip each),
-    and the per-row cost is ``n_bits`` codegen dot products, map-only."""
-    dim = len(vectors.select(vec_col).first()[0])
+    and the per-row cost is ``n_bits`` codegen dot products, map-only.
+
+    Note: reads one row at plan-construction time to learn the embedding
+    dimension (pass ``dim`` via schema metadata to avoid the eager job);
+    raises ValueError on an empty input instead of the opaque TypeError
+    ``first()[0]`` would produce."""
+    head = vectors.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError(
+            f"srp_signature: cannot infer embedding dimension — input has "
+            f"no rows (or NULL {vec_col!r} in the first row)"
+        )
+    dim = len(head[0])
     planes = _srp_hyperplanes(n_bits, dim)
     planes_lit = F.expr(
         "array("

@@ -523,3 +523,33 @@ def test_contamination_matches_duckdb_oracle(spark, docs):
         ).fetchall()
     }
     assert got == want and len(want) > 0
+
+
+def test_srp_signature_empty_input_raises(spark):
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    with pytest.raises(ValueError, match="no rows"):
+        similarity.srp_signature(empty)
+
+
+def test_minhash_drop_set_releases_caches(spark, docs):
+    """The drop set is returned materialized; its heavyweight
+    intermediates (banded signatures, first-candidate verifies) must be
+    unpersisted before return so long sessions don't accumulate executor
+    cache across invocations."""
+    jsc = spark.sparkContext._jsc.sc()
+    n_before = jsc.getPersistentRDDs().size()
+    drops = dedup.minhash_drop_set(docs, num_hashes=8, bands=4)
+    n_after = jsc.getPersistentRDDs().size()
+    # exactly one new persisted plan: the returned drop set itself
+    assert n_after - n_before <= 1
+    drops.unpersist()
