@@ -83,6 +83,17 @@ def main() -> None:
     assert drops.filter(F.col("doc_id") >= m).count() == 0, "unique doc dropped"
     assert drops.filter(F.col("doc_id") == 0).count() == 0, "earliest dropped"
 
+    # Simhash fingerprinting over the full corpus (map-only; the
+    # single-pass 63-counter aggregate — the old per-bit form ran 63
+    # interpreted traversals per row and was ~12× slower at this size).
+    t0 = time.time()
+    checksum = (
+        dedup.simhash(docs)
+        .agg(F.sum(F.crc32(F.col("simhash").cast("string"))))
+        .collect()[0][0]
+    )
+    print(f"simhash over {n} docs in {time.time() - t0:.1f}s (checksum {checksum})")
+
     # Pairwise reference on a slice: cost grows ~quadratically with the
     # cluster, so time a SLICE_M-sized cluster and extrapolate.
     slice_m = 2_000
