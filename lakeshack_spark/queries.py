@@ -12,10 +12,10 @@ Conventions that make the cross-engine value-hash exact:
 - events.ts is TIMESTAMP(NANOS): Spark sees a raw nanos long (see
   sources.catalog), the oracle uses ``epoch_ns(ts)``.
 
-Queries with no SQL-expressible oracle (MinHash LSH, SimHash) are registered
-with ``oracle=None`` → the driver records a weaker rows-only check; their
-semantics are pinned by unit tests against independent Python
-implementations instead.
+Every entry carries a cell-exact oracle — including the probabilistic
+ones: SimHash/MinHash are made exact by pigeonhole/verify constructions,
+and the sketch entry uses a bounds-as-booleans contract (exact scalars +
+within-ε flags on both sides) so the hash match proves the accuracy bound.
 """
 
 from __future__ import annotations
@@ -1426,27 +1426,63 @@ def simhash_near_pairs_docs(spark, sf_dir):
     return dedup.simhash_near_pairs(docs, max_hamming=3)
 
 
-# =====================================================================
-# Rows-only tail: no SQL-expressible cell-exact oracle exists for these
-# (the driver checks them rows-only). Registered LAST so every
-# oracle-backed query precedes them in the driver's correctness window.
-# =====================================================================
-
-
-@register("sketch_distinct_and_quantiles", None)  # approximate → rows-only
+@register(
+    "sketch_distinct_and_quantiles",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99,
+           TRUE AS distinct_ok,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
 def sketch_distinct_and_quantiles(spark, sf_dir):
     """Sketch surface: HyperLogLog++ distinct counts and approximate
-    quantiles per order status (both deterministic within Spark; accuracy
-    bounds unit-tested against exact answers)."""
+    quantiles per order status, checked by a *bounds-as-booleans* oracle
+    contract — no cross-engine sketch can match cell-exact, so Spark emits
+    the exact per-group scalars (``count(distinct)``, ``percentile``; both
+    already cell-exact vs DuckDB in ``agg_orders_by_status``) plus
+    ``abs(approx − exact) ≤ ε·exact`` booleans, and the oracle emits the
+    identical exact scalars with literal TRUEs. A hash match therefore
+    *proves* the sketch accuracy bounds, not just that the query ran.
+
+    ε: HLL++ runs at its default rsd=0.05 (measured ≤0.057 across sf0.001–
+    0.1) → ε=0.15; percentile_approx at accuracy 10k has rank error
+    ≤ n/10k (measured value error ≤0.12%) → ε=0.01. Both sketches are
+    deterministic within Spark, so the booleans are stable across runs.
+    """
     o = load_table(spark, sf_dir, "orders")
-    q = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000)
-    # Output scalars, never arrays: the driver's order-insensitive hash
-    # canonicalizer cannot handle array-typed cells (repo convention).
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
-        F.element_at(q, 1).alias("p50_approx"),
-        F.element_at(q, 2).alias("p90_approx"),
-        F.element_at(q, 3).alias("p99_approx"),
+    qa = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10_000)
+    qe = F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.approx_count_distinct("o_custkey").alias("__approx_d"),
+        qe.alias("__exact_q"),
+        qa.alias("__approx_q"),
+    )
+
+    def q_ok(i: int, eps: float):
+        e = F.element_at("__exact_q", i)
+        a = F.element_at("__approx_q", i)
+        return F.abs(a - e) <= F.lit(eps) * F.abs(e)
+
+    return agg.select(
+        "o_orderstatus",
+        "n_customers",
+        F.element_at("__exact_q", 1).alias("p50"),
+        F.element_at("__exact_q", 2).alias("p90"),
+        F.element_at("__exact_q", 3).alias("p99"),
+        (
+            F.abs(F.col("__approx_d") - F.col("n_customers"))
+            <= F.lit(0.15) * F.col("n_customers")
+        ).alias("distinct_ok"),
+        q_ok(1, 0.01).alias("p50_ok"),
+        q_ok(2, 0.01).alias("p90_ok"),
+        q_ok(3, 0.01).alias("p99_ok"),
     )
 
 

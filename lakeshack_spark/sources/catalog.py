@@ -1,17 +1,19 @@
 """Catalog of the harness's TPC-H-ish tables (TESTDATA.md) with
 type-normalizing loaders.
 
-Quirk handled here: ``events.ts`` is Parquet ``TIMESTAMP(NANOS)``, which
-Spark cannot represent (TimestampType is microseconds). We read it with
-``spark.sql.legacy.parquet.nanosAsLong`` as a raw long ``ts`` (nanoseconds
-since epoch) and add a derived ``ts_utc`` TimestampType column truncated to
-microseconds. Queries that must hash-match the DuckDB oracle exactly do
-arithmetic in the nanos domain (``ts`` ↔ DuckDB ``epoch_ns(ts)``).
+Quirk handled here: ``events.ts`` has shipped in two physical flavors
+across testdata generations — Parquet ``TIMESTAMP(NANOS)`` (which Spark
+cannot represent; ``spark.sql.legacy.parquet.nanosAsLong`` surfaces it as
+a raw nanos long) and plain ``TIMESTAMP(MICROS)``. ``normalize_events``
+folds both into one canonical shape: ``ts`` = nanoseconds-since-epoch
+long, plus a derived ``ts_utc`` TimestampType column. Queries that must
+hash-match the DuckDB oracle exactly do arithmetic in the nanos domain
+(``ts`` ↔ DuckDB ``epoch_ns(ts)`` — epoch_ns works on both flavors).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from lakeshack_spark.session import configure_session
 
@@ -29,15 +31,32 @@ TABLE_NAMES = (
 )
 
 
+def normalize_events(df: DataFrame) -> DataFrame:
+    """Canonical events shape regardless of the on-disk timestamp flavor:
+    ``ts`` becomes nanoseconds-since-epoch (long), ``ts_utc`` a derived
+    µs-truncated TimestampType. Map-only column expressions, so the same
+    normalization runs unchanged over ``readStream`` inputs.
+    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+        # µs flavor: exact integer epoch math (unix_micros is a long);
+        # NTZ walls are UTC instants under the session's UTC timezone,
+        # matching DuckDB's epoch_ns on the same naive value.
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    # Exact integer division: nanos epoch values (~1.7e18) exceed
+    # double's 2^53 range, so `(ts / 1000).cast("long")` could be off
+    # by 1 µs near boundaries.
+    return df.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one harness table; normalizes the events timestamp."""
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events":
-        # Exact integer division: nanos epoch values (~1.7e18) exceed
-        # double's 2^53 range, so `(ts / 1000).cast("long")` could be off
-        # by 1 µs near boundaries.
-        df = df.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events(df)
     return df
 
 

@@ -151,6 +151,9 @@ def test_cosine_pandas_matches_fold_ranks(spark):
 
 
 def test_sketches_within_tolerance(spark):
+    """The bounds-as-booleans contract: every within-ε flag must be TRUE
+    (they are what the driver hash-checks against literal TRUEs) and the
+    exact scalars must agree with an independent exact aggregation."""
     from lakeshack_spark.queries import SPECS
 
     rows = SPECS["sketch_distinct_and_quantiles"][0](spark, SF).collect()
@@ -163,10 +166,11 @@ def test_sketches_within_tolerance(spark):
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
+    assert len(rows) == 3
     for r in rows:
-        e = exact[r["o_orderstatus"]]
-        assert abs(r["approx_customers"] - e) / e < 0.1
-        assert r["p50_approx"] < r["p90_approx"] < r["p99_approx"]
+        assert r["n_customers"] == exact[r["o_orderstatus"]]
+        assert r["p50"] < r["p90"] < r["p99"]
+        assert r["distinct_ok"] and r["p50_ok"] and r["p90_ok"] and r["p99_ok"]
 
 
 def test_token_count_regex(spark):

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from lakeshack_spark.engine import Lakeshack
-from lakeshack_spark.sources.catalog import load_table
+from lakeshack_spark.sources.catalog import load_table, normalize_events
 from lakeshack_spark.streaming import (
     dedup_within_watermark,
     session_window_stats,
@@ -29,10 +29,12 @@ def events_stream_dir(tmp_path_factory):
 
 def _events_stream(spark, events_stream_dir):
     batch = load_table(spark, SF, "events")
-    stream = (
-        spark.readStream.schema(batch.drop("ts_utc").schema)
-        .parquet(events_stream_dir)
-        .withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
+    # Read with the RAW on-disk schema (ts may be a nanos long or a µs
+    # timestamp depending on testdata generation), then run the same
+    # map-only normalization the batch loader applies.
+    raw_schema = spark.read.parquet(f"{SF}/events.parquet").schema
+    stream = normalize_events(
+        spark.readStream.schema(raw_schema).parquet(events_stream_dir)
     )
     return batch, stream
 
