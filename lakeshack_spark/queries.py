@@ -619,14 +619,26 @@ def q13_order_count_distribution(spark, sf_dir):
     """,
 )
 def q18_large_orders(spark, sf_dir):
-    """TPC-H Q18-shaped: join + group + HAVING on the aggregate."""
+    """TPC-H Q18-shaped: join + group + HAVING on the aggregate.
+
+    Scale shape: lineitem pre-aggregates by ``l_orderkey`` (partial
+    map-side combine, then final) and the HAVING filter runs *before* the
+    join, so the join's big side carries one row per qualifying order
+    instead of every lineitem row — at sf1 that is the difference between
+    shuffling 6M lineitem rows and ~150k order totals through the join.
+    Hash-identical to the join-first form because o_orderkey is orders'
+    key: grouping by (o_orderkey, o_custkey, o_orderdate) after the join
+    is grouping by l_orderkey. Plan pinned in tests/test_plans.py
+    (aggregate below the join)."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+    totals = (
+        li.groupBy("l_orderkey")
         .agg(dsum("l_quantity", 2).alias("total_qty"))
         .filter(F.col("total_qty") >= 120)
+    )
+    return totals.join(o, totals.l_orderkey == o.o_orderkey).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "total_qty"
     )
 
 

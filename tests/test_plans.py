@@ -126,6 +126,20 @@ def test_first_candidates_plan_has_no_join(spark):
     assert "Join" not in plan
 
 
+def test_q18_aggregates_lineitem_below_the_join(spark):
+    """q18 must pre-aggregate lineitem by l_orderkey (map-side partial
+    combine) and apply the HAVING filter BEFORE the join — joining raw
+    lineitem first shuffles ~6× more rows through the join at sf1. In the
+    plan tree (parents print first) the Join must therefore appear above
+    the aggregates, with a partial_sum on the lineitem side."""
+    plan = q("q18_large_orders", spark)._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan, plan
+    join_at = plan.find("Join")
+    agg_at = plan.find("HashAggregate")
+    assert join_at != -1 and agg_at != -1
+    assert join_at < agg_at, plan
+
+
 def test_join_broadcast_dim_is_aqe_choice_not_hint(spark):
     """join_broadcast_dim carries NO broadcast hint (the MACHINERY slice
     of customer grows with the dataset — a hard hint is an OOM at 100×);
