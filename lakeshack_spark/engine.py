@@ -151,12 +151,16 @@ class Lakeshack:
             cluster_column_values, optional_where_clauses
         )
 
+    #: Reference-parity default row cap (lakeshack/lakeshack.py:308,482):
+    #: a query silently returning 100M rows is a driver OOM, not an answer.
+    N_RECORDS_MAX_DEFAULT = 2_000_000
+
     def query(
         self,
         cluster_column_values: Sequence[Any] | Any,
         optional_where_clauses: Sequence[tuple[str, str, Any]] = (),
         columns: Sequence[str] | None = None,
-        n_records_max: int | None = None,
+        n_records_max: int | None = N_RECORDS_MAX_DEFAULT,
     ) -> DataFrame:
         """Pruned scan; returns a *lazy* DataFrame (the reference returns a
         materialized Arrow table — call ``.toArrow()``/``.toPandas()`` at
@@ -166,7 +170,8 @@ class Lakeshack:
         scalar value → 1-list; clauses filter exactly even on columns the
         metastore does not index (pruning is best-effort, filtering exact —
         tests/test_lakeshack.py:265-284); ``n_records_max`` caps the result
-        (exact here, soft in the reference).
+        (exact here, soft in the reference) and defaults to the reference's
+        2,000,000 — pass ``None`` for an uncapped scan.
         """
         if not isinstance(cluster_column_values, (list, tuple)):
             cluster_column_values = [cluster_column_values]

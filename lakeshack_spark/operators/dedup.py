@@ -268,7 +268,13 @@ def simhash(
     distinct tokens of ±1 (sign of md5-derived bit j of the token) is
     positive. Near-identical token sets → small hamming distance."""
     tokens = F.array_distinct(words_col(text_col))
-    th = F.transform(tokens, _h64)  # one 63-bit hash per token
+    # NULL text → empty hash array → all-zero counters → fingerprint 0,
+    # matching the pre-single-pass per-bit form (which coalesced each bit
+    # to 0); without this the aggregate propagates NULL and such docs
+    # silently vanish from simhash_near_pairs' equi-join.
+    th = F.coalesce(
+        F.transform(tokens, _h64), F.expr("array()").cast("array<bigint>")
+    )  # one 63-bit hash per token
     nbits = min(bits, 63)
     # ONE literal mask array [1<<0 .. 1<<nbits-1] as a single SQL string
     # (per-scalar F.lit is one py4j round trip each — CLAUDE.md).

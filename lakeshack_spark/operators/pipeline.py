@@ -74,8 +74,14 @@ def clean_corpus(
       anti-join), and without a materialization point each consumer
       re-runs the whole upstream pipeline. At 100 TB this materialization
       is the natural stage boundary a real pipeline writes to storage
-      anyway; call ``.unpersist()`` on the result's lineage when done or
-      let it age out of the executor cache.
+      anyway.
+
+    Cache contract: with ``near_dedup`` the RESULT comes back persisted
+    and already materialized, and every intermediate cache (survivor set,
+    drop set) is released before return — the returned frame is the ONE
+    handle a long-lived session must ``unpersist()`` when done. (An
+    earlier version leaked the drop-set cache with no caller-visible
+    handle, one retained frame per invocation.)
     """
     df = text.lang_id(docs, text_col)
     df = text.quality_score(df, text_col)
@@ -102,7 +108,12 @@ def clean_corpus(
             df.select(id_col, text_col), text_col, id_col,
             threshold=cfg.jaccard_threshold, **cfg.minhash_cfg,
         )
-        df = df.join(drops, id_col, "left_anti")
+        survivors = df
+        df = df.join(drops, id_col, "left_anti").persist()
+        df.count()  # eager: pin the result BEFORE releasing its lineage's
+        # caches (a lazy persist would recompute per consumer — CLAUDE.md)
+        drops.unpersist()
+        survivors.unpersist()
     return df
 
 

@@ -371,6 +371,7 @@ def srp_signature(
     n_bits: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Adds ``srp_bits``: array of ``n_bits`` sign bits (1 if the vector's
     dot product with hyperplane i is >= 0). The hyperplane matrix enters
@@ -378,17 +379,22 @@ def srp_signature(
     parsed SQL string — per-scalar ``F.lit`` is a py4j round trip each),
     and the per-row cost is ``n_bits`` codegen dot products, map-only.
 
-    Note: reads one row at plan-construction time to learn the embedding
-    dimension (pass ``dim`` via schema metadata to avoid the eager job);
-    raises ValueError on an empty input instead of the opaque TypeError
-    ``first()[0]`` would produce."""
-    head = vectors.select(vec_col).first()
-    if head is None or head[0] is None:
-        raise ValueError(
-            f"srp_signature: cannot infer embedding dimension — input has "
-            f"no rows (or NULL {vec_col!r} in the first row)"
-        )
-    dim = len(head[0])
+    The embedding dimension resolves without running a job when possible:
+    the explicit ``dim`` argument first, then a ``dim`` key in the vector
+    column's schema metadata; only when both are absent does it fall back
+    to an eager ``first()`` read (raising ValueError on an empty input
+    instead of the opaque TypeError ``first()[0]`` would produce)."""
+    if dim is None:
+        meta = vectors.schema[vec_col].metadata or {}
+        dim = meta.get("dim")
+    if dim is None:
+        head = vectors.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                f"srp_signature: cannot infer embedding dimension — input has "
+                f"no rows (or NULL {vec_col!r} in the first row); pass dim="
+            )
+        dim = len(head[0])
     planes = _srp_hyperplanes(n_bits, dim)
     planes_lit = F.expr(
         "array("
@@ -411,6 +417,7 @@ def srp_near_dup_pairs(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Sub-quadratic embedding near-duplicate discovery: SRP-LSH banding
     proposes candidates, exact cosine verifies — the embedding-space
@@ -427,7 +434,7 @@ def srp_near_dup_pairs(
     ``embedding_near_dup_pairs`` stays the oracle at test scale.
     """
     bits_per_band = n_bits // bands
-    sigs = srp_signature(vectors, n_bits, id_col, vec_col).select(
+    sigs = srp_signature(vectors, n_bits, id_col, vec_col, dim=dim).select(
         F.col(id_col), F.col(vec_col), F.col("srp_bits")
     )
     banded = sigs.select(

@@ -85,6 +85,20 @@ def test_simhash_matches_python(spark, docs):
         assert r["simhash"] == py_simhash(r["text"]), f"doc {r['doc_id']}"
 
 
+def test_simhash_null_text_is_zero_fingerprint(spark):
+    """NULL text must fingerprint to 0 (empty token set), never NULL — a
+    NULL simhash silently drops the doc from simhash_near_pairs' banded
+    equi-join."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert got[1] == 0
+    # "" splits to one empty token in BOTH engines — parity, not zero.
+    assert got[2] == py_simhash("")
+    assert got[3] == py_simhash("a b") != 0
+
+
 def test_simhash_identical_docs_zero_hamming(spark, docs):
     dup = docs.limit(2).withColumn("doc_id", F.col("doc_id") + 10_000)
     both = docs.unionByName(dup)
@@ -543,6 +557,46 @@ def test_srp_signature_empty_input_raises(spark):
     )
     with pytest.raises(ValueError, match="no rows"):
         similarity.srp_signature(empty)
+
+
+def test_srp_signature_dim_param_launches_no_job(spark, vecs_with_dups):
+    """With ``dim`` given (argument or schema metadata) plan construction
+    must not run a Spark job — proven on an EMPTY input, where the
+    ``first()`` fallback would raise: plan construction succeeds and the
+    bits match the inferred-dim path on real data."""
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    assert similarity.srp_signature(empty, dim=8).count() == 0
+
+    dim = len(vecs_with_dups.select("embedding").first()[0])
+    explicit = {
+        r.vec_id: list(r.srp_bits)
+        for r in similarity.srp_signature(vecs_with_dups, dim=dim).collect()
+    }
+    inferred = {
+        r.vec_id: list(r.srp_bits)
+        for r in similarity.srp_signature(vecs_with_dups).collect()
+    }
+    assert explicit == inferred
+
+    # Schema-metadata route: a `dim` key on the vector column works too.
+    tagged = vecs_with_dups.withMetadata("embedding", {"dim": dim})
+    empty_tagged = empty.withMetadata("embedding", {"dim": 8})
+    assert similarity.srp_signature(empty_tagged).count() == 0
+    via_meta = {
+        r.vec_id: list(r.srp_bits)
+        for r in similarity.srp_signature(tagged).collect()
+    }
+    assert via_meta == inferred
 
 
 def test_minhash_drop_set_releases_caches(spark, docs):

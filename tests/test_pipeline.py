@@ -72,3 +72,19 @@ def test_pipeline_is_shuffle_free_until_dedup(spark, docs):
     ).filter(F.col("n_words") >= 3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_clean_corpus_releases_intermediate_caches(spark, docs):
+    """Cache contract: one invocation retains exactly ONE persisted frame
+    (the returned result — the caller's release handle); the survivor-set
+    and drop-set caches are released before return. Unpersisting the
+    result leaves the session cache where it started."""
+    jsc = spark.sparkContext._jsc.sc()
+    n_before = jsc.getPersistentRDDs().size()
+    # Distinct input plan: Spark's CacheManager dedups identical plans, so
+    # reusing another test's exact input would report zero new caches.
+    out = clean_corpus(docs.filter(F.col("doc_id") % 7 != 3), CleanConfig())
+    n_after = jsc.getPersistentRDDs().size()
+    assert n_after - n_before == 1
+    out.unpersist()
+    assert jsc.getPersistentRDDs().size() == n_before

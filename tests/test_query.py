@@ -65,6 +65,20 @@ def test_limit_semantics(shack):
     assert shack.query("a9", n_records_max=6).count() == 6
 
 
+def test_default_row_cap_matches_reference(shack):
+    """The default n_records_max is the reference's 2,000,000
+    (lakeshack/lakeshack.py:308,482): the default plan carries a limit,
+    ``None`` removes it, and an explicit cap still binds tighter."""
+    assert Lakeshack.N_RECORDS_MAX_DEFAULT == 2_000_000
+    capped = shack.query("a9")._jdf.queryExecution().optimizedPlan().toString()
+    assert "2000000" in capped, capped
+    uncapped = shack.query("a9", n_records_max=None)
+    plan = uncapped._jdf.queryExecution().optimizedPlan().toString()
+    assert "Limit" not in plan, plan
+    # Counting is unaffected by the default cap at test scale.
+    assert shack.query("a9").count() == uncapped.count() == 9
+
+
 def test_pruning_reduces_files_touched(shack):
     """Point lookup plans a scan over ≤ 2 files out of 10 (ideal
     clustering: docs/source/lakeshack.rst:245-250 'files touched')."""
