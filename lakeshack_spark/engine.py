@@ -26,7 +26,6 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import logging
-import os
 import time
 from typing import Any, Sequence
 
@@ -35,40 +34,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from lakeshack_spark.metastore import (
     PRUNE_OPS,
     FileStatsMetastore,
-    _is_remote,
-    _strip_file_scheme,
     list_parquet_files,
 )
 from lakeshack_spark.session import configure_session
 
 logger = logging.getLogger(__name__)
-
-
-def _total_bytes(files: Sequence[str], spark: SparkSession) -> int | None:
-    """Sum of the candidate files' sizes — the scan's upper I/O bound
-    (column pruning + row-group skipping read less), standing in for the
-    reference's ``bytes_scanned`` counter (lakeshack/lakeshack.py:236-243).
-
-    O(candidates) metadata calls, the same order of work Spark's own scan
-    planner does when it lists these files for splits; the list is already
-    pruned, so a well-clustered point lookup stats one file. Returns None
-    when a size cannot be determined (telemetry must never fail a query).
-    """
-    total = 0
-    try:
-        for f in files:
-            if _is_remote(f):
-                jvm = spark.sparkContext._jvm
-                jsc = spark.sparkContext._jsc
-                hpath = jvm.org.apache.hadoop.fs.Path(f)
-                fs = hpath.getFileSystem(jsc.hadoopConfiguration())
-                total += fs.getFileStatus(hpath).getLen()
-            else:
-                total += os.path.getsize(_strip_file_scheme(f))
-    except Exception as exc:
-        logger.warning("could not size candidate files: %s", exc)
-        return None
-    return total
 
 
 def build_predicate(
@@ -176,10 +146,13 @@ class Lakeshack:
         if not isinstance(cluster_column_values, (list, tuple)):
             cluster_column_values = [cluster_column_values]
         t0 = time.monotonic()
-        files = self.candidate_files(cluster_column_values, optional_where_clauses)
-        status = self.metastore.stats_summary(files)
-        status["bytes_candidate"] = _total_bytes(files, self.spark)
-        status["prune_sec"] = round(time.monotonic() - t0, 6)
+        # One stats-store read serves pruning AND the I/O counters
+        # (bytes_candidate sums the ingest-time file_bytes column — zero
+        # filesystem calls at query time).
+        files, status = self.metastore.prune_files_with_summary(
+            cluster_column_values, optional_where_clauses
+        )
+        status["plan_sec"] = round(time.monotonic() - t0, 6)
         self.last_query_status = status
         logger.info(
             "query: %d/%d files after pruning (%d pruned), ≤%s rows, ≤%s bytes",
@@ -216,8 +189,9 @@ class Lakeshack:
 
     def status(self) -> dict[str, Any]:
         """I/O telemetry for the most recent query: files total/candidate/
-        pruned, candidate footer-row and byte upper bounds, prune latency,
-        and (after ``query_arrow``) rows returned.
+        pruned, candidate footer-row and byte upper bounds, planning
+        latency (``plan_sec`` — pruning plus counter assembly), and
+        (after ``query_arrow``) rows returned.
 
         Reference parity: the counters logged per query at
         lakeshack/lakeshack.py:236-243,463-472,566-577. Empty dict before

@@ -29,6 +29,7 @@ import os
 from datetime import date, datetime, timezone
 from typing import Any, Iterable, Iterator, Sequence
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F, types as T
 
 from lakeshack_spark.stats_backends import StatsBackend, make_backend
@@ -76,33 +77,79 @@ def _to_py_stat(value: Any) -> Any:
     return value
 
 
+def _strip_arrow_tz(table):
+    """Vectorized twin of :func:`_to_py_stat` for a whole Arrow table:
+    tz-aware timestamp columns become naive (the stored instants are
+    already UTC; Arrow's cast keeps the instant and renders the UTC
+    wall)."""
+    import pyarrow as pa
+
+    fields = []
+    changed = False
+    for f in table.schema:
+        if isinstance(f.type, pa.TimestampType) and f.type.tz is not None:
+            fields.append(pa.field(f.name, pa.timestamp(f.type.unit)))
+            changed = True
+        else:
+            fields.append(f)
+    return table.cast(pa.schema(fields)) if changed else table
+
+
+def _arrow_path(filepath: str) -> str:
+    """Normalize a Hadoop-style URI into one pyarrow understands
+    (s3a -> s3, file -> bare local path)."""
+    p = _strip_file_scheme(filepath)
+    if p.startswith("s3a://"):
+        p = "s3://" + p[len("s3a://"):]
+    return p
+
+
+def _file_size(filepath: str) -> int | None:
+    """Physical file size in bytes, via the local filesystem or the
+    pyarrow filesystem the URI resolves to. None when undeterminable
+    (byte telemetry must never fail ingest or a query)."""
+    try:
+        p = _arrow_path(filepath)
+        if _is_remote(p):
+            import pyarrow.fs as pafs
+
+            fs, rel = pafs.FileSystem.from_uri(p)
+            return fs.get_file_info(rel).size
+        return os.path.getsize(p)
+    except Exception as exc:
+        logger.warning("could not size file %s: %s", filepath, exc)
+        return None
+
+
 def _footer_stats_for_files(
     filepaths: Iterable[str], columns: Sequence[str]
 ) -> Iterator[dict[str, Any]]:
     """Executor-side: read Parquet *footers* only and emit one stats row per
-    file: ``{filepath, num_rows, {col}_min, {col}_max, ...}``.
+    file: ``{filepath, num_rows, file_bytes, {col}_min, {col}_max, ...}``.
 
     Seeds from row group 0 then folds min/max across all row groups, like
     ``Metastore._get_min_max`` (lakeshack/metastore.py:307-337). Columns with
     missing statistics get NULL min/max (the file then always survives
     pruning for predicates on that column — safe, just not skippable).
+    ``file_bytes`` is captured here, while the footer is already open, so
+    per-query byte telemetry is a column sum over the store instead of one
+    filesystem stat per candidate file per query.
     """
     import pyarrow.parquet as pq  # local import: runs on executors
 
     for filepath in filepaths:
         try:
-            # pyarrow resolves the filesystem from the URI; normalize the
-            # Hadoop-style schemes it does not know (s3a -> s3, file -> bare)
-            arrow_path = _strip_file_scheme(filepath)
-            if arrow_path.startswith("s3a://"):
-                arrow_path = "s3://" + arrow_path[len("s3a://"):]
-            pf = pq.ParquetFile(arrow_path)
+            pf = pq.ParquetFile(_arrow_path(filepath))
         except Exception as exc:  # non-parquet / unreadable: skip with a log
             logger.warning("skipping unreadable file %s: %s", filepath, exc)
             continue
         md = pf.metadata
         name_to_idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
-        row: dict[str, Any] = {"filepath": filepath, "num_rows": md.num_rows}
+        row: dict[str, Any] = {
+            "filepath": filepath,
+            "num_rows": md.num_rows,
+            "file_bytes": _file_size(filepath),
+        }
         for col in columns:
             cmin = cmax = None
             idx = name_to_idx.get(col)
@@ -255,6 +302,7 @@ class FileStatsMetastore:
         fields = [
             T.StructField("filepath", T.StringType(), False),
             T.StructField("num_rows", T.LongType(), False),
+            T.StructField("file_bytes", T.LongType(), True),
         ]
         for col in self.tracked_columns:
             stat_type = _spark_stat_type(field_types[col])
@@ -289,6 +337,12 @@ class FileStatsMetastore:
         problems.extend(
             f"unexpected column {name!r}" for name in got if name not in expected
         )
+        if problems == ["missing column 'file_bytes'"]:
+            # Store written before byte telemetry existed: additive,
+            # derivable-from-the-files upgrade — backfill in place rather
+            # than failing reconnect (any REAL mismatch still raises).
+            self._migrate_add_file_bytes()
+            return
         if problems:
             raise ValueError(
                 f"existing stats store at {self.store_path!r} does not match "
@@ -296,6 +350,28 @@ class FileStatsMetastore:
                 f"optional columns {self.optional_columns}): "
                 + "; ".join(sorted(problems))
             )
+
+    def _migrate_add_file_bytes(self) -> None:
+        """One-time in-place upgrade of a pre-``file_bytes`` store: stat
+        every indexed file (executor-side, Arrow-batched) and rewrite the
+        store with the size column filled. Cost ≈ what ONE query's byte
+        telemetry used to cost, paid once instead of per query."""
+        logger.warning(
+            "stats store at %s predates file_bytes; backfilling file sizes",
+            self.store_path,
+        )
+
+        @F.pandas_udf(T.LongType())
+        def _sizes(paths: pd.Series) -> pd.Series:
+            return paths.map(_file_size)
+
+        # Explicit-schema read: the Parquet backend surfaces the missing
+        # column as NULLs, the DuckDB backend aligns columns in read_df.
+        old = self.backend.read_df()
+        filled = old.withColumn(
+            "file_bytes", F.coalesce(F.col("file_bytes"), _sizes("filepath"))
+        ).select(*[f.name for f in self.stats_schema.fields])
+        self.backend.rewrite(filled)
 
     # ------------------------------------------------------------- ingest
 
@@ -462,53 +538,109 @@ class FileStatsMetastore:
         self,
         values: list[Any],
         clauses: Sequence[tuple[str, str, Any]],
-    ) -> dict[str, list[Any]] | None:
-        """Fast path: evaluate the interval tests in-process over the
-        backend's driver-side read. Returns None when the backend defers
-        (remote or too-large Parquet store — caller falls back to the
-        distributed path)."""
+    ) -> "tuple[dict[str, list[Any]], Any] | None":
+        """Fast path: vectorized interval tests over the backend's
+        driver-side Arrow read — pyarrow compute kernels, one boolean mask
+        per clause and per IN-list value, so a 100k-file store with a big
+        IN-list prunes in milliseconds where the old per-row Python loop
+        was O(files × (clauses + values)) interpreted work.
+
+        Returns ``(mapping, stats_table)`` — the table is handed back so
+        one query reads the store exactly once (``stats_summary`` reuses
+        it) — or None when the backend defers (remote or too-large store;
+        caller falls back to the distributed path).
+        """
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         values = [_to_py_stat(v) for v in values]
         clauses = [(c, op, _to_py_stat(v)) for c, op, v in clauses]
+        for _col, op, _value in clauses:
+            if op not in PRUNE_OPS:
+                raise ValueError(
+                    f"unsupported operator {op!r}; use one of {PRUNE_OPS}"
+                )
 
         table = self.backend.read_arrow(self.DRIVER_PRUNE_MAX_FILES)
         if table is None:
             return None
-        # Spark writes TimestampType as UTC-adjusted; normalize to naive
-        # UTC so comparisons against (naive) clause values work.
-        cols = {
-            name: [_to_py_stat(v) for v in table.column(name).to_pylist()]
-            for name in table.column_names
-        }
+        # Spark writes TimestampType as UTC-adjusted; drop the zone (the
+        # instants are already UTC) so comparisons against naive clause
+        # values work — the vectorized twin of _to_py_stat.
+        table = _strip_arrow_tz(table)
         n = table.num_rows
-        cc = self.cluster_column
+        if n == 0:
+            return {}, table
 
-        def survives(i: int) -> bool:
-            for col, op, value in clauses:
-                if op not in PRUNE_OPS:
-                    raise ValueError(
-                        f"unsupported operator {op!r}; use one of {PRUNE_OPS}"
-                    )
-                if col not in self.tracked_columns:
-                    continue
-                lo, hi = cols[f"{col}_min"][i], cols[f"{col}_max"][i]
-                if not interval_keeps(op, lo, hi, value):
-                    return False
-            return True
+        def np_mask(arr) -> "np.ndarray":
+            return np.asarray(arr.to_numpy(zero_copy_only=False), dtype=bool)
 
-        out: dict[str, list[Any]] = {}
-        lo_c, hi_c = cols[f"{cc}_min"], cols[f"{cc}_max"]
-        for i in range(n):
-            if not survives(i):
-                continue
-            lo, hi = lo_c[i], hi_c[i]
-            matched = (
-                list(values)
-                if lo is None or hi is None
-                else [v for v in values if lo <= v <= hi]
+        keep = np.ones(n, dtype=bool)
+        for col, op, value in clauses:
+            if col not in self.tracked_columns:
+                continue  # untracked column: cannot prune, scan still filters
+            lo, hi = table.column(f"{col}_min"), table.column(f"{col}_max")
+            if op == ">=":
+                cond = pc.greater_equal(hi, pa.scalar(value, type=hi.type))
+            elif op == ">":
+                cond = pc.greater(hi, pa.scalar(value, type=hi.type))
+            elif op == "<=":
+                cond = pc.less_equal(lo, pa.scalar(value, type=lo.type))
+            elif op == "<":
+                cond = pc.less(lo, pa.scalar(value, type=lo.type))
+            else:  # "=", "=="
+                cond = pc.and_kleene(
+                    pc.less_equal(lo, pa.scalar(value, type=lo.type)),
+                    pc.greater_equal(hi, pa.scalar(value, type=hi.type)),
+                )
+            # NULL stats always keep the file (interval_keeps): the
+            # is_null disjuncts absorb the NULL comparison results under
+            # Kleene logic, so `survive` is null-free.
+            survive = pc.or_kleene(
+                pc.or_kleene(pc.is_null(lo), pc.is_null(hi)), cond
             )
-            if matched:
-                out[cols["filepath"][i]] = sorted(matched)
-        return out
+            keep &= np_mask(survive)
+
+        lo_c = table.column(f"{self.cluster_column}_min")
+        hi_c = table.column(f"{self.cluster_column}_max")
+        either_null = pc.or_(pc.is_null(lo_c), pc.is_null(hi_c))
+        null_np = np_mask(either_null)
+        lo_np = lo_c.to_numpy(zero_copy_only=False)
+        hi_np = hi_c.to_numpy(zero_copy_only=False)
+        value_masks: list[np.ndarray] = []
+        if lo_np.dtype != object:
+            # Numeric/temporal cluster columns: two C-level comparisons
+            # per value (NaN/NaT from NULL stats compare False and are
+            # re-kept by the null mask) — far cheaper than per-value
+            # Arrow kernel dispatch on big IN-lists.
+            for v in values:
+                v_np = np.datetime64(v) if isinstance(v, (datetime, date)) else v
+                value_masks.append(((lo_np <= v_np) & (hi_np >= v_np)) | null_np)
+        else:
+            for v in values:
+                contained = pc.and_kleene(
+                    pc.less_equal(lo_c, pa.scalar(v, type=lo_c.type)),
+                    pc.greater_equal(hi_c, pa.scalar(v, type=hi_c.type)),
+                )
+                value_masks.append(np_mask(pc.or_kleene(either_null, contained)))
+
+        # `keep` applies once at selection time; surviving rows then index
+        # a (files × values) sub-matrix so the match lists assemble from
+        # tiny nonzero scans instead of per-(file, value) Python probes.
+        any_match = np.logical_or.reduce(value_masks) & keep
+        idxs = np.nonzero(any_match)[0]
+        paths = table.column("filepath").take(pa.array(idxs)).to_pylist()
+        sub = (
+            np.column_stack([m[idxs] for m in value_masks])
+            if idxs.size
+            else np.empty((0, len(values)), dtype=bool)
+        )
+        out = {
+            p: sorted(values[k] for k in np.nonzero(sub[j])[0])
+            for j, p in enumerate(paths)
+        }
+        return out, table
 
     def prune(
         self,
@@ -525,13 +657,24 @@ class FileStatsMetastore:
         *file*) are pruned driver-side with zero Spark jobs; the
         distributed path kicks in past ``DRIVER_PRUNE_MAX_FILES``.
         """
+        return self._prune_impl(cluster_column_values, optional_where_clauses)[0]
+
+    def _prune_impl(
+        self,
+        cluster_column_values: Sequence[Any] | Any,
+        optional_where_clauses: Sequence[tuple[str, str, Any]] = (),
+    ) -> "tuple[dict[str, list[Any]], Any]":
+        """Shared pruning core: ``(mapping, stats_table_or_None)`` — the
+        Arrow table is returned when the driver fast path read it, so
+        telemetry can reuse the SAME read instead of re-reading the store
+        per query."""
         if not isinstance(cluster_column_values, (list, tuple)):
             cluster_column_values = [cluster_column_values]
         values = list(dict.fromkeys(cluster_column_values))
         if not values:
-            return {}
+            return {}, None
         if not self._exists():
-            return {}
+            return {}, None
         fast = self._prune_driver_side(values, optional_where_clauses)
         if fast is not None:
             return fast
@@ -563,7 +706,7 @@ class FileStatsMetastore:
             .agg(F.collect_set("__cluster_value").alias("values"))
             .collect()
         )
-        return {r["filepath"]: sorted(r["values"]) for r in rows}
+        return {r["filepath"]: sorted(r["values"]) for r in rows}, None
 
     def prune_files(
         self,
@@ -573,17 +716,37 @@ class FileStatsMetastore:
         """Just the surviving file list, sorted."""
         return sorted(self.prune(cluster_column_values, optional_where_clauses))
 
-    def stats_summary(self, candidate_files: Sequence[str] = ()) -> dict[str, Any]:
+    def prune_files_with_summary(
+        self,
+        cluster_column_values: Sequence[Any] | Any,
+        optional_where_clauses: Sequence[tuple[str, str, Any]] = (),
+    ) -> tuple[list[str], dict[str, Any]]:
+        """Pruned file list plus the planning-time I/O summary, reading
+        the stats store exactly ONCE on the driver fast path (the engine's
+        per-query entry point — a metadata counter must not double the
+        planning I/O)."""
+        mapping, table = self._prune_impl(
+            cluster_column_values, optional_where_clauses
+        )
+        files = sorted(mapping)
+        return files, self.stats_summary(files, table=table)
+
+    def stats_summary(
+        self, candidate_files: Sequence[str] = (), table: Any = None
+    ) -> dict[str, Any]:
         """Planning-time I/O accounting from the stats store: total /
         candidate / pruned file counts plus the candidate files' footer
-        row-count total (the upper bound on rows the scan can touch).
+        row-count and byte totals (upper bounds on what the scan can
+        touch — ``file_bytes`` is captured at ingest, so NO filesystem
+        calls happen here).
 
         Reference parity: the ``n_files`` / ``n_records`` counters the
         reference logs per query (lakeshack/lakeshack.py:463-472,566-577).
-        Driver-side on the arrow fast path (zero Spark jobs); past
-        ``DRIVER_PRUNE_MAX_FILES`` it is one metadata-sized aggregate.
-        Filepath-deduped to match ``stats_df()``'s concurrent-update
-        discipline.
+        Pass ``table`` (an already-read stats Arrow table) to reuse the
+        prune-time read; otherwise driver-side on the arrow fast path
+        (zero Spark jobs), one metadata-sized aggregate past
+        ``DRIVER_PRUNE_MAX_FILES``. Filepath-deduped to match
+        ``stats_df()``'s concurrent-update discipline.
         """
         cand = set(candidate_files)
         if not self.backend.exists():
@@ -592,17 +755,27 @@ class FileStatsMetastore:
                 "n_files_candidate": len(cand),
                 "n_files_pruned": 0,
                 "n_rows_candidate": 0,
+                "bytes_candidate": 0,
             }
-        table = self.backend.read_arrow(self.DRIVER_PRUNE_MAX_FILES)
+        if table is None:
+            table = self.backend.read_arrow(self.DRIVER_PRUNE_MAX_FILES)
         if table is not None and "filepath" in table.column_names:
-            seen: dict[str, int] = {}
-            for p, n in zip(
-                table.column("filepath").to_pylist(),
-                table.column("num_rows").to_pylist(),
+            have_bytes = "file_bytes" in table.column_names
+            fb = table.column("file_bytes").to_pylist() if have_bytes else None
+            seen: dict[str, tuple[int, int | None]] = {}
+            for i, (p, n) in enumerate(
+                zip(
+                    table.column("filepath").to_pylist(),
+                    table.column("num_rows").to_pylist(),
+                )
             ):
-                seen.setdefault(p, n)
+                if p not in seen:
+                    seen[p] = (n, fb[i] if fb is not None else None)
             n_total = len(seen)
-            rows_cand = sum(n for p, n in seen.items() if p in cand)
+            rows_cand = sum(n for p, (n, _b) in seen.items() if p in cand)
+            bytes_cand = sum(
+                b for p, (_n, b) in seen.items() if p in cand and b is not None
+            )
         else:
             row = self.stats_df().agg(
                 F.count("*").alias("n"),
@@ -611,11 +784,20 @@ class FileStatsMetastore:
                         F.col("filepath").isin(list(cand)), F.col("num_rows")
                     ).otherwise(F.lit(0))
                 ).alias("rc"),
+                F.sum(
+                    F.when(
+                        F.col("filepath").isin(list(cand)),
+                        F.coalesce(F.col("file_bytes"), F.lit(0)),
+                    ).otherwise(F.lit(0))
+                ).alias("bc"),
             ).collect()[0]
-            n_total, rows_cand = row["n"] or 0, row["rc"] or 0
+            n_total = row["n"] or 0
+            rows_cand = row["rc"] or 0
+            bytes_cand = row["bc"] or 0
         return {
             "n_files_total": n_total,
             "n_files_candidate": len(cand),
             "n_files_pruned": n_total - len(cand),
             "n_rows_candidate": rows_cand,
+            "bytes_candidate": bytes_cand,
         }

@@ -322,7 +322,16 @@ class DuckDBStatsBackend(StatsBackend):
         table = self.read_arrow(0)
         if table.num_rows == 0:
             return self.spark.createDataFrame([], self.stats_schema)
-        return self.spark.createDataFrame(table.to_pandas(), self.stats_schema)
+        pdf = table.to_pandas()
+        # Align to the bound schema like the Parquet backend's explicit-
+        # schema read: columns an older store lacks surface as NULLs (the
+        # metastore's migration path fills them and rewrites).
+        for f in self.stats_schema.fields:
+            if f.name not in pdf.columns:
+                pdf[f.name] = None
+        return self.spark.createDataFrame(
+            pdf[[f.name for f in self.stats_schema.fields]], self.stats_schema
+        )
 
     def read_arrow(self, max_rows: int) -> "pa.Table":
         """The store is driver-side by definition (single-file DB), so

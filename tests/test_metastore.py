@@ -191,6 +191,98 @@ def test_distributed_prune_path_matches_driver_path(metastore):
     assert fast == slow
 
 
+def test_distributed_prune_equivalence_sweep(metastore):
+    """End-to-end driver≡distributed equivalence across the operator ×
+    boundary × IN-list grid (every op, values below/at/inside/above the
+    stored ranges, multi-clause AND) — the distributed join otherwise
+    only runs in unit slices, since everything under
+    DRIVER_PRUNE_MAX_FILES takes the arrow fast path."""
+    beyond = datetime(2022, 1, 1)
+    combos = [
+        (TEN_IDS, []),
+        (["00"], []),
+        (["zz"], []),  # beyond every range
+        *[
+            (TEN_IDS, [("timestamp", op, v)])
+            for op in (">=", ">", "<", "<=", "=")
+            for v in (GLOBAL_MIN_TS, MID_2021_08_01, beyond)
+        ],
+        (TEN_IDS[:3], [("timestamp", ">=", GLOBAL_MIN_TS), ("timestamp", "<", MID_2021_08_01)]),
+        (TEN_IDS, [("x", ">=", 10_000)]),  # untracked column
+    ]
+    old = metastore.DRIVER_PRUNE_MAX_FILES
+    for values, clauses in combos:
+        fast = metastore.prune(values, clauses)
+        metastore.DRIVER_PRUNE_MAX_FILES = 0
+        try:
+            slow = metastore.prune(values, clauses)
+        finally:
+            metastore.DRIVER_PRUNE_MAX_FILES = old
+        assert fast == slow, (values, clauses)
+
+
+@pytest.fixture(params=["parquet", "duckdb"])
+def legacy_store(spark, sales_fixture, tmp_path_factory, request):
+    """A store written WITHOUT the file_bytes column (pre-byte-telemetry
+    layout), produced by physically stripping the column."""
+    root, files = sales_fixture
+    schema = spark.read.parquet(files[0]).schema
+    store = _store_path(tmp_path_factory, "stats_legacy", request.param)
+    ms = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
+    ms.update(root)
+    if request.param == "duckdb":
+        import duckdb
+
+        with duckdb.connect(store) as con:
+            con.execute('ALTER TABLE "file_stats" DROP COLUMN file_bytes')
+    else:
+        import os
+
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        import pyarrow as pa
+
+        store_files = ms.backend.store_files()
+        tbl = pads.dataset(store_files, format="parquet").to_table()
+        tbl = tbl.select([n for n in tbl.column_names if n != "file_bytes"])
+        # Spark wrote INT96 timestamps (read back as ns); rewrite as µs so
+        # Spark's reader sees TimestampType again, not a nanos long.
+        tbl = tbl.cast(
+            pa.schema(
+                [
+                    pa.field(f.name, pa.timestamp("us", "UTC"))
+                    if isinstance(f.type, pa.TimestampType)
+                    else f
+                    for f in tbl.schema
+                ]
+            )
+        )
+        for f in store_files:
+            os.remove(f)
+        pq.write_table(tbl, os.path.join(store, "part-legacy.parquet"))
+    return root, files, schema, store
+
+
+def test_legacy_store_migrates_file_bytes_in_place(spark, legacy_store):
+    """Reconnecting to a pre-file_bytes store must NOT fail validation:
+    the additive column is backfilled in place (one-time stat of the
+    indexed files) and byte telemetry works immediately — while any other
+    schema mismatch still raises."""
+    import os
+
+    root, files, schema, store = legacy_store
+    ms2 = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
+    sizes = {f: os.path.getsize(f) for f in files}
+    got = {r["filepath"]: r["file_bytes"] for r in ms2.stats_df().collect()}
+    assert got == sizes
+    pruned, summary = ms2.prune_files_with_summary(TEN_IDS)
+    assert summary["bytes_candidate"] == sum(sizes[f] for f in pruned) > 0
+    # a second reconnect is clean (no repeated migration rewrite)
+    ms3 = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
+    assert ms3.stats_df().count() == len(files)
+
+
 # ---------------------------------------------------------------------
 # Reconnect validation (reference Metastore.__init__ reflection check,
 # lakeshack/metastore.py:128-204): reconnecting to an existing store with

@@ -152,7 +152,31 @@ def test_query_telemetry_point_lookup(shack):
     assert st["n_rows_candidate"] == 100  # one 100-row file's footer count
     assert st["n_rows_returned"] == table.num_rows == 3
     assert st["bytes_candidate"] > 0
-    assert st["prune_sec"] >= 0
+    assert st["plan_sec"] >= 0
+
+
+def test_query_telemetry_bytes_from_store_not_filesystem(shack, monkeypatch):
+    """bytes_candidate comes from the ingest-time file_bytes column: query
+    planning must make ZERO per-query filesystem size calls (the old
+    implementation stat-ed every candidate file on every query — one JVM
+    round trip each on remote stores)."""
+    import os as os_mod
+
+    calls = []
+    real = os_mod.path.getsize
+
+    def counting(path):
+        calls.append(path)
+        return real(path)
+
+    monkeypatch.setattr(os_mod.path, "getsize", counting)
+    shack.query(["00", "22", "35"])
+    st = shack.status()
+    assert calls == [], calls
+    assert st["bytes_candidate"] > 0
+    # the byte bound is the physical size of the candidate files
+    expected = sum(real(f) for f in shack.candidate_files(["00", "22", "35"]))
+    assert st["bytes_candidate"] == expected
 
 
 def test_query_telemetry_full_scan_and_reset(shack):

@@ -103,6 +103,48 @@ def main() -> None:
     )
     n_total = shack.metastore.stats_df().count()
     assert n_total == n + 100, n_total
+
+    # Driver-side prune at the 100k-file cutover: synthesize the stats
+    # rows directly (prune never touches data files) and time the
+    # vectorized arrow fast path — target <100 ms for a point lookup on a
+    # 100k-row store, and low hundreds of ms for a 1000-value IN-list.
+    from pyspark.sql import functions as F, types as T
+
+    from lakeshack_spark.metastore import FileStatsMetastore
+
+    syn_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+        ]
+    )
+    syn_store = tempfile.mkdtemp(prefix="stress_stats_syn_")
+    ms = FileStatsMetastore(spark, syn_store, syn_schema, "k", ["ts"])
+    n_syn = ms.DRIVER_PRUNE_MAX_FILES  # exactly at the fast-path limit
+    syn_rows = spark.range(n_syn).select(
+        F.concat(F.lit("synthetic/part-"), F.col("id")).alias("filepath"),
+        F.lit(1000).cast("long").alias("num_rows"),
+        F.lit(4096).cast("long").alias("file_bytes"),
+        (F.col("id") * 1000).alias("k_min"),
+        (F.col("id") * 1000 + 999).alias("k_max"),
+        F.lit(None).cast("timestamp").alias("ts_min"),
+        F.lit(None).cast("timestamp").alias("ts_max"),
+    )
+    ms.backend.append(syn_rows, n_syn)
+    for n_vals in (1, 10, 1000):
+        in_list = list(range(0, n_syn * 1000, max(1, n_syn * 1000 // n_vals)))[
+            :n_vals
+        ]
+        t0 = time.time()
+        mapping = ms.prune(in_list)
+        dt = (time.time() - t0) * 1000
+        print(
+            f"synthetic {n_syn}-file prune, {n_vals}-value IN-list: "
+            f"{len(mapping)} files in {dt:.0f}ms"
+        )
+        assert len(mapping) == len(in_list)
+        if n_vals == 1:
+            assert dt < 1000, "point-lookup prune should be ~instant"
     spark.stop()
 
 
