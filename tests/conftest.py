@@ -24,3 +24,10 @@ def sales_fixture(tmp_path_factory):
     root = tmp_path_factory.mktemp("sales_like")
     files = generate_sales_fixture(str(root))
     return str(root), files
+
+
+@pytest.fixture(scope="session")
+def spark_for_props():
+    """Alias of the session Spark for hypothesis-driven tests (hypothesis
+    dislikes function-scoped fixtures; session scope is explicit here)."""
+    return get_spark(app_name="lakeshack_spark_tests", shuffle_partitions=8)
