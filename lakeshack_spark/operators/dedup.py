@@ -522,16 +522,38 @@ def minhash_drop_set(
     failed_docs = (
         v1.select("id_b").distinct().join(dropped1, "id_b", "left_anti")
     )
-    # Pass 2: full candidate join, but only for buckets containing a
-    # failed doc — the explosion is bounded by the failures' bucket sizes.
+    # Pass 2: candidate join only for buckets containing a failed doc —
+    # and only against SHINGLE-CLASS REPRESENTATIVES on the candidate
+    # side. An identical shingle SET (not just identical text — e.g.
+    # word-order rotations of a template under k=1) ⇒ identical minhash
+    # signature, identical buckets, and identical Jaccard against every
+    # doc, so the class's min id (which is provably also every bucket-min
+    # it appears in) stands in exactly for the whole class: (rep, b)
+    # verifies iff (any member, b) verifies, and rep < b follows from
+    # rep ≤ member < b. Without this collapse a failed doc whose bucket
+    # holds an m-doc duplicate cluster meets m candidates (measured 6.7M
+    # pairs / 28 s from 4228 failures against a planted 2000-doc cluster);
+    # with it, one per bucket — pass 2 scales with failures × distinct
+    # shingle-classes per bucket, never cluster size.
     # No broadcast hint: failures are small BY CONSTRUCTION (LSH false
     # positives), but a hint would outlive that assumption on adversarial
     # data — AQE picks broadcast from the runtime size.
     fb = banded.join(
         failed_docs.select(F.col("id_b").alias(id_col)), id_col, "left_semi"
     )
+    # \x1f joins sorted shingles unambiguously (shingles contain spaces,
+    # never control chars, under whitespace tokenization).
+    class_key = F.md5(
+        F.concat_ws("\x1f", F.array_sort(shingles_col(text_col, k))).cast("binary")
+    )
+    reps = (
+        df.groupBy(class_key.alias("__sk"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    banded_reps = banded.join(reps, id_col, "left_semi")
     rest = (
-        banded.alias("a")
+        banded_reps.alias("a")
         .join(
             fb.alias("b"),
             (F.col("a.band") == F.col("b.band"))

@@ -94,6 +94,45 @@ def main() -> None:
     )
     print(f"simhash over {n} docs in {time.time() - t0:.1f}s (checksum {checksum})")
 
+    # Adversarial pass-2 regime: LOOK-ALIKE docs sharing 8 of the
+    # cluster's 12 tokens (k=1 Jaccard 8/16 = 0.5 — always FAILS the 0.9
+    # verify) still band-collide with the cluster ~40% of the time
+    # (P = 1-(1-0.5^4)^8). Each colliding look-alike's pass-2 candidate
+    # set used to include EVERY cluster member (look_alikes × cluster
+    # pairs — the quadratic blowup sneaking back in); the shingle-class
+    # collapse reduces the whole cluster to ONE candidate, so this must
+    # stay within seconds of the clean run.
+    n_look = max(m // 10, 100)
+    look = spark.range(n_look).select(
+        (F.lit(n + 1_000_000) + F.col("id")).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.lit(t) for t in template[:8]],
+            *[
+                F.concat(F.lit(f"la{j}_"), F.col("id").cast("string"))
+                for j in range(4)
+            ],
+        ).alias("text"),
+    )
+    with_look = docs.unionByName(look).persist()
+    with_look.count()
+    t0 = time.time()
+    drops_l = dedup.minhash_drop_set(
+        with_look, num_hashes=32, bands=8, k=1, threshold=0.9
+    )
+    n_drop_l = drops_l.count()
+    dt_look = time.time() - t0
+    drops_l.unpersist()
+    with_look.unpersist()
+    print(
+        f"drop_set with {n_look} cluster look-alikes (collide, never "
+        f"verify): {n_drop_l} dropped in {dt_look:.1f}s"
+    )
+    assert n_drop_l == m - 1, f"look-alikes must not drop: {n_drop_l}"
+    assert dt_look < dt_drop * 4 + 60, (
+        f"pass-2 blowup: {dt_look:.1f}s vs clean {dt_drop:.1f}s"
+    )
+
     # Pairwise reference on a slice: cost grows ~quadratically with the
     # cluster, so time a SLICE_M-sized cluster and extrapolate.
     slice_m = 2_000
