@@ -39,8 +39,14 @@ class CleanConfig:
     #: p ≈ (1−0.9⁴)⁸ ≈ 1.9e-4 — the right recall/cost point for corpus
     #: CLEANING (the oracle-matched corpus query keeps 64/16 for its
     #: ~2e-8 proof bound); signature cost is linear in num_hashes.
+    #: k=2 (word bigrams), not k=1: unigram Jaccard is bag-of-words
+    #: identity — on a vocabulary-dense corpus it marks half the docs as
+    #: "near-dups" of each other and its mega-buckets push nearly every
+    #: doc into the pairwise fallback (measured at sf0.1: 2610 vs 243
+    #: drops, 19.5 s vs 4.0 s). Bigrams make the measure order-sensitive,
+    #: which is what near-DUPLICATE (vs same-vocabulary) means.
     minhash_cfg: dict = field(
-        default_factory=lambda: dict(num_hashes=32, bands=8, k=1)
+        default_factory=lambda: dict(num_hashes=32, bands=8, k=2)
     )
 
 

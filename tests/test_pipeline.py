@@ -33,11 +33,16 @@ def test_clean_corpus_monotone_and_deterministic(spark, docs):
 
 
 def test_clean_keep_earliest_rule(spark, docs):
-    out = clean_corpus(docs, CleanConfig())
+    cfg = CleanConfig()
+    out = clean_corpus(docs, cfg)
     kept = {r.doc_id for r in out.select("doc_id").collect()}
     from lakeshack_spark.operators import dedup
 
-    pairs = dedup.minhash_verified_pairs(docs, threshold=0.9).collect()
+    # reference pair set under the SAME minhash/shingle parameters the
+    # pipeline cleans with (k=2 bigrams, not the operator's k=1 default)
+    pairs = dedup.minhash_verified_pairs(
+        docs, threshold=cfg.jaccard_threshold, **cfg.minhash_cfg
+    ).collect()
     for p in pairs:
         # for every verified near-dup pair, the larger id must be gone
         # whenever the smaller id survived the upstream filters
