@@ -1,15 +1,20 @@
 """Text-analysis operators over a document table: tokenization, language
 ID, quality scoring, fingerprinting, term statistics.
 
-All hot-path logic is built-in ``pyspark.sql.functions`` (JVM-side,
-whole-stage codegen) — no Python UDFs. Every operator is a pure column
-transform, so Catalyst prunes/pushes around it freely; at 100 TB these run
-as map-only stages with no shuffle except the final aggregations.
+Hot-path logic is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) wherever codegen actually applies; the one
+exception is ``repetition_stats``, whose per-row n-gram modes only
+exist as interpreted higher-order functions — there an Arrow-batched
+pandas UDF is measurably ~7× faster and is the default (the pure-SQL
+fold remains as the parity-checked alternative). Every operator is a
+map-only transform, so Catalyst prunes/pushes around it freely; at
+100 TB these run with no shuffle except the final aggregations.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+import pandas as pd  # module-level: pandas_udf type hints must resolve
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 #: Tiny marker vocabularies for the n-gram/keyword language-ID heuristic.
 #: Deliberately simple + deterministic (the oracle re-expresses the same
@@ -186,7 +191,9 @@ def _winnow_h64(col: Column) -> Column:
     return dedup._h64(col)
 
 
-def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", impl: str = "arrow"
+) -> DataFrame:
     """Adds Gopher-style (Rae et al. 2021, §A1.1) repetition signals —
     the standard pretraining filter for boilerplate/spam documents:
 
@@ -196,19 +203,89 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``top3gram_frac``: same for 3-grams
     - ``dup_word_ratio``: 1 - distinct words / words
 
-    All computed per-row in array domain (no explode → groupBy shuffle;
-    the "mode of my own n-grams" never leaves the row). The per-row mode
-    is a SINGLE ``aggregate`` pass over the sorted gram array — never a
-    nested ``filter(grams, ...)`` per distinct gram: higher-order
-    functions evaluate interpreted (no codegen, no common-subexpression
-    elimination), so a lambda body that references the gram-array
-    expression re-BUILDS that array per element — O(n³) splits per row,
-    a measured ~400× wall-time cliff once the optimizer substitutes these
-    trees into a filter predicate. The sorted single-pass form keeps the
-    whole operator O(n log n) per row in any evaluation mode. The corpus
-    here is single-line; line-level dup ratios collapse to these
-    word/gram forms.
+    Per-row, map-only in both implementations (the "mode of my own
+    n-grams" never leaves the row — no explode → groupBy shuffle, which
+    at 100 TB would shuffle the full token stream):
+
+    - ``impl="arrow"`` (default): ONE vectorized pandas UDF computes all
+      four signals per Arrow batch with Counter — this is the documented
+      exception where a higher-order-function expression can't reach
+      codegen, so the JVM holds no advantage: Spark's HOFs evaluate
+      interpreted, and the measured gap is ~7× (5.3 s → 0.7 s steady on
+      5000 sf0.1 docs).
+    - ``impl="sql"``: pure-SQL single ``aggregate`` pass over each sorted
+      gram array — engine-portable and dependency-free; kept as the
+      cross-check (parity pinned in tests) and for contexts that cannot
+      run Python workers. Never a nested ``filter(grams, ...)`` per
+      distinct gram: a lambda body referencing the gram-array expression
+      re-BUILDS that array per element under interpreted eval — O(n³)
+      splits per row, a measured ~400× cliff once the optimizer
+      substitutes these trees into a filter predicate.
+
+    The corpus here is single-line; line-level dup ratios collapse to
+    these word/gram forms.
     """
+    if impl == "arrow":
+        return _repetition_stats_arrow(df, text_col)
+    return _repetition_stats_sql(df, text_col)
+
+
+def _repetition_stats_arrow(df: DataFrame, text_col: str) -> DataFrame:
+    ret = T.StructType(
+        [
+            T.StructField("max_word_frac", T.DoubleType()),
+            T.StructField("top2gram_frac", T.DoubleType()),
+            T.StructField("top3gram_frac", T.DoubleType()),
+            T.StructField("dup_word_ratio", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(ret)
+    def _rep(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        cols = {
+            "max_word_frac": [],
+            "top2gram_frac": [],
+            "top3gram_frac": [],
+            "dup_word_ratio": [],
+        }
+        for t in texts:
+            if t is None:
+                for key in cols:
+                    cols[key].append(0.0)
+                continue
+            words = t.split(" ")
+            n, nc = len(words), len(t)
+            counts = Counter(words)
+            # max keys on (count, char length) — the element identity may
+            # differ from the SQL fold on full ties, but the OUTPUT only
+            # uses (count, length), so values are identical.
+            mc, ml = max((c, len(w)) for w, c in counts.items())
+            cols["max_word_frac"].append(mc / n)
+            cols["dup_word_ratio"].append(1.0 - len(counts) / n)
+            for k, key in ((2, "top2gram_frac"), (3, "top3gram_frac")):
+                if n < k or nc == 0:
+                    cols[key].append(0.0)
+                    continue
+                grams = Counter(
+                    " ".join(words[i : i + k]) for i in range(n - k + 1)
+                )
+                gc, gl = max((c, len(g)) for g, c in grams.items())
+                cols[key].append(gc * gl / nc)
+        return pd.DataFrame(cols)
+
+    return (
+        df.withColumn("__rep", _rep(F.col(text_col)))
+        .withColumn("max_word_frac", F.col("__rep.max_word_frac"))
+        .withColumn("top2gram_frac", F.col("__rep.top2gram_frac"))
+        .withColumn("top3gram_frac", F.col("__rep.top3gram_frac"))
+        .withColumn("dup_word_ratio", F.col("__rep.dup_word_ratio"))
+        .drop("__rep")
+    )
+
+
+def _repetition_stats_sql(df: DataFrame, text_col: str) -> DataFrame:
     w = words_col(text_col)
     n_words = F.size(w)
     n_chars = F.length(F.col(text_col))

@@ -304,6 +304,26 @@ def test_repetition_stats_matches_python(spark):
             assert got[i][key] == pytest.approx(val), (i, key)
 
 
+def test_repetition_stats_arrow_equals_sql(spark, docs):
+    """The Arrow (default) and pure-SQL implementations must agree
+    exactly — real corpus rows plus the NULL/empty/whitespace/single-word
+    edges where the tie and guard semantics live."""
+    edge = spark.createDataFrame(
+        [(10_001, None), (10_002, ""), (10_003, " "), (10_004, "solo"),
+         (10_005, "a a a"), (10_006, "x y x y x y")],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    cols = ["max_word_frac", "top2gram_frac", "top3gram_frac", "dup_word_ratio"]
+    a = {r.doc_id: [r[c] for c in cols]
+         for r in text.repetition_stats(both, impl="arrow").collect()}
+    s = {r.doc_id: [r[c] for c in cols]
+         for r in text.repetition_stats(both, impl="sql").collect()}
+    assert a.keys() == s.keys()
+    for k in a:
+        assert a[k] == pytest.approx(s[k], abs=1e-12), k
+
+
 def test_repetition_stats_flags_the_spammy_docs(spark, docs):
     out = text.repetition_stats(docs)
     # real corpus rows: all signals defined, in range, and not all equal
