@@ -130,6 +130,7 @@ class Lakeshack:
         cluster_column_values: Sequence[Any] | Any,
         optional_where_clauses: Sequence[tuple[str, str, Any]] = (),
         columns: Sequence[str] | None = None,
+        batch_size: int | None = None,
         n_records_max: int | None = N_RECORDS_MAX_DEFAULT,
     ) -> DataFrame:
         """Pruned scan; returns a *lazy* DataFrame (the reference returns a
@@ -141,8 +142,13 @@ class Lakeshack:
         metastore does not index (pruning is best-effort, filtering exact —
         tests/test_lakeshack.py:265-284); ``n_records_max`` caps the result
         (exact here, soft in the reference) and defaults to the reference's
-        2,000,000 — pass ``None`` for an uncapped scan.
+        2,000,000 — pass ``None`` for an uncapped scan. ``batch_size`` is
+        accepted for signature compatibility and ignored: Spark's
+        columnar reader sizes its own batches (the reference exposes
+        pyarrow's to_batches knob to bound driver RAM; here the result is
+        lazy and never driver-materialized by default).
         """
+        del batch_size
         if not isinstance(cluster_column_values, (list, tuple)):
             cluster_column_values = [cluster_column_values]
         t0 = time.monotonic()
@@ -186,6 +192,33 @@ class Lakeshack:
         table = self.query(*args, **kwargs).toArrow()
         self.last_query_status["n_rows_returned"] = table.num_rows
         return table
+
+    def query_s3_select(
+        self,
+        cluster_column_values: Sequence[Any] | Any,
+        optional_where_clauses: Sequence[tuple[str, str, Any]] = (),
+        columns: Sequence[str] | None = None,
+        n_records_max: int | None = N_RECORDS_MAX_DEFAULT,
+        n_workers: int = 20,
+    ):
+        """Drop-in compatibility alias for the reference's second query
+        path (``Lakeshack.query_s3_select``, lakeshack/lakeshack.py:
+        303-474): same signature, same pyarrow.Table result, same
+        semantics. S3 Select is an *offload* mechanism (per-file SQL
+        pushed to storage via a thread pool), not a distinct semantic —
+        and is deprecated by AWS upstream; Spark executors reading
+        Parquet next to storage ARE the compute-near-storage path, so
+        both reference entry points collapse onto one pruned scan here.
+        ``n_workers`` is accepted for source compatibility and ignored:
+        Spark's task parallelism replaces the reference's thread pool.
+        """
+        del n_workers  # parallelism comes from the cluster, not a pool
+        return self.query_arrow(
+            cluster_column_values,
+            optional_where_clauses,
+            columns=columns,
+            n_records_max=n_records_max,
+        )
 
     def status(self) -> dict[str, Any]:
         """I/O telemetry for the most recent query: files total/candidate/

@@ -393,15 +393,25 @@ class FileStatsMetastore:
         pass."""
         return self.backend.read_df().dropDuplicates(["filepath"])
 
-    def update(self, parquet_file_or_dir: str | Sequence[str]) -> int:
+    def update(
+        self,
+        parquet_file_or_dir: str | Sequence[str],
+        filesystem: Any = None,
+        n_workers: int | None = None,
+    ) -> int:
         """Idempotent ingest: discover files → distributed footer reads →
         anti-join against already-ingested filepaths → append.
 
         Returns the number of newly ingested files. Replaces the reference's
         ThreadPool + read-then-insert (lakeshack/metastore.py:206-276) with
         an executor fan-out and a left-anti join, so concurrent/incremental
-        updates stay metadata-only at any file count.
+        updates stay metadata-only at any file count. ``filesystem`` and
+        ``n_workers`` are accepted for reference signature compatibility
+        (lakeshack/metastore.py:206-211) and ignored: filesystems resolve
+        from the path's URI scheme, and the executor fan-out replaces the
+        thread pool.
         """
+        del filesystem, n_workers
         roots = (
             [parquet_file_or_dir]
             if isinstance(parquet_file_or_dir, str)
@@ -715,6 +725,16 @@ class FileStatsMetastore:
     ) -> list[str]:
         """Just the surviving file list, sorted."""
         return sorted(self.prune(cluster_column_values, optional_where_clauses))
+
+    def query(
+        self,
+        cluster_column_values: Sequence[Any] | Any,
+        optional_where_clauses: Sequence[tuple[str, str, Any]] = (),
+    ) -> dict[str, list[Any]]:
+        """Drop-in compatibility alias for the reference's
+        ``Metastore.query`` (lakeshack/metastore.py:414-481): identical
+        name, arguments, and ``{filepath: [matching values]}`` result."""
+        return self.prune(cluster_column_values, optional_where_clauses)
 
     def prune_files_with_summary(
         self,

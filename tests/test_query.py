@@ -190,3 +190,17 @@ def test_query_telemetry_full_scan_and_reset(shack):
     assert st["n_rows_candidate"] == 1000
     assert "n_rows_returned" not in st
     assert df.count() == 1000
+
+
+def test_reference_api_compatibility(shack):
+    """A user of the reference can call the same entry points with the
+    same signatures: query_s3_select (collapses onto the pruned scan),
+    batch_size on query (accepted, advisory), Metastore.query (the
+    prune mapping), and update's filesystem/n_workers."""
+    via_s3sel = shack.query_s3_select("a9", n_workers=50)
+    via_arrow = shack.query_arrow("a9")
+    assert via_s3sel.num_rows == via_arrow.num_rows == 9
+    assert shack.query("a9", batch_size=1024).count() == 9
+    ms = shack.metastore
+    assert ms.query(["00"]) == ms.prune(["00"]) != {}
+    assert ms.update(shack.data_path, filesystem=None, n_workers=8) == 0
