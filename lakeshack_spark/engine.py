@@ -96,6 +96,11 @@ class Lakeshack:
             if not sample:
                 raise ValueError(f"no parquet files under {data_path!r}")
             schema = self.spark.read.parquet(sample[0]).schema
+        else:
+            # accept a pyarrow.Schema too (what a reference user holds)
+            from lakeshack_spark.metastore import as_spark_schema
+
+            schema = as_spark_schema(schema)
         self.schema = schema
         self.cluster_column = cluster_column
         self.store_path = store_path or f"{data_path.rstrip('/')}/_lakeshack_stats"

@@ -42,6 +42,23 @@ logger = logging.getLogger(__name__)
 PRUNE_OPS = (">=", ">", "=", "==", "<", "<=")
 
 
+def as_spark_schema(schema: Any) -> T.StructType:
+    """Accept either a Spark StructType or a pyarrow.Schema (what a
+    reference user holds — ``dataset.schema``, lakeshack/metastore.py's
+    constructor input) and return a StructType."""
+    if isinstance(schema, T.StructType):
+        return schema
+    import pyarrow as pa
+
+    if isinstance(schema, pa.Schema):
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return from_arrow_schema(schema)
+    raise TypeError(
+        f"schema must be a StructType or pyarrow.Schema, got {type(schema)}"
+    )
+
+
 def _spark_stat_type(dtype: T.DataType) -> T.DataType | None:
     """Spark type used to *store* min/max for a data column of ``dtype``.
 
@@ -274,6 +291,7 @@ class FileStatsMetastore:
     ) -> None:
         self.spark = spark
         self.store_path = store_path
+        schema = as_spark_schema(schema)
         self.data_schema = schema
         self.cluster_column = cluster_column
         field_types = {f.name: f.dataType for f in schema.fields}

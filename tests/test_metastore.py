@@ -503,3 +503,17 @@ def test_concurrent_update_duplicate_rows_deduped(spark, sales_fixture, tmp_path
     os.remove(os.path.join(lake, os.path.basename(kept[0])))
     ms.update(lake)
     assert ms.backend.read_df().count() == 9
+
+
+def test_constructor_accepts_pyarrow_schema(spark, sales_fixture, tmp_path_factory):
+    """Reference users hold pyarrow schemas (``dataset.schema`` is what
+    the reference's Metastore constructor takes) — both constructors
+    accept one and behave identically to the StructType path."""
+    import pyarrow.parquet as pq
+
+    root, files = sales_fixture
+    pa_schema = pq.ParquetFile(files[0]).schema_arrow
+    store = _store_path(tmp_path_factory, "stats_pa_schema", "parquet")
+    ms = FileStatsMetastore(spark, store, pa_schema, "id", ["timestamp"])
+    assert ms.update(root) == 10
+    assert len(ms.query(TEN_IDS)) == 10
