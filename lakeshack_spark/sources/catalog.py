@@ -39,15 +39,16 @@ def normalize_events(df: DataFrame) -> DataFrame:
     """
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
-        # µs flavor: exact integer epoch math (unix_micros is a long);
-        # NTZ walls are UTC instants under the session's UTC timezone,
-        # matching DuckDB's epoch_ns on the same naive value.
-        df = df.withColumn(
-            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        # µs flavor: ts_utc IS the source value; ts derives from it with
+        # exact integer epoch math (unix_micros is a long). NTZ walls are
+        # UTC instants under the session's UTC timezone, matching
+        # DuckDB's epoch_ns on the same naive value.
+        return df.withColumn("ts_utc", F.col("ts").cast("timestamp")).withColumn(
+            "ts", F.unix_micros(F.col("ts_utc")) * F.lit(1000)
         )
-    # Exact integer division: nanos epoch values (~1.7e18) exceed
-    # double's 2^53 range, so `(ts / 1000).cast("long")` could be off
-    # by 1 µs near boundaries.
+    # nanos-long flavor. Exact integer division: nanos epoch values
+    # (~1.7e18) exceed double's 2^53 range, so `(ts / 1000).cast("long")`
+    # could be off by 1 µs near boundaries.
     return df.withColumn("ts_utc", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -38,8 +38,27 @@ logger = logging.getLogger(__name__)
 
 
 def make_backend(spark: SparkSession, store_path: str) -> "StatsBackend":
-    """Pick a backend from the store path: ``*.duckdb`` → DuckDB file,
-    anything else → Parquet directory."""
+    """Pick a backend from the store path: ``*.duckdb`` (or a
+    ``duckdb:///`` URL) → DuckDB file, anything else → Parquet directory.
+
+    Reference users pass SQLAlchemy store URLs (``sqlite:///stats.db``,
+    lakeshack/metastore.py:79-98); an unsupported dialect raises with the
+    supported equivalent spelled out rather than silently creating a
+    Parquet directory named like a URL."""
+    if store_path.startswith("duckdb://"):
+        # SQLAlchemy URL convention: three slashes = relative path, four
+        # = absolute — i.e. strip exactly one separator slash.
+        rest = store_path[len("duckdb://"):]
+        store_path = rest[1:] if rest.startswith("/") else rest
+        return DuckDBStatsBackend(spark, store_path)
+    if "://" in store_path:
+        scheme = store_path.split("://", 1)[0]
+        if scheme in ("sqlite", "postgresql", "mysql", "mssql", "oracle"):
+            raise ValueError(
+                f"RDBMS store URL {store_path!r} is not supported; the "
+                "single-file RDBMS-backed store here is DuckDB — pass a "
+                "path ending in .duckdb (or a duckdb:/// URL) instead"
+            )
     if store_path.endswith(".duckdb"):
         return DuckDBStatsBackend(spark, store_path)
     return ParquetStatsBackend(spark, store_path)

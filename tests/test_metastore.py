@@ -517,3 +517,19 @@ def test_constructor_accepts_pyarrow_schema(spark, sales_fixture, tmp_path_facto
     ms = FileStatsMetastore(spark, store, pa_schema, "id", ["timestamp"])
     assert ms.update(root) == 10
     assert len(ms.query(TEN_IDS)) == 10
+
+
+def test_store_url_handling(spark, sales_fixture, tmp_path_factory):
+    """Reference-style store URLs: duckdb:///(/abs)path selects the
+    DuckDB backend with SQLAlchemy slash conventions; an unsupported
+    RDBMS dialect raises with the supported spelling named."""
+    from lakeshack_spark.stats_backends import DuckDBStatsBackend, make_backend
+
+    db = str(tmp_path_factory.mktemp("stats_url") / "s.duckdb")
+    be = make_backend(spark, f"duckdb:///{db.lstrip('/')}")  # rel form
+    assert isinstance(be, DuckDBStatsBackend)
+    be_abs = make_backend(spark, f"duckdb:////{db.lstrip('/')}")
+    assert isinstance(be_abs, DuckDBStatsBackend)
+    assert be_abs.db_path == db
+    with pytest.raises(ValueError, match="duckdb"):
+        make_backend(spark, "sqlite:///sales.db")
