@@ -287,3 +287,35 @@ def test_hygiene_prefix_is_streaming_compatible(spark, tmp_path_factory):
     want = sorted(tuple(r) for r in prefix(batch).collect())
     assert sorted(tuple(r) for r in got.collect()) == want
     assert len(want) > 0
+
+
+def test_normalize_events_both_physical_flavors_agree(spark, tmp_path_factory):
+    """The driver has shipped events.ts as TIMESTAMP(NANOS) (r1-r3) and
+    TIMESTAMP(MICROS) (r4). Both flavors of the same instants must
+    normalize to identical (ts nanos-long, ts_utc) columns — the nanos
+    branch no longer has real testdata, so it is pinned on a synthesized
+    file here."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("events_flavors")
+    us_vals = [1_700_000_000_000_000 + i * 1_234_567 for i in range(50)]
+    ids = list(range(50))
+    pq.write_table(
+        pa.table({"event_id": pa.array(ids, pa.int64()),
+                  "ts": pa.array(us_vals, pa.timestamp("us"))}),
+        str(d / "micros.parquet"),
+    )
+    pq.write_table(
+        pa.table({"event_id": pa.array(ids, pa.int64()),
+                  "ts": pa.array([v * 1000 for v in us_vals], pa.timestamp("ns"))}),
+        str(d / "nanos.parquet"),
+    )
+    micros = normalize_events(spark.read.parquet(str(d / "micros.parquet")))
+    nanos = normalize_events(spark.read.parquet(str(d / "nanos.parquet")))
+    # nanos flavor must have come through the nanosAsLong long branch
+    assert dict(nanos.drop("ts_utc").dtypes)["ts"] == "bigint"
+    m = {r.event_id: (r.ts, r.ts_utc) for r in micros.collect()}
+    n = {r.event_id: (r.ts, r.ts_utc) for r in nanos.collect()}
+    assert m == n
+    assert m[0][0] == us_vals[0] * 1000
