@@ -147,7 +147,13 @@ class Lakeshack:
         metastore does not index (pruning is best-effort, filtering exact —
         tests/test_lakeshack.py:265-284); ``n_records_max`` caps the result
         (exact here, soft in the reference) and defaults to the reference's
-        2,000,000 — pass ``None`` for an uncapped scan. ``batch_size`` is
+        2,000,000 — pass ``None`` for an uncapped scan. When the cap
+        BINDS, the surviving subset is arbitrary (no ORDER BY — the same
+        semantics as the reference's batch-iteration-order cap,
+        lakeshack/lakeshack.py:504-507): a capped result is a safety
+        valve, not a top-k; use an explicit sort + limit for that. The
+        oracle-checked corpus queries never bind it (their results are
+        far below the cap at every tested scale). ``batch_size`` is
         accepted for signature compatibility and ignored: Spark's
         columnar reader sizes its own batches (the reference exposes
         pyarrow's to_batches knob to bound driver RAM; here the result is

@@ -148,15 +148,35 @@ def _footer_stats_for_files(
     ``Metastore._get_min_max`` (lakeshack/metastore.py:307-337). Columns with
     missing statistics get NULL min/max (the file then always survives
     pruning for predicates on that column — safe, just not skippable).
-    ``file_bytes`` is captured here, while the footer is already open, so
-    per-query byte telemetry is a column sum over the store instead of one
-    filesystem stat per candidate file per query.
+    ``file_bytes`` is captured here from the SAME open handle that serves
+    the footer read (``NativeFile.size()`` — no second filesystem stat),
+    so per-query byte telemetry is a column sum over the store instead of
+    one filesystem stat per candidate file per query. Filesystem objects
+    are resolved once per scheme per partition, not per file.
     """
-    import pyarrow.parquet as pq  # local import: runs on executors
+    import pyarrow.fs as pafs  # local imports: run on executors
+    import pyarrow.parquet as pq
+
+    fs_cache: dict[str, Any] = {}
+
+    def open_with_size(path: str):
+        p = _arrow_path(path)
+        scheme = p.split("://", 1)[0] if "://" in p else ""
+        fs = fs_cache.get(scheme)
+        if fs is None:
+            fs = (
+                pafs.FileSystem.from_uri(p)[0]
+                if scheme
+                else pafs.LocalFileSystem()
+            )
+            fs_cache[scheme] = fs
+        rel = p.split("://", 1)[1] if scheme else p
+        handle = fs.open_input_file(rel)
+        return pq.ParquetFile(handle), handle.size()
 
     for filepath in filepaths:
         try:
-            pf = pq.ParquetFile(_arrow_path(filepath))
+            pf, n_bytes = open_with_size(filepath)
         except Exception as exc:  # non-parquet / unreadable: skip with a log
             logger.warning("skipping unreadable file %s: %s", filepath, exc)
             continue
@@ -165,7 +185,7 @@ def _footer_stats_for_files(
         row: dict[str, Any] = {
             "filepath": filepath,
             "num_rows": md.num_rows,
-            "file_bytes": _file_size(filepath),
+            "file_bytes": n_bytes,
         }
         for col in columns:
             cmin = cmax = None
@@ -425,11 +445,19 @@ class FileStatsMetastore:
         an executor fan-out and a left-anti join, so concurrent/incremental
         updates stay metadata-only at any file count. ``filesystem`` and
         ``n_workers`` are accepted for reference signature compatibility
-        (lakeshack/metastore.py:206-211) and ignored: filesystems resolve
-        from the path's URI scheme, and the executor fan-out replaces the
-        thread pool.
+        (lakeshack/metastore.py:206-211); ``n_workers`` is ignored (the
+        executor fan-out replaces the thread pool) and a non-None
+        ``filesystem`` warns loudly — filesystems resolve from the path's
+        URI scheme here, so credentials/endpoints carried on a passed
+        object do NOT apply and must be ambient (env/instance profile).
         """
-        del filesystem, n_workers
+        del n_workers
+        if filesystem is not None:
+            logger.warning(
+                "update(filesystem=...) is ignored: filesystems resolve "
+                "from the URI scheme; credentials carried on the passed "
+                "object do not apply — configure them ambiently"
+            )
         roots = (
             [parquet_file_or_dir]
             if isinstance(parquet_file_or_dir, str)
@@ -449,7 +477,20 @@ class FileStatsMetastore:
                 for r in _footer_stats_for_files(part, tracked)
             )
         )
-        new_stats = self.spark.createDataFrame(rows_rdd, schema)
+        new_stats = self.spark.createDataFrame(rows_rdd, schema).persist()
+        # Unreadable files are skipped executor-side with per-file logs; a
+        # PARTIAL index must also be loud at the summary level — silently
+        # indexing 0 of N files (bad credentials, wrong endpoint) would
+        # surface only as empty query results.
+        n_read = new_stats.count()
+        if n_read < len(files):
+            logger.warning(
+                "indexed footer stats for only %d of %d discovered files "
+                "(unreadable files were skipped — see executor warnings); "
+                "queries will not see the missing files' rows",
+                n_read,
+                len(files),
+            )
         existing = self.stats_df().select("filepath")
         fresh = new_stats.join(existing, "filepath", "left_anti")
         fresh = fresh.persist()
@@ -457,6 +498,7 @@ class FileStatsMetastore:
         if n_new:
             self.backend.append(fresh, n_new)
         fresh.unpersist()
+        new_stats.unpersist()
         self.backend.maybe_compact()
         return n_new
 
@@ -609,18 +651,23 @@ class FileStatsMetastore:
             if col not in self.tracked_columns:
                 continue  # untracked column: cannot prune, scan still filters
             lo, hi = table.column(f"{col}_min"), table.column(f"{col}_max")
+            # pa.scalar WITHOUT a forced type: casting 10.5 to an int64
+            # stat column would TRUNCATE to 10 and silently over-prune
+            # (x_min=10 under `< 10.5` must be kept); Arrow's comparison
+            # kernels promote mixed numeric operands instead, matching
+            # the Python and Spark paths.
+            sv = pa.scalar(value)
             if op == ">=":
-                cond = pc.greater_equal(hi, pa.scalar(value, type=hi.type))
+                cond = pc.greater_equal(hi, sv)
             elif op == ">":
-                cond = pc.greater(hi, pa.scalar(value, type=hi.type))
+                cond = pc.greater(hi, sv)
             elif op == "<=":
-                cond = pc.less_equal(lo, pa.scalar(value, type=lo.type))
+                cond = pc.less_equal(lo, sv)
             elif op == "<":
-                cond = pc.less(lo, pa.scalar(value, type=lo.type))
+                cond = pc.less(lo, sv)
             else:  # "=", "=="
                 cond = pc.and_kleene(
-                    pc.less_equal(lo, pa.scalar(value, type=lo.type)),
-                    pc.greater_equal(hi, pa.scalar(value, type=hi.type)),
+                    pc.less_equal(lo, sv), pc.greater_equal(hi, sv)
                 )
             # NULL stats always keep the file (interval_keeps): the
             # is_null disjuncts absorb the NULL comparison results under
@@ -648,8 +695,8 @@ class FileStatsMetastore:
         else:
             for v in values:
                 contained = pc.and_kleene(
-                    pc.less_equal(lo_c, pa.scalar(v, type=lo_c.type)),
-                    pc.greater_equal(hi_c, pa.scalar(v, type=hi_c.type)),
+                    pc.less_equal(lo_c, pa.scalar(v)),
+                    pc.greater_equal(hi_c, pa.scalar(v)),
                 )
                 value_masks.append(np_mask(pc.or_kleene(either_null, contained)))
 
@@ -811,8 +858,12 @@ class FileStatsMetastore:
                     seen[p] = (n, fb[i] if fb is not None else None)
             n_total = len(seen)
             rows_cand = sum(n for p, (n, _b) in seen.items() if p in cand)
-            bytes_cand = sum(
-                b for p, (_n, b) in seen.items() if p in cand and b is not None
+            cand_bytes = [b for p, (_n, b) in seen.items() if p in cand]
+            # None means UNKNOWN, never a partial sum: a candidate whose
+            # size could not be determined at ingest would silently
+            # under-report the "upper I/O bound" otherwise.
+            bytes_cand = (
+                None if any(b is None for b in cand_bytes) else sum(cand_bytes)
             )
         else:
             row = self.stats_df().agg(
@@ -824,14 +875,21 @@ class FileStatsMetastore:
                 ).alias("rc"),
                 F.sum(
                     F.when(
-                        F.col("filepath").isin(list(cand)),
-                        F.coalesce(F.col("file_bytes"), F.lit(0)),
+                        F.col("filepath").isin(list(cand)), F.col("file_bytes")
                     ).otherwise(F.lit(0))
                 ).alias("bc"),
+                F.sum(
+                    F.when(
+                        F.col("filepath").isin(list(cand))
+                        & F.col("file_bytes").isNull(),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ).alias("nulls"),
             ).collect()[0]
             n_total = row["n"] or 0
             rows_cand = row["rc"] or 0
-            bytes_cand = row["bc"] or 0
+            # None means UNKNOWN (see driver-side branch)
+            bytes_cand = None if (row["nulls"] or 0) > 0 else (row["bc"] or 0)
         return {
             "n_files_total": n_total,
             "n_files_candidate": len(cand),

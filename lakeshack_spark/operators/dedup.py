@@ -541,13 +541,31 @@ def minhash_drop_set(
     fb = banded.join(
         failed_docs.select(F.col("id_b").alias(id_col)), id_col, "left_semi"
     )
-    # \x1f joins sorted shingles unambiguously (shingles contain spaces,
-    # never control chars, under whitespace tokenization).
+    # Class key = md5 over the sorted PER-SHINGLE md5s: hex digests are
+    # fixed-alphabet, so the comma join cannot collide however weird the
+    # tokens are (a raw-text join with any separator is ambiguous the
+    # moment a token contains it). An md5 collision merging two classes
+    # is the only residual failure mode — negligible vs the constructible
+    # separator ambiguity.
     class_key = F.md5(
-        F.concat_ws("\x1f", F.array_sort(shingles_col(text_col, k))).cast("binary")
+        F.concat_ws(
+            ",", F.array_sort(F.transform(shingles_col(text_col, k), F.md5))
+        ).cast("binary")
+    )
+    # Compute class reps only over docs that share a bucket with a failed
+    # doc — pass 2's only audience. Members of one class occupy identical
+    # buckets, so if any member is in a failed bucket the class's GLOBAL
+    # min is too: the restricted min equals the global min, exactly. With
+    # zero failures this whole branch aggregates nothing.
+    fb_buckets = fb.select("band", "bucket").distinct()
+    cand_docs = (
+        banded.join(fb_buckets, ["band", "bucket"], "left_semi")
+        .select(id_col)
+        .distinct()
     )
     reps = (
-        df.groupBy(class_key.alias("__sk"))
+        df.join(cand_docs, id_col, "left_semi")
+        .groupBy(class_key.alias("__sk"))
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )

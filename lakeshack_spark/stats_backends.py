@@ -299,18 +299,10 @@ class DuckDBStatsBackend(StatsBackend):
     def _strip_tz(table: "pa.Table") -> "pa.Table":
         """Spark's toArrow stamps TimestampType as timestamp[us, UTC];
         drop the zone (values are already UTC instants) so DuckDB stores
-        plain TIMESTAMP."""
-        import pyarrow as pa
+        plain TIMESTAMP. Shares the metastore's vectorized normalizer."""
+        from lakeshack_spark.metastore import _strip_arrow_tz
 
-        fields = []
-        changed = False
-        for f in table.schema:
-            if isinstance(f.type, pa.TimestampType) and f.type.tz is not None:
-                fields.append(pa.field(f.name, pa.timestamp(f.type.unit)))
-                changed = True
-            else:
-                fields.append(f)
-        return table.cast(pa.schema(fields)) if changed else table
+        return _strip_arrow_tz(table)
 
     # -- contract
 

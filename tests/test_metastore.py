@@ -533,3 +533,47 @@ def test_store_url_handling(spark, sales_fixture, tmp_path_factory):
     assert be_abs.db_path == db
     with pytest.raises(ValueError, match="duckdb"):
         make_backend(spark, "sqlite:///sales.db")
+
+
+def test_fractional_clause_value_on_integer_column_does_not_overprune(
+    spark, tmp_path_factory
+):
+    """Regression: the vectorized pruner must NOT cast a fractional
+    clause value to an integer stat column (pa.scalar(10.5, int64)
+    truncates to 10 — a file with x_min=10 under `x < 10.5` would be
+    silently pruned while the scan filter keeps its rows). Driver fast
+    path, distributed path, and interval_keeps must all agree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakeshack_spark.metastore import interval_keeps
+
+    root = tmp_path_factory.mktemp("frac_lake")
+    # file A: k in [0,5], x in [10, 20]; file B: k in [6,9], x in [30, 40]
+    pq.write_table(
+        pa.table({"k": pa.array([0, 5], pa.int64()), "x": pa.array([10, 20], pa.int64())}),
+        str(root / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": pa.array([6, 9], pa.int64()), "x": pa.array([30, 40], pa.int64())}),
+        str(root / "b.parquet"),
+    )
+    schema = spark.read.parquet(str(root / "a.parquet")).schema
+    ms = FileStatsMetastore(
+        spark, str(tmp_path_factory.mktemp("frac_stats")), schema, "k", ["x"]
+    )
+    assert ms.update(str(root)) == 2
+    cases = [("<", 10.5), ("<=", 10.5), (">", 39.5), (">=", 39.5), ("=", 20.0)]
+    for op, val in cases:
+        fast = ms.prune(list(range(10)), [("x", op, val)])
+        old = ms.DRIVER_PRUNE_MAX_FILES
+        ms.DRIVER_PRUNE_MAX_FILES = 0
+        try:
+            slow = ms.prune(list(range(10)), [("x", op, val)])
+        finally:
+            ms.DRIVER_PRUNE_MAX_FILES = old
+        assert fast == slow, (op, val)
+    # the concrete truncation scenario: x < 10.5 must keep file A
+    kept = ms.prune(list(range(10)), [("x", "<", 10.5)])
+    assert any("a.parquet" in p for p in kept), kept
+    assert interval_keeps("<", 10, 20, 10.5)

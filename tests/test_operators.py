@@ -631,3 +631,20 @@ def test_minhash_drop_set_releases_caches(spark, docs):
     # exactly one new persisted plan: the returned drop set itself
     assert n_after - n_before <= 1
     drops.unpersist()
+
+
+def test_drop_set_class_key_immune_to_separator_tokens(spark):
+    """Docs whose tokens contain would-be separator bytes must not merge
+    into one shingle class: 'a\\x1fb' (one token) and 'a b' (two tokens)
+    have different shingle sets, and a near-dup of the latter must still
+    drop via its class rep."""
+    rows = [
+        (0, "a\x1fb"),          # single weird token
+        (1, "a b"),              # two tokens — different class than 0
+        (2, "a b"),              # exact dup of 1 → must drop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    drops = dedup.minhash_drop_set(df, num_hashes=16, bands=4, k=1, threshold=0.9)
+    got = sorted(r["doc_id"] for r in drops.collect())
+    drops.unpersist()
+    assert got == [2], got
