@@ -2,6 +2,7 @@ from lakeshack_spark.streaming.ingest import stream_ingest_clustered
 from lakeshack_spark.streaming.stateful import running_user_stats
 from lakeshack_spark.streaming.windows import (
     dedup_within_watermark,
+    near_dedup_within_watermark,
     session_window_stats,
     tumbling_window_stats,
 )
@@ -11,5 +12,6 @@ __all__ = [
     "tumbling_window_stats",
     "session_window_stats",
     "dedup_within_watermark",
+    "near_dedup_within_watermark",
     "running_user_stats",
 ]

@@ -91,3 +91,38 @@ def dedup_within_watermark(
             keys
         )
     return events.dropDuplicates(keys)
+
+
+def near_dedup_within_watermark(
+    docs: DataFrame,
+    text_col: str = "text",
+    time_col: str = "ts_utc",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming NEAR-dedup: drop documents whose 64-bit simhash
+    fingerprint repeats within the watermark horizon — the streaming twin
+    of the batch near-dedup family, for ingest-time boilerplate/mirror
+    suppression.
+
+    Scope is deliberately conservative: the dedup key is fingerprint
+    EQUALITY (hamming 0 — identical or near-identical token sets), not a
+    hamming-radius match. Radius search needs a candidate join
+    (simhash_near_pairs' pigeonhole segments), and keying the stateful
+    dedup on individual segments instead would OVER-drop: two docs
+    sharing one 16-bit segment are usually unrelated. Map-only signal +
+    built-in stateful dedup, so state is one row per distinct fingerprint
+    inside the horizon and is evicted as the watermark passes; full-recall
+    near-dedup (Jaccard-verified, cluster-wide) remains the batch
+    ``minhash_drop_set`` compaction pass over landed data.
+
+    Batch twin (pinned stream ≡ batch in tests): one row per distinct
+    fingerprint, earliest arrival kept.
+    """
+    from lakeshack_spark.operators.dedup import simhash
+
+    with_fp = simhash(docs, text_col)
+    if with_fp.isStreaming:
+        return with_fp.withWatermark(
+            time_col, watermark
+        ).dropDuplicatesWithinWatermark(["simhash"])
+    return with_fp.dropDuplicates(["simhash"])

@@ -319,3 +319,53 @@ def test_normalize_events_both_physical_flavors_agree(spark, tmp_path_factory):
     n = {r.event_id: (r.ts, r.ts_utc) for r in nanos.collect()}
     assert m == n
     assert m[0][0] == us_vals[0] * 1000
+
+
+def test_near_dedup_within_watermark_stream_matches_batch(spark, tmp_path_factory):
+    """Streaming near-dedup (simhash-keyed stateful dedup) keeps exactly
+    one doc per distinct fingerprint, row-for-row equal to the batch twin:
+    near-identical docs (reordered token sets) collapse, distinct docs
+    survive."""
+    from lakeshack_spark.streaming import near_dedup_within_watermark
+
+    rows = []
+    base = 1_700_000_000_000_000
+    for i in range(40):
+        if i % 4 == 0:
+            text = "alpha beta gamma delta"          # cluster A (identical set)
+        elif i % 4 == 1:
+            text = "delta gamma beta alpha"          # cluster A reordered
+        else:
+            text = f"unique{i} tokens here now {i}"  # distinct
+        rows.append((i, text, base + i * 1_000_000))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("near_dedup_stream")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        ),
+        str(d / "docs.parquet"),
+    )
+    batch = normalize_events(spark.read.parquet(str(d)))
+    want = sorted(
+        r["simhash"] for r in near_dedup_within_watermark(batch).collect()
+    )
+    # cluster A (20 docs, one fingerprint) + 20 distinct docs
+    assert len(want) == 21
+    stream = normalize_events(
+        spark.readStream.schema(spark.read.parquet(str(d)).schema).parquet(str(d))
+    )
+    got_df = _run_stream_to_memory(
+        spark,
+        near_dedup_within_watermark(stream, watermark="10 days"),
+        "near_dedup_mem",
+        "append",
+    )
+    got = sorted(r["simhash"] for r in got_df.collect())
+    assert got == want
