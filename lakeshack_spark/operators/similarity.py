@@ -39,6 +39,40 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_d(a, b) / (norm_d(a) * norm_d(b))
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-stage per-query top-k over (query_id, neighbor_id, cosine) rows.
+
+    Stage 1 ranks within (query_id, input-partition) and keeps only the k
+    best rows per partition per query, so the global stage 2 window ranks
+    at most k × #partitions rows per query instead of ALL scored rows.
+    Without it, ``Window.partitionBy("query_id")`` ships every scored
+    candidate for a query to ONE reducer task — with a handful of queries
+    at cluster scale the entire scored set funnels through that many
+    tasks. Stage 1's shuffle moves the same row volume but across
+    #queries × #partitions keys (full parallelism), and stage 2's shuffle
+    is tiny.
+
+    Hash-identical to the single-window form: the per-partition winners
+    are a superset of the global top k (any global top-k row is top-k
+    within its own partition), and stage 2 re-ranks with the same total
+    order — (cosine desc, neighbor_id asc) with the unique neighbor_id
+    tiebreak — so the result does not depend on partition boundaries even
+    though ``spark_partition_id`` does.
+    """
+    order = [F.col("cosine").desc(), F.col("neighbor_id").asc()]
+    wpart = Window.partitionBy("query_id", "__part").orderBy(*order)
+    pruned = (
+        scored.withColumn("__part", F.spark_partition_id())
+        .withColumn("__prank", F.row_number().over(wpart))
+        .filter(F.col("__prank") <= k)
+        .drop("__part", "__prank")
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return pruned.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -67,13 +101,7 @@ def cosine_topk(
             cosine_col(F.col("__qv"), F.col("__cv")).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 def cosine_topk_pandas(
@@ -126,12 +154,7 @@ def cosine_topk_pandas(
         .mapInPandas(score, out_schema)
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return _topk_per_query(scored, k)
 
 
 def embedding_near_dup_pairs(
@@ -332,13 +355,7 @@ def ivf_topk(
             cosine_col(F.col("__qv"), F.col("__cv")).alias("cosine"),
         )
     )
-    wk = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(wk))
-        .filter(F.col("rank") <= k)
-    )
+    return _topk_per_query(scored, k)
 
 
 # ------------------------------------------------- sign-random-projection

@@ -140,6 +140,20 @@ def test_q18_aggregates_lineitem_below_the_join(spark):
     assert join_at < agg_at, plan
 
 
+def test_topk_window_is_two_stage(spark):
+    """Per-query top-k must not collapse ranking parallelism to #queries:
+    a partial row_number over (query_id, input-partition) prunes each
+    partition to k rows per query BEFORE the global per-query window, so
+    the final window ranks ≤ k × #partitions rows per query instead of
+    every scored candidate. Asserted for both the brute-force and IVF
+    entries: two Window nodes, the partial one keyed by the
+    spark_partition_id column."""
+    for name in ("cosine_topk_bruteforce", "ivf_topk_full_probe"):
+        plan = plans.explain_str(q(name, spark))
+        assert plan.count("Window") >= 2, (name, plan)
+        assert "__part" in plan and "__prank" in plan, (name, plan)
+
+
 def test_join_broadcast_dim_is_aqe_choice_not_hint(spark):
     """join_broadcast_dim carries NO broadcast hint (the MACHINERY slice
     of customer grows with the dataset — a hard hint is an OOM at 100×);
