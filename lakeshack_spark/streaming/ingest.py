@@ -72,14 +72,22 @@ def stream_ingest_clustered(
         # idempotent commits end-to-end, since the metastore update
         # anti-joins on filepath. (Deliberately not `batch=<id>`: an
         # equals-sign dir would be Hive-partition-inferred on reads.)
+        batch_dir = f"{shack.data_path.rstrip('/')}/batch-{batch_id:05d}"
         cluster_write(
             batch_df,
-            f"{shack.data_path.rstrip('/')}/batch-{batch_id:05d}",
+            batch_dir,
             shack.cluster_column,
             n_files=n_files,
             mode="overwrite",
         )
-        shack.update_metastore()
+        # Index only THIS batch's directory: a bare update_metastore()
+        # would re-list and anti-join the ENTIRE dataset every micro-batch
+        # — O(accumulated files) per batch, a listing-bound stall once
+        # millions of files pile up. The per-batch dir is unique, so the
+        # targeted update is O(batch) and stays idempotent on replay (the
+        # anti-join still guards re-inserts). Full-dataset reconciliation
+        # remains the compaction branch's job.
+        shack.update_metastore(batch_dir)
         if compact_every is not None and (batch_id + 1) % compact_every == 0:
             from lakeshack_spark.maintenance import compact
 

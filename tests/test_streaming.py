@@ -235,6 +235,59 @@ def test_stream_ingest_multibatch_with_compaction(spark, tmp_path_factory):
     assert len(shack.candidate_files([5])) == 1
 
 
+def test_stream_ingest_lists_only_batch_files(spark, tmp_path_factory, monkeypatch):
+    """Per-batch index updates must be O(batch), not O(dataset): each
+    micro-batch passes its own batch dir to update_metastore, so the file
+    listing touches ONLY that batch's files — a bare update_metastore()
+    would re-list and anti-join every accumulated file per batch (at
+    millions of files, a listing-bound stall). Asserted by monkeypatching
+    the listing function (the r4 zero-FS-calls telemetry technique)."""
+    import lakeshack_spark.metastore as ms
+
+    landing = tmp_path_factory.mktemp("landing_scope")
+    data_dir = str(tmp_path_factory.mktemp("lake_scope"))
+    orders = load_table(spark, SF, "orders")
+    for i in range(3):
+        orders.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / f"slice{i}"))
+    shack = Lakeshack(
+        spark, data_dir, "o_custkey",
+        store_path=str(tmp_path_factory.mktemp("stats_scope")),
+        schema=orders.schema,
+    )
+    calls: list[tuple[str, list[str]]] = []
+    real_list = ms.list_parquet_files
+
+    def recording_list(path, *a, **kw):
+        files = real_list(path, *a, **kw)
+        calls.append((str(path), files))
+        return files
+
+    monkeypatch.setattr(ms, "list_parquet_files", recording_list)
+    q = stream_ingest_clustered(
+        spark,
+        f"{landing}/*",
+        shack,
+        checkpoint_dir=str(tmp_path_factory.mktemp("ckpt_scope")),
+        max_files_per_trigger=1,
+        available_now=True,
+    )
+    q.awaitTermination(240)
+    monkeypatch.undo()
+
+    assert shack.query(list(range(1500))).count() == orders.count()
+    # the listing helper also serves the stats store's own directory —
+    # only listings under the DATA path are ingest-scoped
+    data_calls = [(p, f) for p, f in calls if p.startswith(data_dir)]
+    assert len(data_calls) >= 3  # one targeted listing per micro-batch
+    for path, files in data_calls:
+        assert "/batch-" in path, f"listing walked the whole dataset: {path}"
+        assert files and all(f.startswith(path) for f in files), (path, files)
+    # and the 3 batch listings each saw a DIFFERENT batch dir
+    assert len({p for p, _ in data_calls}) >= 3
+
+
 def test_stream_ingest_batch_retry_is_idempotent(spark, tmp_path_factory):
     """Replaying a micro-batch (crash-recovery semantics of foreachBatch)
     must not duplicate rows: each batch overwrites its own batch dir."""
