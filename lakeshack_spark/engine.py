@@ -96,12 +96,13 @@ class Lakeshack:
             if not sample:
                 raise ValueError(f"no parquet files under {data_path!r}")
             schema = self.spark.read.parquet(sample[0]).schema
-        else:
-            # accept a pyarrow.Schema too (what a reference user holds)
-            from lakeshack_spark.metastore import as_spark_schema
+        # A pyarrow.Schema (what a reference user holds) is accepted and
+        # handed to the metastore UNCONVERTED so its timestamp zones are
+        # captured for stats_df(localize=True); the engine keeps the
+        # converted StructType.
+        from lakeshack_spark.metastore import as_spark_schema
 
-            schema = as_spark_schema(schema)
-        self.schema = schema
+        self.schema = as_spark_schema(schema)
         self.cluster_column = cluster_column
         self.store_path = store_path or f"{data_path.rstrip('/')}/_lakeshack_stats"
         self.metastore = FileStatsMetastore(
@@ -170,6 +171,7 @@ class Lakeshack:
             cluster_column_values, optional_where_clauses
         )
         status["plan_sec"] = round(time.monotonic() - t0, 6)
+        status["n_records_max"] = n_records_max
         self.last_query_status = status
         logger.info(
             "query: %d/%d files after pruning (%d pruned), ≤%s rows, ≤%s bytes",
@@ -202,6 +204,19 @@ class Lakeshack:
         reference's per-query log line (lakeshack/lakeshack.py:566-577)."""
         table = self.query(*args, **kwargs).toArrow()
         self.last_query_status["n_rows_returned"] = table.num_rows
+        # Truncation is observable, not silent: when the row cap binds
+        # (returned == cap means the limit cut the scan short), warn and
+        # flag it in the status — an existing caller of the older
+        # uncapped API should not discover the 2M default by row count.
+        cap = self.last_query_status.get("n_records_max")
+        capped = cap is not None and table.num_rows >= cap
+        self.last_query_status["capped"] = capped
+        if capped:
+            logger.warning(
+                "query result truncated at n_records_max=%d (arbitrary "
+                "subset, no ORDER BY); pass n_records_max=None to uncap",
+                cap,
+            )
         return table
 
     def query_s3_select(

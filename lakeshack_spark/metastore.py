@@ -42,6 +42,23 @@ logger = logging.getLogger(__name__)
 PRUNE_OPS = (">=", ">", "=", "==", "<", "<=")
 
 
+def _arrow_tz_map(schema: Any) -> dict[str, str]:
+    """Column → IANA zone for tz-aware timestamp columns of a pyarrow
+    schema (what a reference user's ``dataset.schema`` carries); empty for
+    a Spark StructType, whose TimestampType has no embedded zone."""
+    try:
+        import pyarrow as pa
+    except ImportError:  # pragma: no cover
+        return {}
+    if not isinstance(schema, pa.Schema):
+        return {}
+    return {
+        f.name: f.type.tz
+        for f in schema
+        if isinstance(f.type, pa.TimestampType) and f.type.tz is not None
+    }
+
+
 def as_spark_schema(schema: Any) -> T.StructType:
     """Accept either a Spark StructType or a pyarrow.Schema (what a
     reference user holds — ``dataset.schema``, lakeshack/metastore.py's
@@ -157,20 +174,26 @@ def _footer_stats_for_files(
     import pyarrow.fs as pafs  # local imports: run on executors
     import pyarrow.parquet as pq
 
-    fs_cache: dict[str, Any] = {}
+    fs_cache: dict[tuple[str, str], Any] = {}
 
     def open_with_size(path: str):
         p = _arrow_path(path)
         scheme = p.split("://", 1)[0] if "://" in p else ""
-        fs = fs_cache.get(scheme)
+        rel = p.split("://", 1)[1] if scheme else p
+        # Cache key includes the bucket/authority, not just the scheme:
+        # FileSystem.from_uri resolves S3 region/credentials PER BUCKET,
+        # so a partition spanning buckets in different regions must not
+        # reuse the first bucket's filesystem (files would fail to open
+        # and be skipped as unreadable — a silent partial index).
+        netloc = rel.split("/", 1)[0] if scheme else ""
+        fs = fs_cache.get((scheme, netloc))
         if fs is None:
             fs = (
                 pafs.FileSystem.from_uri(p)[0]
                 if scheme
                 else pafs.LocalFileSystem()
             )
-            fs_cache[scheme] = fs
-        rel = p.split("://", 1)[1] if scheme else p
+            fs_cache[(scheme, netloc)] = fs
         handle = fs.open_input_file(rel)
         return pq.ParquetFile(handle), handle.size()
 
@@ -311,6 +334,12 @@ class FileStatsMetastore:
     ) -> None:
         self.spark = spark
         self.store_path = store_path
+        #: Column → IANA zone when the declared schema is a pyarrow schema
+        #: with tz-aware timestamps — retained so ``stats_df`` can render
+        #: stats in the schema's zone on request (the reference re-localizes
+        #: on ingest via pytz, lakeshack/metastore.py:312-331; we store
+        #: canonical naive-UTC and localize on READ, see stats_df).
+        self.schema_tz = _arrow_tz_map(schema)
         schema = as_spark_schema(schema)
         self.data_schema = schema
         self.cluster_column = cluster_column
@@ -416,8 +445,17 @@ class FileStatsMetastore:
     def _exists(self) -> bool:
         return self.backend.exists()
 
-    def stats_df(self) -> DataFrame:
+    def stats_df(self, localize: bool = False) -> DataFrame:
         """The stats table as a DataFrame (empty if never updated).
+
+        Timestamp stats are STORED canonical naive-UTC (``_to_py_stat``
+        normalizes tz-aware footer stats at ingest); the reference instead
+        re-localizes min/max into the schema's timezone via pytz
+        (lakeshack/metastore.py:312-331). ``localize=True`` reproduces the
+        reference's view for a tz-aware pyarrow schema: min/max of each
+        tz-aware column are rendered as wall time in that column's schema
+        zone (``from_utc_timestamp``, read-side only — the store stays
+        UTC, so pruning math and cross-zone stores never skew).
 
         Deduplicated by filepath: two *concurrent* ``update()`` calls can
         both anti-join against the same pre-append snapshot and append the
@@ -429,7 +467,15 @@ class FileStatsMetastore:
         harmless without a lock. Reconcile rewrites through this view, so
         duplicates also physically disappear on the next maintenance
         pass."""
-        return self.backend.read_df().dropDuplicates(["filepath"])
+        df = self.backend.read_df().dropDuplicates(["filepath"])
+        if localize:
+            for col in self.tracked_columns:
+                tz = self.schema_tz.get(col)
+                if tz is None:
+                    continue
+                for stat in (f"{col}_min", f"{col}_max"):
+                    df = df.withColumn(stat, F.from_utc_timestamp(stat, tz))
+        return df
 
     def update(
         self,

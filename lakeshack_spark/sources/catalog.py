@@ -37,6 +37,12 @@ def normalize_events(df: DataFrame) -> DataFrame:
     µs-truncated TimestampType. Map-only column expressions, so the same
     normalization runs unchanged over ``readStream`` inputs.
     """
+    # The NTZ branch below is only correct under a UTC session timezone
+    # (ntz→timestamp cast interprets the wall in the session zone), and
+    # documented readStream usage wires normalize_events directly without
+    # going through load_table — so pin the session config here, not just
+    # there. Map-only; safe to call at stream-construction time.
+    configure_session(df.sparkSession)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
         # µs flavor: ts_utc IS the source value; ts derives from it with

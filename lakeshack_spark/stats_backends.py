@@ -45,22 +45,25 @@ def make_backend(spark: SparkSession, store_path: str) -> "StatsBackend":
     lakeshack/metastore.py:79-98); an unsupported dialect raises with the
     supported equivalent spelled out rather than silently creating a
     Parquet directory named like a URL."""
-    if store_path.startswith("duckdb://"):
-        # SQLAlchemy URL convention: three slashes = relative path, four
-        # = absolute — i.e. strip exactly one separator slash.
-        rest = store_path[len("duckdb://"):]
-        store_path = rest[1:] if rest.startswith("/") else rest
-        return DuckDBStatsBackend(spark, store_path)
+    for scheme, cls in (("duckdb://", DuckDBStatsBackend), ("sqlite://", SQLiteStatsBackend)):
+        if store_path.startswith(scheme):
+            # SQLAlchemy URL convention: three slashes = relative path,
+            # four = absolute — i.e. strip exactly one separator slash.
+            rest = store_path[len(scheme):]
+            return cls(spark, rest[1:] if rest.startswith("/") else rest)
     if "://" in store_path:
         scheme = store_path.split("://", 1)[0]
-        if scheme in ("sqlite", "postgresql", "mysql", "mssql", "oracle"):
+        if scheme in ("postgresql", "mysql", "mssql", "oracle"):
             raise ValueError(
                 f"RDBMS store URL {store_path!r} is not supported; the "
-                "single-file RDBMS-backed store here is DuckDB — pass a "
-                "path ending in .duckdb (or a duckdb:/// URL) instead"
+                "single-file RDBMS-backed stores here are DuckDB and "
+                "SQLite — pass a path ending in .duckdb/.sqlite (or a "
+                "duckdb:/// / sqlite:/// URL) instead"
             )
     if store_path.endswith(".duckdb"):
         return DuckDBStatsBackend(spark, store_path)
+    if store_path.endswith((".sqlite", ".sqlite3", ".db")):
+        return SQLiteStatsBackend(spark, store_path)
     return ParquetStatsBackend(spark, store_path)
 
 
@@ -256,10 +259,10 @@ _SPARK_TO_DUCK = {
 _DUCK_TO_SPARK = {v: k for k, v in _SPARK_TO_DUCK.items()}
 
 
-class DuckDBStatsBackend(StatsBackend):
-    """Stats table in a single-file DuckDB database — the RDBMS-backed
-    store, driver-side by construction like the reference's SQLAlchemy
-    engine. Timestamp stats are stored naive-UTC (the engine runs with
+class _DriverDbStatsBackend(StatsBackend):
+    """Shared plumbing for single-file RDBMS stores (DuckDB, SQLite):
+    driver-side by construction like the reference's SQLAlchemy engine.
+    Timestamp stats are stored naive-UTC (the engine runs with
     ``spark.sql.session.timeZone=UTC``), matching what the Parquet
     backend's footer normalization produces."""
 
@@ -268,6 +271,44 @@ class DuckDBStatsBackend(StatsBackend):
     def __init__(self, spark: SparkSession, db_path: str) -> None:
         self.spark = spark
         self.db_path = db_path
+
+    @staticmethod
+    def _strip_tz(table: "pa.Table") -> "pa.Table":
+        """Spark's toArrow stamps TimestampType as timestamp[us, UTC];
+        drop the zone (values are already UTC instants) so the DB stores
+        plain TIMESTAMP. Shares the metastore's vectorized normalizer."""
+        from lakeshack_spark.metastore import _strip_arrow_tz
+
+        return _strip_arrow_tz(table)
+
+    def read_df(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], self.stats_schema)
+        table = self.read_arrow(0)
+        if table.num_rows == 0:
+            return self.spark.createDataFrame([], self.stats_schema)
+        pdf = table.to_pandas()
+        # Align to the bound schema like the Parquet backend's explicit-
+        # schema read: columns an older store lacks surface as NULLs (the
+        # metastore's migration path fills them and rewrites).
+        for f in self.stats_schema.fields:
+            if f.name not in pdf.columns:
+                pdf[f.name] = None
+        return self.spark.createDataFrame(
+            pdf[[f.name for f in self.stats_schema.fields]], self.stats_schema
+        )
+
+    def compact(self) -> int:
+        return 0  # the RDBMS manages its own physical layout
+
+    def drop(self) -> None:
+        if os.path.exists(self.db_path):
+            os.remove(self.db_path)
+
+
+class DuckDBStatsBackend(_DriverDbStatsBackend):
+    """Stats table in a single-file DuckDB database — see
+    :class:`_DriverDbStatsBackend` for the storage model."""
 
     def _connect(self):
         import duckdb
@@ -295,15 +336,6 @@ class DuckDBStatsBackend(StatsBackend):
             cols.append(f'"{f.name}" {duck}{pk}{null}')
         return f'CREATE TABLE IF NOT EXISTS "{self.TABLE}" ({", ".join(cols)})'
 
-    @staticmethod
-    def _strip_tz(table: "pa.Table") -> "pa.Table":
-        """Spark's toArrow stamps TimestampType as timestamp[us, UTC];
-        drop the zone (values are already UTC instants) so DuckDB stores
-        plain TIMESTAMP. Shares the metastore's vectorized normalizer."""
-        from lakeshack_spark.metastore import _strip_arrow_tz
-
-        return _strip_arrow_tz(table)
-
     # -- contract
 
     def exists(self) -> bool:
@@ -326,23 +358,6 @@ class DuckDBStatsBackend(StatsBackend):
                 spark_type = T.NullType()
             fields.append(T.StructField(name, spark_type, True))
         return T.StructType(fields)
-
-    def read_df(self) -> DataFrame:
-        if not self.exists():
-            return self.spark.createDataFrame([], self.stats_schema)
-        table = self.read_arrow(0)
-        if table.num_rows == 0:
-            return self.spark.createDataFrame([], self.stats_schema)
-        pdf = table.to_pandas()
-        # Align to the bound schema like the Parquet backend's explicit-
-        # schema read: columns an older store lacks surface as NULLs (the
-        # metastore's migration path fills them and rewrites).
-        for f in self.stats_schema.fields:
-            if f.name not in pdf.columns:
-                pdf[f.name] = None
-        return self.spark.createDataFrame(
-            pdf[[f.name for f in self.stats_schema.fields]], self.stats_schema
-        )
 
     def read_arrow(self, max_rows: int) -> "pa.Table":
         """The store is driver-side by definition (single-file DB), so
@@ -384,9 +399,183 @@ class DuckDBStatsBackend(StatsBackend):
             con.execute("COMMIT")
         return table.num_rows
 
-    def compact(self) -> int:
-        return 0  # the RDBMS manages its own physical layout
 
-    def drop(self) -> None:
-        if os.path.exists(self.db_path):
-            os.remove(self.db_path)
+# ---------------------------------------------------------------- sqlite
+
+#: Spark ⇄ SQLite declared-type map. SQLite columns carry type AFFINITY,
+#: not strict types, but the DECLARED type string round-trips verbatim
+#: through ``PRAGMA table_info`` — so DATE/TIMESTAMP keep their logical
+#: identity for reconnect validation even though values are stored as
+#: ISO-8601 TEXT (exactly how SQLAlchemy's SQLite dialect persists the
+#: reference's Date/DateTime stat columns, ref lakeshack/metastore.py:483-511).
+_SPARK_TO_SQLITE = dict(_SPARK_TO_DUCK)
+_SQLITE_TO_SPARK = {v: k for k, v in _SPARK_TO_SQLITE.items()}
+
+
+def _arrow_stat_type(dtype: T.DataType):
+    import pyarrow as pa
+
+    return {
+        T.LongType(): pa.int64(),
+        T.DoubleType(): pa.float64(),
+        T.StringType(): pa.string(),
+        T.DateType(): pa.date32(),
+        T.TimestampType(): pa.timestamp("us"),
+    }[dtype]
+
+
+class SQLiteStatsBackend(_DriverDbStatsBackend):
+    """Stats table in a single-file SQLite database via stdlib ``sqlite3``
+    — the reference's actual deployment story: every reference test and
+    doc connects the metastore with a ``sqlite:///`` store URL
+    (ref lakeshack/metastore.py:79-98, tests/test_metastore.py,
+    docs/source/lakeshack.rst:322-334), so an existing reference store URL
+    points here unchanged.
+
+    Temporal stats are stored as ISO-8601 TEXT under DATE/TIMESTAMP
+    declared types and converted back on read; ints/floats/strings map to
+    native SQLite storage classes. Rewrites follow the DROP + CREATE +
+    INSERT discipline shared with the DuckDB backend (there it dodges the
+    ART-index deleted-key trap; here it keeps the two paths identical)."""
+
+    def _connect(self):
+        import sqlite3
+
+        con = sqlite3.connect(self.db_path)
+        con.isolation_level = None  # explicit BEGIN/COMMIT below
+        return con
+
+    def _table_exists(self, con) -> bool:
+        rows = con.execute(
+            "SELECT 1 FROM sqlite_master WHERE type = 'table' AND name = ?",
+            [self.TABLE],
+        ).fetchall()
+        return bool(rows)
+
+    def _ddl(self) -> str:
+        cols = []
+        for f in self.stats_schema.fields:
+            try:
+                decl = _SPARK_TO_SQLITE[f.dataType]
+            except KeyError:  # pragma: no cover - stat types are closed
+                raise ValueError(
+                    f"stat column {f.name!r} has unmappable type {f.dataType}"
+                )
+            pk = " PRIMARY KEY" if f.name == "filepath" else ""
+            null = "" if f.nullable else " NOT NULL"
+            cols.append(f'"{f.name}" {decl}{pk}{null}')
+        return f'CREATE TABLE IF NOT EXISTS "{self.TABLE}" ({", ".join(cols)})'
+
+    @staticmethod
+    def _to_db(v):
+        import datetime as _dt
+
+        if isinstance(v, _dt.datetime):  # before date: datetime IS a date
+            return v.isoformat(sep=" ")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return v
+
+    @staticmethod
+    def _from_db(v, dtype: T.DataType):
+        import datetime as _dt
+
+        if v is None:
+            return None
+        if dtype == T.TimestampType():
+            return _dt.datetime.fromisoformat(v)
+        if dtype == T.DateType():
+            return _dt.date.fromisoformat(v)
+        return v
+
+    def _rows(self, table: "pa.Table") -> tuple[list[str], list[tuple]]:
+        names = [f.name for f in self.stats_schema.fields]
+        rows = [
+            tuple(self._to_db(rec.get(n)) for n in names)
+            for rec in table.to_pylist()
+        ]
+        return names, rows
+
+    def _insert(self, con, names: list[str], rows: list[tuple]) -> None:
+        cols = ", ".join(f'"{n}"' for n in names)
+        ph = ", ".join("?" for _ in names)
+        con.executemany(
+            f'INSERT INTO "{self.TABLE}" ({cols}) VALUES ({ph})', rows
+        )
+
+    # -- contract
+
+    def exists(self) -> bool:
+        if not os.path.exists(self.db_path):
+            return False
+        con = self._connect()
+        try:
+            return self._table_exists(con)
+        finally:
+            con.close()
+
+    def actual_schema(self) -> T.StructType | None:
+        if not self.exists():
+            return None
+        con = self._connect()
+        try:
+            info = con.execute(f'PRAGMA table_info("{self.TABLE}")').fetchall()
+        finally:
+            con.close()
+        fields = []
+        for _cid, name, decl, _notnull, _dflt, _pk in info:
+            spark_type = _SQLITE_TO_SPARK.get((decl or "").upper())
+            if spark_type is None:
+                # Surface the mismatch as an impossible type so the
+                # metastore's validation reports it instead of crashing.
+                spark_type = T.NullType()
+            fields.append(T.StructField(name, spark_type, True))
+        return T.StructType(fields)
+
+    def read_arrow(self, max_rows: int) -> "pa.Table":
+        """Driver-side by definition (single-file DB); ``max_rows`` is a
+        no-op like the DuckDB backend's."""
+        import pyarrow as pa
+
+        if not self.exists():
+            return pa.table({})
+        actual = self.actual_schema()
+        names = [f.name for f in actual.fields]
+        cols = ", ".join(f'"{n}"' for n in names)
+        con = self._connect()
+        try:
+            rows = con.execute(f'SELECT {cols} FROM "{self.TABLE}"').fetchall()
+        finally:
+            con.close()
+        arrays, fields = [], []
+        for i, f in enumerate(actual.fields):
+            at = _arrow_stat_type(f.dataType)
+            arrays.append(
+                pa.array([self._from_db(r[i], f.dataType) for r in rows], type=at)
+            )
+            fields.append(pa.field(f.name, at))
+        return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+    def append(self, df: DataFrame, n_rows: int) -> None:
+        names, rows = self._rows(self._strip_tz(df.toArrow()))
+        con = self._connect()
+        try:
+            con.execute("BEGIN")
+            con.execute(self._ddl())
+            self._insert(con, names, rows)
+            con.execute("COMMIT")
+        finally:
+            con.close()
+
+    def rewrite(self, df: DataFrame) -> int:
+        names, rows = self._rows(self._strip_tz(df.toArrow()))
+        con = self._connect()
+        try:
+            con.execute("BEGIN")
+            con.execute(f'DROP TABLE IF EXISTS "{self.TABLE}"')
+            con.execute(self._ddl())
+            self._insert(con, names, rows)
+            con.execute("COMMIT")
+        finally:
+            con.close()
+        return len(rows)

@@ -115,8 +115,13 @@ def near_dedup_within_watermark(
     near-dedup (Jaccard-verified, cluster-wide) remains the batch
     ``minhash_drop_set`` compaction pass over landed data.
 
-    Batch twin (pinned stream ≡ batch in tests): one row per distinct
-    fingerprint, earliest arrival kept.
+    Batch twin (pinned stream ≡ batch in tests by fingerprint set): one
+    row per distinct fingerprint, the EVENT-TIME-EARLIEST row kept
+    deterministically (``min_by`` over (time, remaining columns) — a
+    map-side partial combine, one candidate per fingerprint per partition
+    through the shuffle). The streaming path necessarily keeps the
+    first-SEEN row instead (arrival order): under out-of-order arrival
+    the surviving row may differ, the fingerprint set never does.
     """
     from lakeshack_spark.operators.dedup import simhash
 
@@ -125,4 +130,15 @@ def near_dedup_within_watermark(
         return with_fp.withWatermark(
             time_col, watermark
         ).dropDuplicatesWithinWatermark(["simhash"])
-    return with_fp.dropDuplicates(["simhash"])
+    cols = with_fp.columns
+    order_cols = [time_col] + [c for c in cols if c not in (time_col, "simhash")]
+    return (
+        with_fp.groupBy("simhash")
+        .agg(
+            F.min_by(
+                F.struct(*cols), F.struct(*[F.col(c) for c in order_cols])
+            ).alias("__row")
+        )
+        .select("__row.*")
+        .select(*cols)
+    )

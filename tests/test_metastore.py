@@ -18,13 +18,16 @@ TEN_IDS = ["01", "22", "35", "4f", "70", "8a", "a0", "bf", "d1", "f0"]
 
 def _store_path(tmp_path_factory, tag: str, backend: str) -> str:
     """A store location for the requested backend: a directory for
-    Parquet, a ``*.duckdb`` file path for the RDBMS backend (selection is
-    by suffix, mirroring the reference's store URL)."""
+    Parquet, a ``*.duckdb``/``*.sqlite`` file path for the RDBMS
+    backends (selection is by suffix, mirroring the reference's store
+    URL)."""
     root = tmp_path_factory.mktemp(tag)
-    return str(root / "stats.duckdb") if backend == "duckdb" else str(root)
+    if backend in ("duckdb", "sqlite"):
+        return str(root / f"stats.{backend}")
+    return str(root)
 
 
-@pytest.fixture(scope="module", params=["parquet", "duckdb"])
+@pytest.fixture(scope="module", params=["parquet", "duckdb", "sqlite"])
 def metastore(spark, sales_fixture, tmp_path_factory, request):
     root, files = sales_fixture
     schema = spark.read.parquet(files[0]).schema
@@ -116,7 +119,7 @@ def _variant_boundaries(variant):
     return GLOBAL_MIN_TS.date(), MID_2021_08_01.date()
 
 
-@pytest.fixture(scope="module", params=["ts", "tz", "dt", "tz+duckdb"])
+@pytest.fixture(scope="module", params=["ts", "tz", "dt", "tz+duckdb", "tz+sqlite"])
 def variant_metastore(spark, request, tmp_path_factory):
     from tests.fixture_sales import generate_sales_fixture
 
@@ -178,6 +181,48 @@ def test_variant_truth_table(variant_metastore):
     assert len(ms.prune(TEN_IDS, [("timestamp", "=", mid)])) == 1
 
 
+def test_tz_aware_schema_stats_localization(spark, tmp_path_factory):
+    """Documented tz contract (reference delta): stats are STORED
+    canonical naive-UTC regardless of the schema's zone, and for a
+    tz-aware pyarrow schema (what a reference user holds)
+    ``stats_df(localize=True)`` reproduces the reference's pytz
+    re-localized view (lakeshack/metastore.py:312-331) — wall time in the
+    schema zone — including across reconnects."""
+    from datetime import timezone
+    from zoneinfo import ZoneInfo
+
+    import pyarrow.parquet as pq
+
+    from tests.fixture_sales import generate_sales_fixture
+
+    root = str(tmp_path_factory.mktemp("sales_tzloc"))
+    files = generate_sales_fixture(root, variant="tz")
+    pa_schema = pq.ParquetFile(files[0]).schema_arrow
+    store = _store_path(tmp_path_factory, "stats_tzloc", "parquet")
+    ms = FileStatsMetastore(spark, store, pa_schema, "id", ["timestamp"])
+    assert ms.update(root) == 10
+    ms2 = FileStatsMetastore(spark, store, pa_schema, "id", ["timestamp"])
+    assert ms2.schema_tz == {"timestamp": "US/Eastern"}
+    utc_naive = datetime.fromtimestamp(EPOCH_START, tz=timezone.utc).replace(
+        tzinfo=None
+    )
+    eastern_wall = datetime.fromtimestamp(
+        EPOCH_START, tz=ZoneInfo("US/Eastern")
+    ).replace(tzinfo=None)
+
+    def first(df):
+        return min(df.collect(), key=lambda r: r["filepath"])
+
+    assert first(ms2.stats_df())["timestamp_min"] == utc_naive
+    assert first(ms2.stats_df(localize=True))["timestamp_min"] == eastern_wall
+    # a StructType-declared metastore has no zone to localize to: no-op
+    ms3 = FileStatsMetastore(
+        spark, store, spark.read.parquet(files[0]).schema, "id", ["timestamp"]
+    )
+    assert ms3.schema_tz == {}
+    assert first(ms3.stats_df(localize=True))["timestamp_min"] == utc_naive
+
+
 def test_distributed_prune_path_matches_driver_path(metastore):
     """Forcing the Spark interval-join path (as if the stats table were
     huge) must give identical pruning to the driver-side fast path."""
@@ -221,7 +266,7 @@ def test_distributed_prune_equivalence_sweep(metastore):
         assert fast == slow, (values, clauses)
 
 
-@pytest.fixture(params=["parquet", "duckdb"])
+@pytest.fixture(params=["parquet", "duckdb", "sqlite"])
 def legacy_store(spark, sales_fixture, tmp_path_factory, request):
     """A store written WITHOUT the file_bytes column (pre-byte-telemetry
     layout), produced by physically stripping the column."""
@@ -235,6 +280,13 @@ def legacy_store(spark, sales_fixture, tmp_path_factory, request):
 
         with duckdb.connect(store) as con:
             con.execute('ALTER TABLE "file_stats" DROP COLUMN file_bytes')
+    elif request.param == "sqlite":
+        import sqlite3
+
+        con = sqlite3.connect(store)
+        con.execute('ALTER TABLE "file_stats" DROP COLUMN file_bytes')
+        con.commit()
+        con.close()
     else:
         import os
 
@@ -290,7 +342,7 @@ def test_legacy_store_migrates_file_bytes_in_place(spark, legacy_store):
 # ---------------------------------------------------------------------
 
 
-@pytest.fixture(params=["parquet", "duckdb"])
+@pytest.fixture(params=["parquet", "duckdb", "sqlite"])
 def reconnect_store(spark, sales_fixture, tmp_path_factory, request):
     root, files = sales_fixture
     schema = spark.read.parquet(files[0]).schema
@@ -520,19 +572,28 @@ def test_constructor_accepts_pyarrow_schema(spark, sales_fixture, tmp_path_facto
 
 
 def test_store_url_handling(spark, sales_fixture, tmp_path_factory):
-    """Reference-style store URLs: duckdb:///(/abs)path selects the
-    DuckDB backend with SQLAlchemy slash conventions; an unsupported
-    RDBMS dialect raises with the supported spelling named."""
-    from lakeshack_spark.stats_backends import DuckDBStatsBackend, make_backend
+    """Reference-style store URLs: duckdb:/// and sqlite:/// select their
+    backends with SQLAlchemy slash conventions (3 slashes = relative,
+    4 = absolute — the sqlite:/// form is what every reference test/doc
+    passes, ref docs/source/lakeshack.rst:322-334); an unsupported RDBMS
+    dialect raises with the supported spelling named."""
+    from lakeshack_spark.stats_backends import (
+        DuckDBStatsBackend,
+        SQLiteStatsBackend,
+        make_backend,
+    )
 
-    db = str(tmp_path_factory.mktemp("stats_url") / "s.duckdb")
-    be = make_backend(spark, f"duckdb:///{db.lstrip('/')}")  # rel form
-    assert isinstance(be, DuckDBStatsBackend)
-    be_abs = make_backend(spark, f"duckdb:////{db.lstrip('/')}")
-    assert isinstance(be_abs, DuckDBStatsBackend)
-    assert be_abs.db_path == db
+    root = tmp_path_factory.mktemp("stats_url")
+    for suffix, cls in (("duckdb", DuckDBStatsBackend), ("sqlite", SQLiteStatsBackend)):
+        db = str(root / f"s.{suffix}")
+        be = make_backend(spark, f"{suffix}:///{db.lstrip('/')}")  # rel form
+        assert isinstance(be, cls)
+        be_abs = make_backend(spark, f"{suffix}:////{db.lstrip('/')}")
+        assert isinstance(be_abs, cls)
+        assert be_abs.db_path == db
+    assert isinstance(make_backend(spark, str(root / "s.db")), SQLiteStatsBackend)
     with pytest.raises(ValueError, match="duckdb"):
-        make_backend(spark, "sqlite:///sales.db")
+        make_backend(spark, "postgresql://host/stats")
 
 
 def test_fractional_clause_value_on_integer_column_does_not_overprune(

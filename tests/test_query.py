@@ -79,6 +79,26 @@ def test_default_row_cap_matches_reference(shack):
     assert shack.query("a9").count() == uncapped.count() == 9
 
 
+def test_binding_row_cap_is_observable(shack, caplog):
+    """When n_records_max actually binds, the truncation must be
+    observable (ADVICE r4): last_query_status['capped'] flips True and a
+    warning names the cap; an unbound cap reports capped=False."""
+    import logging
+
+    with caplog.at_level(logging.WARNING, logger="lakeshack_spark.engine"):
+        t = shack.query_arrow("a9", n_records_max=6)
+    assert t.num_rows == 6
+    assert shack.status()["capped"] is True
+    assert shack.status()["n_records_max"] == 6
+    assert any("truncated" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="lakeshack_spark.engine"):
+        t = shack.query_arrow("a9")  # default 2M cap never binds here
+    assert t.num_rows == 9
+    assert shack.status()["capped"] is False
+    assert not any("truncated" in r.message for r in caplog.records)
+
+
 def test_pruning_reduces_files_touched(shack):
     """Point lookup plans a scan over ≤ 2 files out of 10 (ideal
     clustering: docs/source/lakeshack.rst:245-250 'files touched')."""

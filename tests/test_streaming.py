@@ -374,6 +374,37 @@ def test_normalize_events_both_physical_flavors_agree(spark, tmp_path_factory):
     assert m[0][0] == us_vals[0] * 1000
 
 
+def test_normalize_events_pins_session_timezone(spark, tmp_path_factory):
+    """normalize_events must be correct even when the caller's session
+    timezone is not UTC (ADVICE r4: the NTZ→timestamp cast interprets
+    walls in the session zone, and readStream users wire normalize_events
+    directly, skipping load_table's configure_session). It pins the
+    session config itself, so the instants come out identical."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("events_tzpin")
+    us_vals = [1_700_000_000_000_000 + i * 7_654_321 for i in range(20)]
+    pq.write_table(
+        pa.table({"event_id": pa.array(list(range(20)), pa.int64()),
+                  "ts": pa.array(us_vals, pa.timestamp("us"))}),
+        str(d / "e.parquet"),
+    )
+    want = {
+        r.event_id: (r.ts, r.ts_utc)
+        for r in normalize_events(spark.read.parquet(str(d))).collect()
+    }
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        skewed = normalize_events(spark.read.parquet(str(d)))
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        got = {r.event_id: (r.ts, r.ts_utc) for r in skewed.collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    assert got == want
+    assert got[0][0] == us_vals[0] * 1000
+
+
 def test_near_dedup_within_watermark_stream_matches_batch(spark, tmp_path_factory):
     """Streaming near-dedup (simhash-keyed stateful dedup) keeps exactly
     one doc per distinct fingerprint, row-for-row equal to the batch twin:
@@ -406,11 +437,15 @@ def test_near_dedup_within_watermark_stream_matches_batch(spark, tmp_path_factor
         str(d / "docs.parquet"),
     )
     batch = normalize_events(spark.read.parquet(str(d)))
-    want = sorted(
-        r["simhash"] for r in near_dedup_within_watermark(batch).collect()
-    )
+    batch_rows = near_dedup_within_watermark(batch).collect()
+    want = sorted(r["simhash"] for r in batch_rows)
     # cluster A (20 docs, one fingerprint) + 20 distinct docs
     assert len(want) == 21
+    # the batch twin keeps the EVENT-TIME-EARLIEST row per fingerprint
+    # deterministically: cluster A's survivor must be doc 0
+    cluster_ids = {r[0] for r in rows if r[1].startswith(("alpha", "delta"))}
+    survivors_a = [r["doc_id"] for r in batch_rows if r["doc_id"] in cluster_ids]
+    assert survivors_a == [0]
     stream = normalize_events(
         spark.readStream.schema(spark.read.parquet(str(d)).schema).parquet(str(d))
     )
