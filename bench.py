@@ -135,6 +135,43 @@ def main() -> None:
     drop_set_sec = round(d_first, 3)
     drop_set_steady = round(min(d_first, d_second), 3)
 
+    # Embedding DISCOVERY-tier number: SRP-LSH near-dup over the sf
+    # embeddings with planted duplicate vectors (scaled copies — cosine
+    # is scale-invariant, so each plant is an exact near-dup with cosine
+    # 1.0 and identical SRP sign bits). Tracks the banded-join path the
+    # oracle-checked embedding_near_dup (O(block²) verify tier) does not
+    # time; the recall assertion keeps the number honest.
+    from lakeshack_spark.operators.similarity import srp_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # ×2.0 is an exact float32 scaling (exponent bump, mantissa intact),
+    # so plants keep bit-identical SRP sign bits and cosine exactly 1.0.
+    plants = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
+            "embedding"
+        ),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+    )
+    n_planted = plants.count()
+    planted_emb = emb.unionByName(plants)
+
+    def run_srp() -> float:
+        t0 = time.time()
+        srp_near_dup_pairs(planted_emb, threshold=0.95, dim=64).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.time() - t0
+
+    s_first = run_srp()
+    s_second = run_srp()
+    found = (
+        srp_near_dup_pairs(planted_emb, threshold=0.95, dim=64)
+        .filter(F.col("id_b") == F.col("id_a") + 1_000_000)
+        .count()
+    )
+    assert found == n_planted, f"SRP planted recall {found}/{n_planted}"
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -153,10 +190,48 @@ def main() -> None:
         "pipeline_clean_corpus_steady": pipeline_steady,
         "drop_set_giant_cluster": drop_set_sec,
         "drop_set_giant_cluster_steady": drop_set_steady,
+        "srp_near_dup": round(s_first, 3),
+        "srp_near_dup_steady": round(min(s_first, s_second), 3),
         "sf": sf_val,
     }
-    print(json.dumps(out))
     spark.stop()
+
+    # Same-data code replay (r4 lesson: the driver regenerates testdata
+    # between rounds, so raw round-over-round deltas conflate code and
+    # data epoch): re-run the PREVIOUS round's bench.py — the driver's
+    # last `round N:` snapshot commit — on TODAY's files in a throwaway
+    # worktree, and carry its numbers as the `replay` block. Runs after
+    # spark.stop() so only one JVM lives at a time. SPARK_GRAFT_REPLAY=0
+    # skips it (iterating locally); failures are recorded, not fatal.
+    if os.environ.get("SPARK_GRAFT_REPLAY", "1") != "0":
+        import json as _json
+        import subprocess
+
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join("tools", "bench_replay.py")],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=960,
+            )
+            line = next(
+                (
+                    ln
+                    for ln in reversed(proc.stdout.strip().splitlines())
+                    if ln.strip().startswith("{")
+                ),
+                None,
+            )
+            out["replay"] = (
+                _json.loads(line)
+                if line
+                else {"error": (proc.stderr or "no output")[-2000:]}
+            )
+        except Exception as exc:  # the replay must never sink the bench
+            out["replay"] = {"error": str(exc)[:2000]}
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,115 @@
+"""Same-data code-replay bench: run a PREVIOUS round's bench.py against
+TODAY's testdata.
+
+Why: the round driver regenerates the testdata parquet between rounds, so
+round-over-round bench deltas conflate code changes with data-epoch
+changes (r3→r4: same-code queries moved +30% on regenerated files, and
+the r3 code crashed outright on the r4 physical timestamp type). Running
+the previous round's code on the CURRENT files isolates the code delta.
+
+The "previous round" resolves to the most recent commit whose subject
+matches ``round N: ...`` — the driver's end-of-round snapshot commit —
+unless ``--ref`` pins something else. The commit is checked out into a
+throwaway ``git worktree`` under $TMPDIR and its own bench.py runs there
+with the same SPARK_GRAFT_* environment.
+
+Usage: python tools/bench_replay.py [--ref COMMIT] [--timeout 900]
+Prints ONE JSON line: {"ref": sha, "subject": ..., "parsed": {...bench json...}}
+(or {"ref": ..., "error": ...} when the replay fails — e.g. the old code
+cannot read today's files, which is itself signal).
+
+bench.py embeds this as the ``replay`` block of its own JSON line when
+SPARK_GRAFT_REPLAY=1 (off by default to keep single-run latency; the
+driver's per-round BENCH capture sets it — see bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def resolve_previous_round_ref() -> tuple[str, str] | None:
+    """(sha, subject) of the most recent driver end-of-round commit."""
+    out = subprocess.run(
+        ["git", "log", "--extended-regexp", "--grep", "^round [0-9]+:",
+         "-n", "1", "--format=%H\x01%s"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    if not out:
+        return None
+    sha, _, subject = out.partition("\x01")
+    return sha, subject
+
+
+def replay(ref: str | None = None, timeout: int = 900) -> dict:
+    if ref is None:
+        resolved = resolve_previous_round_ref()
+        if resolved is None:
+            return {"error": "no 'round N:' commit found to replay"}
+        sha, subject = resolved
+    else:
+        sha = subprocess.run(
+            ["git", "rev-parse", ref], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        subject = subprocess.run(
+            ["git", "log", "-n", "1", "--format=%s", sha], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    wt = tempfile.mkdtemp(prefix=f"lakeshack_replay_{sha[:8]}_")
+    result: dict = {"ref": sha, "subject": subject}
+    try:
+        subprocess.run(
+            ["git", "worktree", "add", "--force", "--detach", wt, sha],
+            cwd=REPO, capture_output=True, text=True, check=True,
+        )
+        env = dict(os.environ)
+        env.pop("PYTHONPATH", None)  # the worktree's own modules only
+        # The replayed bench.py (r5+) has its own replay block — without
+        # this, each replay would replay ITS previous round, recursing
+        # through the whole round history.
+        env["SPARK_GRAFT_REPLAY"] = "0"
+        proc = subprocess.run(
+            [sys.executable, "bench.py"], cwd=wt, env=env,
+            capture_output=True, text=True, timeout=timeout,
+        )
+        if proc.returncode != 0:
+            result["error"] = (proc.stderr or proc.stdout)[-2000:]
+            return result
+        for line in reversed(proc.stdout.strip().splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                result["parsed"] = json.loads(line)
+                return result
+        result["error"] = "no JSON line in replayed bench output"
+        return result
+    except subprocess.TimeoutExpired:
+        result["error"] = f"replay timed out after {timeout}s"
+        return result
+    except subprocess.CalledProcessError as exc:
+        result["error"] = (exc.stderr or str(exc))[-2000:]
+        return result
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=REPO, capture_output=True, text=True,
+        )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref", default=None)
+    ap.add_argument("--timeout", type=int, default=900)
+    args = ap.parse_args()
+    print(json.dumps(replay(args.ref, args.timeout)))
+
+
+if __name__ == "__main__":
+    main()
