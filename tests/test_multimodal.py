@@ -62,3 +62,58 @@ def test_sample_frames(spark, media):
     videos = [r for r in media.collect() if r["kind"] == "video"]
     # frames 0,25,50,75 per video
     assert len(out) == 4 * len(videos)
+
+
+def test_media_dedup_pipeline_end_to_end(spark):
+    """Multimodal → similarity composition (media dedup): extract_features
+    embeddings feed SRP-LSH near-dup discovery and IVF top-k directly —
+    the operators compose with only column-name arguments, no glue.
+    Planted duplicate payloads (same LSFAKE1 bytes under new media_ids)
+    are exactly the pairs discovered; distinct payloads stay apart
+    (sha256-derived fake features: identical payload ⇒ identical vector,
+    cosine 1.0; distinct payloads ⇒ cosine well below 0.99 at 64 dims)."""
+    from lakeshack_spark.operators import similarity
+
+    n, n_dup = 120, 20
+    # media_id i >= 100 carries the SAME payload as media_id i-100
+    media = spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        mm.fake_media_col(F.col("id") % 100, "image").alias("payload"),
+        F.struct(
+            F.lit(640).alias("width"),
+            F.lit(480).alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    feats = mm.extract_features(media, feature_dim=64)
+    pairs = similarity.srp_near_dup_pairs(
+        feats,
+        threshold=0.99,
+        id_col="media_id",
+        vec_col="feature",
+        dim=64,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {(i, i + 100) for i in range(n_dup)}
+    assert got == want, got.symmetric_difference(want)
+    assert all(r["cosine"] >= 0.999999 for r in pairs)
+
+    # Same embeddings through the ANN path: media 0's nearest neighbor at
+    # nprobe = n_centroids must be its planted duplicate at cosine 1.0.
+    cents = similarity.sample_centroids(
+        feats, 4, id_col="media_id", vec_col="feature"
+    )
+    top = similarity.ivf_topk(
+        feats,
+        feats.filter(F.col("media_id") == 0),
+        cents,
+        k=1,
+        nprobe=4,
+        id_col="media_id",
+        vec_col="feature",
+    ).collect()
+    assert len(top) == 1
+    assert top[0]["neighbor_id"] == 100
+    assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-12)

@@ -145,6 +145,51 @@ def main() -> None:
         assert len(mapping) == len(in_list)
         if n_vals == 1:
             assert dt < 1000, "point-lookup prune should be ~instant"
+
+    # Distributed-prune probe PAST the fast path: a store LARGER than
+    # DRIVER_PRUNE_MAX_FILES routes through the Spark interval-join path
+    # end-to-end (read_arrow defers once count_rows exceeds the limit).
+    # The equivalence sweep pins driver≡distributed at unit scale only;
+    # this runs the real cutover size and checks the mapping against a
+    # driver-side pass over the same store (limit raised for the check —
+    # 250k stats rows are still driver-feasible, which is exactly why the
+    # default cutover is conservative).
+    n_big = int(FileStatsMetastore.DRIVER_PRUNE_MAX_FILES * 2.5)
+    big_store = tempfile.mkdtemp(prefix="stress_stats_big_")
+    ms_big = FileStatsMetastore(spark, big_store, syn_schema, "k", ["ts"])
+    big_rows = spark.range(n_big).select(
+        F.concat(F.lit("synthetic/part-"), F.col("id")).alias("filepath"),
+        F.lit(1000).cast("long").alias("num_rows"),
+        F.lit(4096).cast("long").alias("file_bytes"),
+        (F.col("id") * 1000).alias("k_min"),
+        (F.col("id") * 1000 + 999).alias("k_max"),
+        F.lit(None).cast("timestamp").alias("ts_min"),
+        F.lit(None).cast("timestamp").alias("ts_max"),
+    )
+    ms_big.backend.append(big_rows, n_big)
+    for n_vals in (3, 1000):
+        step = max(1, n_big * 1000 // n_vals)
+        in_list = list(range(0, n_big * 1000, step))[:n_vals]
+        clauses = [("k", ">=", 1000)]  # prunes exactly the first file
+        t0 = time.time()
+        dist = ms_big.prune(in_list, clauses)
+        dt_dist = time.time() - t0
+        print(
+            f"distributed {n_big}-file prune, {n_vals}-value IN-list: "
+            f"{len(dist)} files in {dt_dist:.1f}s"
+        )
+        old = ms_big.DRIVER_PRUNE_MAX_FILES
+        ms_big.DRIVER_PRUNE_MAX_FILES = n_big + 1
+        try:
+            t0 = time.time()
+            drv = ms_big.prune(in_list, clauses)
+            dt_drv = time.time() - t0
+        finally:
+            ms_big.DRIVER_PRUNE_MAX_FILES = old
+        print(f"  driver-side check: {len(drv)} files in {dt_drv:.1f}s")
+        assert dist == drv, "distributed mapping diverged from driver check"
+        want = len([v for v in in_list if v >= 1000])
+        assert len(dist) == want, (len(dist), want)
     spark.stop()
 
 
