@@ -86,19 +86,27 @@ def cosine_topk(
     broadcast (queries are assumed ≪ candidates); ties broken by neighbor
     id so results are fully deterministic.
     """
+    # Norms are precomputed PER SIDE (once per query row in the broadcast
+    # build, once per candidate row before the join) instead of inside a
+    # per-pair cosine_col: with q queries that's one norm fold per
+    # candidate, not q of them — bit-identical values, the fold order is
+    # unchanged.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
+    ).withColumn("__qn", norm_d(F.col("__qv")))
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
+    ).withColumn("__cn", norm_d(F.col("__cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_col(F.col("__qv"), F.col("__cv")).alias("cosine"),
+            (
+                dot_d(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine"),
         )
     )
     return _topk_per_query(scored, k)
@@ -170,8 +178,11 @@ def embedding_near_dup_pairs(
     cols = [F.col(id_col), F.col(vec_col)]
     if block_col:
         cols.append(F.col(block_col))
-    a = vectors.select(*cols).alias("a")
-    b = vectors.select(*cols).alias("b")
+    # Per-side norm precompute: once per row before the join, not per
+    # PAIR after it (O(block) folds instead of O(block²)); bit-identical.
+    sided = vectors.select(*cols).withColumn("__n", norm_d(F.col(vec_col)))
+    a = sided.alias("a")
+    b = sided.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
@@ -180,7 +191,10 @@ def embedding_near_dup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cosine"),
+            (
+                dot_d(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.__n") * F.col("b.__n"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -342,17 +356,22 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.explode(F.transform(probe_cells, lambda t: -t["neg_cid"])).alias("cell"),
-    )
+    ).withColumn("__qn", norm_d(F.col("__qv")))
+    # Per-side norm precompute (see cosine_topk): one fold per candidate
+    # row / probe row, never per scored pair; bit-identical values.
     cand = cells.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"
-    )
+    ).withColumn("__cn", norm_d(F.col("__cv")))
     scored = (
         cand.join(F.broadcast(probes), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine_col(F.col("__qv"), F.col("__cv")).alias("cosine"),
+            (
+                dot_d(F.col("__qv"), F.col("__cv"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine"),
         )
     )
     return _topk_per_query(scored, k)
@@ -456,12 +475,17 @@ def srp_near_dup_pairs(
     ``embedding_near_dup_pairs`` stays the oracle at test scale.
     """
     bits_per_band = n_bits // bands
+    # Norm computed ONCE per vector, before the band explode and the
+    # join: the verify stage divides by the carried per-side norms, so a
+    # vector in many candidate pairs never re-folds its norm.
+    # Bit-identical to an in-pair cosine_col.
     sigs = srp_signature(vectors, n_bits, id_col, vec_col, dim=dim).select(
         F.col(id_col), F.col(vec_col), F.col("srp_bits")
-    )
+    ).withColumn("__n", norm_d(F.col(vec_col)))
     banded = sigs.select(
         F.col(id_col),
         F.col(vec_col),
+        F.col("__n"),
         F.explode(
             F.array(
                 *[
@@ -481,7 +505,7 @@ def srp_near_dup_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, vec_col, "bb.band", "bb.bucket")
+    ).select(id_col, vec_col, "__n", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -496,12 +520,19 @@ def srp_near_dup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col(f"a.{vec_col}").alias("__va"),
             F.col(f"b.{vec_col}").alias("__vb"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__n").alias("__nb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
         cand.select(
-            "id_a", "id_b", cosine_col(F.col("__va"), F.col("__vb")).alias("cosine")
+            "id_a",
+            "id_b",
+            (
+                dot_d(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

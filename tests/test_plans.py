@@ -154,6 +154,40 @@ def test_topk_window_is_two_stage(spark):
         assert "__part" in plan and "__prank" in plan, (name, plan)
 
 
+def test_lsh_self_join_reuses_signature_exchange(spark):
+    """At scale the LSH banded self-join runs as an SMJ over two
+    IDENTICAL shuffle children, and AQE must dedup them
+    (ReusedExchange/ReusedQueryStage) so the expensive signature map
+    stage — minhash folds, SRP projections — is computed ONCE, not per
+    join side. Pinned because any asymmetry introduced between the two
+    sides (an extra column, a repartition, a filter on one alias) would
+    silently double the dominant map work at 100 TB. At sf0.01 AQE
+    normally picks BHJ (where recompute is the cheap-side regime), so
+    the at-scale SMJ shape is forced via the broadcast threshold; reuse
+    only materializes in the FINAL adaptive plan, so the assertion runs
+    after an action on the same DataFrame."""
+    from lakeshack_spark.operators import dedup, similarity
+    from lakeshack_spark.sources.catalog import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = load_table(spark, SF, "documents")
+        m = dedup.minhash_verified_pairs(docs.select("doc_id", "text"))
+        m.collect()
+        pm = m._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in pm
+        assert "ReusedExchange" in pm or "ReusedQueryStage" in pm, pm
+
+        emb = load_table(spark, SF, "embeddings")
+        s = similarity.srp_near_dup_pairs(emb, dim=64)
+        s.collect()
+        ps = s._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in ps or "ReusedQueryStage" in ps, ps
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_join_broadcast_dim_is_aqe_choice_not_hint(spark):
     """join_broadcast_dim carries NO broadcast hint (the MACHINERY slice
     of customer grows with the dataset — a hard hint is an OOM at 100×);
