@@ -246,12 +246,25 @@ def minhash_verified_pairs(
     banding path checkable against a SQL oracle.
     """
     cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, k)
+    # Shingle arrays are SETS (array_distinct), so |union| = |a|+|b|-|∩|
+    # exactly: per-side sizes computed once per document replace the
+    # per-pair array_union build — the verify stage does one set
+    # intersection per candidate instead of two set operations.
+    # Identical jaccard values (integer identity, same double division).
     sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("__sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    a = sh.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__sh").alias("__sh_a"),
+        F.size("__sh").alias("__sz_a"),
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__sh").alias("__sh_b"),
+        F.size("__sh").alias("__sz_b"),
+    )
     joined = cands.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
-    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    union = F.col("__sz_a") + F.col("__sz_b") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
         joined.select("id_a", "id_b", jac.alias("jaccard"))
@@ -372,16 +385,21 @@ def ngram_jaccard_pairs(
     (e.g. same source) — at scale always block or feed LSH candidates, the
     unblocked version is a cross join."""
     right = right if right is not None else left
-    cols = [F.col(id_col), shingles_col(text_col, k).alias("sh")]
+    # Per-side shingle-set sizes (see minhash_verified_pairs): one set
+    # intersection per pair, no per-pair array_union; identical values.
+    cols = [
+        F.col(id_col),
+        shingles_col(text_col, k).alias("sh"),
+    ]
     if block_col:
         cols.append(F.col(block_col))
-    a = left.select(*cols).alias("a")
-    b = right.select(*cols).alias("b")
+    a = left.select(*cols).withColumn("__sz", F.size("sh")).alias("a")
+    b = right.select(*cols).withColumn("__sz", F.size("sh")).alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    union = F.col("a.__sz") + F.col("b.__sz") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     out = (
         a.join(b, cond)
@@ -507,11 +525,21 @@ def minhash_drop_set(
     first = minhash_first_candidates(banded, id_col)
 
     def verified(pairs: DataFrame) -> DataFrame:
-        a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sa"))
-        b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sb"))
+        # |union| = |a|+|b|-|∩| (shingle arrays are sets): per-side sizes
+        # replace the per-pair array_union — identical jaccard values.
+        a = sh.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__sh").alias("__sa"),
+            F.size("__sh").alias("__za"),
+        )
+        b = sh.select(
+            F.col(id_col).alias("id_b"),
+            F.col("__sh").alias("__sb"),
+            F.size("__sh").alias("__zb"),
+        )
         j = pairs.join(a, "id_a").join(b, "id_b")
         inter = F.size(F.array_intersect("__sa", "__sb"))
-        union = F.size(F.array_union("__sa", "__sb"))
+        union = F.col("__za") + F.col("__zb") - inter
         jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
         return j.select("id_a", "id_b", jac.alias("__j"))
 
