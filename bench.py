@@ -146,8 +146,11 @@ def main() -> None:
     emb = load_table(spark, sf_dir, "embeddings")
     # ×2.0 is an exact float32 scaling (exponent bump, mantissa intact),
     # so plants keep bit-identical SRP sign bits and cosine exactly 1.0.
+    # The id offset derives from the data: a fixed offset would collide
+    # with real vec_ids at a larger SF and poison the recall assert.
+    plant_offset = emb.agg(F.max("vec_id")).collect()[0][0] + 1
     plants = emb.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(plant_offset)).alias("vec_id"),
         F.transform("embedding", lambda x: (x * F.lit(2.0)).cast("float")).alias(
             "embedding"
         ),
@@ -155,10 +158,14 @@ def main() -> None:
     )
     n_planted = plants.count()
     planted_emb = emb.unionByName(plants)
+    # Derive the dimension from the data — the driver regenerates the
+    # testdata between rounds and a hardcoded dim would break silently
+    # different generations (the r4 events lesson).
+    emb_dim = len(emb.select("embedding").first()[0])
 
     def run_srp() -> float:
         t0 = time.time()
-        srp_near_dup_pairs(planted_emb, threshold=0.95, dim=64).write.format(
+        srp_near_dup_pairs(planted_emb, threshold=0.95, dim=emb_dim).write.format(
             "noop"
         ).mode("overwrite").save()
         return time.time() - t0
@@ -166,8 +173,8 @@ def main() -> None:
     s_first = run_srp()
     s_second = run_srp()
     found = (
-        srp_near_dup_pairs(planted_emb, threshold=0.95, dim=64)
-        .filter(F.col("id_b") == F.col("id_a") + 1_000_000)
+        srp_near_dup_pairs(planted_emb, threshold=0.95, dim=emb_dim)
+        .filter(F.col("id_b") == F.col("id_a") + F.lit(plant_offset))
         .count()
     )
     assert found == n_planted, f"SRP planted recall {found}/{n_planted}"
@@ -204,30 +211,10 @@ def main() -> None:
     # spark.stop() so only one JVM lives at a time. SPARK_GRAFT_REPLAY=0
     # skips it (iterating locally); failures are recorded, not fatal.
     if os.environ.get("SPARK_GRAFT_REPLAY", "1") != "0":
-        import json as _json
-        import subprocess
-
         try:
-            proc = subprocess.run(
-                [sys.executable, os.path.join("tools", "bench_replay.py")],
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                capture_output=True,
-                text=True,
-                timeout=960,
-            )
-            line = next(
-                (
-                    ln
-                    for ln in reversed(proc.stdout.strip().splitlines())
-                    if ln.strip().startswith("{")
-                ),
-                None,
-            )
-            out["replay"] = (
-                _json.loads(line)
-                if line
-                else {"error": (proc.stderr or "no output")[-2000:]}
-            )
+            from tools.bench_replay import replay
+
+            out["replay"] = replay(timeout=900)
         except Exception as exc:  # the replay must never sink the bench
             out["replay"] = {"error": str(exc)[:2000]}
 

@@ -204,17 +204,21 @@ class Lakeshack:
         reference's per-query log line (lakeshack/lakeshack.py:566-577)."""
         table = self.query(*args, **kwargs).toArrow()
         self.last_query_status["n_rows_returned"] = table.num_rows
-        # Truncation is observable, not silent: when the row cap binds
-        # (returned == cap means the limit cut the scan short), warn and
-        # flag it in the status — an existing caller of the older
-        # uncapped API should not discover the 2M default by row count.
+        # Truncation is observable, not silent: when the result hits the
+        # row cap, warn and flag it in the status — an existing caller of
+        # the older uncapped API should not discover the 2M default by
+        # row count. `capped` means "the cap was REACHED, the result MAY
+        # be truncated": a match count exactly equal to the cap is
+        # indistinguishable from truncation without scanning past the
+        # limit, so the flag is deliberately conservative.
         cap = self.last_query_status.get("n_records_max")
         capped = cap is not None and table.num_rows >= cap
         self.last_query_status["capped"] = capped
         if capped:
             logger.warning(
-                "query result truncated at n_records_max=%d (arbitrary "
-                "subset, no ORDER BY); pass n_records_max=None to uncap",
+                "query result hit n_records_max=%d and may be truncated "
+                "(arbitrary subset, no ORDER BY); pass n_records_max=None "
+                "to uncap",
                 cap,
             )
         return table

@@ -265,7 +265,13 @@ def minhash_verified_pairs(
     joined = cands.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     union = F.col("__sz_a") + F.col("__sz_b") - inter
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    # inter >= 0 guard: size(NULL array) is -1, and the size identity
+    # would turn that into a NEGATIVE jaccard where the old array_union
+    # form yielded 0.0 (unreachable here — banding filters empty/NULL
+    # shingle docs — but the guard keeps the identity unconditional).
+    jac = F.when(
+        (inter >= 0) & (union > 0), inter.cast("double") / union
+    ).otherwise(F.lit(0.0))
     return (
         joined.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -400,7 +406,12 @@ def ngram_jaccard_pairs(
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.col("a.__sz") + F.col("b.__sz") - inter
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    # size(NULL array) = -1: without the inter >= 0 guard a NULL-text doc
+    # would produce a negative jaccard here (the old array_union form
+    # yielded 0.0; NULL docs DO reach this join — no banding filter).
+    jac = F.when(
+        (inter >= 0) & (union > 0), inter.cast("double") / union
+    ).otherwise(F.lit(0.0))
     out = (
         a.join(b, cond)
         .select(
@@ -540,7 +551,9 @@ def minhash_drop_set(
         j = pairs.join(a, "id_a").join(b, "id_b")
         inter = F.size(F.array_intersect("__sa", "__sb"))
         union = F.col("__za") + F.col("__zb") - inter
-        jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+        jac = F.when(
+            (inter >= 0) & (union > 0), inter.cast("double") / union
+        ).otherwise(F.lit(0.0))
         return j.select("id_a", "id_b", jac.alias("__j"))
 
     v1 = verified(first).persist()

@@ -62,7 +62,11 @@ def make_backend(spark: SparkSession, store_path: str) -> "StatsBackend":
             )
     if store_path.endswith(".duckdb"):
         return DuckDBStatsBackend(spark, store_path)
-    if store_path.endswith((".sqlite", ".sqlite3", ".db")):
+    # Deliberately NOT routing bare ".db" here: it is a generic suffix a
+    # pre-existing Parquet store directory may legitimately carry, and
+    # rerouting it would break reconnects to such stores. SQLite users
+    # pass sqlite:/// URLs (the reference's spelling) or .sqlite paths.
+    if store_path.endswith((".sqlite", ".sqlite3")):
         return SQLiteStatsBackend(spark, store_path)
     return ParquetStatsBackend(spark, store_path)
 

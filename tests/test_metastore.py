@@ -591,7 +591,11 @@ def test_store_url_handling(spark, sales_fixture, tmp_path_factory):
         be_abs = make_backend(spark, f"{suffix}:////{db.lstrip('/')}")
         assert isinstance(be_abs, cls)
         assert be_abs.db_path == db
-    assert isinstance(make_backend(spark, str(root / "s.db")), SQLiteStatsBackend)
+    # bare ".db" stays Parquet: a pre-existing Parquet store dir may carry
+    # that generic suffix, and rerouting it would break reconnects
+    from lakeshack_spark.stats_backends import ParquetStatsBackend
+
+    assert isinstance(make_backend(spark, str(root / "s.db")), ParquetStatsBackend)
     with pytest.raises(ValueError, match="duckdb"):
         make_backend(spark, "postgresql://host/stats")
 

@@ -117,6 +117,24 @@ def test_ngram_jaccard_self_pair_is_one(spark, docs):
         assert found.get((r["doc_id"], r["doc_id"] + 10_000)) == 1.0
 
 
+def test_ngram_jaccard_null_text_is_zero_never_negative(spark):
+    """Regression (round-5 self-review): with per-side set sizes,
+    size(NULL array) = -1 would make a NULL-text pair's jaccard NEGATIVE
+    (-1/|b|) unless guarded — the old array_union form yielded 0.0.
+    NULL/empty docs must pair at exactly 0.0, and never emit j < 0."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, ""), (4, "alpha beta gamma epsilon")],
+        "doc_id long, text string",
+    ).withColumn("blk", F.lit(1))
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, block_col="blk", threshold=0.0, k=1
+    ).collect()
+    got = {(p["id_a"], p["id_b"]): p["jaccard"] for p in pairs}
+    assert all(j >= 0.0 for j in got.values()), got
+    assert got[(1, 2)] == 0.0 and got[(2, 3)] == 0.0 and got[(2, 4)] == 0.0
+    assert got[(1, 4)] == 0.6  # |{a,b,g}∩| 3 / |{a,b,g,d,e}| 5
+
+
 def test_ivf_full_probe_equals_bruteforce(spark):
     emb = load_table(spark, SF, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)

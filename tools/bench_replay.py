@@ -18,9 +18,9 @@ Prints ONE JSON line: {"ref": sha, "subject": ..., "parsed": {...bench json...}}
 (or {"ref": ..., "error": ...} when the replay fails — e.g. the old code
 cannot read today's files, which is itself signal).
 
-bench.py embeds this as the ``replay`` block of its own JSON line when
-SPARK_GRAFT_REPLAY=1 (off by default to keep single-run latency; the
-driver's per-round BENCH capture sets it — see bench.py).
+bench.py embeds this as the ``replay`` block of its own JSON line BY
+DEFAULT (the driver's per-round BENCH capture must carry it); export
+SPARK_GRAFT_REPLAY=0 to skip it while iterating locally.
 """
 
 from __future__ import annotations
@@ -36,16 +36,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def resolve_previous_round_ref() -> tuple[str, str] | None:
-    """(sha, subject) of the most recent driver end-of-round commit."""
+    """(sha, subject) of the most recent driver end-of-round commit.
+
+    Matched against the SUBJECT line only, in Python — `git log --grep`
+    matches any line of the message BODY too, and commit bodies in this
+    repo routinely quote "round N:" strings (survey notes, this very
+    file's docstring), which would misresolve the snapshot."""
+    import re
+
     out = subprocess.run(
-        ["git", "log", "--extended-regexp", "--grep", "^round [0-9]+:",
-         "-n", "1", "--format=%H\x01%s"],
+        ["git", "log", "--format=%H\x01%s"],
         cwd=REPO, capture_output=True, text=True, check=True,
-    ).stdout.strip()
-    if not out:
-        return None
-    sha, _, subject = out.partition("\x01")
-    return sha, subject
+    ).stdout
+    for line in out.splitlines():
+        sha, _, subject = line.partition("\x01")
+        if re.match(r"^round \d+:", subject):
+            return sha, subject
+    return None
 
 
 def replay(ref: str | None = None, timeout: int = 900) -> dict:
