@@ -121,10 +121,13 @@ def cosine_topk_pandas(
 ) -> DataFrame:
     """Arrow-batched NumPy variant of :func:`cosine_topk`: the query matrix
     is closed over (broadcast with the task), each candidate Arrow batch is
-    scored with one BLAS matmul. ~10-100× the throughput of the expression
-    fold at high dimensionality; scores differ from the sequential fold
-    only in final-ulp rounding (so ranks match, values may not hash-match —
-    verify against :func:`cosine_topk` by rank, not by value).
+    scored with one BLAS matmul and reduced to its per-query top-k before
+    leaving Python — the Arrow hand-off and everything downstream carries
+    O(k·q) rows per batch, not O(n·q). ~10-100× the throughput of the
+    expression fold at high dimensionality; scores differ from the
+    sequential fold only in final-ulp rounding (so ranks match, values may
+    not hash-match — verify against :func:`cosine_topk` by rank, not by
+    value).
     """
     import numpy as np
     import pandas as pd
@@ -145,15 +148,35 @@ def cosine_topk_pandas(
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: nothing to score
+                continue
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
             sims = mat @ qnorm.T  # (batch, n_queries)
             n, q = sims.shape
+            ids = pdf[id_col].to_numpy()
+            # Partial top-k PER BATCH, per query, before anything leaves
+            # Python: the Arrow hand-off carries (k+1)·q rows per batch
+            # instead of n·q (k+1 because the self-match is filtered
+            # JVM-side and may occupy one slot). The later global window
+            # re-ranks on the same (cosine desc, id asc) key, and a
+            # per-batch winner set is a superset of each batch's global
+            # contribution, so results are identical. lexsort (stable,
+            # id-ascending tiebreak) rather than argpartition: float
+            # ties at the k-th slot must cut by id to keep that
+            # guarantee exact.
+            keep = min(k + 1, n)
+            out_q, out_i, out_c = [], [], []
+            for j in range(q):
+                order = np.lexsort((ids, -sims[:, j]))[:keep]
+                out_q.append(np.full(keep, qids[j]))
+                out_i.append(ids[order])
+                out_c.append(sims[order, j])
             yield pd.DataFrame(
                 {
-                    "query_id": np.tile(qids, n),
-                    "neighbor_id": np.repeat(pdf[id_col].to_numpy(), q),
-                    "cosine": sims.ravel(),
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_i),
+                    "cosine": np.concatenate(out_c),
                 }
             )
 
