@@ -1355,6 +1355,55 @@ def embedding_near_dup(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(emb, threshold=0.4, block_col="label")
 
 
+_SRP_COSINE = """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"""
+
+
+@register(
+    "srp_near_dup_planted",
+    f"""
+    WITH mx AS (SELECT MAX(vec_id) + 1 AS off FROM embeddings),
+    plants AS (
+      SELECT e.vec_id + mx.off AS vec_id,
+             list_transform(e.embedding, x -> CAST(2.0 * x AS FLOAT)) AS embedding
+      FROM embeddings e, mx WHERE e.vec_id % 20 = 0
+    ),
+    u AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL SELECT vec_id, embedding FROM plants
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_SRP_COSINE} AS cosine
+    FROM u a JOIN u b ON a.vec_id < b.vec_id
+    WHERE {_SRP_COSINE} >= 0.999
+    """,
+)
+def srp_near_dup_planted(spark, sf_dir):
+    """SRP-LSH banded near-dup DISCOVERY vs an all-pairs SQL oracle.
+
+    Planted duplicates (exact ×2.0 float32 scalings of every 20th vector
+    — cosine is scale-invariant, so each plant scores exactly 1.0 and its
+    SRP sign bits are bit-identical) are structurally recalled: identical
+    bits collide in every band. And at threshold 0.999 ANY qualifying
+    pair has per-bit match p = 1 − arccos(0.999)/π ≥ 0.986, so 8 bands of
+    8 bits miss it with p ≤ (1 − 0.986⁸)⁸ ≈ 2e-8 — the same
+    provable-equality argument that lets minhash_dedup_verified
+    hash-match an all-pairs oracle. This puts the banded embedding
+    discovery tier in the driver gate; the O(block²)
+    ``embedding_near_dup`` entry remains the exact verify tier."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    off = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    plants = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + F.lit(off)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    planted = emb.unionByName(plants)
+    return similarity.srp_near_dup_pairs(planted, threshold=0.999)
+
+
 _COSINE_RANKS_ORACLE = """
     WITH q AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
