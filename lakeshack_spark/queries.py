@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from lakeshack_spark.engine import Lakeshack
 from lakeshack_spark.functions.deterministic import davg, dsum, oracle_davg, oracle_dsum
-from lakeshack_spark.operators import dedup, relational, similarity, text
+from lakeshack_spark.operators import dedup, relational, sampling, similarity, text
 from lakeshack_spark.sources.catalog import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1353,6 +1353,65 @@ def embedding_near_dup(spark, sf_dir):
     nothing."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(emb, threshold=0.4, block_col="label")
+
+
+@register(
+    "minhash_drop_set_docs",
+    """
+    WITH docs AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT DISTINCT b.doc_id AS doc_id
+    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+      AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.9
+    """,
+)
+def minhash_drop_set_docs(spark, sf_dir):
+    """The SCALE-path near-dedup operator under the hash gate: the drop
+    set (ids with a verified J ≥ 0.9 match at a smaller id) computed
+    WITHOUT materializing candidate pairs — one bucket-min candidate per
+    doc, shingle-class fallback for LSH false positives — must equal the
+    all-pairs SQL oracle's distinct id_b set exactly (recall bound
+    1−2e-8 at 16 bands, see minhash_dedup_verified)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    return dedup.minhash_drop_set(
+        docs, num_hashes=64, bands=16, k=1, threshold=0.9
+    )
+
+
+@register(
+    "hash_split_counts",
+    """
+    WITH h AS (
+      SELECT doc_id,
+        CAST(list_sum(list_transform(range(1, 16),
+          p -> CAST(strpos('0123456789abcdef',
+                 substr(md5('split:' || CAST(doc_id AS VARCHAR)), p, 1)) - 1
+                 AS BIGINT) << (4 * (15 - p))
+        )) AS BIGINT) % 1000000 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 900000 THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS n
+    FROM h GROUP BY 1
+    """,
+)
+def hash_split_counts(spark, sf_dir):
+    """Deterministic train/test split under the hash gate: the md5-bucket
+    assignment (operators.sampling.hash_split — map-only, stable across
+    runs/partitionings/engines, the leakage-safe corpus-refresh property)
+    reproduced bucket-for-bucket by a DuckDB oracle via the portable
+    15-hex-digit md5 hash. Output is per-split counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
+    return out.groupBy("split").agg(F.count("*").alias("n"))
 
 
 _SRP_COSINE = """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
