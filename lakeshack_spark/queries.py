@@ -1387,6 +1387,42 @@ def minhash_drop_set_docs(spark, sf_dir):
 
 
 @register(
+    "benchmark_decontamination",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    dg AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(w) - 8 + 1, 0) + 1),
+                              i -> array_to_string(w[i:i+7], ' '))) AS grams
+      FROM d
+    ),
+    bg AS (
+      SELECT DISTINCT unnest(grams) AS g FROM dg WHERE doc_id < 10
+    )
+    SELECT dg.doc_id AS doc_id, COUNT(DISTINCT t.g) AS n_hits
+    FROM dg, unnest(dg.grams) AS t(g)
+    WHERE t.g IN (SELECT g FROM bg)
+    GROUP BY dg.doc_id
+    HAVING COUNT(DISTINCT t.g) >= 1
+    """,
+)
+def benchmark_decontamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appx C / PaLM §7 8-gram overlap)
+    under the hash gate: docs sharing ≥ 1 distinct word 8-gram with the
+    'benchmark' (here: the first 10 documents, standing in for an eval
+    set) and their distinct-hit counts, vs a string-domain all-grams SQL
+    oracle. The operator explodes distinct gram HASHES and semi-joins the
+    broadcast benchmark side — corpus stays map-only; equality with the
+    string oracle also witnesses hash-collision-freeness on this corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 10)
+    return dedup.contamination_flags(docs, bench, k=8, min_hits=1)
+
+
+@register(
     "hash_split_counts",
     """
     WITH h AS (
