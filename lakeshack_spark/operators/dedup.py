@@ -162,18 +162,42 @@ def minhash_signature(
     )
 
 
+def _band_value_exprs(num_hashes: int, bands: int) -> list[Column]:
+    """One comma-joined string expression per band over the ``sig``
+    column — the SINGLE source of band-slice construction, shared by both
+    banding layouts so their bucket semantics can never drift."""
+    rows_per_band = num_hashes // bands
+    return [
+        F.concat_ws(
+            ",",
+            *[
+                F.element_at(F.col("sig"), b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ],
+        )
+        for b in range(bands)
+    ]
+
+
+def _nonempty_sigs(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, k: int
+) -> DataFrame:
+    sigs = (
+        minhash_signature(df, text_col, id_col, num_hashes, k)
+        .select(F.col(id_col), F.col("sig"), F.col("n_shingles"))
+        .filter(F.col("n_shingles") > 0)
+    )
+    return sigs
+
+
 def _banded(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int, bands: int, k: int,
 ) -> DataFrame:
     """(id, band, bucket) rows: each doc explodes to ``bands`` rows keyed
     by the md5 of that band's signature slice."""
-    rows_per_band = num_hashes // bands
-    sigs = (
-        minhash_signature(df, text_col, id_col, num_hashes, k)
-        .select(F.col(id_col), F.col("sig"), F.col("n_shingles"))
-        .filter(F.col("n_shingles") > 0)
-    )
+    sigs = _nonempty_sigs(df, text_col, id_col, num_hashes, k)
+    band_vals = _band_value_exprs(num_hashes, bands)
     return sigs.select(
         F.col(id_col),
         F.explode(
@@ -181,15 +205,7 @@ def _banded(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(F.col("sig"), b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
+                        F.md5(band_vals[b]).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -202,30 +218,15 @@ def _banded_with_buckets(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int, bands: int, k: int,
 ) -> DataFrame:
-    """Like :func:`_banded`, but each exploded row also carries the FULL
-    per-band bucket-hash array (``__bkts``, long-typed via the portable
-    md5→conv hash) so a joined pair can decide locally whether an EARLIER
-    band already matched. Used by minhash_lsh_pairs' min-band emission."""
-    rows_per_band = num_hashes // bands
-    sigs = (
-        minhash_signature(df, text_col, id_col, num_hashes, k)
-        .select(F.col(id_col), F.col("sig"), F.col("n_shingles"))
-        .filter(F.col("n_shingles") > 0)
-    )
-    bucket_hashes = F.array(
-        *[
-            _h64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.element_at(F.col("sig"), b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
-    )
+    """Like :func:`_banded`, but buckets are long-typed (the portable
+    md5→conv hash over the SAME shared band-slice expressions) and each
+    exploded row also carries the full per-band bucket array ``__bkts``,
+    so :func:`minhash_lsh_pairs` can compare a joined pair's band-0
+    buckets locally for its band-0 pre-dedup (carrying the whole array
+    through the JOIN was measured as the dominant cost and is avoided
+    there — the caller projects out just element 1 before aliasing)."""
+    sigs = _nonempty_sigs(df, text_col, id_col, num_hashes, k)
+    bucket_hashes = F.array(*[_h64(v) for v in _band_value_exprs(num_hashes, bands)])
     with_bkts = sigs.select(F.col(id_col), bucket_hashes.alias("__bkts"))
     return with_bkts.select(
         F.col(id_col),

@@ -1381,9 +1381,18 @@ def minhash_drop_set_docs(spark, sf_dir):
         .filter(F.col("doc_id") < 300)
         .select("doc_id", "text")
     )
-    return dedup.minhash_drop_set(
+    drops = dedup.minhash_drop_set(
         docs, num_hashes=64, bands=16, k=1, threshold=0.9
     )
+    # The operator returns a PERSISTED frame whose cache contract says
+    # callers unpersist when done — but the harness only collects the
+    # returned frame. Materialize the (≤300-id, bounded by the doc_id
+    # filter) result locally and release the cache here, so repeated
+    # harness runs never silently serve a leaked cache entry (the r3
+    # steady-state artifact CLAUDE.md documents).
+    rows = [(int(r["doc_id"]),) for r in drops.collect()]
+    drops.unpersist()
+    return spark.createDataFrame(rows, "doc_id long")
 
 
 @register(

@@ -39,8 +39,6 @@ def main() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from pyspark.sql import functions as F
-
     from lakeshack_spark.operators import similarity
     from lakeshack_spark.session import get_spark
 
@@ -67,7 +65,10 @@ def main() -> None:
     pq.write_table(
         pa.table(
             {
-                "vec_id": pa.array(np.arange(1_000_000, 1_000_000 + qn), pa.int64()),
+                # query ids start past the corpus ids (max(vec_id)+1 = n): a
+                # fixed offset would collide at larger --vectors and the
+                # self-match filter would hide real neighbors (CLAUDE.md)
+                "vec_id": pa.array(np.arange(n, n + qn), pa.int64()),
                 "embedding": pa.array(
                     [row.astype(np.float32) for row in qpts],
                     pa.list_(pa.float32()),
@@ -96,7 +97,8 @@ def main() -> None:
         truth_sets.setdefault(qid, set()).add(nid)
     print(f"brute-force top-{k} ({n} vecs x {qn} queries): {time.time()-t0:.1f}s")
 
-    for nprobe in (1, 2, 4, 8, 16, 32, C):
+    sweep = sorted({p for p in (2**i for i in range(C.bit_length())) if p < C} | {C})
+    for nprobe in sweep:
         t0 = time.time()
         got = similarity.ivf_topk(
             vecs, queries, centroids, k=k, nprobe=nprobe
