@@ -117,6 +117,55 @@ def test_ngram_jaccard_self_pair_is_one(spark, docs):
         assert found.get((r["doc_id"], r["doc_id"] + 10_000)) == 1.0
 
 
+def test_lsh_pairs_band0_prededup_equals_plain_distinct(spark):
+    """minhash_lsh_pairs' band-0 pre-dedup must emit EXACTLY the distinct
+    pair set of the plain formulation — including pairs whose signatures
+    collide only at LATER bands (band-0 buckets differ), the path where
+    the residual distinct still does the dedup. A half-shared-vocabulary
+    corpus at 2 rows/band produces plenty of partial-band collisions; the
+    test asserts that regime is actually exercised (some pair collides at
+    a band > 0 without colliding at band 0) before comparing."""
+    base = [f"tok{i}" for i in range(12)]
+    rows = []
+    for i in range(120):
+        mine = [f"u{i}_{j}" for j in range(6)]
+        shared = base[(i % 4):(i % 4) + 6]
+        rows.append((i, " ".join(shared + mine)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_hashes=16, bands=8, k=1)
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, **kw).collect()
+    }
+    # plain reference: join + unconditional distinct over the same banding
+    banded = dedup._banded_with_buckets(docs, "text", "doc_id", 16, 8, 1).select(
+        "doc_id", "band", "bucket"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    want_df = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    want = {(r.id_a, r.id_b) for r in want_df.distinct().collect()}
+    assert got == want and len(got) > 0
+    # the later-band-only regime is present: some colliding pair's band-0
+    # buckets differ (so it was deduped by the residual distinct, not the
+    # band-0 filter)
+    bk = {
+        (r.doc_id, r.band): r.bucket for r in banded.collect()
+    }
+    later_only = [
+        p for p in want if bk[(p[0], 0)] != bk[(p[1], 0)]
+    ]
+    assert later_only, "corpus failed to exercise later-band-only collisions"
+
+
 def test_ngram_jaccard_null_text_is_zero_never_negative(spark):
     """Regression (round-5 self-review): with per-side set sizes,
     size(NULL array) = -1 would make a NULL-text pair's jaccard NEGATIVE
