@@ -373,6 +373,73 @@ def mask_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    idf: str = "log",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF — the
+    standard corpus-profiling / keyword-extraction pass a training-data
+    pipeline runs after cleaning.
+
+    Output: ``(id_col, term, tf, n_docs_with_term, score, rank)``, one
+    row per kept term, ``rank`` 1-based by (score desc, term asc).
+
+    ``idf`` selects the document-frequency weighting:
+
+    - ``"log"`` (default): smoothed ``ln((N+1)/(df+1)) + 1`` — the
+      sklearn-style production form.
+    - ``"rational"``: ``(N+1)/(df+1)`` with no logarithm — not
+      rank-equivalent to the log form in general, but every arithmetic
+      step is exact IEEE int→double division/multiplication, making
+      results reproducible bit-for-bit across engines. This is the
+      variant the DuckDB hash gate pins (libm ``log`` may differ by
+      1 ulp between engines, so the log form cannot be cell-exact
+      cross-engine).
+
+    Scale shape: one explode + two term-keyed aggregations + one
+    term-keyed join (all hash-partitioned on high-cardinality keys), a
+    broadcast of the 1-row corpus count, and a per-document window
+    (parallelism = #docs, never #queries). Stopword-grade hot terms skew
+    the term key at corpus scale — filter them first (they score ~0
+    anyway) or salt the tf aggregation.
+    """
+    if idf not in ("log", "rational"):
+        raise ValueError(f"idf must be 'log' or 'rational', got {idf!r}")
+    pairs = df.select(
+        F.col(id_col), F.explode(words_col(text_col)).alias("term")
+    )
+    tf = pairs.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("n_docs_with_term"))
+    )
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+    weight = (F.col("__n_docs") + F.lit(1)).cast("double") / (
+        F.col("n_docs_with_term") + F.lit(1)
+    ).cast("double")
+    if idf == "log":
+        weight = F.log(weight) + F.lit(1.0)
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf").cast("double") * weight)
+        .drop("__n_docs")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "n_docs_with_term", "score", "rank")
+    )
+
+
 def term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Explodes tokens → ``(term, n)`` counts. The groupBy shuffles on the
     term (high cardinality → well-spread); at scale add a salt on very hot

@@ -1040,6 +1040,53 @@ def dedup_events_first(spark, sf_dir):
     )
 
 
+@register(
+    "range_join_user_windows",
+    """
+    WITH wins AS (
+      SELECT user_id AS win_user,
+             MIN(epoch_ns(ts)) AS lo,
+             MIN(epoch_ns(ts)) + 3600000000000 AS hi
+      FROM events GROUP BY user_id
+    )
+    SELECT w.win_user,
+           COUNT(*) AS n_events,
+           MIN(e.event_id) AS first_event,
+           MAX(e.event_id) AS last_event
+    FROM events e JOIN wins w
+      ON epoch_ns(e.ts) >= w.lo AND epoch_ns(e.ts) <= w.hi
+    GROUP BY w.win_user
+    """,
+)
+def range_join_user_windows(spark, sf_dir):
+    """Point-in-interval join via operators.relational.range_join: count
+    ALL events (any user) landing inside each user's first-hour window.
+    The oracle is the naive inequality join DuckDB can afford at sf0.01;
+    the Spark path is the bucketed equi-join (explode interval → hour
+    buckets, hash join, exact filter) that never compiles to a
+    nested-loop product — the Databricks/Delta range-join-hint shape.
+    Nanos domain throughout (`ts` is the canonical nanos long)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    wins = (
+        ev.groupBy(F.col("user_id").alias("win_user"))
+        .agg(F.min("ts").alias("lo"))
+        .withColumn("hi", F.col("lo") + F.lit(3_600_000_000_000))
+    )
+    joined = relational.range_join(
+        ev.select("event_id", "ts"),
+        wins,
+        left_point="ts",
+        right_lo="lo",
+        right_hi="hi",
+        bucket_width=3_600_000_000_000,
+    )
+    return joined.groupBy("win_user").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
 # =====================================================================
 # LLM-pipeline: deduplication (operators.dedup)
 # =====================================================================
@@ -1281,6 +1328,253 @@ def top_terms(spark, sf_dir):
         text.term_counts(docs)
         .orderBy(F.col("n").desc(), F.col("term").asc())
         .limit(20)
+    )
+
+
+#: 15-hex-digit md5 → BIGINT fold, the DuckDB twin of dedup._h64 (same
+#: construction as the hash_split oracle; `{x}` is the hashed expression).
+_H64_SQL = """CAST(list_sum(list_transform(range(1, 16),
+      p -> CAST(strpos('0123456789abcdef', substr(md5({x}), p, 1)) - 1
+             AS BIGINT) << (4 * (15 - p)))) AS BIGINT)"""
+
+
+@register(
+    "winnow_fingerprint_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+      FROM t
+    ), h AS (
+      SELECT doc_id,
+        list_transform(grams, s -> {_H64_SQL.format(x='s')}) AS hs
+      FROM g
+    ), m AS (
+      SELECT doc_id,
+        CASE WHEN len(hs) >= 4 THEN
+          list_sort(list_distinct(list_transform(
+            generate_series(1, len(hs) - 3),
+            i -> list_min(list_slice(hs, i, i + 3)))))
+        WHEN len(hs) >= 1 THEN [list_min(hs)]
+        ELSE CAST([] AS BIGINT[]) END AS fps
+      FROM h
+    )
+    SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps,
+           list_min(fps) AS min_fp, list_max(fps) AS max_fp
+    FROM m
+    """,
+)
+def winnow_fingerprint_stats(spark, sf_dir):
+    """Winnowing fingerprints (SIGMOD'03, operators.text.winnow_fingerprint,
+    k=3 word-grams, window=4) under the hash gate: the oracle rebuilds the
+    selection — md5-folded gram hashes, sliding-window min, distinct —
+    entirely in DuckDB list SQL. Array cells don't survive the driver's
+    canonicalizer, so the fingerprint SET is pinned through scalars
+    (count + min + max), which with the shared hash domain makes silent
+    selection drift visible."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.winnow_fingerprint(docs, k=3, window=4)
+    return out.select(
+        "doc_id",
+        F.size("fps").alias("n_fps"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+    )
+
+
+@register(
+    "repetition_stats_docs",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id, len(w) AS n, length(text) AS nc, w,
+        list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+          i -> w[i] || ' ' || w[i+1]) AS g2,
+        list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+      FROM t
+    ), m AS (
+      SELECT doc_id, n, nc,
+        list_max(list_transform(list_distinct(w),
+          x -> len(list_filter(w, y -> y = x)))) AS max_wc,
+        len(list_distinct(w)) AS n_distinct,
+        list_max(list_transform(list_distinct(g2),
+          x -> [len(list_filter(g2, y -> y = x)), length(x)])) AS m2,
+        list_max(list_transform(list_distinct(g3),
+          x -> [len(list_filter(g3, y -> y = x)), length(x)])) AS m3
+      FROM g
+    )
+    SELECT doc_id,
+      CAST(max_wc AS DOUBLE) / n AS max_word_frac,
+      CASE WHEN m2 IS NULL THEN 0.0
+           ELSE CAST(m2[1] * m2[2] AS DOUBLE) / nc END AS top2gram_frac,
+      CASE WHEN m3 IS NULL THEN 0.0
+           ELSE CAST(m3[1] * m3[2] AS DOUBLE) / nc END AS top3gram_frac,
+      1.0 - CAST(n_distinct AS DOUBLE) / n AS dup_word_ratio
+    FROM m
+    """,
+)
+def repetition_stats_docs(spark, sf_dir):
+    """Gopher repetition signals (operators.text.repetition_stats) under
+    the hash gate — this pins the Arrow pandas-UDF hot path (the measured
+    ~7× exception to stay-JVM-side) cell-exact against an independent
+    DuckDB list-SQL mode computation. Tie semantics (max count, then max
+    element length) are lexicographic [count, len] maxima on both sides;
+    every fraction is the same int/int double division, so doubles match
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, impl="arrow").select(
+        "doc_id", "max_word_frac", "top2gram_frac", "top3gram_frac",
+        "dup_word_ratio",
+    )
+
+
+@register(
+    "tfidf_top_terms_docs",
+    """
+    WITH pairs AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM pairs GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS n_docs_with_term FROM tf GROUP BY term
+    ), nd AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.n_docs_with_term,
+             CAST(t.tf AS DOUBLE)
+               * (CAST(nd.n_docs + 1 AS DOUBLE)
+                  / CAST(d.n_docs_with_term + 1 AS DOUBLE)) AS score
+      FROM tf t JOIN dfreq d USING (term), nd
+    )
+    SELECT doc_id, term, tf, n_docs_with_term, score,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def tfidf_top_terms_docs(spark, sf_dir):
+    """TF-IDF keyword extraction (operators.text.tfidf_top_terms) under
+    the hash gate, using the ``rational`` idf variant: every score is
+    exact IEEE int→double arithmetic, so Spark and DuckDB agree
+    bit-for-bit (the production ``log`` variant differs by libm ulps
+    across engines and is pinned by unit tests instead)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(docs, k=3, idf="rational")
+
+
+@register(
+    "udtf_ngram_stats",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(w) - 1, 0)),
+               i -> w[i] || ' ' || w[i+1])) AS ngram
+      FROM t
+    )
+    SELECT doc_id, COUNT(*) AS n_grams,
+           COUNT(DISTINCT ngram) AS n_distinct_grams,
+           MIN(ngram) AS first_gram, MAX(ngram) AS last_gram
+    FROM g GROUP BY doc_id
+    """,
+)
+def udtf_ngram_stats(spark, sf_dir):
+    """Python UDTF (Spark 4 table function) under the hash gate: the
+    lateral ``ngrams(text, 2)`` fan-out aggregated per doc, against a
+    DuckDB list-SQL twin. Docs with fewer than 2 tokens emit no lateral
+    rows on either side. String MIN/MAX are binary collation in both
+    engines (corpus is ASCII). The production n-gram path stays in
+    built-ins (text.gram_array — JVM-side); this pins the UDTF contract
+    itself."""
+    from lakeshack_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, COUNT(*) AS n_grams,
+               COUNT(DISTINCT g.ngram) AS n_distinct_grams,
+               MIN(g.ngram) AS first_gram, MAX(g.ngram) AS last_gram
+        FROM __docs_udtf d, LATERAL ngrams(d.text, 2) g
+        GROUP BY d.doc_id
+        """
+    )
+
+
+@register(
+    "mask_pii_audit",
+    f"""
+    WITH planted AS (
+      SELECT doc_id,
+        text ||
+          CASE WHEN doc_id % 5 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-123-4567'
+               ELSE '' END ||
+          CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+          AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '{text.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+        '{text.PII_PATTERNS["ssn"]}', '<SSN>', 'g'),
+        '{text.PII_PATTERNS["phone"]}', '<PHONE>', 'g') AS text_masked,
+      CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["email"]}'))
+        AS INTEGER) AS n_email,
+      CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["ssn"]}'))
+        AS INTEGER) AS n_ssn,
+      CAST(len(regexp_extract_all(text, '{text.PII_PATTERNS["phone"]}'))
+        AS INTEGER) AS n_phone
+    FROM planted
+    """,
+)
+def mask_pii_audit(spark, sf_dir):
+    """PII masking (operators.text.mask_pii) under the hash gate. The raw
+    corpus carries no PII, so both sides plant identical deterministic
+    spans (every 5th doc an email + phone, every 7th an SSN) before
+    masking; the full masked text plus per-type counts are compared
+    cell-exact. Valid cross-engine because PII_PATTERNS is restricted to
+    the Java-regex ∩ RE2 common subset (no backrefs/lookaround) and both
+    engines use leftmost non-overlapping matching; replacement order
+    (email → ssn → phone) is identical on both sides."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or 555-123-4567"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    out = text.mask_pii(planted)
+    return out.select(
+        "doc_id",
+        "text_masked",
+        F.col("n_email").cast("int").alias("n_email"),
+        F.col("n_ssn").cast("int").alias("n_ssn"),
+        F.col("n_phone").cast("int").alias("n_phone"),
     )
 
 

@@ -715,3 +715,34 @@ def test_drop_set_class_key_immune_to_separator_tokens(spark):
     got = sorted(r["doc_id"] for r in drops.collect())
     drops.unpersist()
     assert got == [2], got
+
+
+def test_tfidf_top_terms_log_variant(spark):
+    """The production log-idf variant: a term unique to one doc must
+    outrank corpus-wide terms, scores decrease with rank, and the
+    rational variant agrees on tf/df bookkeeping."""
+    rows = [
+        (0, "shared shared shared zebra"),
+        (1, "shared common words here"),
+        (2, "shared common words there"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.tfidf_top_terms(df, k=2, idf="log")
+    got = {(r.doc_id, r.rank): r for r in out.collect()}
+    # doc 0: 'shared' has tf=3 but df=3; 'zebra' tf=1 df=1.
+    # log idf: shared = 3*(ln(4/4)+1)=3.0; zebra = 1*(ln(4/2)+1)≈1.69.
+    assert got[(0, 1)].term == "shared" and got[(0, 1)].score == pytest.approx(3.0)
+    assert got[(0, 2)].term == "zebra"
+    assert got[(0, 1)].score > got[(0, 2)].score
+    # every doc got exactly k=2 ranked rows, ranks contiguous from 1
+    for d in (0, 1, 2):
+        assert {(r) for (doc, r) in got if doc == d} == {1, 2}
+    # bookkeeping identical between variants (same tf/df, scores differ)
+    rat = {
+        (r.doc_id, r.term): (r.tf, r.n_docs_with_term)
+        for r in text.tfidf_top_terms(df, k=4, idf="rational").collect()
+    }
+    assert rat[(0, "zebra")] == (1, 1)
+    assert rat[(0, "shared")] == (3, 3)
+    with pytest.raises(ValueError):
+        text.tfidf_top_terms(df, idf="nope")
