@@ -1625,6 +1625,56 @@ def ivf_topk_full_probe(spark, sf_dir):
 
 
 @register(
+    "ivf_assign_cells",
+    """
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS centroid_id,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id ASC LIMIT 64)
+    ), scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM embeddings e CROSS JOIN c
+    ), best AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT centroid_id AS cell,
+           COUNT(*) AS n_vectors,
+           MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+    FROM best WHERE rn = 1 GROUP BY centroid_id
+    """,
+)
+def ivf_assign_cells(spark, sf_dir):
+    """Vector clustering (the IVF build step, operators.similarity
+    .ivf_assign) under the hash gate: every embedding assigned to its
+    nearest-by-cosine centroid (the 64 smallest-id vectors, the
+    sample_centroids seed rule), pinned against a DuckDB argmax oracle
+    (row_number over sim DESC, centroid ASC — the same
+    ties-toward-smallest-cid rule as the in-plan array_max). The Spark
+    side is the map-only literal-centroid-array formulation — no
+    crossJoin, no shuffle before the final count — while the oracle IS
+    the naive n×C cross join; agreement pins both the cosine math
+    (sequential IEEE folds on both engines) and the argmax tie rule.
+    Cell population stats are what an IVF build monitors for balance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.sample_centroids(emb, 64)
+    assigned = similarity.ivf_assign(emb, centroids)
+    return assigned.groupBy("cell").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vec_id").alias("min_vec"),
+        F.max("vec_id").alias("max_vec"),
+    )
+
+
+@register(
     "embedding_near_dup",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
