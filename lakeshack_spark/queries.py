@@ -29,7 +29,14 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from lakeshack_spark.engine import Lakeshack
 from lakeshack_spark.functions.deterministic import davg, dsum, oracle_davg, oracle_dsum
-from lakeshack_spark.operators import dedup, relational, sampling, similarity, text
+from lakeshack_spark.operators import (
+    dedup,
+    graph,
+    relational,
+    sampling,
+    similarity,
+    text,
+)
 from lakeshack_spark.sources.catalog import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1889,9 +1896,10 @@ def cosine_topk_pandas_udf(spark, sf_dir):
     )
 
 
-@register(
-    "simhash_near_pairs",
-    """
+#: All-pairs SimHash near-pair oracle (pigeonhole-exact; see
+#: simhash_near_pairs_docs) — shared with the cluster-labels oracle,
+#: where it supplies the edge set.
+_SIMHASH_PAIRS_SQL = """
     WITH toks AS (
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
       FROM documents WHERE doc_id < 300
@@ -1919,8 +1927,10 @@ def cosine_topk_pandas_udf(spark, sf_dir):
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    """,
-)
+"""
+
+
+@register("simhash_near_pairs", _SIMHASH_PAIRS_SQL)
 def simhash_near_pairs_docs(spark, sf_dir):
     """SimHash(64) near-pairs via 16-bit pigeonhole segments + exact
     hamming filter; semantics also pinned by tests/test_operators.py
@@ -1933,6 +1943,42 @@ def simhash_near_pairs_docs(spark, sf_dir):
     the exact hamming filter removes every false positive."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return dedup.simhash_near_pairs(docs, max_hamming=3)
+
+
+@register(
+    "dedup_cluster_labels",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT * FROM ({_SIMHASH_PAIRS_SQL}) q
+    ), sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+      UNION
+      SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_cluster_labels(spark, sf_dir):
+    """Near-dup pairs → CLUSTERS: connected components over the SimHash
+    near-pair graph (operators.graph.connected_components — hash-min
+    label propagation + pointer jumping, O(log diameter) joined rounds),
+    labeling every doc with the minimum doc_id reachable from it.
+    Singletons (docs with no near-dup) label themselves via the node
+    universe. The oracle is DuckDB's recursive CTE computing the same
+    min-reachable-label fixpoint over the identical (pigeonhole-exact)
+    edge set — the ITERATIVE Spark algorithm is checked against a
+    declarative transitive closure, which pins convergence, not just a
+    single round."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3)
+    return graph.connected_components(
+        pairs, nodes=docs.select("doc_id"), node_col="doc_id"
+    ).select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 @register(

@@ -1,0 +1,58 @@
+"""Unit tests for operators.graph.connected_components."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakeshack_spark.operators import graph
+from lakeshack_spark.session import get_spark
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_spark(app_name="test_graph", shuffle_partitions=4)
+
+
+def _labels(df):
+    return {r.node: r.cluster_id for r in df.collect()}
+
+
+def test_cc_chain_cycle_and_singleton(spark):
+    # chain 0-1-2-3-4 (diameter 4: exercises pointer jumping),
+    # triangle 10-11-12 with a duplicate + reversed edge,
+    # pair 20-21, singleton 30 only in the node universe
+    edges = [(1, 0), (1, 2), (2, 3), (3, 4),
+             (10, 11), (11, 12), (12, 10), (11, 10),
+             (21, 20)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame(
+        [(n,) for n in [0, 1, 2, 3, 4, 10, 11, 12, 20, 21, 30]], "doc_id long"
+    )
+    got = _labels(
+        graph.connected_components(pairs, nodes=nodes, node_col="doc_id")
+    )
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+
+
+def test_cc_without_universe_covers_edge_endpoints(spark):
+    pairs = spark.createDataFrame([(5, 9), (9, 7)], "id_a long, id_b long")
+    got = _labels(graph.connected_components(pairs))
+    assert got == {5: 5, 7: 5, 9: 5}
+
+
+def test_cc_long_path_converges_in_log_rounds(spark):
+    # path of 33 nodes: diameter 32, log2 ≈ 5 — pointer jumping must
+    # converge well under a diameter's worth of rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], "id_a long, id_b long"
+    )
+    got = _labels(graph.connected_components(pairs, max_rounds=10))
+    assert set(got.values()) == {0} and len(got) == 33
+
+
+def test_cc_nonconvergence_raises(spark):
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(pairs, max_rounds=0)
