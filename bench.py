@@ -172,6 +172,28 @@ def main() -> None:
 
     s_first = run_srp()
     s_second = run_srp()
+
+    # Iterative-operator number: connected components (near-dup pairs →
+    # cluster labels) over the SimHash near-pair graph of the full sf
+    # documents table. Tracks the one operator whose cost is ROUNDS of
+    # joins (hash-min + pointer jumping), not a single plan — regressions
+    # in per-round materialization cost or convergence behavior surface
+    # here. Edge semantics match the dedup_cluster_labels gate entry.
+    from lakeshack_spark.operators.dedup import simhash_near_pairs
+    from lakeshack_spark.operators.graph import connected_components
+
+    def run_cc() -> float:
+        t0 = time.time()
+        cc_pairs = simhash_near_pairs(
+            docs.select("doc_id", "text"), max_hamming=3
+        )
+        connected_components(
+            cc_pairs, nodes=docs.select("doc_id"), node_col="doc_id"
+        ).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    c_first = run_cc()
+    c_second = run_cc()
     found = (
         srp_near_dup_pairs(planted_emb, threshold=0.95, dim=emb_dim)
         .filter(F.col("id_b") == F.col("id_a") + F.lit(plant_offset))
@@ -199,6 +221,8 @@ def main() -> None:
         "drop_set_giant_cluster_steady": drop_set_steady,
         "srp_near_dup": round(s_first, 3),
         "srp_near_dup_steady": round(min(s_first, s_second), 3),
+        "cluster_labels": round(c_first, 3),
+        "cluster_labels_steady": round(min(c_first, c_second), 3),
         "sf": sf_val,
     }
     spark.stop()

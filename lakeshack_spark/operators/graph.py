@@ -32,6 +32,42 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _symmetrized_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Directed edge set: both orientations, no self loops, distinct —
+    repartitioned by the join key BEFORE checkpointing, so every round's
+    edges⋈labels join exchanges only the labels side. Without this, the
+    full edge set (the |E| ≫ |V| term) re-shuffles every round, and at
+    corpus scale the rounds' repeated edge exchanges dominate the whole
+    operator. Plan-asserted in tests/test_plans.py.
+
+    The checkpoint is taken with AQE disabled for just this query:
+    a Dataset checkpointed under AQE captures its LogicalRDD with
+    UnknownPartitioning (measured — the adaptive plan's final
+    partitioning is not propagated), which silently defeats the reuse;
+    with AQE off the LogicalRDD keeps HashPartitioning(src) and
+    AQE-planned downstream joins honor it (only the other side gets an
+    ENSURE_REQUIREMENTS exchange). The toggle is scoped to the
+    materialization and restored in ``finally``; plans compiled
+    concurrently on the same session during that window would also see
+    AQE off — this operator runs from a single driver thread."""
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(F.col("src"))
+    )
+    spark = pairs.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return sym.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -59,15 +95,7 @@ def connected_components(
     eagerly checkpointed so the next round's plan starts from
     materialized data.
     """
-    e = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
-    )
-    edges = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _symmetrized_edges(pairs, id_a, id_b)
 
     if nodes is not None:
         nc = node_col or nodes.columns[0]

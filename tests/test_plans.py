@@ -198,3 +198,34 @@ def test_join_broadcast_dim_is_aqe_choice_not_hint(spark):
     logical = df._jdf.queryExecution().analyzed().toString()
     assert "Hint" not in logical, logical
     assert plans.has_broadcast_hash_join(df)
+
+
+def test_cc_edges_join_reuses_checkpoint_partitioning(spark):
+    """connected_components: the checkpointed edge set keeps its
+    HashPartitioning(src), so a round's edges⋈labels join exchanges ONLY
+    the labels side — the |E| term must never re-shuffle per round.
+    Checkpointing under AQE would capture UnknownPartitioning and
+    silently re-shuffle edges every round (measured), which is why
+    _symmetrized_edges scopes AQE off for the materialization."""
+    from lakeshack_spark.operators import graph
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+        )
+        edges = graph._symmetrized_edges(pairs, "id_a", "id_b")
+        labels = spark.range(201).select(
+            F.col("id").alias("node"), F.col("id").alias("label")
+        )
+        j = edges.join(labels, edges.src == labels.node)
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final, final
+        final_section = final.split("== Initial Plan ==")[0]
+        # exactly one exchange, and it is on the labels (node) side
+        assert final_section.count("Exchange hashpartitioning") == 1, final_section
+        assert "Exchange hashpartitioning(node" in final_section, final_section
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
