@@ -1215,6 +1215,39 @@ def minhash_dedup_verified(spark, sf_dir):
     )
 
 
+@register(
+    "incremental_dedup_new_docs",
+    """
+    WITH c AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      FROM documents WHERE doc_id < 400
+    ), n AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      FROM documents WHERE doc_id >= 400
+    )
+    SELECT n.doc_id AS id_new, c.doc_id AS id_corpus,
+           CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.s, c.s))) AS jaccard
+    FROM n JOIN c ON len(list_distinct(list_concat(n.s, c.s))) > 0
+    WHERE CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(n.s, c.s))) >= 0.9
+    """,
+)
+def incremental_dedup_new_docs(spark, sf_dir):
+    """Incremental near-dedup (operators.dedup.incremental_near_dups):
+    a NEW batch (doc_id ≥ 400) deduped against the EXISTING corpus
+    (doc_id < 400) by probing the corpus's materialized LSH index — the
+    O(batch) continuous-ingest shape; corpus text is read only for
+    colliding docs. The oracle is the all-CROSS-pairs Jaccard join; the
+    banded probe provably equals it (16-band miss probability ≈ 2e-8,
+    the minhash_dedup_verified argument on cross pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    index = dedup.minhash_index(corpus)
+    return dedup.incremental_near_dups(new, corpus, corpus_index=index)
+
+
 # =====================================================================
 # LLM-pipeline: text analysis (operators.text)
 # =====================================================================

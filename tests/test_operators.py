@@ -746,3 +746,48 @@ def test_tfidf_top_terms_log_variant(spark):
     assert rat[(0, "shared")] == (3, 3)
     with pytest.raises(ValueError):
         text.tfidf_top_terms(df, idf="nope")
+
+
+def test_incremental_near_dups_equals_cross_pairs(spark, docs):
+    """Probing the corpus index finds exactly the cross-side pairs the
+    full-corpus verified join finds (same banding recall argument), and
+    a supplied index skips banding the corpus entirely."""
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    got = {
+        (r.id_new, r.id_corpus, r.jaccard)
+        for r in dedup.incremental_near_dups(
+            new, corpus, num_hashes=64, bands=16, k=1, threshold=0.9
+        ).collect()
+    }
+    full = dedup.minhash_verified_pairs(
+        docs, num_hashes=64, bands=16, k=1, threshold=0.9
+    )
+    expect = {
+        (r.id_a, r.id_b, r.jaccard) if r.id_a % 2 == 1 else (r.id_b, r.id_a, r.jaccard)
+        for r in full.collect()
+        if r.id_a % 2 != r.id_b % 2  # cross pairs only
+    }
+    assert got == expect and got, f"{len(got)} vs {len(expect)}"
+
+    # with a prebuilt index, only the NEW side is banded
+    calls = []
+    orig = dedup._banded
+
+    def counting(df, *a, **kw):
+        calls.append(df)
+        return orig(df, *a, **kw)
+
+    index = dedup.minhash_index(corpus, num_hashes=64, bands=16, k=1)
+    try:
+        dedup._banded = counting
+        again = dedup.incremental_near_dups(
+            new, corpus, num_hashes=64, bands=16, k=1, threshold=0.9,
+            corpus_index=index,
+        )
+        got2 = {(r.id_new, r.id_corpus, r.jaccard) for r in again.collect()}
+    finally:
+        dedup._banded = orig
+    assert got2 == expect
+    assert len(calls) == 1, "corpus must not be re-banded when index is supplied"
