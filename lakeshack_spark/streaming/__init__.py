@@ -1,4 +1,7 @@
-from lakeshack_spark.streaming.ingest import stream_ingest_clustered
+from lakeshack_spark.streaming.ingest import (
+    stream_ingest_clustered,
+    stream_ingest_deduped,
+)
 from lakeshack_spark.streaming.stateful import running_user_stats
 from lakeshack_spark.streaming.windows import (
     dedup_within_watermark,
@@ -9,6 +12,7 @@ from lakeshack_spark.streaming.windows import (
 
 __all__ = [
     "stream_ingest_clustered",
+    "stream_ingest_deduped",
     "tumbling_window_stats",
     "session_window_stats",
     "dedup_within_watermark",

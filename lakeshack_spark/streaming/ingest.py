@@ -24,11 +24,138 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from lakeshack_spark.engine import Lakeshack
 from lakeshack_spark.writer import cluster_write
+
+
+def stream_ingest_deduped(
+    spark: SparkSession,
+    landing_dir: str,
+    corpus_dir: str,
+    state_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 1,
+    threshold: float = 0.9,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous corpus construction with near-dedup at ingest: each
+    micro-batch of documents is dropped-set against itself (keep-earliest
+    within the batch) AND against everything previously seen, by probing
+    the accumulated MinHash index (operators.dedup.incremental_near_dups
+    — O(batch) per trigger, never O(corpus)).
+
+    Layout:
+
+    - ``{corpus_dir}/batch-<id>``: the PRODUCT — surviving documents;
+    - ``{state_dir}/index/batch-<id>``: LSH bands of ALL batch docs;
+    - ``{state_dir}/seen/batch-<id>``: (id, text) of ALL batch docs.
+
+    The dedup state indexes every SEEN doc, not just survivors: keep-
+    earliest semantics drop a doc that matches ANY earlier doc, including
+    one that was itself dropped (matching the batch ``minhash_drop_set``
+    / distinct-``id_b`` contract — pinned stream ≡ batch in tests when
+    batches arrive in id order). The ``seen`` store holds the text the
+    verify stage reads for colliding docs only; at 100 TB it is the raw
+    archive you keep anyway, and the index is the only thing every batch
+    joins against. All three writes are per-batch overwrite dirs, so a
+    replayed micro-batch replaces its own output — idempotent end to end.
+
+    "Earlier" means ARRIVAL order across batches (the streaming-native
+    notion, same delta as windows.near_dedup_within_watermark documents);
+    within a batch it is ``id_col`` order.
+    """
+    from pyspark.errors import AnalysisException
+
+    from lakeshack_spark.operators.dedup import (
+        incremental_near_dups,
+        minhash_drop_set,
+        minhash_index,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(landing_dir)
+    corpus_dir = corpus_dir.rstrip("/")
+    state_dir = state_dir.rstrip("/")
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.persist()
+        try:
+            drops = minhash_drop_set(
+                batch_df.select(id_col, text_col),
+                text_col,
+                id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                k=k,
+                threshold=threshold,
+            )
+            survivors = batch_df.join(drops, id_col, "left_anti")
+            try:
+                index = spark.read.parquet(f"{state_dir}/index/batch-*")
+                seen = spark.read.parquet(f"{state_dir}/seen/batch-*")
+            except AnalysisException:  # first batch: no state yet
+                index = None
+            if index is not None:
+                dup_new = (
+                    incremental_near_dups(
+                        survivors.select(id_col, text_col),
+                        seen,
+                        text_col,
+                        id_col,
+                        num_hashes=num_hashes,
+                        bands=bands,
+                        k=k,
+                        threshold=threshold,
+                        corpus_index=index,
+                    )
+                    .select(F.col("id_new").alias(id_col))
+                    .distinct()
+                )
+                survivors = survivors.join(dup_new, id_col, "left_anti")
+            # state first, product second: a crash in between re-runs the
+            # batch, and overwrite-by-batch-dir makes both writes replays
+            minhash_index(
+                batch_df.select(id_col, text_col),
+                text_col,
+                id_col,
+                num_hashes=num_hashes,
+                bands=bands,
+                k=k,
+            ).write.mode("overwrite").parquet(f"{state_dir}/index/batch-{batch_id:05d}")
+            batch_df.select(id_col, text_col).write.mode("overwrite").parquet(
+                f"{state_dir}/seen/batch-{batch_id:05d}"
+            )
+            survivors.write.mode("overwrite").parquet(
+                f"{corpus_dir}/batch-{batch_id:05d}"
+            )
+            drops.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or f"{corpus_dir}/_dedup_checkpoint",
+        )
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_ingest_clustered(

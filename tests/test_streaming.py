@@ -457,3 +457,60 @@ def test_near_dedup_within_watermark_stream_matches_batch(spark, tmp_path_factor
     )
     got = sorted(r["simhash"] for r in got_df.collect())
     assert got == want
+
+
+def test_stream_ingest_deduped_matches_batch_drop_set(spark, tmp_path_factory):
+    """Streaming near-dedup-at-ingest ≡ batch drop set: three id-ordered
+    micro-batches through stream_ingest_deduped leave exactly the docs
+    the batch minhash_drop_set keeps over the whole corpus (keep-earliest
+    drops a doc matching ANY earlier doc — including one itself dropped —
+    which is why the state indexes every SEEN doc, not just survivors)."""
+    import os
+    import time
+
+    from lakeshack_spark.operators.dedup import minhash_drop_set
+    from lakeshack_spark.streaming import stream_ingest_deduped
+
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") < 120)
+    landing = tmp_path_factory.mktemp("dedup_landing")
+    corpus_dir = str(tmp_path_factory.mktemp("dedup_corpus"))
+    state_dir = str(tmp_path_factory.mktemp("dedup_state"))
+
+    for i, (lo, hi) in enumerate([(0, 40), (40, 80), (80, 120)]):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("overwrite").parquet(str(landing / f"slice{i}"))
+        # file-source processes oldest-mtime first: pin slice order = id order
+        t = time.time() - 300 + i * 10
+        for root, _, files in os.walk(str(landing / f"slice{i}")):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    params = dict(num_hashes=64, bands=16, k=1, threshold=0.9)
+    q = stream_ingest_deduped(
+        spark,
+        f"{landing}/*",
+        corpus_dir,
+        state_dir,
+        schema=docs.schema,
+        checkpoint_dir=str(tmp_path_factory.mktemp("dedup_ckpt")),
+        max_files_per_trigger=1,
+        available_now=True,
+        **params,
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(f"{corpus_dir}/batch-*").select("doc_id").collect()
+    }
+    drops = minhash_drop_set(docs.select("doc_id", "text"), **params)
+    expect = {r.doc_id for r in docs.join(drops, "doc_id", "left_anti").collect()}
+    drops.unpersist()
+    assert got == expect and len(got) < 120, (len(got), len(expect))
+    # every seen doc (survivor or not) is indexed for future batches
+    n_index_docs = (
+        spark.read.parquet(f"{state_dir}/index/batch-*")
+        .select("doc_id").distinct().count()
+    )
+    assert n_index_docs == 120
