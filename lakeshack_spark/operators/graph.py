@@ -57,13 +57,29 @@ def _symmetrized_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .repartition(F.col("src"))
     )
     spark = pairs.sparkSession
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        return sym.localCheckpoint(eager=True)
+        edges = sym.repartition(F.col("src")).localCheckpoint(eager=True)
+        # Size the FIXED partitioning to the materialized edge count:
+        # every round inherits it, and AQE cannot coalesce it away (that
+        # is the point — it must match across rounds). A small graph on
+        # the session-default partition count pays rounds × partitions of
+        # empty-task overhead; ~100k edges per partition keeps round
+        # shuffles dense while a corpus-scale |E| lands on the default.
+        # Floor at 2: repartition(1, col) is optimized into a plain
+        # single partition whose checkpointed LogicalRDD reports Unknown
+        # partitioning (measured) — the join then re-shuffles BOTH sides,
+        # exactly what this sizing exists to avoid.
+        n_parts = edges.rdd.getNumPartitions()
+        target = max(2, min(n_parts, edges.count() // 100_000 + 1))
+        if target < n_parts:
+            edges = edges.repartition(target, F.col("src")).localCheckpoint(
+                eager=True
+            )
+        return edges
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
