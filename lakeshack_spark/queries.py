@@ -502,6 +502,43 @@ def join_broadcast_dim(spark, sf_dir):
 
 
 @register(
+    "full_outer_daily_activity",
+    """
+    WITH o AS (
+      SELECT o_orderdate AS day, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderdate
+    ), l AS (
+      SELECT l_shipdate AS day, COUNT(*) AS n_shipments
+      FROM lineitem GROUP BY l_shipdate
+    )
+    SELECT COALESCE(o.day, l.day) AS day, o.n_orders, l.n_shipments
+    FROM o FULL OUTER JOIN l ON o.day = l.day
+    """,
+)
+def full_outer_daily_activity(spark, sf_dir):
+    """FULL OUTER join — the one join type with no broadcast strategy
+    (both sides must shuffle; Spark plans SMJ unconditionally): daily
+    order counts ⟗ daily shipment counts. Both orphan sides are
+    non-empty by construction (l_shipdate extends ~4 months past the
+    last o_orderdate), so the NULL-preserving semantics of both outer
+    sides are actually exercised, not vacuously green."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").alias("day"))
+        .agg(F.count("*").alias("n_shipments"))
+    )
+    return (
+        o.join(l, "day", "full_outer")
+        .select("day", "n_orders", "n_shipments")
+    )
+
+
+@register(
     "semi_join_big_spenders",
     """
     SELECT c_custkey, c_name
