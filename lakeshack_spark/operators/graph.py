@@ -113,11 +113,20 @@ def connected_components(
     """
     edges = _symmetrized_edges(pairs, id_a, id_b)
 
+    endpoints = edges.select(F.col("src").alias("node"))
     if nodes is not None:
         nc = node_col or nodes.columns[0]
-        universe = nodes.select(F.col(nc).cast("long").alias("node")).distinct()
+        # Union endpoints in even when a universe is supplied: an edge
+        # endpoint missing from ``nodes`` would otherwise never
+        # self-label, and if it happened to be its component's minimum
+        # id the whole component would silently get a larger cluster_id.
+        universe = (
+            nodes.select(F.col(nc).cast("long").alias("node"))
+            .union(endpoints)
+            .distinct()
+        )
     else:
-        universe = edges.select(F.col("src").alias("node")).distinct()
+        universe = endpoints.distinct()
     labels = universe.select(
         "node", F.col("node").alias("label")
     ).localCheckpoint(eager=True)

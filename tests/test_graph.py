@@ -56,3 +56,13 @@ def test_cc_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         graph.connected_components(pairs, max_rounds=0)
+
+
+def test_cc_universe_missing_endpoint_still_gets_min_label(spark):
+    """An edge endpoint absent from the supplied node universe must still
+    self-label: if it is its component's minimum id, the component's
+    cluster_id must be that id, not a larger universe member's."""
+    pairs = spark.createDataFrame([(3, 5)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(5,), (9,)], "doc_id long")
+    got = _labels(graph.connected_components(pairs, nodes=nodes, node_col="doc_id"))
+    assert got == {3: 3, 5: 3, 9: 9}
