@@ -559,3 +559,53 @@ def srp_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", bits: int = 8
+) -> DataFrame:
+    """Symmetric scalar quantization of an embedding column to signed
+    integer codes — the standard 4x (fp32→int8) storage/bandwidth cut for
+    ANN candidate tiers at corpus scale. Adds:
+
+    - ``codes``: ``array<int>``, ``code_i = clamp(floor(x_i·qmax/amax),
+      ±qmax)`` with per-vector ``amax = max|x_i|`` and
+      ``qmax = 2^(bits-1) − 1``;
+    - ``scale``: ``amax/qmax`` (dequantize as ``code_i · scale``);
+    - ``amax``.
+
+    ``floor``, not ``round``: HALF_UP vs banker's rounding differs across
+    engines while ``floor`` is identical everywhere (the repo's
+    determinism discipline) — and the division can land epsilon past
+    ±qmax (``(x·qmax)`` rounds before the divide), which the clamp
+    absorbs, so the dequantization error bound is ``2·scale`` (one floor
+    step + one clamp step), asserted under the hash gate. Zero vectors
+    (amax = 0) quantize to all-zero codes with scale 0. Map-only,
+    whole-stage codegen; at 100 TB this runs inside the same scan that
+    wrote the fp32 vectors.
+    """
+    qmax = (1 << (bits - 1)) - 1
+    out = df.withColumn(
+        "__v", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    ).withColumn("amax", F.array_max(F.transform(F.col("__v"), lambda x: F.abs(x))))
+    codes = F.when(
+        F.col("amax") > 0,
+        F.transform(
+            F.col("__v"),
+            lambda x: F.greatest(
+                F.lit(-qmax),
+                F.least(
+                    F.lit(qmax).cast("long"),
+                    F.floor(x * F.lit(qmax) / F.col("amax")),
+                ),
+            ).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
+    scale = F.when(
+        F.col("amax") > 0, F.col("amax") / F.lit(qmax)
+    ).otherwise(F.lit(0.0))
+    return (
+        out.withColumn("codes", codes)
+        .withColumn("scale", scale)
+        .drop("__v")
+    )

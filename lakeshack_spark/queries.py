@@ -1752,6 +1752,60 @@ def ivf_assign_cells(spark, sf_dir):
 
 
 @register(
+    "quantized_embedding_stats",
+    """
+    WITH q AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS amax
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id, v, amax,
+        CASE WHEN amax > 0 THEN
+          list_transform(v, x -> CAST(greatest(-127, least(127,
+            floor(x * 127 / amax))) AS BIGINT))
+        ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes,
+        CASE WHEN amax > 0 THEN amax / 127 ELSE 0.0 END AS scale
+      FROM q
+    )
+    SELECT vec_id,
+      CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+      CAST(list_min(codes) AS INTEGER) AS min_code,
+      CAST(list_max(codes) AS INTEGER) AS max_code,
+      scale,
+      list_max(list_transform(generate_series(1, len(v)),
+          i -> abs(codes[i] * scale - v[i]))) <= 2.0 * scale AS err_ok
+    FROM c
+    """,
+)
+def quantized_embedding_stats(spark, sf_dir):
+    """Embedding int8 quantization (operators.similarity
+    .quantize_embeddings) under the hash gate: per-vector code checksum,
+    code range, exact scale, and the dequantization error bound
+    ``max|code·scale − x| ≤ 2·scale`` as a boolean — floor-based
+    semantics make every step the same IEEE op on both engines, so the
+    hash match proves the bound, not just that the query ran."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(emb)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    errs = F.zip_with(
+        F.col("codes"),
+        v,
+        lambda c, x: F.abs(c.cast("double") * F.col("scale") - x),
+    )
+    return q.select(
+        "vec_id",
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + c
+        ).alias("sum_codes"),
+        F.array_min("codes").cast("int").alias("min_code"),
+        F.array_max("codes").cast("int").alias("max_code"),
+        "scale",
+        (F.array_max(errs) <= F.lit(2.0) * F.col("scale")).alias("err_ok"),
+    )
+
+
+@register(
     "embedding_near_dup",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

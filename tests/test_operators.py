@@ -791,3 +791,23 @@ def test_incremental_near_dups_equals_cross_pairs(spark, docs):
         dedup._banded = orig
     assert got2 == expect
     assert len(calls) == 1, "corpus must not be re-banded when index is supplied"
+
+
+def test_quantize_embeddings_bounds_and_zero_vector(spark):
+    from lakeshack_spark.operators import similarity
+
+    rows = [
+        (0, [1.0, -2.0, 0.5]),
+        (1, [0.0, 0.0, 0.0]),        # zero vector: codes 0, scale 0
+        (2, [-1e-30, 1e-30, 0.0]),   # tiny amax: still finite codes
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in similarity.quantize_embeddings(df).collect()}
+    assert got[1].codes == [0, 0, 0] and got[1].scale == 0.0
+    for r in got.values():
+        assert all(-127 <= c <= 127 for c in r.codes)
+        xs = [float(x) for x in r.embedding]
+        for c, x in zip(r.codes, xs):
+            assert abs(c * r.scale - x) <= 2 * r.scale + 1e-300
+    # the max-magnitude (negative) element clamps exactly at -qmax
+    assert got[0].codes[1] == -127
