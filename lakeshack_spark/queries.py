@@ -502,6 +502,64 @@ def join_broadcast_dim(spark, sf_dir):
 
 
 @register(
+    "data_quality_orders",
+    """
+    WITH m AS (
+      SELECT
+        CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+        CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS m1,
+        CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+        CAST(SUM(CASE WHEN o_orderdate NOT BETWEEN TIMESTAMP '1995-01-01'
+                   AND TIMESTAMP '2001-12-31' THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+        CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+          AS BIGINT) AS m4,
+        CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS m5,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+    )
+    SELECT 'not_null(o_orderkey)' AS "constraint", m0 = 0 AS passed,
+           m0 AS observed FROM m
+    UNION ALL SELECT 'unique(o_orderkey)', m1 = 0, m1 FROM m
+    UNION ALL SELECT 'non_negative(o_totalprice)', m2 = 0, m2 FROM m
+    UNION ALL SELECT
+      'between(o_orderdate,1995-01-01 00:00:00,2001-12-31 00:00:00)',
+      m3 = 0, m3 FROM m
+    UNION ALL SELECT 'isin(o_orderstatus,F,O,P)', m4 = 0, m4 FROM m
+    UNION ALL SELECT 'max_null_fraction(o_orderpriority,0.01)',
+      m5 <= n * 0.01, m5 FROM m
+    UNION ALL SELECT 'min_rows(1000)', n >= 1000, n FROM m
+    """,
+)
+def data_quality_orders(spark, sf_dir):
+    """Deequ-style expectation suite (operators.quality) under the hash
+    gate: seven constraints over orders — key null/unique, value range,
+    closed category set, null-fraction bound, row-count floor — compiled
+    into ONE aggregation pass (one scan however many constraints; the
+    oracle spells each metric out longhand). Every metric is exact
+    integer counting, so passed/observed match cell-for-cell."""
+    from datetime import datetime
+
+    from lakeshack_spark.operators import quality
+
+    orders = load_table(spark, sf_dir, "orders")
+    return quality.check_expectations(
+        orders,
+        [
+            quality.expect.not_null("o_orderkey"),
+            quality.expect.unique("o_orderkey"),
+            quality.expect.non_negative("o_totalprice"),
+            quality.expect.between(
+                "o_orderdate", datetime(1995, 1, 1), datetime(2001, 12, 31)
+            ),
+            quality.expect.isin("o_orderstatus", ["F", "O", "P"]),
+            quality.expect.max_null_fraction("o_orderpriority", 0.01),
+            quality.expect.min_rows(1000),
+        ],
+    )
+
+
+@register(
     "full_outer_daily_activity",
     """
     WITH o AS (

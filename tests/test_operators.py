@@ -811,3 +811,41 @@ def test_quantize_embeddings_bounds_and_zero_vector(spark):
             assert abs(c * r.scale - x) <= 2 * r.scale + 1e-300
     # the max-magnitude (negative) element clamps exactly at -qmax
     assert got[0].codes[1] == -127
+
+
+def test_check_expectations_detects_violations(spark):
+    from lakeshack_spark.operators import quality
+    from lakeshack_spark.plans import explain_str
+
+    rows = [
+        (1, 10.0, "A"),
+        (1, -5.0, "B"),     # duplicate key, negative value
+        (2, 3.0, None),     # null category
+        (None, 1.0, "A"),   # null key
+    ]
+    df = spark.createDataFrame(rows, "k long, v double, cat string")
+    out = quality.check_expectations(
+        df,
+        [
+            quality.expect.not_null("k"),
+            quality.expect.unique("k"),
+            quality.expect.non_negative("v"),
+            quality.expect.isin("cat", ["A", "B"]),
+            quality.expect.max_null_fraction("cat", 0.5),
+            quality.expect.min_rows(10),
+        ],
+    )
+    got = {r.constraint: (r.passed, r.observed) for r in out.collect()}
+    assert got["not_null(k)"] == (False, 1)
+    assert got["unique(k)"] == (False, 1)          # 3 non-null, 2 distinct
+    assert got["non_negative(v)"] == (False, 1)
+    # NULL cat: `cat NOT IN (...)` is NULL, not TRUE -> not counted as a
+    # set violation (it is the null-fraction constraint's job)
+    assert got["isin(cat,A,B)"] == (True, 0)
+    assert got["max_null_fraction(cat,0.5)"] == (True, 1)
+    assert got["min_rows(10)"] == (False, 4)
+    # the whole suite is ONE aggregation pass: a single scan leaf in the
+    # final plan tree (cut the AQE initial-plan copy and the details
+    # section, both of which repeat node names)
+    tree = explain_str(out).split("== Initial Plan ==")[0]
+    assert tree.count("Scan") == 1, tree
