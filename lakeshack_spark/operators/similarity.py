@@ -609,3 +609,61 @@ def quantize_embeddings(
         .withColumn("scale", scale)
         .drop("__v")
     )
+
+
+def projection_matrix(out_dim: int, in_dim: int) -> list[list[float]]:
+    """Deterministic ±1 random-projection matrix (Achlioptas 2003: sign
+    entries preserve pairwise distances per Johnson–Lindenstrauss just as
+    Gaussians do), derived from md5 so every engine/run agrees without an
+    RNG — the same discipline as the SRP hyperplanes and MinHash params.
+    Entry (j, i) = +1 if the low bit of h64("proj:j:i") is set else -1,
+    scaled by 1/sqrt(out_dim) so expected norms are preserved."""
+    import hashlib
+    import math
+
+    s = 1.0 / math.sqrt(out_dim)
+    rows = []
+    for j in range(out_dim):
+        row = []
+        for i in range(in_dim):
+            h = int(hashlib.md5(f"proj:{j}:{i}".encode()).hexdigest()[:15], 16)
+            row.append(s if h & 1 else -s)
+        rows.append(row)
+    return rows
+
+
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    prefix: str = "proj_",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: adds ``out_dim`` double
+    columns ``{prefix}0..{prefix}{out_dim-1}``, each the sequential-fold
+    dot product of the vector with one ±1/√out_dim matrix row.
+
+    The JL use case at corpus scale: cut the per-vector footprint (and
+    every downstream distance computation) k/out_dim-fold while pairwise
+    distances survive within (1±ε) — the cheap front tier before exact
+    rescoring on the full vectors, complementary to int8 quantization
+    (which cuts bytes per dimension; this cuts dimensions).
+
+    Map-only whole-stage codegen: the matrix enters the plan as literal
+    arrays (one parsed SQL string per row — per-scalar ``F.lit`` costs a
+    py4j round trip each, the measured plan-construction trap), and each
+    output coordinate is one ``dot_d`` fold, bit-reproducible across
+    engines. ``dim`` (input dimensionality) is read from the first row
+    only if not supplied — pass it in pipelines to avoid the eager job.
+    """
+    if dim is None:
+        first = df.select(vec_col).first()
+        if first is None or first[0] is None:
+            raise ValueError("cannot infer dim from an empty DataFrame")
+        dim = len(first[0])
+    mat = projection_matrix(out_dim, dim)
+    out = df
+    for j, row in enumerate(mat):
+        lit = F.expr("array(" + ",".join("%.17e" % x for x in row) + ")")
+        out = out.withColumn(f"{prefix}{j}", dot_d(F.col(vec_col), lit))
+    return out

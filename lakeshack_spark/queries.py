@@ -1863,6 +1863,44 @@ def quantized_embedding_stats(spark, sf_dir):
     )
 
 
+def _jl_row_sql(j: int) -> str:
+    """DuckDB twin of similarity.projection_matrix row ``j`` (out_dim=4 →
+    scale exactly 0.5): ±0.5 signs from the low bit of the shared
+    15-hex-md5 fold, dotted with the vector. ``len(embedding)`` keeps the
+    oracle correct if the driver regenerates embeddings at another dim."""
+    h = _H64_SQL.format(x=f"'proj:{j}:' || CAST(i AS VARCHAR)")
+    return (
+        "list_dot_product(CAST(embedding AS DOUBLE[]), "
+        "list_transform(range(0, len(embedding)), "
+        f"i -> CASE WHEN ({h}) & 1 = 1 THEN 0.5 ELSE -0.5 END))"
+    )
+
+
+@register(
+    "jl_projection_embeddings",
+    f"""
+    SELECT vec_id,
+           {_jl_row_sql(0)} AS proj_0,
+           {_jl_row_sql(1)} AS proj_1,
+           {_jl_row_sql(2)} AS proj_2,
+           {_jl_row_sql(3)} AS proj_3
+    FROM embeddings
+    """,
+)
+def jl_projection_embeddings(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection (operators.similarity
+    .project_embeddings) under the hash gate: every vector projected to 4
+    coordinates through the md5-derived ±1/√4 sign matrix, reproduced
+    coordinate-for-coordinate by a DuckDB oracle that re-derives the
+    matrix from the same hash domain and uses the dot-product fold whose
+    bit-parity the cosine entries already prove. out_dim=4 makes the
+    scale exactly 0.5 (no 1/sqrt rounding concern on either engine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.project_embeddings(emb, out_dim=4).select(
+        "vec_id", "proj_0", "proj_1", "proj_2", "proj_3"
+    )
+
+
 @register(
     "embedding_near_dup",
     """

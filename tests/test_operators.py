@@ -849,3 +849,30 @@ def test_check_expectations_detects_violations(spark):
     # section, both of which repeat node names)
     tree = explain_str(out).split("== Initial Plan ==")[0]
     assert tree.count("Scan") == 1, tree
+
+
+def test_project_embeddings_matches_python_fold(spark):
+    from lakeshack_spark.operators import similarity
+
+    rows = [(0, [1.0, -2.0, 0.25, 4.0]), (1, [0.0, 0.5, -0.5, 1.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: [r.proj_0, r.proj_1]
+        for r in similarity.project_embeddings(df, out_dim=2, dim=4).collect()
+    }
+    mat = similarity.projection_matrix(2, 4)
+    assert mat == similarity.projection_matrix(2, 4)  # deterministic
+    assert all(abs(abs(e) - 1 / 2**0.5) < 1e-15 for row in mat for e in row)
+    for vid, vec in rows:
+        xs = [float(x) for x in (spark.createDataFrame([(vec,)], "v array<float>")
+                                 .select(F.col("v").cast("array<double>"))
+                                 .first()[0])]
+        for j in range(2):
+            acc = 0.0
+            for x, m in zip(xs, mat[j]):
+                acc += x * m
+            assert out[vid][j] == acc, (vid, j)
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        similarity.project_embeddings(empty, out_dim=2)
