@@ -555,7 +555,15 @@ def incremental_near_dups(
     idx = corpus_index.select(
         F.col(id_col).alias("id_corpus"), "band", "bucket"
     )
-    cands = nb.join(idx, ["band", "bucket"]).select("id_new", "id_corpus").distinct()
+    # id_new != id_corpus: a doc is never a duplicate of itself — guards
+    # overlap cases (e.g. a replayed ingest batch probing an index that
+    # already contains its own previous write) from self-pairs.
+    cands = (
+        nb.join(idx, ["band", "bucket"])
+        .filter(F.col("id_new") != F.col("id_corpus"))
+        .select("id_new", "id_corpus")
+        .distinct()
+    )
 
     corpus_needed = corpus_docs.join(
         cands.select(F.col("id_corpus").alias(id_col)).distinct(),

@@ -87,7 +87,10 @@ def check_expectations(df: DataFrame, constraints: list) -> DataFrame:
     out_structs = []
     for i, c in enumerate(constraints):
         name, _, pred = c[0], c[1], c[2]
-        v = F.col(f"__m{i}")
+        # SUM over zero rows is NULL, which would make passed NULL
+        # instead of a verdict — an empty table must still produce
+        # booleans (not_null trivially passes, min_rows fails).
+        v = F.coalesce(F.col(f"__m{i}"), F.lit(0))
         passed = pred(v, F.col("__n")) if len(c) == 4 else pred(v)
         out_structs.append(
             F.struct(

@@ -125,8 +125,18 @@ def stream_ingest_deduped(
                     .distinct()
                 )
                 survivors = survivors.join(dup_new, id_col, "left_anti")
-            # state first, product second: a crash in between re-runs the
-            # batch, and overwrite-by-batch-dir makes both writes replays
+            # State first, product second: a crash in between re-runs the
+            # batch, and overwrite-by-batch-dir makes all writes replays.
+            # Within the state, SEEN text lands before the index: a crash
+            # between them leaves seen-without-index (harmless — those
+            # docs just are not probed yet, and the replay rewrites both),
+            # never index-without-text (which would make the next batch's
+            # colliding candidates unverifiable). A replay probing its own
+            # partial index is also safe: incremental_near_dups drops
+            # self-pairs.
+            batch_df.select(id_col, text_col).write.mode("overwrite").parquet(
+                f"{state_dir}/seen/batch-{batch_id:05d}"
+            )
             minhash_index(
                 batch_df.select(id_col, text_col),
                 text_col,
@@ -135,9 +145,6 @@ def stream_ingest_deduped(
                 bands=bands,
                 k=k,
             ).write.mode("overwrite").parquet(f"{state_dir}/index/batch-{batch_id:05d}")
-            batch_df.select(id_col, text_col).write.mode("overwrite").parquet(
-                f"{state_dir}/seen/batch-{batch_id:05d}"
-            )
             survivors.write.mode("overwrite").parquet(
                 f"{corpus_dir}/batch-{batch_id:05d}"
             )

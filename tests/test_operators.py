@@ -876,3 +876,38 @@ def test_project_embeddings_matches_python_fold(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         similarity.project_embeddings(empty, out_dim=2)
+
+
+def test_check_expectations_empty_table_gives_verdicts(spark):
+    """SUM over zero rows is NULL — an empty table must still yield real
+    booleans: trivial constraints pass, min_rows fails."""
+    from lakeshack_spark.operators import quality
+
+    empty = spark.createDataFrame([], "k long, v double")
+    got = {
+        r.constraint: (r.passed, r.observed)
+        for r in quality.check_expectations(
+            empty,
+            [
+                quality.expect.not_null("k"),
+                quality.expect.non_negative("v"),
+                quality.expect.min_rows(1),
+            ],
+        ).collect()
+    }
+    assert got["not_null(k)"] == (True, 0)
+    assert got["non_negative(v)"] == (True, 0)
+    assert got["min_rows(1)"] == (False, 0)
+
+
+def test_incremental_near_dups_drops_self_pairs(spark, docs):
+    """Probing a corpus against an index of ITSELF (the replayed-batch
+    overlap case) must never emit id_new == id_corpus rows."""
+    index = dedup.minhash_index(docs, num_hashes=64, bands=16, k=1)
+    out = dedup.incremental_near_dups(
+        docs, docs, num_hashes=64, bands=16, k=1, corpus_index=index
+    )
+    assert out.filter(F.col("id_new") == F.col("id_corpus")).count() == 0
+    # symmetric cross pairs still reported (both orientations of a dup)
+    rows = {(r.id_new, r.id_corpus) for r in out.collect()}
+    assert rows and all((b, a) in rows for (a, b) in rows)
