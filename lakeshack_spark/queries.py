@@ -1569,6 +1569,49 @@ def repetition_stats_docs(spark, sf_dir):
 
 
 @register(
+    "pack_token_windows_docs",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN 0
+                  ELSE len(string_split(text, ' ')) END AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+        COALESCE(SUM(n_tokens) OVER (
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) AS start_offset
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(start_offset AS BIGINT) AS start_offset,
+           CASE WHEN n_tokens > 0
+                THEN CAST(start_offset // 256 AS BIGINT) END AS chunk_first,
+           CASE WHEN n_tokens > 0
+                THEN CAST((start_offset + n_tokens - 1) // 256 AS BIGINT)
+                END AS chunk_last
+    FROM c
+    """,
+)
+def pack_token_windows_docs(spark, sf_dir):
+    """Sequence packing (operators.packing.pack_token_windows, 256-token
+    context windows): every doc's global token offset and chunk span in
+    the concatenated id-ordered stream. The oracle is the naive global
+    window cumsum (fine for DuckDB); the Spark side is the two-pass
+    distributed prefix sum (range partition → per-partition totals →
+    broadcast offsets → mapInPandas running sum) that never collapses to
+    a single-task global sort — the hash match proves the distributed
+    decomposition equals the sequential definition."""
+    from lakeshack_spark.operators.packing import pack_token_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_token_windows(docs, window=256).select(
+        "doc_id", "n_tokens", "start_offset", "chunk_first", "chunk_last"
+    )
+
+
+@register(
     "tfidf_top_terms_docs",
     """
     WITH pairs AS (

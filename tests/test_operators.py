@@ -911,3 +911,35 @@ def test_incremental_near_dups_drops_self_pairs(spark, docs):
     # symmetric cross pairs still reported (both orientations of a dup)
     rows = {(r.id_new, r.id_corpus) for r in out.collect()}
     assert rows and all((b, a) in rows for (a, b) in rows)
+
+
+def test_pack_token_windows_offsets_and_partition_invariance(spark):
+    from lakeshack_spark.operators.packing import pack_token_windows
+
+    rows = [
+        (0, "a b c"),          # 3 tokens, offset 0, chunks 0-0
+        (1, None),             # 0 tokens, offset 3, no chunk
+        (2, "d e f g"),        # 4 tokens, offset 3, spans chunk 0-1 (w=4)
+        (3, ""),               # "" splits to 1 empty token, offset 7
+        (4, "h i"),            # offset 8, chunk 2-2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(np_):
+        out = pack_token_windows(df, window=4, n_partitions=np_)
+        return {
+            r.doc_id: (r.n_tokens, r.start_offset, r.chunk_first, r.chunk_last)
+            for r in out.collect()
+        }
+
+    got = run(2)
+    assert got[0] == (3, 0, 0, 0)
+    assert got[1] == (0, 3, None, None)
+    assert got[2] == (4, 3, 0, 1)
+    assert got[3] == (1, 7, 1, 1)
+    assert got[4] == (2, 8, 2, 2)
+    # the two-pass decomposition is partition-count invariant
+    assert run(1) == got == run(5)
+
+    with pytest.raises(ValueError):
+        pack_token_windows(df, window=0)
