@@ -769,6 +769,30 @@ def scalar_subquery_above_avg(spark, sf_dir):
     )
 
 
+_CORR_SUBQ_SQL = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*)
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+"""
+
+
+@register("correlated_subquery_above_cust_avg", _CORR_SUBQ_SQL)
+def correlated_subquery_above_cust_avg(spark, sf_dir):
+    """CORRELATED scalar subquery: orders 1.5× above their own
+    customer's average order value. Catalyst decorrelates this into a
+    per-customer aggregate + equi-join (SURVEY §4's subquery
+    decorrelation row) — never a per-row re-execution; the identical SQL
+    text runs on both engines, with the group mean in decimal space so
+    the boundary comparison cannot diverge on accumulation order."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(_CORR_SUBQ_SQL)
+
+
 @register(
     "in_subquery_hot_parts",
     f"""

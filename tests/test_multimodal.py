@@ -117,3 +117,40 @@ def test_media_dedup_pipeline_end_to_end(spark):
     assert len(top) == 1
     assert top[0]["neighbor_id"] == 100
     assert top[0]["cosine"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_media_compression_tier_composition(spark):
+    """Multimodal → compression composition: extracted media embeddings
+    flow through JL projection and int8 quantization with only
+    column-name arguments. Identical payloads keep identical projected
+    coordinates and identical codes (both transforms are deterministic
+    functions of the vector), so the compressed tiers preserve
+    exact-duplicate structure end to end."""
+    from lakeshack_spark.operators import similarity
+
+    media = spark.range(40).select(
+        F.col("id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        mm.fake_media_col(F.col("id") % 20, "audio").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    feats = mm.extract_features(media, feature_dim=16)
+    proj = similarity.project_embeddings(
+        feats, out_dim=4, vec_col="feature", dim=16
+    )
+    quant = similarity.quantize_embeddings(proj, vec_col="feature")
+    rows = {r.media_id: r for r in quant.collect()}
+    for i in range(20):
+        a, b = rows[i], rows[i + 20]
+        assert [a[f"proj_{j}"] for j in range(4)] == [
+            b[f"proj_{j}"] for j in range(4)
+        ]
+        assert a.codes == b.codes and a.scale == b.scale
+    # distinct payloads must not share full code vectors
+    distinct_codes = {tuple(rows[i].codes) for i in range(20)}
+    assert len(distinct_codes) > 1
