@@ -33,6 +33,7 @@ from lakeshack_spark.operators import (
     dedup,
     graph,
     relational,
+    retrieval,
     sampling,
     similarity,
     text,
@@ -1671,6 +1672,80 @@ def tfidf_top_terms_docs(spark, sf_dir):
     across engines and is pinned by unit tests instead)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.tfidf_top_terms(docs, k=3, idf="rational")
+
+
+@register(
+    "boolean_search_docs",
+    """
+    WITH pairs AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(COUNT(DISTINCT term) AS INTEGER) AS n_terms_matched
+      FROM pairs WHERE term IN ('spark', 'merge', 'window')
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_matched FROM m WHERE n_terms_matched = 3
+    """,
+)
+def boolean_search_docs(spark, sf_dir):
+    """Boolean AND retrieval (operators.retrieval.boolean_search): every
+    document containing ALL of {spark, merge, window}. The literal
+    IN-list filter runs map-side during the explode, so only queried-term
+    postings shuffle — the conjunction is a distinct-term count, never a
+    q-way self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.boolean_search(docs, ["spark", "merge", "window"], mode="and")
+
+
+@register(
+    "bm25_search_docs",
+    """
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), lengths AS (
+      SELECT doc_id, len(w) AS dl FROM base
+    ), corpus AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM lengths
+    ), pairs AS (
+      SELECT doc_id, unnest(w) AS term FROM base
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM pairs
+      WHERE term IN ('spark', 'merge', 'window')
+      GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term
+    ), scored AS (
+      SELECT t.doc_id, t.term,
+        (((CAST(c.n_docs AS DOUBLE) - CAST(d.dfreq AS DOUBLE)) + 0.5)
+           / (CAST(d.dfreq AS DOUBLE) + 0.5))
+        * ((CAST(t.tf AS DOUBLE) * 2.5)
+           / (CAST(t.tf AS DOUBLE)
+              + 1.5 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                 / (CAST(c.total_dl AS DOUBLE) / CAST(c.n_docs AS DOUBLE))))))
+        AS c
+      FROM tf t JOIN dfreq d USING (term) JOIN lengths l USING (doc_id),
+           corpus c
+    )
+    SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms_matched,
+      COALESCE(MAX(CASE WHEN term = 'spark'  THEN c END), 0.0)
+      + COALESCE(MAX(CASE WHEN term = 'merge'  THEN c END), 0.0)
+      + COALESCE(MAX(CASE WHEN term = 'window' THEN c END), 0.0) AS score
+    FROM scored GROUP BY doc_id
+    """,
+)
+def bm25_search_docs(spark, sf_dir):
+    """BM25 ranked retrieval (operators.retrieval.bm25_scores) under the
+    hash gate, with the ``rational`` idf variant and exactly-representable
+    k1=1.5, b=0.75: every step is an exact int→double conversion or ONE
+    correctly-rounded IEEE op, and the per-term contributions sum in the
+    FIXED query-term order (conditional-aggregation columns, left-assoc),
+    so Spark and DuckDB agree bit-for-bit. The production ``log`` idf is
+    unit-tested against a pure-Python reference instead (libm ulps)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_scores(
+        docs, ["spark", "merge", "window"], k1=1.5, b=0.75, idf="rational"
+    )
 
 
 @register(

@@ -1,0 +1,87 @@
+"""Inverted-index retrieval: postings, boolean search, BM25 ranking.
+
+The BM25 expression tree is pinned against a driver-side pure-Python
+reference (independent of any engine's SQL), in both the production
+``log`` variant and the cross-engine-exact ``rational`` variant the
+DuckDB hash gate uses (queries.bm25_search_docs).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lakeshack_spark.operators import retrieval
+
+DOCS = [
+    (0, "spark merge window spark"),
+    (1, "merge window table scan"),
+    (2, "spark spark spark filter"),
+    (3, "table scan filter sort"),
+    (4, "window"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_build_postings(spark, docs_df):
+    got = {
+        (r.doc_id, r.term): r.tf for r in retrieval.build_postings(docs_df).collect()
+    }
+    assert got[(0, "spark")] == 2
+    assert got[(2, "spark")] == 3
+    assert got[(4, "window")] == 1
+    assert (1, "spark") not in got
+
+
+def test_boolean_search_and_or(spark, docs_df):
+    both = retrieval.boolean_search(docs_df, ["spark", "window"], mode="and")
+    assert sorted(r.doc_id for r in both.collect()) == [0]
+    either = retrieval.boolean_search(docs_df, ["spark", "window"], mode="or")
+    got = {r.doc_id: r.n_terms_matched for r in either.collect()}
+    assert got == {0: 2, 1: 1, 2: 1, 4: 1}
+    # duplicate query terms collapse (AND arity counts distinct terms)
+    dup = retrieval.boolean_search(docs_df, ["spark", "spark"], mode="and")
+    assert sorted(r.doc_id for r in dup.collect()) == [0, 2]
+    with pytest.raises(ValueError):
+        retrieval.boolean_search(docs_df, [], mode="and")
+    with pytest.raises(ValueError):
+        retrieval.boolean_search(docs_df, ["spark"], mode="xor")
+
+
+@pytest.mark.parametrize("variant", ["log", "rational"])
+def test_bm25_matches_python_reference(spark, docs_df, variant):
+    terms = ["spark", "window", "scan"]
+    out = retrieval.bm25_scores(docs_df, terms, idf=variant)
+    got = {r.doc_id: (r.n_terms_matched, r.score) for r in out.collect()}
+    ref = retrieval.bm25_reference(DOCS, terms, idf=variant)
+    assert set(got) == set(ref)
+    for doc_id, (_, score) in got.items():
+        assert score == pytest.approx(ref[doc_id], rel=1e-12)
+    # doc 3 matches only 'scan'; doc 0 matches spark+window
+    assert got[0][0] == 2
+    assert got[3][0] == 1
+
+
+def test_bm25_topk_order_and_rank(spark, docs_df):
+    out = retrieval.bm25_topk(docs_df, ["spark"], k=2).collect()
+    assert [r.rank for r in out] == [1, 2]
+    # doc 2 (tf=3, dl=4) outranks doc 0 (tf=2, dl=4)
+    assert [r.doc_id for r in out] == [2, 0]
+    assert out[0].score > out[1].score
+    with pytest.raises(ValueError):
+        retrieval.bm25_scores(docs_df, [], idf="log")
+    with pytest.raises(ValueError):
+        retrieval.bm25_scores(docs_df, ["spark"], idf="nope")
+
+
+def test_bm25_rational_exact_vs_reference(spark, docs_df):
+    """The gated variant must be BIT-exact vs the independent Python
+    tree (same IEEE ops in the same association order)."""
+    terms = ["spark", "window", "scan"]
+    out = retrieval.bm25_scores(docs_df, terms, idf="rational")
+    got = {r.doc_id: r.score for r in out.collect()}
+    ref = retrieval.bm25_reference(DOCS, terms, idf="rational")
+    assert got == ref  # exact float equality, not approx
