@@ -1,0 +1,157 @@
+"""Frequent-item (heavy-hitter) detection at corpus scale: per-partition
+Misra–Gries summaries merged and then EXACTLY verified, so the final
+answer is provably identical to a full groupBy-HAVING — while never
+shuffling the full distinct-key cardinality.
+
+Why not just ``groupBy(col).count()``? At 100 TB a token/URL/ngram
+column has billions of distinct values; the exact aggregation shuffles
+every one of them to find the handful above threshold. The classic
+streaming answer (Misra–Gries / space-saving) summarizes each partition
+in ``k`` counters with a per-partition undercount bounded by
+``n_p/(k+1)``; summed summaries therefore undercount any item by at most
+``n/(k+1)`` and NEVER overcount. Choosing ``k ≥ one_in`` makes every
+item with true count ≥ ceil(n/one_in) survive with positive estimated
+weight, so the merged summary is a provable candidate superset. A final
+exact recount restricted to candidates (broadcast semi-join, map-side
+filter) yields the exact heavy-hitter set — shuffle cost
+O(k · partitions + candidate postings), not O(distinct items).
+
+The sketch stage is Arrow-batched Python (``mapInPandas``): the
+counter-capped dictionary merge is imperative by nature (the same
+reasoning as text.repetition_stats — no built-in expresses "keep k
+counters, decrement all on overflow"), and it touches each partition
+once, map-only. The verify stage is pure JVM built-ins.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd  # module-level: pandas_udf/mapInPandas hints resolve here
+
+from pyspark.sql import DataFrame, functions as F
+
+#: Schema of the per-partition summary stream. A NULL item row carries the
+#: partition's exact accumulated decrement mass (the undercount bound).
+_SUMMARY_SCHEMA = "item string, weight long"
+
+
+def _mg_partition_summaries(k: int):
+    """Returns a mapInPandas function computing a Misra–Gries summary of
+    ≤ ``k`` counters per partition, batch-wise: exact value counts per
+    Arrow batch are merged into the running counter dict; whenever more
+    than ``k`` counters are live, all are decremented by the smallest
+    amount ``t`` that brings the live set back to ≤ ``k`` (the batch
+    form of MG's decrement step — every unit of ``t`` removes ≥ k+1
+    units of mass, so the partition's total decrement ≤ n_p/(k+1))."""
+
+    def mg(batches):
+        counts: dict[str, int] = {}
+        err = 0
+        for pdf in batches:
+            col = pdf.iloc[:, 0]
+            vc = col.value_counts(dropna=True)
+            for item, c in vc.items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > k:
+                # t = (k+1)-th largest count; subtract from all, drop <= 0
+                t = sorted(counts.values(), reverse=True)[k]
+                err += t
+                counts = {i: c - t for i, c in counts.items() if c > t}
+        out = pd.DataFrame(
+            {"item": list(counts), "weight": list(counts.values())},
+        )
+        if err:
+            out = pd.concat(
+                [out, pd.DataFrame({"item": [None], "weight": [err]})],
+                ignore_index=True,
+            )
+        yield out.astype({"weight": "int64"})
+
+    return mg
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    one_in: int = 64,
+    counters: int | None = None,
+) -> DataFrame:
+    """Exact frequent items: every value of ``col`` occurring in at least
+    1-in-``one_in`` rows, with its exact count and share.
+
+    Output: ``(item, n_item, share)`` — ``item`` is the value as string,
+    ``n_item`` its exact count, ``share = n_item / n`` (one exact-int
+    IEEE division, reproducible across engines).
+
+    ``counters`` (default ``one_in``) is the per-partition MG budget;
+    correctness requires ``counters ≥ one_in`` so that the global
+    undercount ``n/(counters+1)`` stays below the threshold
+    ``ceil(n/one_in)`` — enforced here. Larger budgets shrink the
+    candidate set (less verify work) at slightly larger summaries.
+
+    The result equals ``groupBy(col).count().filter(count*one_in >= n)``
+    by the MG superset guarantee plus the exact verify pass — the DuckDB
+    oracle for the gate IS that longhand form.
+    """
+    if one_in < 2:
+        raise ValueError("one_in must be >= 2")
+    k = counters if counters is not None else one_in
+    if k < one_in:
+        raise ValueError(
+            f"counters ({k}) must be >= one_in ({one_in}) for the "
+            "candidate-superset guarantee"
+        )
+
+    proj = (
+        df.select(F.col(col).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+    )
+    n = proj.count()
+    if n == 0:
+        return (
+            proj.groupBy("item")
+            .agg(F.count("*").alias("n_item"), F.lit(0.0).alias("share"))
+            .limit(0)
+        )
+    threshold = math.ceil(n / one_in)
+
+    summaries = proj.mapInPandas(_mg_partition_summaries(k), _SUMMARY_SCHEMA)
+    merged = summaries.groupBy("item").agg(F.sum("weight").alias("est"))
+    # Exact global undercount bound: sum of the per-partition decrement
+    # masses (the NULL-item rows). One tiny collect — ≤ #partitions rows
+    # went into it.
+    err_row = merged.filter(F.col("item").isNull()).collect()
+    err = int(err_row[0]["est"]) if err_row else 0
+    # An item with true count >= threshold has est >= threshold - err.
+    cands = merged.filter(
+        F.col("item").isNotNull() & (F.col("est") >= F.lit(threshold - err))
+    ).select("item")
+
+    exact = (
+        proj.join(F.broadcast(cands), "item")
+        .groupBy("item")
+        .agg(F.count("*").alias("n_item"))
+        .filter(F.col("n_item") * F.lit(one_in) >= F.lit(n))
+    )
+    return exact.withColumn(
+        "share", F.col("n_item").cast("double") / F.lit(n).cast("double")
+    )
+
+
+def heavy_hitters_exact_longhand(df: DataFrame, col: str, one_in: int) -> DataFrame:
+    """The naive full-cardinality form (for tests): groupBy + HAVING.
+    NULL values are excluded on both paths (a NULL is not an item)."""
+    proj = (
+        df.select(F.col(col).cast("string").alias("item"))
+        .filter(F.col("item").isNotNull())
+    )
+    n = proj.count()
+    return (
+        proj.groupBy("item")
+        .agg(F.count("*").alias("n_item"))
+        .filter(F.col("n_item") * F.lit(one_in) >= F.lit(n))
+        .withColumn(
+            "share", F.col("n_item").cast("double") / F.lit(n).cast("double")
+        )
+    )

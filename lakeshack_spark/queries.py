@@ -1749,6 +1749,37 @@ def bm25_search_docs(spark, sf_dir):
 
 
 @register(
+    "heavy_hitter_terms",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM toks
+    )
+    SELECT item, COUNT(*) AS n_item,
+           CAST(COUNT(*) AS DOUBLE) / CAST(tot.n AS DOUBLE) AS share
+    FROM toks, tot
+    GROUP BY item, tot.n
+    HAVING COUNT(*) * 64 >= tot.n
+    """,
+)
+def heavy_hitter_terms(spark, sf_dir):
+    """Frequent terms via Misra–Gries sketch + exact verify
+    (operators.frequent.heavy_hitters): per-partition k-counter summaries
+    (mapInPandas, undercount ≤ n_p/(k+1)) merge into a provable candidate
+    superset, then a broadcast-semi-join recount makes the final set
+    EXACT — which is why the naive full-cardinality groupBy-HAVING can be
+    its DuckDB oracle. Shuffle cost is O(counters × partitions +
+    candidate postings), never O(distinct terms)."""
+    from lakeshack_spark.operators import frequent
+    from lakeshack_spark.operators.text import words_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(F.explode(words_col("text")).alias("token"))
+    return frequent.heavy_hitters(tokens, "token", one_in=64)
+
+
+@register(
     "udtf_ngram_stats",
     """
     WITH t AS (
