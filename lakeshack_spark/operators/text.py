@@ -440,6 +440,86 @@ def tfidf_top_terms(
     )
 
 
+def unigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_counts: DataFrame | None = None,
+    variant: str = "log",
+) -> DataFrame:
+    """Unigram language-model scoring — the perplexity-proxy quality
+    filter every large pretraining pipeline runs (KenLM-style, one-gram
+    order): score each document by how probable its tokens are under a
+    reference unigram distribution.
+
+    Output: ``(id_col, n_tokens, score)`` — one row per document with at
+    least one token. ``variant`` selects the score:
+
+    - ``"log"`` (production): mean negative log-probability
+      ``-(1/n)·Σ ln p(tᵢ)`` — the cross-entropy whose ``exp`` is the
+      unigram perplexity. Higher = rarer tokens = more likely junk (or
+      novel content — use as a signal, not a verdict). libm ``log``
+      differs by ulps across engines, so this variant is unit-tested
+      against pure Python, not hash-gated.
+    - ``"rational"``: mean token probability ``Σ n(tᵢ) / (T·n)`` — all
+      integer sums followed by ONE int→double division, bit-reproducible
+      in any IEEE engine. This is the variant the DuckDB gate pins (it
+      orders documents oppositely to the log form but detects the same
+      rare-token tails).
+
+    ``lm_counts`` is an optional external reference model ``(term, n_t)``
+    (e.g. counts from a trusted corpus): scoring then applies add-one
+    smoothing ``p = (n_t + 1)/(T + V)`` so unseen tokens score finitely.
+    When omitted, the model is the corpus itself (every token seen, no
+    smoothing needed).
+
+    Scale shape: the model is a vocabulary-sized relation — join on the
+    term key (hash join; broadcast it yourself if the vocab is small),
+    then one document-keyed aggregation. Two corpus scans (model build +
+    scoring), both map-side before their single shuffle each.
+    """
+    if variant not in ("log", "rational"):
+        raise ValueError(f"variant must be 'log' or 'rational', got {variant!r}")
+    pairs = df.select(F.col(id_col), F.explode(words_col(text_col)).alias("term"))
+    if lm_counts is None:
+        counts = pairs.groupBy("term").agg(F.count("*").alias("n_t"))
+        smooth = 0
+    else:
+        counts = lm_counts.select("term", F.col("n_t").cast("long").alias("n_t"))
+        smooth = 1
+    totals = counts.agg(
+        F.sum("n_t").alias("__T"), F.count("*").alias("__V")
+    )
+    joined = (
+        pairs.join(counts, "term", "left")
+        .na.fill({"n_t": 0})
+        .crossJoin(F.broadcast(totals))
+    )
+    denom_total = F.col("__T") + F.lit(smooth) * F.col("__V")
+    if variant == "rational":
+        per_doc = joined.groupBy(id_col).agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("n_t") + F.lit(smooth)).alias("__s"),
+            F.max(denom_total).alias("__d"),
+        )
+        score = F.col("__s").cast("double") / (
+            F.col("__d") * F.col("n_tokens")
+        ).cast("double")
+    else:
+        neg_log = -F.log(
+            (F.col("n_t") + F.lit(smooth)).cast("double")
+            / denom_total.cast("double")
+        )
+        per_doc = joined.groupBy(id_col).agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(neg_log).alias("__s"),
+        )
+        score = F.col("__s") / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        F.col(id_col), F.col("n_tokens"), score.alias("score")
+    )
+
+
 def term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Explodes tokens → ``(term, n)`` counts. The groupBy shuffles on the
     term (high cardinality → well-spread); at scale add a salt on very hot

@@ -1749,6 +1749,35 @@ def bm25_search_docs(spark, sf_dir):
 
 
 @register(
+    "unigram_lm_quality_docs",
+    """
+    WITH pairs AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), counts AS (
+      SELECT term, COUNT(*) AS n_t FROM pairs GROUP BY term
+    ), tot AS (
+      SELECT SUM(n_t) AS t FROM counts
+    )
+    SELECT p.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(c.n_t) AS DOUBLE)
+             / CAST(tot.t * COUNT(*) AS DOUBLE) AS score
+    FROM pairs p JOIN counts c USING (term), tot
+    GROUP BY p.doc_id, tot.t
+    """,
+)
+def unigram_lm_quality_docs(spark, sf_dir):
+    """Unigram LM perplexity-proxy scoring (operators.text.unigram_lm_score)
+    under the hash gate via the ``rational`` variant: mean corpus token
+    probability — all-integer sums then ONE int→double division, so the
+    cross-engine hash proves the model build (term counts), the
+    model-to-document join, and the per-document aggregation all agree.
+    The production mean-neg-logprob variant shares every stage but the
+    final arithmetic and is unit-tested against pure Python (libm)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_lm_score(docs, variant="rational")
+
+
+@register(
     "heavy_hitter_terms",
     """
     WITH toks AS (

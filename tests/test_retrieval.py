@@ -85,3 +85,77 @@ def test_bm25_rational_exact_vs_reference(spark, docs_df):
     got = {r.doc_id: r.score for r in out.collect()}
     ref = retrieval.bm25_reference(DOCS, terms, idf="rational")
     assert got == ref  # exact float equality, not approx
+
+
+# ------------------------------------------------------ unigram LM score
+
+
+def test_unigram_lm_log_matches_python(spark, docs_df):
+    """Self-corpus cross-entropy: rarer tokens → higher score."""
+    import math
+
+    from lakeshack_spark.operators import text
+
+    out = {
+        r.doc_id: (r.n_tokens, r.score)
+        for r in text.unigram_lm_score(docs_df, variant="log").collect()
+    }
+    toks = {i: t.split(" ") for i, t in DOCS}
+    counts: dict[str, int] = {}
+    for w in toks.values():
+        for t in w:
+            counts[t] = counts.get(t, 0) + 1
+    total = sum(counts.values())
+    for i, w in toks.items():
+        want = sum(-math.log(counts[t] / total) for t in w) / len(w)
+        assert out[i][0] == len(w)
+        assert out[i][1] == pytest.approx(want, rel=1e-12)
+    # doc 4 = lone common-ish token; doc 3 has the rarest tokens (sort)
+    assert out[3][1] > out[0][1]
+
+
+def test_unigram_lm_rational_exact(spark, docs_df):
+    from fractions import Fraction
+
+    from lakeshack_spark.operators import text
+
+    out = {
+        r.doc_id: r.score
+        for r in text.unigram_lm_score(docs_df, variant="rational").collect()
+    }
+    toks = {i: t.split(" ") for i, t in DOCS}
+    counts: dict[str, int] = {}
+    for w in toks.values():
+        for t in w:
+            counts[t] = counts.get(t, 0) + 1
+    total = sum(counts.values())
+    for i, w in toks.items():
+        s = sum(counts[t] for t in w)
+        assert out[i] == s / (total * len(w))  # exact: one int division
+        assert Fraction(out[i]).limit_denominator(10**9) == Fraction(
+            s, total * len(w)
+        )
+
+
+def test_unigram_lm_external_model_smoothing(spark, docs_df):
+    """Scoring against an external reference model applies add-one
+    smoothing so unseen tokens score finitely on both variants."""
+    import math
+
+    from lakeshack_spark.operators import text
+
+    lm = spark.createDataFrame(
+        [("spark", 7), ("table", 2)], "term string, n_t long"
+    )
+    # T=9, V=2 → seen p=(n_t+1)/11, unseen p=1/11
+    out = {
+        r.doc_id: r.score
+        for r in text.unigram_lm_score(docs_df, lm_counts=lm, variant="log").collect()
+    }
+    w0 = DOCS[0][1].split(" ")  # spark merge window spark
+    want = (
+        -2 * math.log(8 / 11) - 2 * math.log(1 / 11)
+    ) / 4
+    assert out[0] == pytest.approx(want, rel=1e-12)
+    with pytest.raises(ValueError):
+        text.unigram_lm_score(docs_df, variant="nope")
