@@ -18,6 +18,53 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def robust_outlier_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: float = 4.4478,
+) -> DataFrame:
+    """Per-group robust dispersion and outlier counts: median, MAD
+    (median absolute deviation), and the count of values farther than
+    ``k · MAD`` from the median — the outlier rule that, unlike
+    mean/stddev z-scores, is not itself dragged by the outliers
+    (k = 4.4478 ≈ 3σ × the 1.4826 normal-consistency factor).
+
+    Output: ``(group_col, n, med, mad, n_outliers)``.
+
+    Cross-engine exactness: feed an INTEGER-valued numeric column (e.g.
+    prices in cents). Median interpolation between two integers is exact
+    half-integer IEEE arithmetic, deviations are exact multiples of 0.5,
+    and the MAD interpolates exact quarters — so every engine computing
+    either ``(a+b)/2`` or ``a+(b-a)/2`` lands on the identical double,
+    and only the final ``k·mad`` comparison multiplies a rounded value
+    (same single op both sides). The outlier count is then exact.
+
+    Scale shape: three passes over the (group, value) projection — exact
+    per-group percentiles (sorted-group memory on the reducer), then two
+    joins against per-group 1-row frames AQE broadcasts when small. At
+    extreme group sizes swap ``F.percentile`` for ``percentile_approx``
+    and keep the same plan shape.
+    """
+    g = F.col(group_col)
+    v = df.select(g, F.col(value_col).cast("double").alias("__x"))
+    med = v.groupBy(group_col).agg(F.percentile("__x", 0.5).alias("med"))
+    j1 = v.join(med, group_col)
+    dev = F.abs(F.col("__x") - F.col("med"))
+    mad = (
+        j1.select(g, dev.alias("__d"))
+        .groupBy(group_col)
+        .agg(F.percentile("__d", 0.5).alias("mad"))
+    )
+    j2 = j1.join(mad, group_col)
+    return j2.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum((dev > F.lit(k) * F.col("mad")).cast("long")).alias("n_outliers"),
+    )
+
+
 class expect:
     """Constraint constructors. Each returns ``(name, metric_col,
     pass_col_builder)`` where the metric is an aggregate expression and

@@ -561,6 +561,49 @@ def data_quality_orders(spark, sf_dir):
 
 
 @register(
+    "robust_outliers_orders",
+    """
+    WITH v AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), med AS (
+      SELECT o_orderpriority, median(CAST(cents AS DOUBLE)) AS med
+      FROM v GROUP BY o_orderpriority
+    ), j1 AS (
+      SELECT v.o_orderpriority, CAST(v.cents AS DOUBLE) AS x, med.med
+      FROM v JOIN med USING (o_orderpriority)
+    ), mad AS (
+      SELECT o_orderpriority, median(abs(x - med)) AS mad
+      FROM j1 GROUP BY o_orderpriority
+    )
+    SELECT j1.o_orderpriority, COUNT(*) AS n,
+           MAX(j1.med) AS med, MAX(mad.mad) AS mad,
+           CAST(SUM(CASE WHEN abs(j1.x - j1.med) > 4.4478 * mad.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM j1 JOIN mad USING (o_orderpriority)
+    GROUP BY j1.o_orderpriority
+    """,
+)
+def robust_outliers_orders(spark, sf_dir):
+    """Robust per-group outlier stats (operators.quality.
+    robust_outlier_stats): median / MAD / |x−med| > k·MAD counts of
+    order value in integer cents per priority. Cents make every
+    percentile interpolation exact half/quarter-integer IEEE arithmetic,
+    so med and mad match bit-for-bit across engines and the outlier
+    counts are exact — a mean/stddev z-score would have needed
+    decimal-space tricks AND been dragged by the outliers themselves."""
+    from lakeshack_spark.operators import quality
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * F.lit(100)).cast("long").alias("cents"),
+    )
+    return quality.robust_outlier_stats(cents, "o_orderpriority", "cents")
+
+
+@register(
     "full_outer_daily_activity",
     """
     WITH o AS (

@@ -943,3 +943,30 @@ def test_pack_token_windows_offsets_and_partition_invariance(spark):
 
     with pytest.raises(ValueError):
         pack_token_windows(df, window=0)
+
+
+def test_robust_outlier_stats(spark):
+    """Median/MAD/outlier counts vs hand-computed values; median and MAD
+    interpolate exactly on integer inputs."""
+    from lakeshack_spark.operators import quality
+
+    rows = (
+        # group a: 1..8 plus one huge outlier
+        [("a", v) for v in (1, 2, 3, 4, 5, 6, 7, 8, 1000)]
+        # group b: constant → mad 0, any deviation is an outlier
+        + [("b", 5), ("b", 5), ("b", 5), ("b", 9)]
+    )
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {
+        r.grp: (r.n, r.med, r.mad, r.n_outliers)
+        for r in quality.robust_outlier_stats(df, "grp", "v").collect()
+    }
+    # a: med=5 (9 values), |dev| = 4,3,2,1,0,1,2,3,995 → mad=2
+    #    threshold 4.4478*2 = 8.8956 → only 995 exceeds
+    assert got["a"] == (9, 5.0, 2.0, 1)
+    # b: med=5, devs 0,0,0,4 → mad=0 → threshold 0 → the 9 is an outlier
+    assert got["b"] == (4, 5.0, 0.0, 1)
+    # even-count interpolation is exact: group of 1,2 → med 1.5
+    df2 = spark.createDataFrame([("c", 1), ("c", 2)], "grp string, v long")
+    r2 = quality.robust_outlier_stats(df2, "grp", "v").collect()[0]
+    assert (r2.med, r2.mad) == (1.5, 0.5)
