@@ -611,6 +611,88 @@ def quantize_embeddings(
     )
 
 
+def cell_means(
+    df: DataFrame, cell_col: str = "cell", arr_col: str = "codes"
+) -> DataFrame:
+    """Per-(cell, dimension) mean of an array column — the aggregation
+    half of a Lloyd/k-means centroid update, flattened to scalars.
+
+    Output: ``(cell, dim, n_members, sum_val, mean_val)`` with ``dim``
+    0-based. One posexplode + one (cell, dim)-keyed aggregation with
+    map-side partial combine — shuffle rows = cells × dims, independent
+    of corpus size.
+
+    Over an INTEGER array (e.g. int8 codes from
+    :func:`quantize_embeddings`) the sums are exact and the mean is one
+    int→double division — bit-reproducible across engines, which is how
+    the k-means update step sits under the cross-engine hash gate. Over
+    doubles the sum is order-dependent (production path; unit-tested)."""
+    ex = df.select(
+        F.col(cell_col).alias("cell"),
+        F.posexplode(F.col(arr_col)).alias("dim", "__val"),
+    )
+    return (
+        ex.groupBy("cell", "dim")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum("__val").alias("sum_val"),
+        )
+        .withColumn(
+            "mean_val",
+            F.col("sum_val").cast("double") / F.col("n_members").cast("double"),
+        )
+    )
+
+
+def kmeans_update(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd (k-means) iteration: assign every vector to its nearest
+    centroid by cosine (map-side literal argmax — :func:`ivf_assign`, no
+    shuffle), then recompute each centroid as the member mean.
+
+    Returns ``(centroid_id, centroid, n_members)`` — empty cells keep
+    their previous centroid with ``n_members = 0`` (the standard Lloyd
+    convention, so iteration never loses a cluster).
+
+    This is the SemDeDup-shape clustering loop for semantic dedup /
+    corpus curation: iterate a few rounds, then run per-cell near-dup
+    removal (embedding_near_dup_pairs with ``cell`` as the block).
+    Scale: per iteration one corpus scan, one cells×dims-row shuffle,
+    one bounded collect (the next literal centroid set)."""
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    dbl = assigned.withColumn(
+        "__vd", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    )
+    means = cell_means(dbl, cell_col="cell", arr_col="__vd")
+    new = means.groupBy("cell").agg(
+        F.max("n_members").alias("n_members"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("mean_val")))
+            ),
+            lambda s: s["mean_val"],
+        ).alias("__new"),
+    )
+    old = centroids.select(
+        F.col("centroid_id"),
+        F.transform(F.col("centroid"), lambda x: x.cast("double")).alias("__old"),
+    )
+    return (
+        old.join(new, old["centroid_id"] == new["cell"], "left")
+        .select(
+            "centroid_id",
+            F.coalesce(F.col("__new"), F.col("__old")).alias("centroid"),
+            F.coalesce(F.col("n_members"), F.lit(0).cast("long")).alias(
+                "n_members"
+            ),
+        )
+    )
+
+
 def projection_matrix(out_dim: int, in_dim: int) -> list[list[float]]:
     """Deterministic ±1 random-projection matrix (Achlioptas 2003: sign
     entries preserve pairwise distances per Johnson–Lindenstrauss just as

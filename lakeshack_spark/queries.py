@@ -2108,6 +2108,70 @@ def quantized_embedding_stats(spark, sf_dir):
     )
 
 
+@register(
+    "kmeans_update_quantized",
+    """
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS centroid_id,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id ASC LIMIT 64)
+    ), scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM embeddings e CROSS JOIN c
+    ), best AS (
+      SELECT vec_id, centroid_id,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC
+             ) AS rn
+      FROM scored
+    ), qv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS amax
+      FROM embeddings
+    ), codes AS (
+      SELECT vec_id,
+        CASE WHEN amax > 0 THEN
+          list_transform(v, x -> CAST(greatest(-127, least(127,
+            floor(x * 127 / amax))) AS BIGINT))
+        ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+      FROM qv
+    ), x AS (
+      SELECT b.centroid_id AS cell, CAST(t.i - 1 AS INTEGER) AS dim,
+             codes.codes[t.i] AS code
+      FROM codes JOIN best b USING (vec_id),
+           unnest(generate_series(1, len(codes.codes))) AS t(i)
+      WHERE b.rn = 1
+    )
+    SELECT cell, dim, COUNT(*) AS n_members,
+           CAST(SUM(code) AS BIGINT) AS sum_val,
+           CAST(SUM(code) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_val
+    FROM x GROUP BY cell, dim
+    """,
+)
+def kmeans_update_quantized(spark, sf_dir):
+    """The k-means Lloyd UPDATE step (operators.similarity.cell_means —
+    the aggregation inside kmeans_update) under the hash gate, over int8
+    quantized codes: nearest-centroid assignment (map-side literal
+    argmax) feeds a (cell, dim)-keyed mean whose sums are exact integers
+    and whose mean is one int→double division — so the cross-engine hash
+    pins the full assign→aggregate round trip of a clustering iteration.
+    The production float-vector update (similarity.kmeans_update) shares
+    every stage except the final double sums and is unit-tested."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.sample_centroids(emb, 64)
+    assigned = similarity.ivf_assign(emb, centroids)
+    q = similarity.quantize_embeddings(assigned)
+    return similarity.cell_means(q, cell_col="cell", arr_col="codes").select(
+        "cell", "dim", "n_members", "sum_val", "mean_val"
+    )
+
+
 def _jl_row_sql(j: int) -> str:
     """DuckDB twin of similarity.projection_matrix row ``j`` (out_dim=4 →
     scale exactly 0.5): ±0.5 signs from the low bit of the shared

@@ -970,3 +970,46 @@ def test_robust_outlier_stats(spark):
     df2 = spark.createDataFrame([("c", 1), ("c", 2)], "grp string, v long")
     r2 = quality.robust_outlier_stats(df2, "grp", "v").collect()[0]
     assert (r2.med, r2.mad) == (1.5, 0.5)
+
+
+def test_kmeans_update_means_and_empty_cells(spark):
+    """One Lloyd iteration: member means per cell, empty cells keep
+    their previous centroid with n_members=0."""
+    from lakeshack_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+            (3, [0.1, 0.9]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [-1.0, 0.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    out = {
+        r.centroid_id: (list(r.centroid), r.n_members)
+        for r in similarity.kmeans_update(vecs, cents).collect()
+    }
+    assert out[0] == ([0.95, 0.05], 2)
+    assert out[1] == ([0.05, 0.95], 2)
+    assert out[2] == ([-1.0, 0.0], 0)
+
+
+def test_cell_means_exact_on_int_codes(spark):
+    from lakeshack_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(0, [1, 2]), (0, [3, 5]), (1, [10, 20])],
+        "cell long, codes array<int>",
+    )
+    got = {
+        (r.cell, r.dim): (r.n_members, r.sum_val, r.mean_val)
+        for r in similarity.cell_means(df).collect()
+    }
+    assert got[(0, 0)] == (2, 4, 2.0)
+    assert got[(0, 1)] == (2, 7, 3.5)
+    assert got[(1, 1)] == (1, 20, 20.0)
