@@ -520,6 +520,61 @@ def unigram_lm_score(
     )
 
 
+def term_lift_by_group(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    min_group_count: int = 5,
+) -> DataFrame:
+    """Distribution-drift detection between corpus slices: for every
+    (group, term) the *lift* of the term's in-group frequency over its
+    corpus-wide frequency — the per-term signal behind "this source's
+    token distribution is shifting" monitoring (and the unigram form of
+    pointwise mutual information between group and term).
+
+    ``lift = (n_gt / T_g) / (n_t / T) = (n_gt · T) / (T_g · n_t)`` where
+    ``n_gt`` is the term's count in the group, ``T_g`` the group's token
+    total, ``n_t`` the term's corpus count, ``T`` the corpus total.
+    Output: ``(group_col, term, n_in_group, n_in_corpus, lift)`` for
+    (group, term) pairs with ``n_gt ≥ min_group_count`` (bounds output
+    and kills singleton noise). lift > 1: over-represented in the group.
+
+    Cross-engine exactness: both sides of the division are exact int64
+    products (< 2^53 up to ~petabyte token counts — past that, pre-scale
+    the counts), so the single int→double division is bit-reproducible.
+
+    Scale shape: one explode feeding three key-partitioned counts
+    ((group, term), group, term — each with map-side partial combine),
+    then joins on the group and term keys; the corpus total is one
+    broadcast row. No per-row Python, no window.
+    """
+    pairs = df.select(
+        F.col(group_col), F.explode(words_col(text_col)).alias("term")
+    )
+    n_gt = pairs.groupBy(group_col, "term").agg(
+        F.count("*").alias("n_in_group")
+    )
+    t_g = n_gt.groupBy(group_col).agg(F.sum("n_in_group").alias("__tg"))
+    n_t = n_gt.groupBy("term").agg(F.sum("n_in_group").alias("n_in_corpus"))
+    total = n_t.agg(F.sum("n_in_corpus").alias("__t"))
+    return (
+        n_gt.filter(F.col("n_in_group") >= min_group_count)
+        .join(t_g, group_col)
+        .join(n_t, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(group_col),
+            F.col("term"),
+            F.col("n_in_group"),
+            F.col("n_in_corpus"),
+            (
+                (F.col("n_in_group") * F.col("__t")).cast("double")
+                / (F.col("__tg") * F.col("n_in_corpus")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
 def term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Explodes tokens → ``(term, n)`` counts. The groupBy shuffles on the
     term (high cardinality → well-spread); at scale add a salt on very hot

@@ -1860,6 +1860,40 @@ def unigram_lm_quality_docs(spark, sf_dir):
 
 
 @register(
+    "term_drift_by_source",
+    """
+    WITH pairs AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ), n_gt AS (
+      SELECT source, term, COUNT(*) AS n_in_group
+      FROM pairs GROUP BY source, term
+    ), t_g AS (
+      SELECT source, SUM(n_in_group) AS tg FROM n_gt GROUP BY source
+    ), n_t AS (
+      SELECT term, SUM(n_in_group) AS n_in_corpus FROM n_gt GROUP BY term
+    ), tot AS (
+      SELECT SUM(n_in_corpus) AS t FROM n_t
+    )
+    SELECT g.source, g.term, g.n_in_group, n_t.n_in_corpus,
+           CAST(g.n_in_group * tot.t AS DOUBLE)
+             / CAST(t_g.tg * n_t.n_in_corpus AS DOUBLE) AS lift
+    FROM n_gt g
+    JOIN t_g USING (source) JOIN n_t USING (term), tot
+    WHERE g.n_in_group >= 5
+    """,
+)
+def term_drift_by_source(spark, sf_dir):
+    """Corpus-slice drift detection (operators.text.term_lift_by_group):
+    per (source, term) lift of in-slice frequency over corpus frequency
+    — the unigram PMI behind "this source's token distribution is
+    shifting" monitors. Both sides of the division are exact int64
+    products, so the cross-engine hash pins the three-way count join
+    and the lift arithmetic bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.term_lift_by_group(docs, group_col="source")
+
+
+@register(
     "heavy_hitter_terms",
     """
     WITH toks AS (

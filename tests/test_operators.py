@@ -1013,3 +1013,27 @@ def test_cell_means_exact_on_int_codes(spark):
     assert got[(0, 0)] == (2, 4, 2.0)
     assert got[(0, 1)] == (2, 7, 3.5)
     assert got[(1, 1)] == (1, 20, 20.0)
+
+
+def test_term_lift_by_group(spark):
+    """Lift = in-group frequency over corpus frequency, exact division;
+    min_group_count bounds the output."""
+    rows = [
+        ("a", "x x x x y"),   # group a: 4 x, 1 y   (T_a=5)
+        ("b", "y y y y x"),   # group b: 4 y, 1 x   (T_b=5)
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {
+        (r.source, r.term): (r.n_in_group, r.n_in_corpus, r.lift)
+        for r in text.term_lift_by_group(df, min_group_count=1).collect()
+    }
+    # corpus: T=10, x:5, y:5 → lift(a,x) = (4*10)/(5*5) = 1.6
+    assert out[("a", "x")] == (4, 5, 1.6)
+    assert out[("a", "y")] == (1, 5, 0.4)
+    assert out[("b", "y")] == (4, 5, 1.6)
+    # min_group_count prunes
+    pruned = {
+        (r.source, r.term)
+        for r in text.term_lift_by_group(df, min_group_count=4).collect()
+    }
+    assert pruned == {("a", "x"), ("b", "y")}
