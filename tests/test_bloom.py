@@ -75,3 +75,13 @@ def test_bloom_deterministic(spark, probe, build):
     w1 = bloom.bloom_words(keys, "k", num_bits=512)
     w2 = bloom.bloom_words(keys.repartition(7), "k", num_bits=512)
     assert w1 == w2  # partitioning-independent, md5-derived
+
+
+def test_bloom_md5_variant_equal_result(spark, probe, build):
+    """The md5 (engine-portable) hash variant produces the same exact
+    semi-join result as the xxhash64 default, and rejects unknown names."""
+    a = bloom.bloom_semi_join(probe, build, "k", "bk", hash_fn="md5")
+    b = bloom.bloom_semi_join(probe, build, "k", "bk", hash_fn="xxhash64")
+    assert sorted(r.k for r in a.collect()) == sorted(r.k for r in b.collect())
+    with pytest.raises(ValueError):
+        bloom.bloom_words(probe, "k", num_bits=64, hash_fn="sha1")
