@@ -36,28 +36,41 @@ from pyspark.sql import DataFrame, functions as F
 _SUMMARY_SCHEMA = "item string, weight long"
 
 
+def mg_add(counts: dict[str, int], series, k: int) -> int:
+    """Fold one pandas Series of items into a Misra–Gries counter dict
+    bounded to ``k`` live counters, in place; returns the decrement mass
+    of this fold (0 if no truncation was needed).
+
+    Batch form of MG's decrement step: after adding the batch's exact
+    value counts, if more than ``k`` counters are live, ALL are
+    decremented by the smallest ``t`` that brings the live set back to
+    ≤ ``k`` — every unit of ``t`` removes ≥ k+1 units of mass, so total
+    decrement across a stream of n items is ≤ n/(k+1). Shared by the
+    batch partition summaries here and the streaming state operator
+    (streaming.frequent)."""
+    vc = series.value_counts(dropna=True)
+    for item, c in vc.items():
+        counts[item] = counts.get(item, 0) + int(c)
+    if len(counts) <= k:
+        return 0
+    # t = (k+1)-th largest count; subtract from all, drop <= 0
+    t = sorted(counts.values(), reverse=True)[k]
+    for item in [i for i, c in counts.items() if c <= t]:
+        del counts[item]
+    for item in counts:
+        counts[item] -= t
+    return t
+
+
 def _mg_partition_summaries(k: int):
     """Returns a mapInPandas function computing a Misra–Gries summary of
-    ≤ ``k`` counters per partition, batch-wise: exact value counts per
-    Arrow batch are merged into the running counter dict; whenever more
-    than ``k`` counters are live, all are decremented by the smallest
-    amount ``t`` that brings the live set back to ≤ ``k`` (the batch
-    form of MG's decrement step — every unit of ``t`` removes ≥ k+1
-    units of mass, so the partition's total decrement ≤ n_p/(k+1))."""
+    ≤ ``k`` counters per partition, batch-wise (see :func:`mg_add`)."""
 
     def mg(batches):
         counts: dict[str, int] = {}
         err = 0
         for pdf in batches:
-            col = pdf.iloc[:, 0]
-            vc = col.value_counts(dropna=True)
-            for item, c in vc.items():
-                counts[item] = counts.get(item, 0) + int(c)
-            if len(counts) > k:
-                # t = (k+1)-th largest count; subtract from all, drop <= 0
-                t = sorted(counts.values(), reverse=True)[k]
-                err += t
-                counts = {i: c - t for i, c in counts.items() if c > t}
+            err += mg_add(counts, pdf.iloc[:, 0], k)
         out = pd.DataFrame(
             {"item": list(counts), "weight": list(counts.values())},
         )

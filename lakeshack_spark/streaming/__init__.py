@@ -1,3 +1,7 @@
+from lakeshack_spark.streaming.frequent import (
+    candidate_items,
+    streaming_heavy_hitters,
+)
 from lakeshack_spark.streaming.ingest import (
     stream_ingest_clustered,
     stream_ingest_deduped,
@@ -18,4 +22,6 @@ __all__ = [
     "dedup_within_watermark",
     "near_dedup_within_watermark",
     "running_user_stats",
+    "streaming_heavy_hitters",
+    "candidate_items",
 ]

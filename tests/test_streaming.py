@@ -514,3 +514,80 @@ def test_stream_ingest_deduped_matches_batch_drop_set(spark, tmp_path_factory):
         .select("doc_id").distinct().count()
     )
     assert n_index_docs == 120
+
+
+def test_streaming_heavy_hitters_no_truncation_matches_exact(
+    spark, tmp_path_factory
+):
+    """With a counter budget above the distinct-item count, the streaming
+    MG state IS exact counting: the final snapshot equals batch
+    groupBy counts, accumulated across micro-batches."""
+    from lakeshack_spark.streaming.frequent import streaming_heavy_hitters
+
+    d = tmp_path_factory.mktemp("hh_landing")
+    rows1 = [("alpha",)] * 30 + [("beta",)] * 10 + [("gamma",)] * 2
+    rows2 = [("alpha",)] * 20 + [("gamma",)] * 3 + [("delta",)] * 1
+    spark.createDataFrame(rows1, "item string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "b1"))
+    spark.createDataFrame(rows2, "item string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "b2"))
+    stream = spark.readStream.schema("item string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(f"{d}/*")
+    q = (
+        streaming_heavy_hitters(stream, "item", counters=64, buckets=4)
+        .writeStream.format("memory")
+        .queryName("hh_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # update mode re-emits per batch; weights only grow without
+    # truncation, so the max per item is the final state.
+    got = {
+        r["item"]: r["max_w"]
+        for r in spark.table("hh_mem")
+        .filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.max("weight").alias("max_w"))
+        .collect()
+    }
+    assert got == {"alpha": 50, "beta": 10, "gamma": 5, "delta": 1}
+    # no truncation → no err rows
+    assert spark.table("hh_mem").filter(F.col("item").isNull()).count() == 0
+
+
+def test_streaming_heavy_hitters_truncation_superset(spark, tmp_path_factory):
+    """Tiny counter budget forces decrements: the heavy item survives
+    with est in [true - err_bucket, true], and candidate_items keeps it."""
+    from lakeshack_spark.streaming.frequent import (
+        candidate_items,
+        streaming_heavy_hitters,
+    )
+
+    d = tmp_path_factory.mktemp("hh_trunc")
+    rows = [("heavy",)] * 200 + [(f"tail{i}",) for i in range(300)]
+    spark.createDataFrame(rows, "item string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(d / "b1"))
+    stream = spark.readStream.schema("item string").parquet(f"{d}/*")
+    q = (
+        streaming_heavy_hitters(stream, "item", counters=4, buckets=1)
+        .writeStream.format("memory")
+        .queryName("hh_trunc_mem")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    snap = spark.table("hh_trunc_mem")
+    est = {r["item"]: r["weight"] for r in snap.collect()}
+    err = est.get(None, 0)
+    assert "heavy" in est
+    assert est["heavy"] <= 200
+    assert est["heavy"] >= 200 - err
+    cands = {r["item"] for r in candidate_items(snap, threshold=150).collect()}
+    assert "heavy" in cands
