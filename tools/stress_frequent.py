@@ -1,0 +1,91 @@
+"""Heavy-hitter stress: Misra–Gries sketch+verify vs the naive
+full-cardinality groupBy at high distinct-key cardinality.
+
+The batch operator's claim is shuffle-shape, not constant-factor: the
+naive form shuffles every distinct key; MG shuffles ≤ counters rows per
+partition plus the candidate recount. This tool synthesizes a skewed
+stream (a few planted heavy items over a large distinct tail), checks
+the two forms agree EXACTLY, and reports wall times and the shuffled
+summary-row count.
+
+Measured on this box (4M rows, 925k distinct, 32 partitions): MG+verify
+12.0 s vs naive 3.8 s wall — the sketch LOSES on single-node wall time
+(the Arrow/Python summary pass costs more than a 925k-key in-memory JVM
+shuffle saves), while shuffling 128 summary rows vs 925,003 keys
+(7227× fewer). The operator's regime is the cluster one: when the
+distinct-key set no longer fits one node's aggregation hash table and
+the shuffle goes over the network (billions of keys across executors),
+the 10^4-fold row reduction is the difference between a working job and
+a spilling one. Use the naive form while distinct keys fit in executor
+memory; switch to MG past that.
+
+Usage: python tools/stress_frequent.py [n_rows] [n_distinct_tail]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from lakeshack_spark.operators import frequent
+from lakeshack_spark.session import get_spark
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    n_tail = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    spark = get_spark(app_name="stress_frequent", shuffle_partitions=32)
+
+    # 2.5% of rows are each of 3 heavy items (above 1/64); the rest
+    # spread uniformly over n_tail distinct tail keys.
+    base = spark.range(n_rows)
+    item = (
+        F.when(F.col("id") % 40 == 0, F.lit("heavy_a"))
+        .when(F.col("id") % 40 == 1, F.lit("heavy_b"))
+        .when(F.col("id") % 40 == 2, F.lit("heavy_c"))
+        .otherwise(F.concat(F.lit("tail"), (F.col("id") % n_tail).cast("string")))
+    )
+    df = base.select(item.alias("item")).repartition(32).persist()
+    df.count()  # materialize off the timed path
+
+    t0 = time.time()
+    mg = sorted(
+        (r.item, r.n_item)
+        for r in frequent.heavy_hitters(df, "item", one_in=64).collect()
+    )
+    t_mg = time.time() - t0
+
+    t0 = time.time()
+    naive = sorted(
+        (r.item, r.n_item)
+        for r in frequent.heavy_hitters_exact_longhand(df, "item", 64).collect()
+    )
+    t_naive = time.time() - t0
+
+    assert mg == naive, (mg[:5], naive[:5])
+    assert {i for i, _ in mg} == {"heavy_a", "heavy_b", "heavy_c"}
+
+    # Shuffle-shape evidence: rows entering the merge shuffle.
+    summaries = df.select("item").mapInPandas(
+        frequent._mg_partition_summaries(64), frequent._SUMMARY_SCHEMA
+    )
+    n_summary_rows = summaries.count()
+    n_distinct = df.select("item").distinct().count()
+
+    print(
+        f"rows={n_rows} distinct={n_distinct} | MG+verify {t_mg:.2f}s "
+        f"vs naive {t_naive:.2f}s | summary rows shuffled {n_summary_rows} "
+        f"vs {n_distinct} distinct keys "
+        f"({n_distinct / max(1, n_summary_rows):.0f}x fewer)"
+    )
+    df.unpersist()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
