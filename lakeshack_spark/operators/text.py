@@ -520,6 +520,54 @@ def unigram_lm_score(
     )
 
 
+def chunk_tokens(
+    df: DataFrame,
+    window: int = 256,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split every document into token-window chunks with optional
+    overlap — the RAG/pretraining document splitter (sliding window when
+    ``stride < window``, disjoint blocks when ``stride == window``, the
+    default). Complements operators.packing (which assigns documents to
+    global context windows; this cuts documents themselves).
+
+    Output: one row per chunk — ``(id_col, chunk_id, chunk_start,
+    n_chunk_tokens, chunk_text)`` with ``chunk_start`` the 0-based token
+    offset and ``chunk_id = chunk_start / stride``. The final chunk may
+    be shorter than ``window``.
+
+    Map-only: token split, an arithmetic start-offset sequence, one
+    posexplode, and per-chunk ``slice`` (slices take the token array as
+    an argument — never per-index element_at lambdas, the interpreted-HOF
+    O(n²) trap). No shuffle; Catalyst pushes row filters beneath it. The
+    start sequence is guarded for empty docs because ``F.sequence``
+    counts DOWN when its bounds invert (the repo's documented gotcha).
+    """
+    stride = stride or window
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    if stride > window:
+        raise ValueError("stride must be <= window (gaps would drop tokens)")
+    w = words_col(text_col)
+    n = F.size(w)
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    base = df.select(
+        F.col(id_col), w.alias("__w"), F.explode(starts).alias("chunk_start")
+    )
+    chunk = F.slice(F.col("__w"), F.col("chunk_start") + 1, window)
+    return base.select(
+        F.col(id_col),
+        (F.col("chunk_start") / F.lit(stride)).cast("int").alias("chunk_id"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
 def term_lift_by_group(
     df: DataFrame,
     group_col: str = "source",

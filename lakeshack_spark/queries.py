@@ -1860,6 +1860,36 @@ def unigram_lm_quality_docs(spark, sf_dir):
 
 
 @register(
+    "chunk_tokens_docs",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, w,
+             unnest(range(0, greatest(len(w), 1), 32)) AS chunk_start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(chunk_start / 32 AS INTEGER) AS chunk_id,
+           CAST(chunk_start AS INTEGER) AS chunk_start,
+           CAST(len(list_slice(w, chunk_start + 1, chunk_start + 64))
+             AS INTEGER) AS n_chunk_tokens,
+           array_to_string(list_slice(w, chunk_start + 1, chunk_start + 64),
+             ' ') AS chunk_text
+    FROM s
+    """,
+)
+def chunk_tokens_docs(spark, sf_dir):
+    """Sliding-window document chunking (operators.text.chunk_tokens,
+    window=64 stride=32 → 50% overlap): every chunk's offset, length,
+    and text compared cell-exact — string assembly, slice clamping at
+    document end, and the guarded start sequence all pinned. Map-only;
+    the oracle re-derives the same chunks via DuckDB list SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_tokens(docs, window=64, stride=32)
+
+
+@register(
     "term_drift_by_source",
     """
     WITH pairs AS (

@@ -1037,3 +1037,31 @@ def test_term_lift_by_group(spark):
         for r in text.term_lift_by_group(df, min_group_count=4).collect()
     }
     assert pruned == {("a", "x"), ("b", "y")}
+
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    """Disjoint and sliding chunking: offsets, clamped lengths, text."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, None)], "doc_id long, text string"
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.chunk_start, r.n_chunk_tokens, r.chunk_text)
+        for r in text.chunk_tokens(df, window=2, stride=2).collect()
+    }
+    assert out[(1, 0)] == (0, 2, "a b")
+    assert out[(1, 1)] == (2, 2, "c d")
+    assert out[(1, 2)] == (4, 1, "e")  # final chunk clamps
+    assert out[(2, 0)] == (0, 1, "x")
+    assert not any(d == 3 for d, _ in out)  # NULL text emits no chunks
+    # 50% overlap
+    ov = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in text.chunk_tokens(df, window=4, stride=2).collect()
+    }
+    assert ov[(1, 0)] == "a b c d"
+    assert ov[(1, 1)] == "c d e"
+    assert ov[(1, 2)] == "e"
+    with pytest.raises(ValueError):
+        text.chunk_tokens(df, window=2, stride=3)
+    with pytest.raises(ValueError):
+        text.chunk_tokens(df, window=0)
