@@ -561,6 +561,31 @@ def data_quality_orders(spark, sf_dir):
 
 
 @register(
+    "salted_agg_lineitem",
+    """
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_agg_lineitem(spark, sf_dir):
+    """Skew-salted aggregation (operators.skew.salted_count/salted_sum)
+    under the hash gate: COUNT and decimal-exact SUM per key computed in
+    two phases — (key, salt) partials splitting any hot key across
+    salt_buckets tasks, then a per-key recombine. The oracle is the
+    PLAIN single-phase GROUP BY: the hash match proves the salt
+    decomposition is lossless (count and decimal addition are
+    associative) and that no salt artifact reaches the result, for ANY
+    physical salt assignment."""
+    from lakeshack_spark.operators import skew
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = skew.salted_count(li, ["l_returnflag"])
+    sums = skew.salted_sum(li, ["l_returnflag"], "l_quantity", scale=2)
+    return counts.join(sums, "l_returnflag")
+
+
+@register(
     "robust_outliers_orders",
     """
     WITH v AS (
