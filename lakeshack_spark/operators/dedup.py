@@ -492,6 +492,61 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
+def ngram_containment_pairs(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.0,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Broder CONTAINMENT ``C(A,B) = |A∩B| / |A|`` of k-gram shingle
+    sets, both directions per pair — the asymmetric quote/subset
+    detector symmetric Jaccard misses: a short document fully quoted
+    inside a long one has near-zero Jaccard (tiny union overlap) but
+    containment 1.0 in the quote→host direction. The signal behind
+    "is this doc embedded in that one" checks — boilerplate extraction,
+    quote tracing, partial-duplicate auditing.
+
+    Output: ``(id_a, id_b, containment_a_in_b, containment_b_in_a)``
+    for pairs with ``max(both) ≥ threshold``. Same join/guard discipline
+    as :func:`ngram_jaccard_pairs`: one set intersection per pair,
+    per-side sizes precomputed, ``inter >= 0`` guarding the
+    size(NULL) = -1 trap, and ``block_col`` required at scale (the
+    unblocked form is a cross join — feed LSH candidates or a block)."""
+    right = right if right is not None else left
+    cols = [F.col(id_col), shingles_col(text_col, k).alias("sh")]
+    if block_col:
+        cols.append(F.col(block_col))
+    a = left.select(*cols).withColumn("__sz", F.size("sh")).alias("a")
+    b = right.select(*cols).withColumn("__sz", F.size("sh")).alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+
+    def contain(sz: Column) -> Column:
+        return F.when(
+            (inter >= 0) & (sz > 0), inter.cast("double") / sz
+        ).otherwise(F.lit(0.0))
+
+    out = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        contain(F.col("a.__sz")).alias("containment_a_in_b"),
+        contain(F.col("b.__sz")).alias("containment_b_in_a"),
+    )
+    if threshold > 0:
+        out = out.filter(
+            F.greatest(
+                F.col("containment_a_in_b"), F.col("containment_b_in_a")
+            )
+            >= threshold
+        )
+    return out
+
+
 # -------------------------------------------------- incremental near-dedup
 
 

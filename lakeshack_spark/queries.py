@@ -1381,6 +1381,68 @@ def ngram_jaccard_pairs_docs(spark, sf_dir):
 
 
 @register(
+    "ngram_containment_docs",
+    """
+    WITH base AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id < 300
+    ), quotes AS (
+      SELECT doc_id + 100000 AS doc_id, source,
+             array_to_string(list_slice(string_split(text, ' '), 1, 10),
+                             ' ') AS text
+      FROM base WHERE doc_id < 50
+    ), docs AS (
+      SELECT * FROM base UNION ALL SELECT * FROM quotes
+    ), d2 AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM docs
+    ), sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(w) >= 3
+                  THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                      for i in range(1, len(w) - 1)])
+                  ELSE CAST([] AS VARCHAR[]) END AS s
+      FROM d2
+    )
+    SELECT id_a, id_b, c_ab AS containment_a_in_b,
+           c_ba AS containment_b_in_a
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CASE WHEN len(a.s) > 0
+             THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s)
+             ELSE 0.0 END AS c_ab,
+        CASE WHEN len(b.s) > 0
+             THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s)
+             ELSE 0.0 END AS c_ba
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE greatest(c_ab, c_ba) >= 0.5
+    """,
+)
+def ngram_containment_docs(spark, sf_dir):
+    """Asymmetric containment (dedup.ngram_containment_pairs): quote
+    detection over same-source pairs with PLANTED quotes — every doc_id
+    < 50 contributes a 10-token prefix "quote" doc whose containment in
+    its host is exactly 1.0 while its Jaccard is near zero (the case the
+    symmetric measure misses). Both engines plant identically, so the
+    hash pins the shingle construction, the asymmetric division, and
+    the greatest-threshold filter."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "source", "text")
+    )
+    quotes = base.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        "source",
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 10)).alias(
+            "text"
+        ),
+    )
+    planted = base.unionByName(quotes)
+    return dedup.ngram_containment_pairs(
+        planted, k=3, threshold=0.5, block_col="source"
+    )
+
+
+@register(
     "docs_near_deduped",
     """
     WITH docs AS (

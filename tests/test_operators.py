@@ -1065,3 +1065,35 @@ def test_chunk_tokens_windows_and_overlap(spark):
         text.chunk_tokens(df, window=2, stride=3)
     with pytest.raises(ValueError):
         text.chunk_tokens(df, window=0)
+
+
+def test_ngram_containment_asymmetric(spark):
+    """A short doc fully inside a long one: containment 1.0 one way,
+    partial the other, while Jaccard stays low."""
+    rows = [
+        (1, "a b c d e f g h i j k l"),   # host
+        (2, "a b c d"),                   # fully-contained quote
+        (3, "x y z"),                     # unrelated
+        (4, None),                        # NULL text: guarded, c = 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.id_a, r.id_b): (r.containment_a_in_b, r.containment_b_in_a)
+        for r in dedup.ngram_containment_pairs(df, k=2).collect()
+    }
+    # quote (3 bigram shingles: ab,bc,cd) fully inside host (11 shingles)
+    assert out[(1, 2)] == (3 / 11, 1.0)
+    assert out[(1, 3)] == (0.0, 0.0)
+    assert out[(1, 4)] == (0.0, 0.0)
+    # threshold keeps only the contained pair
+    kept = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_containment_pairs(df, k=2, threshold=0.9).collect()
+    }
+    assert kept == {(1, 2)}
+    # jaccard on the same pair is low — the asymmetry is the point
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, k=2).collect()
+    }
+    assert jac[(1, 2)] == 3 / 11
