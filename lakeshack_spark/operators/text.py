@@ -485,7 +485,13 @@ def unigram_lm_score(
         counts = pairs.groupBy("term").agg(F.count("*").alias("n_t"))
         smooth = 0
     else:
-        counts = lm_counts.select("term", F.col("n_t").cast("long").alias("n_t"))
+        # Defensive re-group: a duplicate term in a caller-supplied model
+        # would fan out the scoring join and silently inflate n_tokens.
+        counts = (
+            lm_counts.select("term", F.col("n_t").cast("long").alias("n_t"))
+            .groupBy("term")
+            .agg(F.sum("n_t").alias("n_t"))
+        )
         smooth = 1
     totals = counts.agg(
         F.sum("n_t").alias("__T"), F.count("*").alias("__V")
