@@ -31,9 +31,11 @@ import pandas as pd  # module-level: pandas_udf/mapInPandas hints resolve here
 
 from pyspark.sql import DataFrame, functions as F
 
-#: Schema of the per-partition summary stream. A NULL item row carries the
-#: partition's exact accumulated decrement mass (the undercount bound).
-_SUMMARY_SCHEMA = "item string, weight long"
+#: Schema of the per-partition summary stream. NULL-item rows carry the
+#: partition's bookkeeping: is_err=true → accumulated decrement mass (the
+#: undercount bound), is_err=false → the partition's row count (so the
+#: total n needs no separate scan).
+_SUMMARY_SCHEMA = "item string, weight long, is_err boolean"
 
 
 def mg_add(counts: dict[str, int], series, k: int) -> int:
@@ -69,17 +71,27 @@ def _mg_partition_summaries(k: int):
     def mg(batches):
         counts: dict[str, int] = {}
         err = 0
+        n_rows = 0
         for pdf in batches:
-            err += mg_add(counts, pdf.iloc[:, 0], k)
+            col = pdf.iloc[:, 0]
+            n_rows += int(col.notna().sum())
+            err += mg_add(counts, col, k)
         out = pd.DataFrame(
-            {"item": list(counts), "weight": list(counts.values())},
+            {
+                "item": list(counts),
+                "weight": list(counts.values()),
+                "is_err": False,
+            }
         )
+        extra = {"item": [None], "weight": [n_rows], "is_err": [False]}
         if err:
-            out = pd.concat(
-                [out, pd.DataFrame({"item": [None], "weight": [err]})],
-                ignore_index=True,
-            )
-        yield out.astype({"weight": "int64"})
+            extra = {
+                "item": [None, None],
+                "weight": [n_rows, err],
+                "is_err": [False, True],
+            }
+        out = pd.concat([out, pd.DataFrame(extra)], ignore_index=True)
+        yield out.astype({"weight": "int64", "is_err": "bool"})
 
     return mg
 
@@ -120,22 +132,37 @@ def heavy_hitters(
         df.select(F.col(col).cast("string").alias("item"))
         .filter(F.col("item").isNotNull())
     )
-    n = proj.count()
+    # ONE sketch scan produces the counters AND the row count (the
+    # partition-count rows) — no separate df.count() pass; the verify
+    # join below is the only other scan of the data.
+    summaries = proj.mapInPandas(_mg_partition_summaries(k), _SUMMARY_SCHEMA)
+    # The merged summary is consumed twice (bookkeeping collect + the
+    # candidate filter feeding the verify join); without an EAGER persist
+    # the sketch scan would recompute per consumer (the repo's measured
+    # recomputation trap). It is tiny — ≤ counters × partitions rows —
+    # and the collect below materializes the cache.
+    merged = (
+        summaries.groupBy("item", "is_err")
+        .agg(F.sum("weight").alias("est"))
+        .persist()
+    )
+    # Driver-side bookkeeping: ≤ 2 NULL-item rows (total n, total err).
+    meta = {
+        bool(r["is_err"]): int(r["est"])
+        for r in merged.filter(F.col("item").isNull()).collect()
+    }
+    n = meta.get(False, 0)
+    err = meta.get(True, 0)
     if n == 0:
+        merged.unpersist()
         return (
             proj.groupBy("item")
             .agg(F.count("*").alias("n_item"), F.lit(0.0).alias("share"))
             .limit(0)
         )
+    # merged stays persisted for the candidate filter the caller's action
+    # reads; it is counters × partitions rows, released with the session.
     threshold = math.ceil(n / one_in)
-
-    summaries = proj.mapInPandas(_mg_partition_summaries(k), _SUMMARY_SCHEMA)
-    merged = summaries.groupBy("item").agg(F.sum("weight").alias("est"))
-    # Exact global undercount bound: sum of the per-partition decrement
-    # masses (the NULL-item rows). One tiny collect — ≤ #partitions rows
-    # went into it.
-    err_row = merged.filter(F.col("item").isNull()).collect()
-    err = int(err_row[0]["est"]) if err_row else 0
     # An item with true count >= threshold has est >= threshold - err.
     cands = merged.filter(
         F.col("item").isNotNull() & (F.col("est") >= F.lit(threshold - err))

@@ -74,7 +74,7 @@ def main() -> None:
     summaries = df.select("item").mapInPandas(
         frequent._mg_partition_summaries(64), frequent._SUMMARY_SCHEMA
     )
-    n_summary_rows = summaries.count()
+    n_summary_rows = summaries.filter(F.col("item").isNotNull()).count()
     n_distinct = df.select("item").distinct().count()
 
     print(
