@@ -201,3 +201,37 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def retention_cohorts(
+    df: DataFrame, user_col: str = "user_id", day_col: str = "day"
+) -> DataFrame:
+    """Classic cohort-retention rollup: group users by their FIRST active
+    day (the cohort), then count how many of each cohort are active
+    again ``k`` days later — the activity matrix behind every retention
+    curve.
+
+    Input: one row per (user, integer day) activity observation (dupes
+    fine — de-duplicated here). Output: ``(cohort_day, day_offset,
+    n_users)`` with ``day_offset = day - cohort_day`` (0 = the cohort's
+    own size on its first day; n_users at offset 0 is the cohort size
+    because the first active day is by definition active).
+
+    Scale shape: one distinct on (user, day), one user-keyed min
+    (map-side combinable), one user-keyed join, one (cohort, offset)
+    aggregation — all hash-partitioned on high-cardinality keys, no
+    window, no driver data. Day arithmetic stays in the integer-day
+    domain (derive days by integer-dividing epoch ns/µs — the events
+    timestamp discipline)."""
+    activity = df.select(F.col(user_col), F.col(day_col)).distinct()
+    cohorts = activity.groupBy(user_col).agg(
+        F.min(day_col).alias("cohort_day")
+    )
+    return (
+        activity.join(cohorts, user_col)
+        .groupBy(
+            "cohort_day",
+            (F.col(day_col) - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )

@@ -1253,6 +1253,85 @@ def sessionize_users(spark, sf_dir):
 
 
 @register(
+    "retention_cohorts_events",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             epoch_ns(ts) // 86400000000000 AS day
+      FROM events
+    ), c AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM a GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           a.day - c.cohort_day AS day_offset,
+           COUNT(*) AS n_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY c.cohort_day, a.day - c.cohort_day
+    """,
+)
+def retention_cohorts_events(spark, sf_dir):
+    """Cohort retention (operators.relational.retention_cohorts): users
+    grouped by first-active day, counted at each later activity offset —
+    the retention-curve rollup. Day numbers come from integer-dividing
+    the canonical nanosecond timestamp (the events discipline: no raw
+    timestamps leave the query; DuckDB's epoch_ns sees the same
+    instants under either physical flavor)."""
+    from lakeshack_spark.operators import relational as rel
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.expr("ts DIV 86400000000000").alias("day")
+    )
+    return rel.retention_cohorts(days)
+
+
+@register(
+    "q10_returned_item_revenue",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)}
+             AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_item_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in a half-year window — three growing-table joins (AQE picks
+    the strategy; only the nation dim is hint-broadcast), decimal-space
+    revenue, and a LIMIT carrying a total order with the unique custkey
+    tiebreaker."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum("l_extendedprice * (1 - l_discount)", 4).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
     "dedup_events_first",
     """
     SELECT user_id, event_type,

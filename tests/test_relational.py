@@ -176,3 +176,26 @@ def test_range_join_no_nested_loop(spark, points_intervals):
     plan = plans.explain_str(range_join(points, intervals, "p", "lo", "hi", 10))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_retention_cohorts(spark):
+    """Cohort sizes at offset 0; later-day activity counted at its
+    offset; duplicate observations collapse."""
+    from lakeshack_spark.operators import relational as rel
+
+    rows = [
+        (1, 10), (1, 10), (1, 12),       # user 1: cohort 10, back at +2
+        (2, 10), (2, 11),                # user 2: cohort 10, back at +1
+        (3, 11),                         # user 3: cohort 11 only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, day long")
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in rel.retention_cohorts(df).collect()
+    }
+    assert got == {
+        (10, 0): 2,   # users 1 and 2
+        (10, 1): 1,   # user 2
+        (10, 2): 1,   # user 1
+        (11, 0): 1,   # user 3
+    }
