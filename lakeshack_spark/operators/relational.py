@@ -235,3 +235,57 @@ def retention_cohorts(
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered funnel completion: how many users performed ``steps`` in
+    sequence — step i counts only events at-or-after the user's first
+    completion of step i-1 (the standard product-analytics funnel, e.g.
+    view → click → purchase).
+
+    Output: ``(step, step_name, n_users)``, one row per step (rows for
+    steps nobody reached still appear, with ``n_users = 0``), counts
+    non-increasing by construction.
+
+    Declarative k-step build, not a per-user fold: each step is one
+    map-side type filter, an equi-join on the user key against the
+    previous step's first-completion times, and a user-keyed MIN (all
+    hash-partitioned, map-side combinable; the event scan is reused k
+    times but each pass reads one type's partition-pruned slice if the
+    table is type-partitioned). Timestamps are compared in their raw
+    (integer) domain and never leave the query — the events discipline.
+    Ties (same-timestamp consecutive steps) count as completing, the
+    at-or-after convention."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.col(ts_col).alias("__ts"),
+    )
+    prev = None  # DataFrame (__u, __first) of users who reached prev step
+    reached = []
+    for i, step in enumerate(steps):
+        cur = ev.filter(F.col("__t") == step)
+        if prev is not None:
+            cur = cur.join(prev, "__u").filter(
+                F.col("__ts") >= F.col("__first")
+            )
+        cur = cur.groupBy("__u").agg(F.min("__ts").alias("__first"))
+        reached.append(cur)
+        prev = cur
+    counted = None
+    for i, (step, cur) in enumerate(zip(steps, reached)):
+        row = cur.agg(
+            F.lit(i + 1).cast("int").alias("step"),
+            F.lit(step).alias("step_name"),
+            F.count("*").alias("n_users"),
+        )
+        counted = row if counted is None else counted.unionByName(row)
+    return counted

@@ -1332,6 +1332,38 @@ def q10_returned_item_revenue(spark, sf_dir):
 
 
 @register(
+    "funnel_signup_click_purchase",
+    """
+    WITH e AS (
+      SELECT user_id AS u, event_type AS t, epoch_ns(ts) AS ts FROM events
+    ), s1 AS (
+      SELECT u, MIN(ts) AS f FROM e WHERE t = 'signup' GROUP BY u
+    ), s2 AS (
+      SELECT e.u, MIN(e.ts) AS f FROM e JOIN s1 USING (u)
+      WHERE e.t = 'click' AND e.ts >= s1.f GROUP BY e.u
+    ), s3 AS (
+      SELECT e.u, MIN(e.ts) AS f FROM e JOIN s2 USING (u)
+      WHERE e.t = 'purchase' AND e.ts >= s2.f GROUP BY e.u
+    )
+    SELECT CAST(1 AS INTEGER) AS step, 'signup' AS step_name,
+           COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT CAST(2 AS INTEGER), 'click', COUNT(*) FROM s2
+    UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', COUNT(*) FROM s3
+    """,
+)
+def funnel_signup_click_purchase(spark, sf_dir):
+    """Ordered funnel (operators.relational.funnel_counts): users who
+    signed up, then clicked at-or-after their first signup, then
+    purchased at-or-after that first qualifying click. Step narrowing is
+    k user-keyed min-joins (declarative, map-side combinable), never a
+    per-user event fold; timestamps compare in the integer-ns domain."""
+    from lakeshack_spark.operators import relational as rel
+
+    ev = load_table(spark, sf_dir, "events")
+    return rel.funnel_counts(ev, ["signup", "click", "purchase"])
+
+
+@register(
     "dedup_events_first",
     """
     SELECT user_id, event_type,

@@ -199,3 +199,43 @@ def test_retention_cohorts(spark):
         (10, 2): 1,   # user 1
         (11, 0): 1,   # user 3
     }
+
+
+def test_funnel_counts_ordering(spark):
+    """Step i counts only events at-or-after the first completion of
+    step i-1: out-of-order completions do not count."""
+    from lakeshack_spark.operators import relational as rel
+
+    rows = [
+        # user 1: full ordered funnel a(1) b(2) c(3)
+        (1, "a", 1), (1, "b", 2), (1, "c", 3),
+        # user 2: b BEFORE a — never reaches step 2
+        (2, "b", 1), (2, "a", 2),
+        # user 3: a then b, c missing
+        (3, "a", 5), (3, "b", 9),
+        # user 4: a, b same timestamp (tie counts), c before b → no step 3
+        (4, "c", 1), (4, "a", 4), (4, "b", 4),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    got = {
+        r.step: (r.step_name, r.n_users)
+        for r in rel.funnel_counts(df, ["a", "b", "c"]).collect()
+    }
+    assert got == {1: ("a", 4), 2: ("b", 3), 3: ("c", 1)}
+    # reversed funnel: user 4 completes c(1)→b(4)→a(4) via the tie rule;
+    # user 1's b(2) predates their first c(3) so they stop at step 1
+    got2 = {
+        r.step: r.n_users
+        for r in rel.funnel_counts(df, ["c", "b", "a"]).collect()
+    }
+    assert got2 == {1: 2, 2: 1, 3: 1}
+    # a step nobody reaches still emits a 0 row
+    got3 = {
+        r.step: r.n_users
+        for r in rel.funnel_counts(df, ["a", "zzz"]).collect()
+    }
+    assert got3 == {1: 4, 2: 0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rel.funnel_counts(df, [])
