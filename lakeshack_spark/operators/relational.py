@@ -289,3 +289,83 @@ def funnel_counts(
         )
         counted = row if counted is None else counted.unionByName(row)
     return counted
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: Sequence[str],
+    ts_col: str = "ts",
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 merge: apply a batch of updates
+    to a versioned dimension, closing the open version of any key whose
+    tracked attributes changed and appending the new open version —
+    the MERGE INTO pattern of lakehouse table maintenance, as a pure
+    batch-to-batch transform (write the result with the clustered
+    writer; on Delta/Iceberg hand the same frame to their MERGE).
+
+    ``current`` rows carry ``attr_cols`` plus ``from_col``/``to_col``
+    (NULL ``to_col`` = the open version). ``updates`` rows carry
+    ``attr_cols`` plus ``ts_col`` (the effective-from stamp, an integer
+    domain — e.g. epoch days); multiple updates per key in one batch
+    collapse to the latest by (ts, attrs) — a deterministic total order.
+
+    Branches (all from ONE full-outer join of open rows vs latest
+    updates, plus the untouched closed history):
+    - changed attrs → old open row closed at the update ts + new open row
+    - unchanged attrs (null-safe struct compare) → old open row kept
+    - brand-new key → new open row
+    - no update → old open row kept
+
+    Scale shape: one key-partitioned dedup of the update batch, one
+    key-keyed full-outer join against ONLY the open slice (the closed
+    history never shuffles), map-side branch selection. Idempotent:
+    re-merging the same batch changes nothing (attrs compare equal)."""
+    attrs = list(attr_cols)
+    out_cols = [key_col, *attrs, from_col, to_col]
+
+    latest = updates.groupBy(key_col).agg(
+        F.max_by(
+            F.struct(*[F.col(a) for a in attrs], F.col(ts_col).alias("__ts")),
+            F.struct(F.col(ts_col), *[F.col(a) for a in attrs]),
+        ).alias("__u")
+    ).select(
+        F.col(key_col).alias("__k"),
+        *[F.col(f"__u.{a}").alias(f"__new_{a}") for a in attrs],
+        F.col("__u.__ts").alias("__new_ts"),
+    )
+
+    history = current.filter(F.col(to_col).isNotNull()).select(*out_cols)
+    open_rows = current.filter(F.col(to_col).isNull())
+
+    j = open_rows.join(latest, open_rows[key_col] == latest["__k"], "full_outer")
+    has_old = F.col(from_col).isNotNull() | F.col(key_col).isNotNull()
+    has_upd = F.col("__k").isNotNull()
+    changed = has_upd & (
+        ~F.struct(*[F.col(a) for a in attrs]).eqNullSafe(
+            F.struct(*[F.col(f"__new_{a}").alias(a) for a in attrs])
+        )
+        | ~has_old
+    )
+
+    kept_open = j.filter(has_old & ~changed).select(*out_cols)
+    closed_now = j.filter(has_old & changed).select(
+        F.col(key_col),
+        *[F.col(a) for a in attrs],
+        F.col(from_col),
+        F.col("__new_ts").alias(to_col),
+    )
+    new_open = j.filter(changed).select(
+        F.coalesce(F.col(key_col), F.col("__k")).alias(key_col),
+        *[F.col(f"__new_{a}").alias(a) for a in attrs],
+        F.col("__new_ts").alias(from_col),
+        F.lit(None).cast(open_rows.schema[to_col].dataType).alias(to_col),
+    )
+    return (
+        history.unionByName(kept_open)
+        .unionByName(closed_now)
+        .unionByName(new_open)
+    )

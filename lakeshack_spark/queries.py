@@ -1332,6 +1332,96 @@ def q10_returned_item_revenue(spark, sf_dir):
 
 
 @register(
+    "scd2_merge_customer_segments",
+    """
+    WITH cur AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             CAST(0 AS BIGINT) AS valid_from,
+             CAST(NULL AS BIGINT) AS valid_to
+      FROM customer
+    ), o96 AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             epoch_us(o_orderdate) // 86400000000 AS day
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-07-01'
+    ), latest AS (
+      SELECT o_custkey, o_orderpriority, day FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM o96) WHERE rn = 1
+    ), upd AS (
+      SELECT l.o_custkey AS c_custkey,
+             CASE WHEN l.o_orderpriority = '1-URGENT' THEN c.c_mktsegment
+                  ELSE l.o_orderpriority END AS segment,
+             l.day AS ts
+      FROM latest l JOIN customer c ON c.c_custkey = l.o_custkey
+    )
+    SELECT cur.c_custkey, cur.segment, cur.valid_from, cur.valid_to
+    FROM cur LEFT JOIN upd USING (c_custkey)
+    WHERE upd.c_custkey IS NULL OR upd.segment = cur.segment
+    UNION ALL
+    SELECT cur.c_custkey, cur.segment, cur.valid_from, upd.ts
+    FROM cur JOIN upd USING (c_custkey) WHERE upd.segment <> cur.segment
+    UNION ALL
+    SELECT upd.c_custkey, upd.segment, upd.ts, CAST(NULL AS BIGINT)
+    FROM upd LEFT JOIN cur USING (c_custkey)
+    WHERE cur.c_custkey IS NULL OR upd.segment <> cur.segment
+    """,
+)
+def scd2_merge_customer_segments(spark, sf_dir):
+    """SCD type-2 merge (operators.relational.scd2_merge) under the hash
+    gate: the customer dimension (open version, valid_from 0) merged
+    with a derived update batch — each 1996-H1-active customer's latest
+    order priority as the new segment, with URGENT orders mapped back to
+    the CURRENT segment so the unchanged-attr branch (keep open, no new
+    version) is exercised alongside close+append and untouched keys.
+    The oracle is the longhand three-branch UNION; the hash proves the
+    single full-outer-join formulation hits exactly the same rows."""
+    from lakeshack_spark.operators import relational as rel
+
+    c = load_table(spark, sf_dir, "customer")
+    current = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    o96 = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    latest = o96.groupBy("o_custkey").agg(
+        F.max_by(
+            F.struct(
+                F.col("o_orderpriority"),
+                # o_orderdate is TIMESTAMP_NTZ; the UTC session makes the
+                # cast an identity on instants, matching DuckDB epoch_us.
+                F.expr(
+                    "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                    " DIV 86400000000"
+                ).alias("day"),
+            ),
+            F.struct(F.col("o_orderdate"), F.col("o_orderkey")),
+        ).alias("__l")
+    )
+    updates = latest.join(
+        c, latest["o_custkey"] == c["c_custkey"]
+    ).select(
+        F.col("c_custkey"),
+        F.when(
+            F.col("__l.o_orderpriority") == "1-URGENT",
+            F.col("c_mktsegment"),
+        )
+        .otherwise(F.col("__l.o_orderpriority"))
+        .alias("segment"),
+        F.col("__l.day").alias("ts"),
+    )
+    return rel.scd2_merge(current, updates, "c_custkey", ["segment"], "ts")
+
+
+@register(
     "funnel_signup_click_purchase",
     """
     WITH e AS (

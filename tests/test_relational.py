@@ -239,3 +239,48 @@ def test_funnel_counts_ordering(spark):
 
     with _pytest.raises(ValueError):
         rel.funnel_counts(df, [])
+
+
+def test_scd2_merge_branches(spark):
+    """All four merge branches: changed (close+append), unchanged (keep),
+    new key (append), untouched (keep); closed history never changes."""
+    from lakeshack_spark.operators import relational as rel
+
+    current = spark.createDataFrame(
+        [
+            (1, "A", 0, 5),      # closed history row
+            (1, "B", 5, None),   # open; update changes → close at 9 + new
+            (2, "C", 0, None),   # open; update with same attr → keep
+            (3, "D", 0, None),   # open; no update → keep
+        ],
+        "k long, attr string, valid_from long, valid_to long",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "B2", 9),
+            (1, "B1", 8),   # older duplicate in batch → latest (ts=9) wins
+            (2, "C", 7),
+            (4, "E", 6),    # brand-new key
+        ],
+        "k long, attr string, ts long",
+    )
+    got = {
+        (r.k, r.attr, r.valid_from): r.valid_to
+        for r in rel.scd2_merge(
+            current, updates, "k", ["attr"], "ts"
+        ).collect()
+    }
+    assert got == {
+        (1, "A", 0): 5,      # history untouched
+        (1, "B", 5): 9,      # closed at the update ts
+        (1, "B2", 9): None,  # new open version (latest update won)
+        (2, "C", 0): None,   # unchanged → kept open, no new version
+        (3, "D", 0): None,   # untouched
+        (4, "E", 6): None,   # new key
+    }
+    # idempotence: re-merging the same batch changes nothing
+    merged = rel.scd2_merge(current, updates, "k", ["attr"], "ts")
+    again = rel.scd2_merge(merged, updates, "k", ["attr"], "ts")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, again.collect())
+    )
