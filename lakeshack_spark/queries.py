@@ -1332,6 +1332,396 @@ def q10_returned_item_revenue(spark, sf_dir):
 
 
 @register(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {oracle_dsum('l_extendedprice * l_discount', 4)} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= CAST(0.04 AS DOUBLE)
+      AND l_discount <= CAST(0.06 AS DOUBLE)
+      AND l_quantity < CAST(24 AS DOUBLE)
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: single-table predicate-heavy scan aggregate. Every
+    predicate (date range, discount band, quantity cap) is pushdown-able
+    into the Parquet scan — the plan must show all three in PushedFilters
+    and a map-only partial+final agg with no shuffle beyond the 1-row
+    exchange (plan-pinned in tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum("l_extendedprice * l_discount", 4).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(100.0 AS DOUBLE) * promo_volume / total_volume AS promo_pct,
+           promo_volume, total_volume
+    FROM (
+      SELECT {oracle_dsum(
+          "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount)"
+          " ELSE 0.0 END", 4)} AS promo_volume,
+             {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)}
+               AS total_volume
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+    )
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: promo revenue share for one month. Conditional
+    aggregation (CASE inside the sum) in decimal space on both engines;
+    the final ratio is ONE division of two exact doubles, so the percent
+    is bit-reproducible (CLAUDE.md float-exactness recipe). The month
+    filter lands on lineitem BELOW the join, so the join's big side is a
+    month, not the table."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    agg = li.join(p, li.l_partkey == p.p_partkey).agg(
+        dsum(
+            "CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount)"
+            " ELSE 0.0 END",
+            4,
+        ).alias("promo_volume"),
+        dsum("l_extendedprice * (1 - l_discount)", 4).alias("total_volume"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo_volume") / F.col("total_volume")).alias(
+            "promo_pct"
+        ),
+        "promo_volume",
+        "total_volume",
+    )
+
+
+@register(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey, {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)}
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue. The
+    per-supplier revenue aggregates once; the MAX is a 1-row aggregate
+    broadcast back as a cross join (never a re-scan of lineitem), and the
+    decimal-space sums make the equality comparison safe across engines.
+    Ties would all be returned — deterministic either way."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        dsum("l_extendedprice * (1 - l_discount)", 4).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q16_supplier_count_by_part",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    LIMIT 25
+    """,
+)
+def q16_supplier_count_by_part(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute combo
+    (lineitem stands in for partsupp, which the testdata does not ship).
+    COUNT(DISTINCT) expands to a two-level aggregate (distinct on the
+    group+supplier key, then count) — partial combine on both levels; the
+    LIMIT carries a total order whose group key is the unique tiebreak."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36, 45, 49)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+        .limit(25)
+    )
+
+
+_Q17_SQL = """
+    SELECT CAST({dsum_price} / CAST(7.0 AS DOUBLE) AS DOUBLE) AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < CAST(0.2 AS DOUBLE) * (
+        SELECT CAST(SUM(CAST(ROUND(l2.l_quantity * 1e2) AS BIGINT)) AS DOUBLE)
+               / 1e2 / COUNT(*)
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+""".format(dsum_price=oracle_dsum("l.l_extendedprice", 2))
+
+
+@register("q17_small_quantity_revenue", _Q17_SQL)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: revenue from small-quantity orders of one brand, where
+    "small" is relative to each part's own average quantity — a CORRELATED
+    aggregate subquery Catalyst decorrelates into a per-part average +
+    equi-join (never per-row re-execution). Identical SQL text runs on
+    both engines; the per-part mean is an exact scaled-integer sum with
+    one division, so the `<` boundary cannot diverge."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_Q17_SQL)
+
+
+@register(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: three-way disjunction mixing columns of both join
+    sides. Catalyst's "push extracted disjunctive predicates" rewrite
+    derives the single-side implications — lineitem gets
+    `l_quantity BETWEEN 1 AND 30` OR-folded and part gets the brand/size
+    union — pushed below the join into each scan, so neither side scans
+    rows no branch could accept (plan-pinned)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & sz.between(1, 5) & (q >= 1) & (q <= 11))
+        | ((b == "Brand#23") & sz.between(1, 10) & (q >= 10) & (q <= 20))
+        | ((b == "Brand#34") & sz.between(1, 15) & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum("l_extendedprice * (1 - l_discount)", 4).alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    f"""
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           {oracle_dsum('c_acctbal', 2)} AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (
+      SELECT {oracle_davg('c_acctbal', 2)} FROM customer
+      WHERE c_acctbal > CAST(0.0 AS DOUBLE))
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no urgent
+    orders (every testdata customer has *some* order, so the anti-join
+    side is the urgent subset). Scalar subquery (1-row broadcast
+    threshold) + LEFT ANTI join + final rollup by segment; the threshold
+    mean is decimal-space so the `>` boundary matches the oracle."""
+    c = load_table(spark, sf_dir, "customer")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal", 2).alias("__thr")
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("__thr"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    SELECT o_year, nation_volume / total_volume AS mkt_share,
+           nation_volume, total_volume
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {oracle_dsum(
+                 "CASE WHEN supp_nation = 'NATION_7'"
+                 " THEN l_extendedprice * (1 - l_discount)"
+                 " ELSE 0.0 END", 4)} AS nation_volume,
+             {oracle_dsum('l_extendedprice * (1 - l_discount)', 4)}
+               AS total_volume
+      FROM (
+        SELECT o_orderdate, l_extendedprice, l_discount,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+      )
+      GROUP BY year(o_orderdate)
+    )
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: one supplier nation's market share of PROMO parts sold
+    into EUROPE, by order year — the widest join in the corpus (6 tables,
+    nation twice). Bounded dims (nation ×2, region) are hint-broadcast;
+    the growing chains (part, supplier, customer, orders) are AQE's call.
+    The share is conditional aggregation in decimal space and ONE
+    division, so it is bit-reproducible."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"),
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    joined = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        dsum(
+            "CASE WHEN supp_nation = 'NATION_7'"
+            " THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END",
+            4,
+        ).alias("nation_volume"),
+        dsum("l_extendedprice * (1 - l_discount)", 4).alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("nation_volume") / F.col("total_volume")).alias("mkt_share"),
+        "nation_volume",
+        "total_volume",
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {oracle_dsum(
+               'l_extendedprice * (1 - l_discount)'
+               ' - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity', 4)}
+             AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and order year over parts
+    matching a name pattern (0.6 × retail price stands in for
+    ps_supplycost — the testdata ships no partsupp). The LIKE filter cuts
+    part before any join; supplier/orders are AQE-planned; nation is the
+    one hinted broadcast. Profit addends are identical IEEE expression
+    trees on both engines, summed in decimal space."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            dsum(
+                "l_extendedprice * (1 - l_discount)"
+                " - CAST(0.6 AS DOUBLE) * p_retailprice * l_quantity",
+                4,
+            ).alias("sum_profit")
+        )
+    )
+
+
+@register(
     "scd2_merge_customer_segments",
     """
     WITH cur AS (

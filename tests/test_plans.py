@@ -278,3 +278,39 @@ def test_unigram_lm_single_document_shuffle(spark):
     s = plans.explain_str(df)
     assert "Window" not in s
     assert "TakeOrdered" not in s
+
+
+def test_q6_pushes_every_predicate_into_the_scan(spark):
+    """Q6 is predicate-pushdown's poster child: the date range, discount
+    band, AND quantity cap must all reach the Parquet scan so row groups
+    outside any band are never decoded."""
+    pf = plans.pushed_filters(q("q6_forecast_revenue", spark))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in f for f in pf), (col, pf)
+
+
+def test_q19_derives_single_side_disjunctions(spark):
+    """The three-branch OR mixes lineitem and part columns; Catalyst must
+    extract the per-side implications (quantity-range union for lineitem,
+    brand/size union for part) and push each below the join — otherwise
+    both scans read every row at 100 TB."""
+    pf = plans.pushed_filters(q("q19_disjunctive_revenue", spark))
+    assert any("l_quantity" in f for f in pf), pf
+    assert any("p_brand" in f for f in pf), pf
+
+
+def test_q22_plans_anti_join_with_broadcast_threshold(spark):
+    """NOT EXISTS → LeftAnti; the scalar threshold joins as a 1-row
+    broadcast, never a per-row subquery."""
+    s = plans.explain_str(q("q22_idle_rich_customers", spark))
+    assert "LeftAnti" in s
+    assert "BroadcastNestedLoopJoin" in s or "BroadcastExchange" in s
+
+
+def test_q17_decorrelates_to_aggregate_join(spark):
+    """The correlated per-part average must decorrelate into ONE
+    aggregate over lineitem plus an equi-join — a plan with a per-row
+    subquery re-execution would be quadratic."""
+    s = plans.explain_str(q("q17_small_quantity_revenue", spark))
+    assert "partial_sum" in s or "partial_count" in s
+    assert "Join" in s
