@@ -638,3 +638,82 @@ def term_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("n"))
     )
+
+
+def repeated_passage_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-passage detection — the exact-substring
+    analogue of "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al., ACL 2022) at word-k-gram granularity: a passage
+    is "repeated" when the same k consecutive words appear in at least
+    ``min_docs`` distinct documents (boilerplate, licence headers, quoted
+    spam — the content MinHash-style whole-doc similarity misses when the
+    rest of the document differs).
+
+    Returns one row per input document: ``n_tokens``, ``n_dup_grams``
+    (positions whose k-gram is shared), ``dup_tokens`` (tokens covered by
+    the union of those [pos, pos+k) intervals — overlaps counted once),
+    and ``dup_frac`` = dup_tokens / n_tokens. Downstream policy is the
+    caller's: drop docs above a coverage threshold, or excise the spans.
+
+    Scale shape (the suffix-array of the paper replaced by the MapReduce
+    decomposition that distributes): ONE explode of O(total tokens) gram
+    rows hashed to 8-byte longs map-side (`dedup._h64`, the repo's
+    portable md5 domain), ONE groupBy on the gram hash with partial
+    count-distinct combine, a semi join of positions against the flagged
+    hash set (AQE broadcasts it when small), and ONE per-document
+    aggregate whose interval-union fold is a single pass over the sorted
+    position array. Nothing is ever pairwise in documents, and no
+    full-text column crosses a shuffle — only (id, pos, hash64).
+    """
+    from lakeshack_spark.operators.dedup import _h64
+
+    base = df.select(F.col(id_col).alias("doc_id"), words_col(text_col).alias("__w"))
+    grams = (
+        base.select("doc_id", gram_array(F.col("__w"), k).alias("__g"))
+        .select("doc_id", F.posexplode("__g").alias("pos", "__gram"))
+        .select("doc_id", "pos", _h64(F.col("__gram")).alias("gh"))
+    )
+    flagged = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gh")
+    )
+    hits = grams.join(flagged, "gh", "left_semi")
+    acc0 = F.struct(
+        F.lit(-k).cast("int").alias("prev"), F.lit(0).cast("long").alias("cov")
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_grams"),
+        F.aggregate(
+            F.array_sort(F.collect_list("pos")),
+            acc0,
+            lambda acc, p: F.struct(
+                p.alias("prev"),
+                (acc["cov"] + F.least(F.lit(k), p - acc["prev"]).cast("long")).alias(
+                    "cov"
+                ),
+            ),
+            lambda acc: acc["cov"],
+        ).alias("dup_tokens"),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(words_col(text_col)).alias("n_tokens"),
+        )
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_grams", F.lit(0).cast("long")).alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0).cast("long")).alias("dup_tokens"),
+        )
+        .withColumn("dup_frac", F.col("dup_tokens") / F.col("n_tokens"))
+    )

@@ -2305,6 +2305,77 @@ def winnow_fingerprint_stats(spark, sf_dir):
     )
 
 
+_RP_GH = _H64_SQL.format(x="array_to_string(list_slice(w, i, i + 7), ' ')")
+
+
+@register(
+    "repeated_passages_docs",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
+    ), quotes AS (
+      SELECT doc_id + 200000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 5, 34),
+                             ' ') AS text
+      FROM base WHERE doc_id < 40
+    ), t AS (
+      SELECT * FROM base UNION ALL SELECT * FROM quotes
+    ), d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM t
+    ), g AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, greatest(len(w) - 7, 0)),
+          i -> {{'pos': i - 1, 'gh': {_RP_GH}}}) AS gs
+      FROM d
+    ), e AS (
+      SELECT doc_id, unnest(gs, recursive := true) FROM g
+    ), flagged AS (
+      SELECT gh FROM e GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2
+    ), fp AS (
+      SELECT doc_id, pos FROM e WHERE gh IN (SELECT gh FROM flagged)
+    ), cov AS (
+      SELECT doc_id AS cov_id, COUNT(*) AS n_dup_grams,
+             CAST(SUM(LEAST(8, pos - coalesce(lp, pos - 8))) AS BIGINT)
+               AS dup_tokens
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp
+            FROM fp)
+      GROUP BY doc_id
+    )
+    SELECT d2.doc_id, CAST(len(w) AS INTEGER) AS n_tokens,
+           coalesce(cov.n_dup_grams, 0) AS n_dup_grams,
+           coalesce(cov.dup_tokens, 0) AS dup_tokens,
+           coalesce(cov.dup_tokens, 0) / len(w) AS dup_frac
+    FROM d d2 LEFT JOIN cov ON d2.doc_id = cov.cov_id
+    """,
+)
+def repeated_passages_docs(spark, sf_dir):
+    """Cross-document repeated-passage detection
+    (text.repeated_passage_stats, k=8 word-grams, ≥2 distinct docs) with
+    PLANTED quotes: every doc_id < 40 contributes a 30-token excerpt doc
+    (tokens 5–34 of its host), so the host's excerpted span and the whole
+    quote doc are provably repeated passages — dup_frac ≈ 1.0 on the
+    quote, partial on the host — while untouched docs stay at whatever
+    the corpus naturally repeats. The oracle rebuilds the whole pipeline
+    (gram hashing in the shared md5 domain, ≥2-doc flagging, interval-
+    union coverage via a lag window) in DuckDB list SQL; the hash match
+    pins gram construction, the distinct-doc threshold, AND the
+    overlap-merge coverage fold."""
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    quotes = base.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + F.lit(200000)).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 5, 30)).alias(
+            "text"
+        ),
+    )
+    planted = base.unionByName(quotes)
+    return text.repeated_passage_stats(planted, k=8, min_docs=2)
+
+
 @register(
     "repetition_stats_docs",
     """

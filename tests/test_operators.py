@@ -1097,3 +1097,98 @@ def test_ngram_containment_asymmetric(spark):
         for r in dedup.ngram_jaccard_pairs(df, k=2).collect()
     }
     assert jac[(1, 2)] == 3 / 11
+
+
+# ------------------------------------------------- repeated passages
+
+
+def test_repeated_passages_shared_span_and_coverage(spark):
+    """Two docs sharing one 8-token run: exactly one flagged gram each,
+    8 covered tokens; the unrelated doc stays clean."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),
+            (2, "a b c d e f g h x y z w"),
+            (3, "q r s t u v w x y z aa bb"),
+        ],
+        ["doc_id", "text"],
+    )
+    from lakeshack_spark.operators import text
+
+    out = {
+        r.doc_id: r
+        for r in text.repeated_passage_stats(df, k=8, min_docs=2).collect()
+    }
+    assert out[1].n_dup_grams == 1 and out[1].dup_tokens == 8
+    assert out[2].n_dup_grams == 1 and out[2].dup_tokens == 8
+    assert out[3].n_dup_grams == 0 and out[3].dup_tokens == 0
+    assert out[3].dup_frac == 0.0
+
+
+def test_repeated_passages_overlapping_grams_count_tokens_once(spark):
+    """A 10-token shared run yields 3 overlapping 8-grams but covers
+    exactly 10 tokens — the interval-union fold must not double count."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"
+    df = spark.createDataFrame(
+        [(1, shared + " t1 t2"), (2, shared + " u1 u2")],
+        ["doc_id", "text"],
+    )
+    from lakeshack_spark.operators import text
+
+    out = {
+        r.doc_id: r
+        for r in text.repeated_passage_stats(df, k=8, min_docs=2).collect()
+    }
+    assert out[1].n_dup_grams == 3 and out[1].dup_tokens == 10
+    assert out[1].dup_frac == 10 / 12
+
+
+def test_repeated_passages_within_doc_repeat_not_flagged(spark):
+    """A k-gram repeated twice inside ONE doc is not a cross-document
+    passage: the threshold counts DISTINCT docs."""
+    run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    df = spark.createDataFrame(
+        [(1, run + " mid " + run), (2, "z1 z2 z3 z4 z5 z6 z7 z8 z9")],
+        ["doc_id", "text"],
+    )
+    from lakeshack_spark.operators import text
+
+    out = {
+        r.doc_id: r
+        for r in text.repeated_passage_stats(df, k=8, min_docs=2).collect()
+    }
+    assert out[1].n_dup_grams == 0 and out[1].dup_tokens == 0
+
+
+def test_repeated_passages_disjoint_spans_sum(spark):
+    """Two disjoint shared runs in one doc: coverage adds exactly."""
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = spark.createDataFrame(
+        [
+            (1, a + " x1 x2 x3 " + b),
+            (2, a + " only here"),
+            (3, b + " elsewhere too"),
+        ],
+        ["doc_id", "text"],
+    )
+    from lakeshack_spark.operators import text
+
+    out = {
+        r.doc_id: r
+        for r in text.repeated_passage_stats(df, k=8, min_docs=2).collect()
+    }
+    assert out[1].n_dup_grams == 2 and out[1].dup_tokens == 16
+    assert out[2].dup_tokens == 8 and out[3].dup_tokens == 8
+
+
+def test_repeated_passages_short_docs_zero_grams(spark):
+    """Docs shorter than k produce no grams and survive with zeros."""
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, "also tiny")], ["doc_id", "text"]
+    )
+    from lakeshack_spark.operators import text
+
+    rows = text.repeated_passage_stats(df, k=8, min_docs=2).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    assert all(r.n_dup_grams == 0 and r.dup_frac == 0.0 for r in rows)
