@@ -352,6 +352,59 @@ def window_rank_suite(spark, sf_dir):
 
 
 @register(
+    "window_range_frame_orders",
+    """
+    SELECT o_custkey, o_orderkey, CAST(day AS BIGINT) AS day,
+           CAST(cnt AS INTEGER) AS n_last30,
+           CAST(s AS DOUBLE) / 1e2 AS sum_last30
+    FROM (
+      SELECT o_custkey, o_orderkey,
+             epoch_us(o_orderdate) // 86400000000 AS day,
+             COUNT(*) OVER w AS cnt,
+             SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) OVER w AS s
+      FROM orders
+      WINDOW w AS (
+        PARTITION BY o_custkey
+        ORDER BY (epoch_us(o_orderdate) // 86400000000)
+        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    )
+    """,
+)
+def window_range_frame_orders(spark, sf_dir):
+    """RANGE-framed window (value-based, not row-based): each order's
+    trailing-30-day count and spend for its customer — the time-based
+    sliding aggregate that would otherwise need a self-join. The frame
+    key is an integer day number (µs epoch, integer division) so the
+    peer-set boundary is exact on both engines, and the frame sum runs in
+    scaled-integer space (same-day peers make ROWS frames ill-defined;
+    RANGE includes all peers deterministically). One shuffle on
+    o_custkey; the frame scan is a sliding accumulator within each
+    sorted partition, never O(frame²)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        # o_orderdate reads as TIMESTAMP_NTZ; the UTC session (set by
+        # load_table's configure_session) makes the cast instant-exact.
+        "day", F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day",
+        F.count("*").over(w).cast("int").alias("n_last30"),
+        (
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 1e2) AS BIGINT)")
+            ).over(w).cast("double")
+            / F.lit(100.0)
+        ).alias("sum_last30"),
+    )
+
+
+@register(
     "array_functions_embeddings",
     """
     SELECT vec_id,
@@ -3189,6 +3242,50 @@ def hash_split_counts(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = sampling.hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
     return out.groupBy("split").agg(F.count("*").alias("n"))
+
+
+@register(
+    "mixture_sample_counts",
+    """
+    WITH h AS (
+      SELECT doc_id, source,
+        CAST(list_sum(list_transform(range(1, 16),
+          p -> CAST(strpos('0123456789abcdef',
+                 substr(md5('mix:' || source || '|' || CAST(doc_id AS VARCHAR)),
+                        p, 1)) - 1
+                 AS BIGINT) << (4 * (15 - p))
+        )) AS BIGINT) % 1000000 AS bucket
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM h
+    WHERE bucket < CASE source
+      WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+      WHEN 'src2' THEN 250000 WHEN 'src3' THEN 100000
+      ELSE 50000 END
+    GROUP BY source
+    """,
+)
+def mixture_sample_counts(spark, sf_dir):
+    """Training-data MIXTURE sampling under the hash gate: per-source
+    deterministic keep rates (operators.sampling.stratified_sample — the
+    Pile/Dolma-style "source weights" op: upweight wiki, downsample web)
+    reproduced row-for-row by a DuckDB oracle over the portable md5
+    bucket domain. ``id_sum`` pins the exact kept SET per source, not
+    just its size. Map-only on Spark's side: one hash + one comparison
+    per row, no shuffle before the audit rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs,
+        "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        "doc_id",
+        default_fraction=0.05,
+        label="mix",
+    )
+    return out.groupBy("source").agg(
+        F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_sum")
+    )
 
 
 _SRP_COSINE = """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
