@@ -749,3 +749,115 @@ def project_embeddings(
         lit = F.expr("array(" + ",".join("%.17e" % x for x in row) + ")")
         out = out.withColumn(f"{prefix}{j}", dot_d(F.col(vec_col), lit))
     return out
+
+
+# ------------------------------------------------------------------ PQ
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float], float]]]:
+    """Deterministic product-quantization codebook seed: the ``n_codes``
+    smallest-id vectors, each split into ``m`` equal subvectors — subspace
+    ``j``'s codebook is their j-th chunks (codes enumerate collect order,
+    the :func:`sample_centroids` convention; production training refines
+    each subspace with :func:`kmeans_update` iterations, which this seed
+    initializes).
+
+    Returns per-subspace entries ``(code, subvector, c·c)`` with the
+    self-dot precomputed by the same sequential IEEE fold as
+    :func:`dot_d`, so in-plan distances are bit-identical to an in-plan
+    computation."""
+    rows = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(n_codes)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_codebooks: empty vector set")
+    dim = len(rows[0][vec_col])
+    if dim % m != 0:
+        raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
+    ds = dim // m
+    books = []
+    for j in range(m):
+        entries = []
+        for code, r in enumerate(rows):
+            sub = [float(x) for x in r[vec_col][j * ds : (j + 1) * ds]]
+            acc = 0.0
+            for x in sub:
+                acc += x * x
+            entries.append((code, sub, acc))
+        books.append(entries)
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[tuple[int, list[float], float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., TPAMI 2011): each
+    vector becomes ``m`` small codes — the nearest codebook entry per
+    subspace by squared L2 — compressing fp32 embeddings ~``32·ds/8``×
+    for ANN candidate tiers (composes with :func:`quantize_embeddings`'s
+    int8 tier and :func:`project_embeddings`'s JL tier; asymmetric
+    distance scans decode per query, not per corpus row).
+
+    Adds ``code_0..code_{m-1}`` (int) and ``recon_sqerr`` (double, the
+    summed per-subspace ||x_j − c||²). Entirely map-side whole-stage
+    codegen: per subspace ONE literal array of (cvec, cc, code) structs
+    (single parsed expression — the py4j-per-literal and
+    per-centroid-copy plan costs are the measured traps) and a per-row
+    ``array_max`` argmin with distances via the expanded identity
+    ``x·x − 2.0·x·c + c·c`` — the identical IEEE tree the DuckDB oracle
+    evaluates, making codes AND error cross-engine exact. Ties break to
+    the smallest code. No shuffle, no join, no Python."""
+    m = len(codebooks)
+    ds = len(codebooks[0][0][1])
+
+    out = vectors
+    err_cols = []
+    for j, entries in enumerate(codebooks):
+        parts = []
+        for code, sub, cc in entries:
+            vec = ",".join("%.17e" % x for x in sub)
+            parts.append(
+                f"named_struct('cvec', array({vec}), "
+                f"'cc', {'%.17e' % cc}, 'code', {code})"
+            )
+        lit = F.expr("array(" + ",".join(parts) + ")")
+        xj = F.slice(F.col(vec_col), j * ds + 1, ds)
+        out = out.withColumn(f"__x{j}", xj).withColumn(
+            f"__xx{j}", dot_d(F.col(f"__x{j}"), F.col(f"__x{j}"))
+        )
+        def _scorer(xcol, xxcol):
+            # closure factory: default-arg lambdas count as extra HOF
+            # params and fail analysis (CLAUDE.md gotcha)
+            def score(c):
+                return F.struct(
+                    (
+                        -(xxcol - F.lit(2.0) * dot_d(xcol, c["cvec"]) + c["cc"])
+                    ).alias("negd"),
+                    (-c["code"]).alias("negcode"),
+                )
+
+            return score
+
+        scored = F.transform(lit, _scorer(F.col(f"__x{j}"), F.col(f"__xx{j}")))
+        best = F.array_max(scored)
+        out = out.withColumn(f"code_{j}", (-best["negcode"]).cast("int")).withColumn(
+            f"__d{j}", -best["negd"]
+        )
+        err_cols.append(f"__d{j}")
+    sqerr = F.col(err_cols[0])
+    for c in err_cols[1:]:
+        sqerr = sqerr + F.col(c)
+    out = out.withColumn("recon_sqerr", sqerr)
+    drop = [f"__x{j}" for j in range(m)] + [f"__xx{j}" for j in range(m)] + err_cols
+    return out.drop(*drop)

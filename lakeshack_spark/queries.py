@@ -3288,6 +3288,62 @@ def mixture_sample_counts(spark, sf_dir):
     )
 
 
+@register(
+    "pq_codes_embeddings",
+    """
+    WITH cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ), js AS (
+      SELECT unnest(range(0, 4)) AS j
+    ), sub AS (
+      SELECT code, j, list_slice(cv, j*16 + 1, (j+1)*16) AS c FROM cb, js
+    ), v AS (
+      SELECT vec_id,  j,
+             list_slice(CAST(embedding AS DOUBLE[]), j*16 + 1, (j+1)*16) AS x
+      FROM embeddings, js
+    ), d AS (
+      SELECT vec_id, j, code,
+        list_dot_product(x, x)
+          - CAST(2.0 AS DOUBLE) * list_dot_product(x, c)
+          + list_dot_product(c, c) AS d2
+      FROM v JOIN sub USING (j)
+    ), best AS (
+      SELECT vec_id, j, code, d2 FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC) AS rn
+        FROM d) WHERE rn = 1
+    )
+    SELECT vec_id,
+      MAX(CASE WHEN j = 0 THEN code END) AS code_0,
+      MAX(CASE WHEN j = 1 THEN code END) AS code_1,
+      MAX(CASE WHEN j = 2 THEN code END) AS code_2,
+      MAX(CASE WHEN j = 3 THEN code END) AS code_3,
+      MAX(CASE WHEN j = 0 THEN d2 END) + MAX(CASE WHEN j = 1 THEN d2 END)
+        + MAX(CASE WHEN j = 2 THEN d2 END) + MAX(CASE WHEN j = 3 THEN d2 END)
+        AS recon_sqerr
+    FROM best GROUP BY vec_id
+    """,
+)
+def pq_codes_embeddings(spark, sf_dir):
+    """Product quantization (similarity.pq_encode, Jégou et al. 2011;
+    m=4 subspaces × 16 codes over the 64-d embeddings) under the hash
+    gate. The oracle re-derives the codebook from the same smallest-16-id
+    seed rule, scores every (vector, subspace, code) with the IDENTICAL
+    expanded IEEE tree ``x·x − 2.0·x·c + c·c``, and argmins with the same
+    (distance, code) tie rule — so the hash match pins subvector
+    slicing, the distance algebra, the assignment, AND the summed
+    reconstruction error bit-for-bit. Spark side is map-only codegen:
+    one literal struct array per subspace, no join, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_codebooks(emb, m=4, n_codes=16)
+    out = similarity.pq_encode(emb, books)
+    return out.select(
+        "vec_id", "code_0", "code_1", "code_2", "code_3", "recon_sqerr"
+    )
+
+
 _SRP_COSINE = """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"""

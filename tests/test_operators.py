@@ -1192,3 +1192,62 @@ def test_repeated_passages_short_docs_zero_grams(spark):
     rows = text.repeated_passage_stats(df, k=8, min_docs=2).collect()
     assert {r.doc_id for r in rows} == {1, 2}
     assert all(r.n_dup_grams == 0 and r.dup_frac == 0.0 for r in rows)
+
+
+# ------------------------------------------------- product quantization
+
+
+def test_pq_seed_vectors_encode_to_themselves(spark):
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = sim.pq_codebooks(emb, m=4, n_codes=16)
+    out = sim.pq_encode(emb, books)
+    for r in out.orderBy("vec_id").limit(16).collect():
+        assert (r.code_0, r.code_1, r.code_2, r.code_3) == (
+            r.vec_id,
+        ) * 4
+        assert r.recon_sqerr == 0.0
+
+
+def test_pq_matches_python_brute_force(spark):
+    """Codes and error equal an independent per-subspace argmin in
+    Python (same expanded-identity distance, same tie rule)."""
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = sim.pq_codebooks(emb, m=4, n_codes=8)
+    got = {
+        r.vec_id: r
+        for r in sim.pq_encode(emb, books).filter("vec_id < 60").collect()
+    }
+    raw = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter("vec_id < 60").collect()
+    }
+    for vid, vec in raw.items():
+        total = 0.0
+        for j, entries in enumerate(books):
+            x = vec[j * 16 : (j + 1) * 16]
+            xx = 0.0
+            for t in x:
+                xx += t * t
+            best = None
+            for code, c, cc in entries:
+                xc = 0.0
+                for a, b in zip(x, c):
+                    xc += a * b
+                d2 = xx - 2.0 * xc + cc
+                if best is None or d2 < best[0] or (d2 == best[0] and code < best[1]):
+                    best = (d2, code)
+            assert got[vid][f"code_{j}"] == best[1], (vid, j)
+            total += best[0]
+        assert got[vid].recon_sqerr == total, vid
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_codebooks(emb, m=5, n_codes=4)
