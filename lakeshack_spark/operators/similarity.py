@@ -861,3 +861,149 @@ def pq_encode(
     out = out.withColumn("recon_sqerr", sqerr)
     drop = [f"__x{j}" for j in range(m)] + [f"__xx{j}" for j in range(m)] + err_cols
     return out.drop(*drop)
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[tuple[int, list[float], float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes — the scan
+    half of the PQ pipeline: each query precomputes one distance table
+    per subspace (its squared L2 to every codebook entry), and a
+    candidate's distance is just ``m`` table lookups summed — no float
+    vector is ever read on the scan side, which is the whole point at
+    corpus scale (codes are ~``32·ds/8``× smaller than fp32).
+
+    ``encoded`` must carry ``code_0..code_{m-1}`` (from
+    :func:`pq_encode` — typically precomputed and stored). The query
+    side is bounded: tables are built driver-side with the same
+    sequential IEEE folds as the oracle's ``list_dot_product`` and
+    folded into ONE literal array of per-query structs (single parsed
+    expression). Scoring explodes that constant per candidate row
+    (map-side, no shuffle) and ranks via the two-stage top-k, so scan
+    parallelism never collapses to #queries. Distances use the expanded
+    identity ``x·x − 2.0·x·c + c·c`` summed in fixed subspace order —
+    bit-reproducible cross-engine. Ties break to the smaller neighbor id.
+
+    Returns (query_id, neighbor_id, adc_dist, rank); exact PQ-ADC (the
+    approximation is the quantization itself, pinned by
+    ``recon_sqerr``), so planted exact-duplicate vectors rank first at
+    adc_dist = the duplicate's own reconstruction error.
+    """
+    m = len(codebooks)
+    ds = len(codebooks[0][0][1])
+    qrows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("pq_adc_topk: empty query set")
+    parts = []
+    for r in qrows:
+        qv = [float(x) for x in r[vec_col]]
+        fields = [f"'qid', {int(r[id_col])}L"]
+        for j, entries in enumerate(codebooks):
+            x = qv[j * ds : (j + 1) * ds]
+            xx = 0.0
+            for t in x:
+                xx += t * t
+            tbl = []
+            for _code, c, cc in entries:  # entries are code-ordered
+                xc = 0.0
+                for a, b in zip(x, c):
+                    xc += a * b
+                tbl.append(xx - 2.0 * xc + cc)
+            fields.append(
+                f"'t{j}', array(" + ",".join("%.17e" % t for t in tbl) + ")"
+            )
+        parts.append("named_struct(" + ",".join(fields) + ")")
+    lit = F.expr("array(" + ",".join(parts) + ")")
+
+    scored = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[F.col(f"code_{j}") for j in range(m)],
+    ).withColumn("__q", F.explode(lit))
+    dist = F.element_at(F.col("__q")["t0"], F.col("code_0") + 1)
+    for j in range(1, m):
+        dist = dist + F.element_at(F.col("__q")[f"t{j}"], F.col(f"code_{j}") + 1)
+    scored = (
+        scored.select(
+            F.col("__q")["qid"].alias("query_id"),
+            "neighbor_id",
+            (-dist).alias("cosine"),  # _topk_per_query ranks cosine DESC
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    out = _topk_per_query(scored, k)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        (-F.col("cosine")).alias("adc_dist"),
+        "rank",
+    )
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    sample_n: int = 2048,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float], float]]]:
+    """Lloyd-refined PQ codebooks: :func:`pq_codebooks`' seed improved by
+    per-subspace k-means over a bounded deterministic sample (the
+    ``sample_n`` smallest-id vectors — no RNG anywhere), driver-side
+    NumPy. Codebook training is inherently a bounded job (m·n_codes·ds
+    floats out); the 100 TB path samples, trains here, then encodes the
+    full corpus with :func:`pq_encode`'s map-only scan. For distributed
+    refinement over the whole corpus, compose :func:`pq_encode` with
+    :func:`cell_means` per subspace instead.
+
+    Assignment is squared-L2 argmin with ties to the smallest code (the
+    same rule as encoding); empty codes keep their previous centroid
+    (the Lloyd convention, so no cluster is ever lost). Deterministic:
+    same data → bit-identical codebooks."""
+    import numpy as np
+
+    rows = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(sample_n)
+        .collect()
+    )
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"pq_train: sample ({len(rows)}) smaller than n_codes ({n_codes})"
+        )
+    dim = len(rows[0][vec_col])
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    ds = dim // m
+    data = np.array([[float(x) for x in r[vec_col]] for r in rows])
+    books = []
+    for j in range(m):
+        X = data[:, j * ds : (j + 1) * ds]
+        cb = X[:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)  # argmin ties -> first (smallest code)
+            for code in range(n_codes):
+                members = X[assign == code]
+                if len(members):
+                    cb[code] = members.mean(axis=0)
+        entries = []
+        for code in range(n_codes):
+            sub = [float(x) for x in cb[code]]
+            acc = 0.0
+            for x in sub:
+                acc += x * x
+            entries.append((code, sub, acc))
+        books.append(entries)
+    return books

@@ -3344,6 +3344,76 @@ def pq_codes_embeddings(spark, sf_dir):
     )
 
 
+@register(
+    "pq_adc_topk_embeddings",
+    """
+    WITH cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ), js AS (
+      SELECT unnest(range(0, 4)) AS j
+    ), sub AS (
+      SELECT code, j, list_slice(cv, j*16 + 1, (j+1)*16) AS c FROM cb, js
+    ), v AS (
+      SELECT vec_id, j,
+             list_slice(CAST(embedding AS DOUBLE[]), j*16 + 1, (j+1)*16) AS x
+      FROM embeddings, js
+    ), d AS (
+      SELECT vec_id, j, code,
+        list_dot_product(x, x)
+          - CAST(2.0 AS DOUBLE) * list_dot_product(x, c)
+          + list_dot_product(c, c) AS d2
+      FROM v JOIN sub USING (j)
+    ), best AS (
+      SELECT vec_id, j, code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC) AS rn
+        FROM d) WHERE rn = 1
+    ), codes AS (
+      SELECT vec_id,
+        MAX(CASE WHEN j = 0 THEN code END) AS code_0,
+        MAX(CASE WHEN j = 1 THEN code END) AS code_1,
+        MAX(CASE WHEN j = 2 THEN code END) AS code_2,
+        MAX(CASE WHEN j = 3 THEN code END) AS code_3
+      FROM best GROUP BY vec_id
+    ), qd AS (
+      SELECT vec_id AS qid, j, code, d2 FROM d WHERE vec_id < 3
+    ), scored AS (
+      SELECT q0.qid AS query_id, c.vec_id AS neighbor_id,
+             q0.d2 + q1.d2 + q2.d2 + q3.d2 AS adc_dist
+      FROM codes c
+      JOIN qd q0 ON q0.j = 0 AND q0.code = c.code_0
+      JOIN qd q1 ON q1.j = 1 AND q1.code = c.code_1 AND q1.qid = q0.qid
+      JOIN qd q2 ON q2.j = 2 AND q2.code = c.code_2 AND q2.qid = q0.qid
+      JOIN qd q3 ON q3.j = 3 AND q3.code = c.code_3 AND q3.qid = q0.qid
+      WHERE c.vec_id <> q0.qid
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def pq_adc_topk_embeddings(spark, sf_dir):
+    """PQ asymmetric-distance top-k (similarity.pq_adc_topk): the scan
+    side reads ONLY the m=4 int codes — each query's per-subspace
+    distance tables are driver-built (same sequential IEEE folds as the
+    oracle's list_dot_product) and folded in as one literal, so a
+    candidate costs 4 array lookups + 3 adds. The oracle re-derives
+    codebook, codes, and tables in SQL and ranks with the identical
+    (distance, neighbor) order — hash match pins the entire
+    encode→table→lookup→rank pipeline. Two-stage top-k keeps scan
+    parallelism off the #queries cliff."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_codebooks(emb, m=4, n_codes=16)
+    encoded = similarity.pq_encode(emb, books)
+    q = emb.filter(F.col("vec_id") < 3)
+    out = similarity.pq_adc_topk(encoded, q, books, k=5)
+    return out.select("query_id", "neighbor_id", "adc_dist", "rank")
+
+
 _SRP_COSINE = """list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
              / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                 * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"""

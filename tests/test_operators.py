@@ -1251,3 +1251,87 @@ def test_pq_rejects_indivisible_dim(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="not divisible"):
         sim.pq_codebooks(emb, m=5, n_codes=4)
+
+
+def test_pq_adc_planted_duplicate_ranks_first(spark):
+    """A planted exact duplicate of the query vector must rank 1 with
+    adc_dist equal to the duplicate's own reconstruction error (the
+    query's tables evaluated at the duplicate's codes ARE that error)."""
+    from pyspark.sql import functions as F
+
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    dup = emb.filter("vec_id = 40").select(
+        (F.col("vec_id") + mx + 1).alias("vec_id"), "embedding", "label"
+    )
+    planted = emb.unionByName(dup)
+    books = sim.pq_codebooks(planted, m=4, n_codes=16)
+    enc = sim.pq_encode(planted, books)
+    q = planted.filter("vec_id = 40")
+    top = (
+        sim.pq_adc_topk(enc, q, books, k=3)
+        .filter("rank = 1")
+        .collect()[0]
+    )
+    assert top.neighbor_id == mx + 41
+    err = enc.filter(f"vec_id = {mx + 41}").collect()[0].recon_sqerr
+    assert abs(top.adc_dist - err) < 1e-9
+
+
+def test_pq_adc_matches_python_tables(spark):
+    """ADC distances equal an independent Python table-lookup scan."""
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = sim.pq_codebooks(emb, m=4, n_codes=8)
+    enc = sim.pq_encode(emb, books)
+    q = emb.filter("vec_id < 2")
+    got = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in sim.pq_adc_topk(enc, q, books, k=4).collect()
+    }
+    codes = {
+        r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
+        for r in enc.collect()
+    }
+    qvecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in q.collect()
+    }
+    for (qid, nid), dist in got.items():
+        total = 0.0
+        for j, entries in enumerate(books):
+            x = qvecs[qid][j * 16 : (j + 1) * 16]
+            xx = 0.0
+            for t in x:
+                xx += t * t
+            code, c, cc = entries[codes[nid][j]]
+            xc = 0.0
+            for a, b in zip(x, c):
+                xc += a * b
+            total += xx - 2.0 * xc + cc
+        assert dist == total, (qid, nid)
+
+
+def test_pq_train_reduces_reconstruction_error(spark):
+    """Lloyd-refined codebooks must not lose to the raw seed on the
+    training distribution (deterministic: no RNG anywhere)."""
+    from pyspark.sql import functions as F
+
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seed = sim.pq_codebooks(emb, m=4, n_codes=8)
+    trained = sim.pq_train(emb, m=4, n_codes=8, sample_n=256, iters=5)
+    err_seed = (
+        sim.pq_encode(emb, seed).agg(F.avg("recon_sqerr")).first()[0]
+    )
+    err_trained = (
+        sim.pq_encode(emb, trained).agg(F.avg("recon_sqerr")).first()[0]
+    )
+    assert err_trained < err_seed
+    # determinism: same call, bit-identical books
+    again = sim.pq_train(emb, m=4, n_codes=8, sample_n=256, iters=5)
+    assert again == trained
