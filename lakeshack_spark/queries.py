@@ -1775,6 +1775,101 @@ def q9_profit_by_nation_year(spark, sf_dir):
 
 
 @register(
+    "grouped_ols_slope_customers",
+    """
+    WITH b AS (
+      SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS x,
+             CAST(ROUND(o_totalprice * 1e2) AS BIGINT) AS y
+      FROM orders
+    ), a AS (
+      SELECT o_custkey, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      FROM b GROUP BY o_custkey
+    )
+    SELECT o_custkey, CAST(n AS INTEGER) AS n_orders,
+           CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+             AS slope_cents_per_day
+    FROM a WHERE n*sxx - sx*sx <> 0
+    """,
+)
+def grouped_ols_slope_customers(spark, sf_dir):
+    """Grouped-map pandas UDF (``applyInPandas`` — the one UDF shape not
+    previously hash-gated): per-customer OLS slope of spend over time,
+    the classic "model per group" pattern that has no single-pass SQL
+    equivalent shape in user code. Cross-engine exact by the integer
+    recipe: day numbers and price cents are exact int64 INSIDE pandas
+    (computed JVM-side before the UDF — Python never rounds floats), the
+    normal-equation numerator/denominator are exact integer sums
+    (max |num| ≈ 1.8e12 ≪ 2^53 at sf0.1), and the slope is ONE double
+    division — so the Arrow-batched Python path hash-matches DuckDB's
+    declarative aggregate bit-for-bit. Customers whose orders all share
+    one day (den = 0) are dropped on both sides. One shuffle on the
+    group key; each group's work is O(rows)."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("x"),
+        F.expr("CAST(ROUND(o_totalprice * 1e2) AS BIGINT)").alias("y"),
+    )
+
+    def ols(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        x = pdf["x"].tolist()  # Python ints: arbitrary precision, exact
+        y = pdf["y"].tolist()
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        den = n * sxx - sx * sx
+        if den == 0:
+            return pd.DataFrame(
+                {"o_custkey": [], "n_orders": [], "slope_cents_per_day": []}
+            )
+        num = n * sxy - sx * sy
+        return pd.DataFrame(
+            {
+                "o_custkey": [int(pdf["o_custkey"].iloc[0])],
+                "n_orders": [n],
+                "slope_cents_per_day": [float(num) / float(den)],
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(
+        ols,
+        "o_custkey long, n_orders int, slope_cents_per_day double",
+    )
+
+
+@register(
+    "right_outer_order_lineitems",
+    """
+    SELECT o.o_orderkey, o.o_orderstatus, l.l_linenumber, l.l_quantity
+    FROM lineitem l RIGHT OUTER JOIN
+      (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1999-06-01') o
+      ON l.l_orderkey = o.o_orderkey AND l.l_linenumber <= 2
+    """,
+)
+def right_outer_order_lineitems(spark, sf_dir):
+    """RIGHT OUTER join (closing the join-type matrix: inner, left,
+    full, semi, anti, asof, range, theta are already gated): recent
+    orders keep a row even when the join-side predicate
+    (l_linenumber ≤ 2) eliminates every lineitem. The predicate lives in
+    the JOIN CONDITION, not a WHERE — pushing it to a pre-filter is the
+    classic outer-join rewrite error the oracle would catch."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-06-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.join(
+        o,
+        (li.l_orderkey == o.o_orderkey) & (li.l_linenumber <= 2),
+        "right_outer",
+    ).select("o_orderkey", "o_orderstatus", "l_linenumber", "l_quantity")
+
+
+@register(
     "scd2_merge_customer_segments",
     """
     WITH cur AS (
