@@ -1335,3 +1335,90 @@ def test_pq_train_reduces_reconstruction_error(spark):
     # determinism: same call, bit-identical books
     again = sim.pq_train(emb, m=4, n_codes=8, sample_n=256, iters=5)
     assert again == trained
+
+
+def test_pq_encode_arrow_matches_expression_path(spark):
+    """The Arrow encoder's codes equal the fold-order expression path on
+    the sf0.001 embeddings (no engineered ties), and reconstruction
+    errors agree to rounding."""
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = sim.pq_train(emb, m=4, n_codes=16, sample_n=200, iters=4)
+    a = {
+        r.vec_id: r
+        for r in sim.pq_encode(emb, books).collect()
+    }
+    b = {
+        r.vec_id: r
+        for r in sim.pq_encode_arrow(emb, books).collect()
+    }
+    assert set(a) == set(b)
+    for vid in a:
+        for j in range(4):
+            assert a[vid][f"code_{j}"] == b[vid][f"code_{j}"], (vid, j)
+        assert abs(a[vid].recon_sqerr - b[vid].recon_sqerr) <= 1e-9 * (
+            1.0 + abs(a[vid].recon_sqerr)
+        )
+
+
+def test_pq_search_full_shortlist_is_exact(spark):
+    """shortlist >= corpus: pq_search must equal exact brute-force L2
+    ranking (the quantizer can no longer lose anything)."""
+    from pyspark.sql import functions as F
+
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    books = sim.pq_train(emb, m=4, n_codes=8, sample_n=128, iters=3)
+    enc = sim.pq_encode(emb, books)
+    q = emb.filter("vec_id < 2")
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.l2_sq)
+        for r in sim.pq_search(emb, enc, q, books, k=5, shortlist=n).collect()
+    }
+    # independent exact ranking
+    qv = {r.vec_id: [float(x) for x in r.embedding] for r in q.collect()}
+    cv = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    for qid, qvec in qv.items():
+        dists = []
+        for nid, c in cv.items():
+            if nid == qid:
+                continue
+            cc = 0.0
+            for x in c:
+                cc += x * x
+            qc = 0.0
+            for a, b in zip(qvec, c):
+                qc += a * b
+            qq = 0.0
+            for a in qvec:
+                qq += a * a
+            dists.append((cc - 2.0 * qc + qq, nid))
+        dists.sort()
+        for rank, (d, nid) in enumerate(dists[:5], start=1):
+            assert got[(qid, rank)] == (nid, d), (qid, rank)
+
+
+def test_pq_search_planted_duplicate_rank1_zero_error(spark):
+    from pyspark.sql import functions as F
+
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mx = emb.agg(F.max("vec_id")).first()[0]
+    dup = emb.filter("vec_id = 7").select(
+        (F.col("vec_id") + mx + 1).alias("vec_id"), "embedding", "label"
+    )
+    planted = emb.unionByName(dup)
+    books = sim.pq_codebooks(planted, m=4, n_codes=16)
+    enc = sim.pq_encode(planted, books)
+    q = planted.filter("vec_id = 7")
+    top = (
+        sim.pq_search(planted, enc, q, books, k=3, shortlist=50)
+        .filter("rank = 1")
+        .collect()[0]
+    )
+    assert top.neighbor_id == mx + 8
+    assert top.l2_sq == 0.0

@@ -75,8 +75,16 @@ def run_regime(spark, sim, F, emb, queries, k, label, clusters=None, qclusters=N
                 books = sim.pq_train(emb, m=4, n_codes=n_codes, sample_n=4096, iters=10)
             else:
                 books = sim.pq_codebooks(emb, m=4, n_codes=n_codes)
+            if trained and n_codes == 64:
+                # one timing point for the expression-path encoder, to
+                # record the Arrow speedup honestly
+                t0 = time.time()
+                sim.pq_encode(emb, books).select(
+                    "vec_id", "code_0", "code_1", "code_2", "code_3"
+                ).count()
+                print(f"[{label}] expression-path encode n_codes=64: {time.time()-t0:.2f}s")
             t0 = time.time()
-            enc = sim.pq_encode(emb, books).select(
+            enc = sim.pq_encode_arrow(emb, books).select(
                 "vec_id", "code_0", "code_1", "code_2", "code_3"
             ).persist()
             enc.count()  # eager: encode once, scan many (stored-codes model)
