@@ -778,8 +778,11 @@ def pq_codebooks(
         .limit(n_codes)
         .collect()
     )
-    if not rows:
-        raise ValueError("pq_codebooks: empty vector set")
+    if len(rows) < n_codes:
+        raise ValueError(
+            f"pq_codebooks: corpus ({len(rows)} vectors) smaller than "
+            f"n_codes ({n_codes})"
+        )
     dim = len(rows[0][vec_col])
     if dim % m != 0:
         raise ValueError(f"pq_codebooks: dim {dim} not divisible by m={m}")
@@ -833,9 +836,19 @@ def pq_encode(
             )
         lit = F.expr("array(" + ",".join(parts) + ")")
         xj = F.slice(F.col(vec_col), j * ds + 1, ds)
-        out = out.withColumn(f"__x{j}", xj).withColumn(
-            f"__xx{j}", dot_d(F.col(f"__x{j}"), F.col(f"__x{j}"))
-        )
+        xxj = dot_d(F.col(f"__x{j}"), F.col(f"__x{j}"))
+        if j == 0:
+            # Per-row dimension guard on the consumed __xx0 column (an
+            # unreferenced assert column would be pruned away): without
+            # it a wrong-dim vector column yields plausible-looking
+            # garbage codes — empty slices make the null distances pick
+            # code 0 silently (caught in review).
+            ok = F.assert_true(
+                F.size(F.col(vec_col)) == m * ds,
+                F.lit(f"pq_encode: embedding dim != m*ds = {m * ds}"),
+            )
+            xxj = F.when(ok.isNull(), xxj)
+        out = out.withColumn(f"__x{j}", xj).withColumn(f"__xx{j}", xxj)
         def _scorer(xcol, xxcol):
             # closure factory: default-arg lambdas count as extra HOF
             # params and fail analysis (CLAUDE.md gotcha)

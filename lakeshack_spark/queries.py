@@ -366,7 +366,7 @@ def window_rank_suite(spark, sf_dir):
       WINDOW w AS (
         PARTITION BY o_custkey
         ORDER BY (epoch_us(o_orderdate) // 86400000000)
-        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
     )
     """,
 )
@@ -377,7 +377,9 @@ def window_range_frame_orders(spark, sf_dir):
     key is an integer day number (µs epoch, integer division) so the
     peer-set boundary is exact on both engines, and the frame sum runs in
     scaled-integer space (same-day peers make ROWS frames ill-defined;
-    RANGE includes all peers deterministically). One shuffle on
+    RANGE includes all peers deterministically; 29 PRECEDING + the
+    current day = a 30-distinct-day window, matching the column names).
+    One shuffle on
     o_custkey; the frame scan is a sliding accumulator within each
     sorted partition, never O(frame²)."""
     o = load_table(spark, sf_dir, "orders").withColumn(
@@ -388,7 +390,7 @@ def window_range_frame_orders(spark, sf_dir):
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("day")
-        .rangeBetween(-30, Window.currentRow)
+        .rangeBetween(-29, Window.currentRow)
     )
     return o.select(
         "o_custkey",
@@ -3344,12 +3346,7 @@ def hash_split_counts(spark, sf_dir):
     """
     WITH h AS (
       SELECT doc_id, source,
-        CAST(list_sum(list_transform(range(1, 16),
-          p -> CAST(strpos('0123456789abcdef',
-                 substr(md5('mix:' || source || '|' || CAST(doc_id AS VARCHAR)),
-                        p, 1)) - 1
-                 AS BIGINT) << (4 * (15 - p))
-        )) AS BIGINT) % 1000000 AS bucket
+        {h64} % 1000000 AS bucket
       FROM documents
     )
     SELECT source, COUNT(*) AS n_kept, CAST(SUM(doc_id) AS BIGINT) AS id_sum
@@ -3359,7 +3356,11 @@ def hash_split_counts(spark, sf_dir):
       WHEN 'src2' THEN 250000 WHEN 'src3' THEN 100000
       ELSE 50000 END
     GROUP BY source
-    """,
+    """.format(
+        h64=_H64_SQL.format(
+            x="'mix:' || source || '|' || CAST(doc_id AS VARCHAR)"
+        )
+    ),
 )
 def mixture_sample_counts(spark, sf_dir):
     """Training-data MIXTURE sampling under the hash gate: per-source

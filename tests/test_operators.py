@@ -1422,3 +1422,25 @@ def test_pq_search_planted_duplicate_rank1_zero_error(spark):
     )
     assert top.neighbor_id == mx + 8
     assert top.l2_sq == 0.0
+
+
+def test_pq_encode_rejects_wrong_dimension(spark):
+    """Encoding vectors whose dim != m*ds must raise, not emit garbage
+    codes (review finding: empty slices silently picked code 0)."""
+    from pyspark.sql import functions as F
+
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = sim.pq_codebooks(emb, m=4, n_codes=8)
+    short = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    with pytest.raises(Exception, match="dim"):
+        sim.pq_encode(short, books).collect()
+
+
+def test_pq_codebooks_rejects_small_corpus(spark):
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="smaller than"):
+        sim.pq_codebooks(emb.filter("vec_id < 4"), m=4, n_codes=16)
