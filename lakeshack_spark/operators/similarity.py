@@ -1133,3 +1133,220 @@ def pq_search(
     return out.select(
         "query_id", "neighbor_id", (-F.col("cosine")).alias("l2_sq"), "rank"
     )
+
+
+# -------------------------------------------------------------- IVF-PQ
+
+
+def ivf_residuals(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """Coarse-assign every vector (:func:`ivf_assign` — map-side literal
+    argmax) and subtract its cell centroid: adds ``cell`` and ``__res``
+    (double array). The residual is what IVF-PQ quantizes — after
+    removing the coarse structure, the fine quantizer's codebook only
+    has to cover the within-cell spread, which is why residual PQ beats
+    PQ on raw vectors wherever the corpus clusters. Map-only: the
+    centroid lookup folds in as ONE literal long→array map (sparse
+    centroid ids allowed), subtraction is a zip_with."""
+    entries = _centroid_entries(centroids, centroid_id_col, centroid_vec_col)
+    assigned = ivf_assign(
+        vectors, centroids, id_col, vec_col, centroid_id_col, centroid_vec_col
+    )
+    parts = []
+    for cid, cv, _cn in entries:
+        vec = ",".join("%.17e" % x for x in cv)
+        parts.append(f"{cid}L, array({vec})")
+    cmap = F.expr("map(" + ",".join(parts) + ")")
+    res = F.zip_with(
+        F.col(vec_col),
+        F.element_at(cmap, F.col("cell")),
+        lambda x, c: x.cast("double") - c,
+    )
+    return assigned.withColumn("__res", res)
+
+
+def ivfpq_encode(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[tuple[int, list[float], float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "arrow",
+) -> DataFrame:
+    """IVF-PQ encoding (Jégou et al. 2011's IVFADC): coarse cell id +
+    PQ codes of the RESIDUAL. ``codebooks`` should be trained on
+    residuals (``pq_train(ivf_residuals(...), vec_col="__res")``).
+    Output rows carry (``cell``, ``code_0..``, ``recon_sqerr``) — the
+    storage layout is m+1 small ints per vector, and ``recon_sqerr``
+    now measures the residual quantization error, strictly tighter than
+    raw-vector PQ wherever the corpus clusters (unit-pinned).
+
+    ``impl="arrow"`` (default) computes the residual ONCE per row JVM-
+    side and ships it over the Arrow boundary to the NumPy encoder —
+    this is not just the usual BLAS win: in ``impl="expr"`` the
+    interpreted scoring lambdas get the residual expression (itself the
+    64-centroid assignment argmax + a map lookup + a zip_with)
+    SUBSTITUTED INTO every one of m × n_codes lambda bodies by project
+    collapsing, re-evaluating assignment per code (measured ~300 s for
+    50k × 64 codes vs ~5 s through the Arrow boundary — the CLAUDE.md
+    no-CSE trap at composition scale). The arrow path runs the EXACT
+    JVM cell assignment once per row (bit-equal to :func:`ivf_assign`'s
+    gated rule), then subtracts the centroid and encodes in NumPy —
+    subtraction of identical doubles is one correctly-rounded IEEE op,
+    so residuals are bit-equal to the zip_with form; codes are
+    parity-pinned. The expr path stays available as the deterministic
+    gated-twin semantics."""
+    if impl != "arrow":
+        with_res = ivf_residuals(vectors, centroids, id_col, vec_col)
+        return pq_encode(with_res, codebooks, vec_col="__res").drop("__res")
+
+    import numpy as np
+
+    entries = _centroid_entries(centroids)
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    cid_to_idx = {cid: i for i, (cid, _cv, _cn) in enumerate(entries)}
+    cmat = np.array([cv for _cid, cv, _cn in entries], dtype=np.float64)
+
+    m = len(codebooks)
+    ds = len(codebooks[0][0][1])
+    books_c = [
+        np.array([sub for _c, sub, _cc in es], dtype=np.float64)
+        for es in codebooks
+    ]
+    books_cc = [
+        np.array([cc for _c, _sub, cc in es], dtype=np.float64)
+        for es in codebooks
+    ]
+
+    fields = list(assigned.schema.fields) + [
+        T.StructField(f"code_{j}", T.IntegerType()) for j in range(m)
+    ] + [T.StructField("recon_sqerr", T.DoubleType())]
+    out_schema = T.StructType(fields)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            idx = pdf["cell"].map(cid_to_idx).to_numpy()
+            R = X - cmat[idx]
+            total = np.zeros(len(pdf))
+            rows = np.arange(len(pdf))
+            for j in range(m):
+                Rj = R[:, j * ds : (j + 1) * ds]
+                d2 = (
+                    (Rj * Rj).sum(axis=1)[:, None]
+                    - 2.0 * (Rj @ books_c[j].T)
+                    + books_cc[j][None, :]
+                )
+                codes = d2.argmin(axis=1)
+                pdf[f"code_{j}"] = codes.astype("int32")
+                total = total + d2[rows, codes]
+            pdf["recon_sqerr"] = total
+            yield pdf
+
+    return assigned.mapInPandas(encode, out_schema)
+
+
+def ivfpq_search(
+    encoded: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[tuple[int, list[float], float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF-PQ ADC search: each query probes its ``nprobe`` nearest cells
+    (by squared L2 to the centroid) and scores ONLY candidates stored in
+    those cells, via per-(query, cell) residual distance tables — the
+    table for cell c is built from the query's residual ``q − centroid_c``
+    with the same expanded-identity arithmetic as :func:`pq_adc_topk`.
+
+    Physical shape: the tables form a small driver-built DataFrame
+    (#queries × nprobe rows) broadcast-joined to ``encoded`` on ``cell``
+    — the join IS the cell pruning (candidates outside probed cells
+    never produce a row), then 4 lookups + 3 adds and the two-stage
+    top-k. Scan cost drops ~nprobe/C like :func:`ivf_topk`, and the
+    scan side still never touches a float vector. Total distance is the
+    cell term folded into the tables (||q−c||² decomposes into residual
+    space), ties break to the smaller neighbor id."""
+    import math
+
+    entries = _centroid_entries(centroids, centroid_id_col, centroid_vec_col)
+    m = len(codebooks)
+    ds = len(codebooks[0][0][1])
+    qrows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("ivfpq_search: empty query set")
+    table_rows = []
+    for r in qrows:
+        qv = [float(x) for x in r[vec_col]]
+        qn = math.sqrt(sum(a * a for a in qv))
+        # probe by COSINE (descending, tie → smaller cid) — the SAME
+        # metric ivf_assign stored candidates under; probing by L2 here
+        # would skip cells that cosine assignment actually filled
+        cell_d = []
+        for cid, cv, cn in entries:
+            dot = 0.0
+            for a, b in zip(qv, cv):
+                dot += a * b
+            sim = dot / (qn * cn) if qn > 0 and cn > 0 else 0.0
+            cell_d.append((-sim, cid))
+        cell_d.sort()
+        for _d, cid in cell_d[:nprobe]:
+            cv = next(c for i, c, _n in entries if i == cid)
+            resid = [a - b for a, b in zip(qv, cv)]
+            tables = []
+            for j, book in enumerate(codebooks):
+                x = resid[j * ds : (j + 1) * ds]
+                xx = 0.0
+                for t in x:
+                    xx += t * t
+                tbl = []
+                for _code, c, cc in book:  # code-ordered
+                    xc = 0.0
+                    for a, b in zip(x, c):
+                        xc += a * b
+                    tbl.append(xx - 2.0 * xc + cc)
+                tables.append(tbl)
+            table_rows.append((int(r[id_col]), int(cid), *tables))
+    spark = encoded.sparkSession
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("cell", T.LongType(), False),
+        ]
+        + [
+            T.StructField(f"__t{j}", T.ArrayType(T.DoubleType()), False)
+            for j in range(m)
+        ]
+    )
+    tables_df = spark.createDataFrame(table_rows, schema)
+
+    joined = encoded.join(F.broadcast(tables_df), "cell")
+    dist = F.element_at(F.col("__t0"), F.col("code_0") + 1)
+    for j in range(1, m):
+        dist = dist + F.element_at(F.col(f"__t{j}"), F.col(f"code_{j}") + 1)
+    scored = joined.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (-dist).alias("cosine"),  # _topk_per_query ranks cosine DESC
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    out = _topk_per_query(scored, k)
+    return out.select(
+        "query_id", "neighbor_id", (-F.col("cosine")).alias("adc_dist"), "rank"
+    )

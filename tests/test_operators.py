@@ -1444,3 +1444,134 @@ def test_pq_codebooks_rejects_small_corpus(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with pytest.raises(ValueError, match="smaller than"):
         sim.pq_codebooks(emb.filter("vec_id < 4"), m=4, n_codes=16)
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+
+def test_ivfpq_residual_error_beats_raw_pq_on_clusters(spark):
+    """On clustered data, PQ over residuals must reconstruct strictly
+    better than PQ over raw vectors with the same code budget."""
+    import numpy as np
+    from pyspark.sql import functions as F, types as T
+
+    from lakeshack_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    # 64 clusters >> the 8-code budget: raw PQ cannot model the macro
+    # structure, the coarse quantizer's job. Centroids are Lloyd-refined
+    # (member MEANS — a raw sample_centroids seed is a cluster member,
+    # whose residuals carry twice the noise energy).
+    centers = rng.normal(size=(64, 16))
+    pts = centers[rng.integers(0, 64, size=1200)] + 0.2 * rng.normal(
+        size=(1200, 16)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)], schema
+    )
+    cents = sim.sample_centroids(df, 64)
+    for _ in range(3):
+        cents = sim.kmeans_update(df, cents).select(
+            "centroid_id", "centroid"
+        )
+    res = sim.ivf_residuals(df, cents)
+    books_res = sim.pq_train(res, m=4, n_codes=8, sample_n=1200, iters=5,
+                             vec_col="__res")
+    books_raw = sim.pq_train(df, m=4, n_codes=8, sample_n=1200, iters=5)
+    err_res = (
+        sim.ivfpq_encode(df, cents, books_res)
+        .agg(F.avg("recon_sqerr"))
+        .first()[0]
+    )
+    err_raw = (
+        sim.pq_encode(df, books_raw).agg(F.avg("recon_sqerr")).first()[0]
+    )
+    assert err_res < err_raw
+
+
+def test_ivfpq_search_matches_python_and_prunes_cells(spark):
+    """Distances equal a Python recomputation over the probed cells, and
+    candidates outside probed cells never appear."""
+    from pyspark.sql import functions as F
+
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.sample_centroids(emb, 8)
+    res = sim.ivf_residuals(emb, cents)
+    books = sim.pq_train(res, m=4, n_codes=8, sample_n=200, iters=3,
+                         vec_col="__res")
+    enc = sim.ivfpq_encode(emb, cents, books)
+    q = emb.filter("vec_id = 5")
+    nprobe = 3
+    out = sim.ivfpq_search(enc, q, cents, books, k=50, nprobe=nprobe)
+    rows = out.collect()
+    assert rows, "search returned nothing"
+    # probed cells per the documented cosine rule
+    entries = sim._centroid_entries(cents)
+    import math
+
+    qv = [float(x) for x in q.collect()[0].embedding]
+    qn = math.sqrt(sum(a * a for a in qv))
+    sims = sorted(
+        (-(sum(a * b for a, b in zip(qv, cv)) / (qn * cn)), cid)
+        for cid, cv, cn in entries
+    )
+    probed = {cid for _s, cid in sims[:nprobe]}
+    cells = {
+        r.vec_id: r.cell for r in enc.select("vec_id", "cell").collect()
+    }
+    codes = {
+        r.vec_id: (r.code_0, r.code_1, r.code_2, r.code_3)
+        for r in enc.collect()
+    }
+    cent_by_id = {cid: cv for cid, cv, _n in entries}
+    for r in rows:
+        assert cells[r.neighbor_id] in probed
+        # recompute the ADC distance in Python
+        cell = cells[r.neighbor_id]
+        resid = [a - b for a, b in zip(qv, cent_by_id[cell])]
+        total = 0.0
+        for j, book in enumerate(books):
+            x = resid[j * 4 : (j + 1) * 4]
+            xx = 0.0
+            for t in x:
+                xx += t * t
+            _code, c, cc = book[codes[r.neighbor_id][j]]
+            xc = 0.0
+            for a, b in zip(x, c):
+                xc += a * b
+            total += xx - 2.0 * xc + cc
+        assert abs(r.adc_dist - total) < 1e-9
+
+
+def test_ivfpq_encode_arrow_equals_expr(spark):
+    """The Arrow composition path (JVM cell assignment + NumPy residual
+    subtraction/encode) equals the expression path: cells identical,
+    codes identical, errors to rounding."""
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.sample_centroids(emb, 8)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    res = sim.ivf_residuals(emb, cents)
+    books = sim.pq_train(res, m=4, n_codes=8, sample_n=200, iters=3,
+                         vec_col="__res")
+    a = {r.vec_id: r for r in
+         sim.ivfpq_encode(emb, cents, books, impl="expr").collect()}
+    b = {r.vec_id: r for r in
+         sim.ivfpq_encode(emb, cents, books, impl="arrow").collect()}
+    assert set(a) == set(b)
+    for vid in a:
+        assert a[vid].cell == b[vid].cell, vid
+        for j in range(4):
+            assert a[vid][f"code_{j}"] == b[vid][f"code_{j}"], (vid, j)
+        assert abs(a[vid].recon_sqerr - b[vid].recon_sqerr) <= 1e-9 * (
+            1.0 + abs(a[vid].recon_sqerr)
+        )
