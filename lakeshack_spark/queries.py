@@ -1872,6 +1872,42 @@ def right_outer_order_lineitems(spark, sf_dir):
 
 
 @register(
+    "fuzzy_join_part_names",
+    """
+    WITH l AS (
+      SELECT p_partkey + 500000 AS typo_id,
+             'x' || substr(p_name, 2, length(p_name) - 2) AS s
+      FROM part WHERE p_partkey < 50
+    )
+    SELECT l.typo_id, r.p_partkey,
+           CAST(levenshtein(l.s, r.p_name) AS INTEGER) AS dist
+    FROM l, part r
+    WHERE levenshtein(l.s, r.p_name) <= 2
+    """,
+)
+def fuzzy_join_part_names(spark, sf_dir):
+    """Edit-distance-bounded fuzzy join (operators.fuzzy.fuzzy_join,
+    the q-gram-prefilter/PPJoin family) under the hash gate: 50 planted
+    typo names (first char substituted, last char deleted — exactly ≤ 2
+    edits from the source, built identically in both engines) joined
+    against part at max_dist=2. The ORACLE is the naive cross join with
+    the same levenshtein filter, so the hash match PROVES the q-gram
+    pigeonhole + length-band prefilter is lossless on this corpus —
+    same argument shape as minhash_dedup_verified. Spark's side never
+    cross-joins: grams equi-join + band + exact verify."""
+    from lakeshack_spark.operators.fuzzy import fuzzy_join
+
+    p = load_table(spark, sf_dir, "part")
+    typos = p.filter(F.col("p_partkey") < 50).select(
+        (F.col("p_partkey") + 500000).alias("typo_id"),
+        F.expr(
+            "'x' || substring(p_name, 2, length(p_name) - 2)"
+        ).alias("s"),
+    )
+    return fuzzy_join(typos, p, "s", "p_name", "typo_id", "p_partkey", max_dist=2)
+
+
+@register(
     "scd2_merge_customer_segments",
     """
     WITH cur AS (

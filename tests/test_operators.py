@@ -1575,3 +1575,66 @@ def test_ivfpq_encode_arrow_equals_expr(spark):
         assert abs(a[vid].recon_sqerr - b[vid].recon_sqerr) <= 1e-9 * (
             1.0 + abs(a[vid].recon_sqerr)
         )
+
+
+# ----------------------------------------------------------- fuzzy join
+
+
+def test_fuzzy_join_equals_naive_cross_join(spark):
+    """Lossless prefilter: result equals the cross-join answer on a
+    corpus mixing long strings (pigeonhole path) and short strings
+    (length-band path), including inserts/deletes/substitutions."""
+    from lakeshack_spark.operators.fuzzy import fuzzy_join
+
+    lrows = [
+        (1, "kitten"),
+        (2, "ab"),
+        (3, "red widget"),
+        (4, "x"),
+        (5, "small rong"),
+        (6, "gizmo"),
+    ]
+    rrows = [
+        (10, "sitting"),
+        (11, "kitten"),
+        (12, "abd"),
+        (13, "red widgt"),
+        (14, "small ring"),
+        (15, "gizmos"),
+        (16, "zzzzzzzzzz"),
+        (17, ""),
+        (18, "xy"),
+    ]
+    l = spark.createDataFrame(lrows, ["lid", "s"])
+    r = spark.createDataFrame(rrows, ["rid", "t"])
+    got = {
+        (x.lid, x.rid, x.dist)
+        for x in fuzzy_join(l, r, "s", "t", "lid", "rid", max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (lid, rid, lev(a, b))
+        for lid, a in lrows
+        for rid, b in rrows
+        if lev(a, b) <= 2
+    }
+    assert got == want
+
+
+def test_fuzzy_join_no_matches(spark):
+    from lakeshack_spark.operators.fuzzy import fuzzy_join
+
+    l = spark.createDataFrame([(1, "aaaaaaaaaa")], ["lid", "s"])
+    r = spark.createDataFrame([(2, "bbbbbbbbbb")], ["rid", "t"])
+    assert fuzzy_join(l, r, "s", "t", "lid", "rid", max_dist=2).count() == 0
