@@ -1,0 +1,64 @@
+"""Time-series regularization: calendar-spine gap filling + forward fill.
+
+The warehouse "resample" op: per-key observations at irregular times
+become a dense regular grid (one row per key per step) with missing
+steps forward-filled from the last observation — what dashboards, joins
+against other regular series, and training-window extraction all expect.
+
+Scale shape: the spine is ONE `sequence` explode per key (rows = keys ×
+steps, the output size — nothing quadratic), the observation join is a
+(key, step) equi-join, and the forward fill is a running `last(ignore
+nulls)` window per key — a single shuffle on the key, linear scan within
+it. No driver-side calendar materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def gap_fill(
+    observations: DataFrame,
+    key_col: str,
+    step_col: str,
+    value_col: str,
+    start: int,
+    end: int,
+) -> DataFrame:
+    """Dense per-key grid over integer steps ``[start, end]`` with
+    forward fill.
+
+    ``observations`` holds at most one row per (key, step) — pre-
+    aggregate first (duplicate grid cells would make the fill value
+    order-dependent). Returns one row per (key, step) in the range:
+    ``value`` = the observation at that step or the latest earlier one
+    (NULL before a key's first observation — leading gaps are honest,
+    not zero), and ``is_gap`` marking filled rows. Observations outside
+    the range are excluded from the grid AND from the fill source, so
+    the result is self-contained (reproducible from the window alone).
+    Deterministic: the fill scans (key, step) order with unique steps.
+    """
+    keys = observations.select(F.col(key_col).alias("__k")).distinct()
+    spine = keys.select(
+        "__k",
+        F.explode(
+            F.sequence(F.lit(start), F.lit(end))
+        ).alias("__t"),
+    )
+    obs = observations.select(
+        F.col(key_col).alias("__k"),
+        F.col(step_col).alias("__t"),
+        F.col(value_col).alias("__v"),
+    ).filter((F.col("__t") >= start) & (F.col("__t") <= end))
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(obs, ["__k", "__t"], "left")
+    return joined.select(
+        F.col("__k").alias(key_col),
+        F.col("__t").alias(step_col),
+        F.last("__v", ignorenulls=True).over(w).alias("value"),
+        F.col("__v").isNull().alias("is_gap"),
+    )

@@ -1872,6 +1872,59 @@ def right_outer_order_lineitems(spark, sf_dir):
 
 
 @register(
+    "gap_fill_daily_spend",
+    """
+    WITH obs AS (
+      SELECT o_custkey AS k, epoch_us(o_orderdate) // 86400000000 AS t,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM orders
+      WHERE o_custkey < 30
+      GROUP BY o_custkey, epoch_us(o_orderdate) // 86400000000
+    ), spine AS (
+      SELECT k, unnest(range(9500, 9561)) AS t
+      FROM (SELECT DISTINCT k FROM obs)
+    ), g AS (
+      SELECT s.k, s.t, o.v,
+             (o.v IS NULL) AS is_gap
+      FROM spine s LEFT JOIN (SELECT * FROM obs WHERE t BETWEEN 9500 AND 9560) o
+        ON s.k = o.k AND s.t = o.t
+    )
+    SELECT k AS o_custkey, CAST(t AS BIGINT) AS day,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY k ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           is_gap
+    FROM g
+    """,
+)
+def gap_fill_daily_spend(spark, sf_dir):
+    """Time-series gap fill (operators.timeseries.gap_fill): per-customer
+    daily spend regularized onto a 61-day spine with forward fill —
+    leading gaps stay NULL (honest, not zero), ``is_gap`` marks filled
+    rows, and spend is integer cents so the carried value is exact. The
+    oracle rebuilds spine + LEFT JOIN + ``last_value IGNORE NULLS`` in
+    DuckDB; the hash pins the spine bounds, the range-exclusion rule
+    (out-of-window observations feed neither grid nor fill), and the
+    fill semantics row-for-row."""
+    from lakeshack_spark.operators.timeseries import gap_fill
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    obs = (
+        o.select(
+            "o_custkey",
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+            ).alias("day"),
+            F.expr("CAST(ROUND(o_totalprice * 1e2) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("o_custkey", "day")
+        .agg(F.sum("cents").alias("daily_cents"))
+    )
+    return gap_fill(obs, "o_custkey", "day", "daily_cents", 9500, 9560)
+
+
+@register(
     "fuzzy_join_part_names",
     """
     WITH l AS (

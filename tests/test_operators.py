@@ -1638,3 +1638,34 @@ def test_fuzzy_join_no_matches(spark):
     l = spark.createDataFrame([(1, "aaaaaaaaaa")], ["lid", "s"])
     r = spark.createDataFrame([(2, "bbbbbbbbbb")], ["rid", "t"])
     assert fuzzy_join(l, r, "s", "t", "lid", "rid", max_dist=2).count() == 0
+
+
+# ------------------------------------------------------------ gap fill
+
+
+def test_gap_fill_forward_fill_semantics(spark):
+    from lakeshack_spark.operators.timeseries import gap_fill
+
+    obs = spark.createDataFrame(
+        [
+            (1, 10, 100),
+            (1, 12, 120),
+            (2, 11, 200),
+            (2, 9, 900),   # before the window: excluded from grid AND fill
+            (3, 20, 300),  # after the window: key appears, all NULL
+        ],
+        ["k", "t", "v"],
+    )
+    out = {
+        (r.k, r.t): (r.value, r.is_gap)
+        for r in gap_fill(obs, "k", "t", "v", 10, 13).collect()
+    }
+    assert len(out) == 3 * 4
+    assert out[(1, 10)] == (100, False)
+    assert out[(1, 11)] == (100, True)   # forward-filled
+    assert out[(1, 12)] == (120, False)
+    assert out[(1, 13)] == (120, True)
+    assert out[(2, 10)] == (None, True)  # leading gap: NULL, not 900
+    assert out[(2, 11)] == (200, False)
+    assert out[(2, 12)] == (200, True)
+    assert all(out[(3, t)] == (None, True) for t in range(10, 14))
