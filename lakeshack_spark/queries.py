@@ -1872,6 +1872,107 @@ def right_outer_order_lineitems(spark, sf_dir):
 
 
 @register(
+    "unpivot_order_measures",
+    """
+    UNPIVOT (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      FROM orders GROUP BY o_orderstatus
+    ) ON n_orders, total_cents, n_customers
+    INTO NAME measure VALUE value
+    """,
+)
+def unpivot_order_measures(spark, sf_dir):
+    """UNPIVOT / melt (the inverse of the gated pivot entry): a wide
+    per-status measure table melts to (status, measure, value) rows —
+    Spark's ``DataFrame.unpivot`` (Catalyst Expand, map-only after the
+    aggregate) against DuckDB's UNPIVOT clause. All measures are exact
+    BIGINTs so the long format hashes cell-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 1e2) AS BIGINT)")).alias(
+            "total_cents"
+        ),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "total_cents", "n_customers"],
+        "measure",
+        "value",
+    )
+
+
+@register(
+    "string_agg_region_nations",
+    """
+    SELECT r_name, CAST(COUNT(*) AS INTEGER) AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def string_agg_region_nations(spark, sf_dir):
+    """String aggregation (LISTAGG): the one collection aggregate whose
+    result CAN cross the driver's scalar-only hash gate, because it
+    collapses to a string. Determinism requires an explicit element
+    order — Spark's ``collect_list`` order is partition-dependent, so
+    the list is ``array_sort``-ed before joining (the oracle's
+    ``ORDER BY`` inside string_agg is the same rule)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").cast("int").alias("n_nations"),
+            F.concat_ws(
+                ",", F.array_sort(F.collect_list("n_name"))
+            ).alias("nations"),
+        )
+    )
+
+
+@register(
+    "null_semantics_suite",
+    """
+    WITH t AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                  ELSE o_orderpriority END AS p
+      FROM orders
+    ), g AS (
+      SELECT p, COUNT(*) AS n FROM t GROUP BY p
+    )
+    SELECT a.p, a.n, b.n AS n_selfmatch
+    FROM g a JOIN g b ON a.p IS NOT DISTINCT FROM b.p
+    """,
+)
+def null_semantics_suite(spark, sf_dir):
+    """NULL semantics pinned cross-engine: grouping collects NULL keys
+    into ONE group (both engines), and the null-safe equality join
+    (Spark ``eqNullSafe`` / SQL ``IS NOT DISTINCT FROM``) matches the
+    NULL group to itself — a plain equi-join would silently drop it,
+    which is exactly the bug class this entry exists to catch."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("p")
+    )
+    g = t.groupBy("p").agg(F.count("*").alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    return a.join(b, F.col("a.p").eqNullSafe(F.col("b.p"))).select(
+        F.col("a.p").alias("p"),
+        F.col("a.n").alias("n"),
+        F.col("b.n").alias("n_selfmatch"),
+    )
+
+
+@register(
     "gap_fill_daily_spend",
     """
     WITH obs AS (
