@@ -717,3 +717,78 @@ def repeated_passage_stats(
         )
         .withColumn("dup_frac", F.col("dup_tokens") / F.col("n_tokens"))
     )
+
+
+def build_vocab(
+    df: DataFrame, text_col: str = "text", max_size: int = 1000
+) -> DataFrame:
+    """Frequency-ranked vocabulary: the ``max_size`` most frequent
+    tokens, ids assigned in (count DESC, term ASC) order — the
+    deterministic tie rule that makes the id assignment reproducible
+    across engines and runs. The vocab is bounded by definition, so the
+    ranked head is collected once into a local relation (the
+    sample_centroids convention): every consumer needs it broadcast
+    anyway, and keeping it lazy would replay the global top-N per
+    consumer. Returns (term, token_id, n)."""
+    from pyspark.sql import types as T
+
+    counts = term_counts(df, text_col)
+    rows = (
+        counts.orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(max_size)
+        .collect()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("token_id", T.IntegerType(), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(r.term, i, r.n) for i, r in enumerate(rows)], schema
+    )
+
+
+def encode_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Tokenize-to-ids — the LLM-pipeline encode step at whitespace
+    granularity: each document's token sequence maps through the vocab
+    (OOV → ``oov_id``), summarized as scalars that survive the hash
+    gate: ``n_tokens``, ``n_oov``, and ``ids_fp`` — md5 of the
+    comma-joined id sequence IN ORDER, which pins the full encoded
+    sequence (ordering included) through one string cell.
+
+    Scale shape: one posexplode of O(total tokens) rows, a broadcast
+    left join against the bounded vocab, and one per-doc aggregate
+    whose order restoration is an ``array_sort`` of (pos, id) structs —
+    never a window, never a driver loop. The decoded arrays themselves
+    stay available upstream of the final select for callers that want
+    them (``array`` columns just can't cross the driver's hash gate).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words_col(text_col)).alias("pos", "term"),
+    )
+    joined = toks.join(
+        F.broadcast(vocab.select("term", "token_id")), "term", "left"
+    ).select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(oov_id)).alias("tid"),
+    )
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+        lambda x: x["tid"].cast("string"),
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("tid") == oov_id).cast("long")).alias("n_oov"),
+        F.md5(F.concat_ws(",", seq)).alias("ids_fp"),
+    )

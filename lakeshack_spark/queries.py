@@ -1872,6 +1872,50 @@ def right_outer_order_lineitems(spark, sf_dir):
 
 
 @register(
+    "vocab_encode_docs",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE doc_id < 400
+    ), tk AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(w)), i -> {'pos': i - 1, 'term': w[i]}),
+        recursive := true)
+      FROM d
+    ), vc AS (
+      SELECT term, COUNT(*) AS n FROM tk GROUP BY term
+    ), vid AS (
+      SELECT term,
+             CAST(row_number() OVER (ORDER BY n DESC, term ASC) - 1
+                  AS INTEGER) AS token_id
+      FROM vc ORDER BY n DESC, term ASC LIMIT 200
+    ), e AS (
+      SELECT tk.doc_id, tk.pos, COALESCE(vid.token_id, -1) AS tid
+      FROM tk LEFT JOIN vid USING (term)
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos)) AS ids_fp
+    FROM e GROUP BY doc_id
+    """,
+)
+def vocab_encode_docs(spark, sf_dir):
+    """Tokenize-to-ids (text.build_vocab + text.encode_with_vocab): a
+    200-term frequency-ranked vocab with the deterministic (count DESC,
+    term ASC) id rule, then every doc encoded to its id sequence — the
+    LLM preprocessing step between cleaning and packing. ``ids_fp``
+    (md5 of the ORDERED id string) pins the entire encoded sequence of
+    every document through one scalar cell, so the hash match proves
+    vocab ranking, OOV mapping, AND sequence order. Broadcast vocab
+    join; order restored by an array_sort of (pos, id) structs, no
+    window."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    vocab = text.build_vocab(docs, max_size=200)
+    return text.encode_with_vocab(docs, vocab)
+
+
+@register(
     "unpivot_order_measures",
     """
     UNPIVOT (

@@ -1669,3 +1669,29 @@ def test_gap_fill_forward_fill_semantics(spark):
     assert out[(2, 11)] == (200, False)
     assert out[(2, 12)] == (200, True)
     assert all(out[(3, t)] == (None, True) for t in range(10, 14))
+
+
+# --------------------------------------------------------- vocab encode
+
+
+def test_vocab_build_rank_rule_and_encode(spark):
+    from lakeshack_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b zz"), (3, "qq")],
+        ["doc_id", "text"],
+    )
+    vocab = {r.term: (r.token_id, r.n) for r in
+             text.build_vocab(docs, max_size=3).collect()}
+    # counts: a=3, b=2, c=1, zz=1, qq=1 -> top3 by (n desc, term asc)
+    assert vocab == {"a": (0, 3), "b": (1, 2), "c": (2, 1)}
+    out = {r.doc_id: r for r in
+           text.encode_with_vocab(
+               docs, text.build_vocab(docs, max_size=3)).collect()}
+    import hashlib
+
+    assert out[1].n_tokens == 4 and out[1].n_oov == 0
+    assert out[1].ids_fp == hashlib.md5(b"0,1,0,2").hexdigest()
+    assert out[2].n_tokens == 3 and out[2].n_oov == 1
+    assert out[2].ids_fp == hashlib.md5(b"0,1,-1").hexdigest()
+    assert out[3].n_tokens == 1 and out[3].n_oov == 1
