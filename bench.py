@@ -194,6 +194,46 @@ def main() -> None:
 
     c_first = run_cc()
     c_second = run_cc()
+
+    # Exact-substring tier: cross-document repeated-passage coverage
+    # over the full sf documents table with planted 30-token quotes —
+    # the O(total tokens) explode + gram-key shuffle + interval-union
+    # fold path. The planted-quote assertion keeps the number honest:
+    # every quote doc must come back fully covered (its whole token
+    # range is shared with its host by construction).
+    from lakeshack_spark.operators.text import repeated_passage_stats
+
+    quote_offset = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    quotes = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(quote_offset)).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 5, 30)
+        ).alias("text"),
+    )
+    n_quotes = quotes.filter(F.size(F.split("text", " ")) >= 8).count()
+    quoted_docs = docs.select("doc_id", "text").unionByName(quotes)
+
+    def run_rp() -> float:
+        t0 = time.time()
+        repeated_passage_stats(quoted_docs, k=8, min_docs=2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.time() - t0
+
+    rp_first = run_rp()
+    rp_second = run_rp()
+    rp_covered = (
+        repeated_passage_stats(quoted_docs, k=8, min_docs=2)
+        .filter(
+            (F.col("doc_id") >= quote_offset)
+            & (F.col("n_tokens") >= 8)
+            & (F.col("dup_tokens") == F.col("n_tokens"))
+        )
+        .count()
+    )
+    assert rp_covered == n_quotes, (
+        f"repeated-passage planted coverage {rp_covered}/{n_quotes}"
+    )
     found = (
         srp_near_dup_pairs(planted_emb, threshold=0.95, dim=emb_dim)
         .filter(F.col("id_b") == F.col("id_a") + F.lit(plant_offset))
@@ -223,6 +263,8 @@ def main() -> None:
         "srp_near_dup_steady": round(min(s_first, s_second), 3),
         "cluster_labels": round(c_first, 3),
         "cluster_labels_steady": round(min(c_first, c_second), 3),
+        "repeated_passages": round(rp_first, 3),
+        "repeated_passages_steady": round(min(rp_first, rp_second), 3),
         "sf": sf_val,
     }
     spark.stop()
