@@ -221,16 +221,19 @@ def main() -> None:
         return time.time() - t0
 
     rp_first = run_rp()
-    rp_second = run_rp()
-    rp_covered = (
-        repeated_passage_stats(quoted_docs, k=8, min_docs=2)
-        .filter(
-            (F.col("doc_id") >= quote_offset)
-            & (F.col("n_tokens") >= 8)
-            & (F.col("dup_tokens") == F.col("n_tokens"))
-        )
-        .count()
-    )
+    # second timed run persists its result so the coverage assert reads
+    # it back instead of paying a third full pass (count() is a full
+    # materialization like the noop write, so the timing is comparable)
+    t0 = time.time()
+    rp_stats = repeated_passage_stats(quoted_docs, k=8, min_docs=2).persist()
+    rp_stats.count()
+    rp_second = time.time() - t0
+    rp_covered = rp_stats.filter(
+        (F.col("doc_id") >= quote_offset)
+        & (F.col("n_tokens") >= 8)
+        & (F.col("dup_tokens") == F.col("n_tokens"))
+    ).count()
+    rp_stats.unpersist()
     assert rp_covered == n_quotes, (
         f"repeated-passage planted coverage {rp_covered}/{n_quotes}"
     )

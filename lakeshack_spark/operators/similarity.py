@@ -920,17 +920,7 @@ def pq_adc_topk(
     for r in qrows:
         qv = [float(x) for x in r[vec_col]]
         fields = [f"'qid', {int(r[id_col])}L"]
-        for j, entries in enumerate(codebooks):
-            x = qv[j * ds : (j + 1) * ds]
-            xx = 0.0
-            for t in x:
-                xx += t * t
-            tbl = []
-            for _code, c, cc in entries:  # entries are code-ordered
-                xc = 0.0
-                for a, b in zip(x, c):
-                    xc += a * b
-                tbl.append(xx - 2.0 * xc + cc)
+        for j, tbl in enumerate(_adc_tables(qv, codebooks, ds)):
             fields.append(
                 f"'t{j}', array(" + ",".join("%.17e" % t for t in tbl) + ")"
             )
@@ -1041,18 +1031,8 @@ def pq_encode_arrow(
     so the HASH-GATED twin is :func:`pq_encode` — prefer this one only
     for bulk encoding with big (≥256) codebooks; parity-pinned by the
     unit suite."""
-    import numpy as np
-
     m = len(codebooks)
     ds = len(codebooks[0][0][1])
-    cmats = [
-        np.array([sub for _code, sub, _cc in entries], dtype=np.float64)
-        for entries in codebooks
-    ]
-    ccs = [
-        np.array([cc for _code, _sub, cc in entries], dtype=np.float64)
-        for entries in codebooks
-    ]
 
     fields = list(vectors.schema.fields) + [
         T.StructField(f"code_{j}", T.IntegerType()) for j in range(m)
@@ -1060,26 +1040,78 @@ def pq_encode_arrow(
     out_schema = T.StructType(fields)
 
     def encode(batches):
+        import numpy as np
+
+        books_np = _pq_numpy_books(codebooks)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            total = np.zeros(len(pdf))
-            rows = np.arange(len(pdf))
-            for j in range(m):
-                Xj = X[:, j * ds : (j + 1) * ds]
-                d2 = (
-                    (Xj * Xj).sum(axis=1)[:, None]
-                    - 2.0 * (Xj @ cmats[j].T)
-                    + ccs[j][None, :]
-                )
-                codes = d2.argmin(axis=1)
-                pdf[f"code_{j}"] = codes.astype("int32")
-                total = total + d2[rows, codes]
-            pdf["recon_sqerr"] = total
-            yield pdf
+            yield _pq_numpy_apply(pdf, X, books_np, ds)
 
     return vectors.mapInPandas(encode, out_schema)
+
+
+def _pq_numpy_books(codebooks):
+    """Codebooks as per-subspace (centroid matrix, self-dot vector)."""
+    import numpy as np
+
+    cmats = [
+        np.array([sub for _code, sub, _cc in es], dtype=np.float64)
+        for es in codebooks
+    ]
+    ccs = [
+        np.array([cc for _code, _sub, cc in es], dtype=np.float64)
+        for es in codebooks
+    ]
+    return cmats, ccs
+
+
+def _pq_numpy_apply(pdf, X, books_np, ds):
+    """The ONE NumPy PQ scorer (shared by pq_encode_arrow and
+    ivfpq_encode so the d2 identity, the first-index = smallest-code
+    argmin tie rule, int32 codes, and the recon accumulation cannot
+    diverge between the two paths): writes code_j + recon_sqerr into
+    ``pdf`` given the (rows × dim) float64 matrix to quantize."""
+    import numpy as np
+
+    cmats, ccs = books_np
+    total = np.zeros(len(pdf))
+    rows = np.arange(len(pdf))
+    for j in range(len(cmats)):
+        Xj = X[:, j * ds : (j + 1) * ds]
+        d2 = (
+            (Xj * Xj).sum(axis=1)[:, None]
+            - 2.0 * (Xj @ cmats[j].T)
+            + ccs[j][None, :]
+        )
+        codes = d2.argmin(axis=1)
+        pdf[f"code_{j}"] = codes.astype("int32")
+        total = total + d2[rows, codes]
+    pdf["recon_sqerr"] = total
+    return pdf
+
+
+def _adc_tables(x: list, codebooks, ds: int) -> list:
+    """Per-subspace ADC distance tables for one (query or residual)
+    vector, in the repo's sequential IEEE fold order —
+    ``tbl[j][code] = x_j·x_j − 2.0·x_j·c + c·c`` over code-ordered
+    entries. The ONE implementation of the bit-reproducibility contract
+    (shared by pq_adc_topk and ivfpq_search)."""
+    tables = []
+    for j, book in enumerate(codebooks):
+        xs = x[j * ds : (j + 1) * ds]
+        xx = 0.0
+        for t in xs:
+            xx += t * t
+        tbl = []
+        for _code, c, cc in book:  # entries are code-ordered
+            xc = 0.0
+            for a, b in zip(xs, c):
+                xc += a * b
+            tbl.append(xx - 2.0 * xc + cc)
+        tables.append(tbl)
+    return tables
 
 
 def pq_search(
@@ -1178,6 +1210,8 @@ def ivfpq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "arrow",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
 ) -> DataFrame:
     """IVF-PQ encoding (Jégou et al. 2011's IVFADC): coarse cell id +
     PQ codes of the RESIDUAL. ``codebooks`` should be trained on
@@ -1202,27 +1236,24 @@ def ivfpq_encode(
     so residuals are bit-equal to the zip_with form; codes are
     parity-pinned. The expr path stays available as the deterministic
     gated-twin semantics."""
-    if impl != "arrow":
-        with_res = ivf_residuals(vectors, centroids, id_col, vec_col)
+    if impl not in ("arrow", "expr"):
+        raise ValueError(
+            f"ivfpq_encode: impl must be 'arrow' or 'expr', got {impl!r}"
+        )
+    if impl == "expr":
+        with_res = ivf_residuals(
+            vectors, centroids, id_col, vec_col,
+            centroid_id_col, centroid_vec_col,
+        )
         return pq_encode(with_res, codebooks, vec_col="__res").drop("__res")
 
-    import numpy as np
-
-    entries = _centroid_entries(centroids)
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
-    cid_to_idx = {cid: i for i, (cid, _cv, _cn) in enumerate(entries)}
-    cmat = np.array([cv for _cid, cv, _cn in entries], dtype=np.float64)
+    entries = _centroid_entries(centroids, centroid_id_col, centroid_vec_col)
+    assigned = ivf_assign(
+        vectors, centroids, id_col, vec_col, centroid_id_col, centroid_vec_col
+    )
 
     m = len(codebooks)
     ds = len(codebooks[0][0][1])
-    books_c = [
-        np.array([sub for _c, sub, _cc in es], dtype=np.float64)
-        for es in codebooks
-    ]
-    books_cc = [
-        np.array([cc for _c, _sub, cc in es], dtype=np.float64)
-        for es in codebooks
-    ]
 
     fields = list(assigned.schema.fields) + [
         T.StructField(f"code_{j}", T.IntegerType()) for j in range(m)
@@ -1230,26 +1261,20 @@ def ivfpq_encode(
     out_schema = T.StructType(fields)
 
     def encode(batches):
+        import numpy as np
+
+        cid_to_idx = {cid: i for i, (cid, _cv, _cn) in enumerate(entries)}
+        cmat = np.array(
+            [cv for _cid, cv, _cn in entries], dtype=np.float64
+        )
+        books_np = _pq_numpy_books(codebooks)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             idx = pdf["cell"].map(cid_to_idx).to_numpy()
             R = X - cmat[idx]
-            total = np.zeros(len(pdf))
-            rows = np.arange(len(pdf))
-            for j in range(m):
-                Rj = R[:, j * ds : (j + 1) * ds]
-                d2 = (
-                    (Rj * Rj).sum(axis=1)[:, None]
-                    - 2.0 * (Rj @ books_c[j].T)
-                    + books_cc[j][None, :]
-                )
-                codes = d2.argmin(axis=1)
-                pdf[f"code_{j}"] = codes.astype("int32")
-                total = total + d2[rows, codes]
-            pdf["recon_sqerr"] = total
-            yield pdf
+            yield _pq_numpy_apply(pdf, R, books_np, ds)
 
     return assigned.mapInPandas(encode, out_schema)
 
@@ -1310,19 +1335,7 @@ def ivfpq_search(
         for _d, cid in cell_d[:nprobe]:
             cv = next(c for i, c, _n in entries if i == cid)
             resid = [a - b for a, b in zip(qv, cv)]
-            tables = []
-            for j, book in enumerate(codebooks):
-                x = resid[j * ds : (j + 1) * ds]
-                xx = 0.0
-                for t in x:
-                    xx += t * t
-                tbl = []
-                for _code, c, cc in book:  # code-ordered
-                    xc = 0.0
-                    for a, b in zip(x, c):
-                        xc += a * b
-                    tbl.append(xx - 2.0 * xc + cc)
-                tables.append(tbl)
+            tables = _adc_tables(resid, codebooks, ds)
             table_rows.append((int(r[id_col]), int(cid), *tables))
     spark = encoded.sparkSession
     schema = T.StructType(

@@ -38,6 +38,10 @@ def gap_fill(
     the result is self-contained (reproducible from the window alone).
     Deterministic: the fill scans (key, step) order with unique steps.
     """
+    if start > end:
+        # F.sequence counts DOWN on an inverted range (CLAUDE.md) — the
+        # caller would get a dense all-NULL grid for an empty interval.
+        raise ValueError(f"gap_fill: start ({start}) > end ({end})")
     keys = observations.select(F.col(key_col).alias("__k")).distinct()
     spine = keys.select(
         "__k",
