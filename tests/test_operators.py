@@ -1726,3 +1726,47 @@ def test_vocab_build_rank_rule_and_encode(spark):
     assert out[2].n_tokens == 3 and out[2].n_oov == 1
     assert out[2].ids_fp == hashlib.md5(b"0,1,-1").hexdigest()
     assert out[3].n_tokens == 1 and out[3].n_oov == 1
+
+
+def test_ivf_assign_arrow_parity(spark):
+    """Arrow assignment agrees with the gated expression rule; any
+    mismatch must be a provable cosine near-tie."""
+    import math
+
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.sample_centroids(emb, 8)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    a = {r.vec_id: r.cell for r in
+         sim.ivf_assign(emb, cents).select("vec_id", "cell").collect()}
+    b = {r.vec_id: r.cell for r in
+         sim.ivf_assign_arrow(emb, cents).select("vec_id", "cell").collect()}
+    assert set(a) == set(b)
+    entries = {cid: (cv, cn) for cid, cv, cn in sim._centroid_entries(cents)}
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+
+    def cos(v, cid):
+        cv, cn = entries[cid]
+        dot = sum(x * y for x, y in zip(v, cv))
+        vn = math.sqrt(sum(x * x for x in v))
+        return dot / (vn * cn) if vn > 0 and cn > 0 else 0.0
+
+    for vid in a:
+        if a[vid] != b[vid]:
+            ca, cb = cos(vecs[vid], a[vid]), cos(vecs[vid], b[vid])
+            assert abs(ca - cb) <= 1e-9, (vid, a[vid], b[vid])
+
+
+def test_ivfpq_encode_rejects_bad_impls(spark):
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.sample_centroids(emb, 4)
+    res = sim.ivf_residuals(emb, cents)
+    books = sim.pq_train(res, m=4, n_codes=4, sample_n=64, iters=2,
+                         vec_col="__res")
+    with pytest.raises(ValueError, match="impl"):
+        sim.ivfpq_encode(emb, cents, books, impl="Arrow")
+    with pytest.raises(ValueError, match="assign_impl"):
+        sim.ivfpq_encode(emb, cents, books, assign_impl="fast")
