@@ -314,3 +314,39 @@ def test_q17_decorrelates_to_aggregate_join(spark):
     s = plans.explain_str(q("q17_small_quantity_revenue", spark))
     assert "partial_sum" in s or "partial_count" in s
     assert "Join" in s
+
+
+def test_fuzzy_join_never_plans_a_cartesian_product(spark):
+    """The q-gram prefilter exists so the edit-distance join is never a
+    cross join — the one plan property that makes it scale."""
+    s = plans.explain_str(q("fuzzy_join_part_names", spark))
+    assert "CartesianProduct" not in s
+    assert "Join" in s
+
+
+def test_pq_codes_plan_is_map_only(spark):
+    """PQ encoding is a pure projection: no join, no aggregate, no
+    Exchange — it must run inside the scan stage."""
+    s = plans.explain_str(q("pq_codes_embeddings", spark))
+    assert "Join" not in s
+    assert "Exchange" not in s
+
+
+def test_pq_adc_stored_codes_scan_never_reads_vectors(spark, tmp_path):
+    """The deployed layout: codes precomputed and stored. The ADC scan
+    over the stored table must read ONLY id + code columns — never the
+    float vectors (the operator's entire storage story) — and rank via
+    the two-stage top-k."""
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = sim.pq_codebooks(emb, m=4, n_codes=8)
+    store = str(tmp_path / "codes")
+    sim.pq_encode(emb, books).select(
+        "vec_id", "embedding", "code_0", "code_1", "code_2", "code_3"
+    ).write.parquet(store)
+    stored = spark.read.parquet(store)
+    out = sim.pq_adc_topk(stored, emb.filter("vec_id < 2"), books, k=3)
+    for cols in plans.read_schema_columns(out):
+        assert "embedding" not in cols, cols
+    assert plans.explain_str(out).count("Window") >= 2  # two-stage top-k
