@@ -407,6 +407,47 @@ def window_range_frame_orders(spark, sf_dir):
 
 
 @register(
+    "window_share_of_total",
+    """
+    SELECT r_name, n_name, CAST(cnt AS BIGINT) AS n_customers,
+           CAST(cnt AS DOUBLE)
+             / CAST(SUM(cnt) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+    FROM (
+      SELECT r_name, n_name, COUNT(*) AS cnt
+      FROM customer
+      JOIN nation ON n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      GROUP BY r_name, n_name
+    )
+    """,
+)
+def window_share_of_total(spark, sf_dir):
+    """Percent-of-total (RATIO_TO_REPORT): an UNORDERED window aggregate
+    — ``sum(...) over (partition by ...)`` with no ORDER BY, so the
+    frame is the whole partition and no sort is planned (the ordered
+    running-sum/RANGE entries cover the framed cases). Exact: integer
+    counts, one double division."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    cnt = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("r_name")
+    return cnt.select(
+        "r_name",
+        "n_name",
+        F.col("cnt").alias("n_customers"),
+        (
+            F.col("cnt").cast("double") / F.sum("cnt").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+@register(
     "array_functions_embeddings",
     """
     SELECT vec_id,
@@ -2014,6 +2055,79 @@ def null_semantics_suite(spark, sf_dir):
         F.col("a.n").alias("n"),
         F.col("b.n").alias("n_selfmatch"),
     )
+
+
+_DIFF_FP = (
+    "md5("
+    + " || '|' || ".join(
+        f"(CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR) || ':' "
+        f"|| CAST({c} AS VARCHAR))"
+        for c in ("o_custkey", "o_orderstatus", "o_orderpriority")
+    )
+    + ")"
+)
+
+
+@register(
+    "table_diff_orders",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey < 3000
+    ), newt AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 101 = 0 THEN 'X-CHANGED'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM base WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 1000000, o_custkey, o_orderstatus, o_orderpriority
+      FROM base WHERE o_orderkey % 103 = 0
+    ), of AS (
+      SELECT o_orderkey, {_DIFF_FP} AS old_fp FROM base
+    ), nf AS (
+      SELECT o_orderkey, {_DIFF_FP} AS new_fp FROM newt
+    )
+    SELECT COALESCE(of.o_orderkey, nf.o_orderkey) AS o_orderkey,
+           CASE WHEN of.o_orderkey IS NULL THEN 'added'
+                WHEN nf.o_orderkey IS NULL THEN 'removed'
+                WHEN old_fp <> new_fp THEN 'changed' END AS status,
+           old_fp, new_fp
+    FROM of FULL OUTER JOIN nf ON of.o_orderkey = nf.o_orderkey
+    WHERE (of.o_orderkey IS NULL OR nf.o_orderkey IS NULL
+           OR old_fp <> new_fp)
+    """,
+)
+def table_diff_orders(spark, sf_dir):
+    """Table reconciliation (operators.diff.table_diff): a deterministic
+    mutant of orders (every 97th key removed, every 101st key's priority
+    rewritten, every 103rd re-keyed as an add) diffed against the
+    original. Both sides reduce map-side to (key, md5 row fingerprint
+    with length-prefixed canonical values — NULL-safe by construction)
+    before ONE full outer join; the oracle rebuilds mutation,
+    fingerprint, and status logic in SQL, so the hash match pins the
+    fingerprint scheme and the add/remove/change classification
+    row-for-row. The CDC-validation / backfill-audit primitive."""
+    from lakeshack_spark.operators.diff import table_diff
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 3000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    )
+    kept = base.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 101 == 0, F.lit("X-CHANGED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    added = base.filter(F.col("o_orderkey") % 103 == 0).select(
+        (F.col("o_orderkey") + 1000000).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+    new = kept.unionByName(added)
+    return table_diff(base, new, ["o_orderkey"])
 
 
 @register(

@@ -1770,3 +1770,35 @@ def test_ivfpq_encode_rejects_bad_impls(spark):
         sim.ivfpq_encode(emb, cents, books, impl="Arrow")
     with pytest.raises(ValueError, match="assign_impl"):
         sim.ivfpq_encode(emb, cents, books, assign_impl="fast")
+
+
+# ----------------------------------------------------------- table diff
+
+
+def test_table_diff_classifies_and_ignores_identical(spark):
+    from lakeshack_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        ["k", "s", "v"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (5, "e", 50), (4, "", 40)],
+        ["k", "s", "v"],
+    )
+    out = {r.k: r.status for r in table_diff(old, new, ["k"]).collect()}
+    # key 1 identical -> absent; 2 changed; 3 removed; 5 added;
+    # 4: NULL -> '' must register as changed (concat_ws would hide it)
+    assert out == {2: "changed", 3: "removed", 5: "added", 4: "changed"}
+
+
+def test_table_diff_fingerprint_no_boundary_collision(spark):
+    """('ab', 'c') must differ from ('a', 'bc') — the length prefix
+    prevents separator-sliding collisions."""
+    from lakeshack_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame([(1, "ab", "c")], ["k", "x", "y"])
+    new = spark.createDataFrame([(1, "a", "bc")], ["k", "x", "y"])
+    assert {r.status for r in table_diff(old, new, ["k"]).collect()} == {
+        "changed"
+    }
