@@ -20,12 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def row_fingerprint(df: DataFrame, cols: list[str]) -> F.Column:
+def row_fingerprint(cols: list[str]) -> F.Column:
     """md5 over the canonical string form of ``cols`` IN THE GIVEN
     ORDER, with NULLs made visible: each non-NULL value renders as
     ``len:value`` and NULL as a bare marker, so ('a', NULL) can never
     collide with ('', 'a') and a NULL never equals an empty string
-    (concat_ws silently DROPS NULLs — the classic fingerprint bug)."""
+    (concat_ws silently DROPS NULLs — the classic fingerprint bug).
+    The expression is unbound — select it on the frame that owns the
+    columns."""
     parts = []
     for c in cols:
         s = F.col(c).cast("string")
@@ -49,6 +51,9 @@ def table_diff(
 
     Returns key columns + ``status`` ('added' | 'removed' | 'changed')
     + ``old_fp`` / ``new_fp`` (NULL on the missing side). Deterministic.
+    The key join is NULL-SAFE (``eqNullSafe``): a NULL-keyed row on both
+    sides compares as the same key — a plain equality join would report
+    it as a spurious added+removed pair.
     """
     if compare_cols is None:
         old_cols = set(old.columns)
@@ -56,12 +61,18 @@ def table_diff(
             c for c in new.columns if c in old_cols and c not in key_cols
         ]
     o = old.select(
-        *key_cols, row_fingerprint(old, compare_cols).alias("old_fp")
+        *[F.col(c).alias(f"__ok_{c}") for c in key_cols],
+        row_fingerprint(compare_cols).alias("old_fp"),
     )
     n = new.select(
-        *key_cols, row_fingerprint(new, compare_cols).alias("new_fp")
+        *[F.col(c).alias(f"__nk_{c}") for c in key_cols],
+        row_fingerprint(compare_cols).alias("new_fp"),
     )
-    j = o.join(n, key_cols, "full_outer")
+    cond = None
+    for c in key_cols:
+        e = F.col(f"__ok_{c}").eqNullSafe(F.col(f"__nk_{c}"))
+        cond = e if cond is None else cond & e
+    j = o.join(n, cond, "full_outer")
     status = (
         F.when(F.col("old_fp").isNull(), F.lit("added"))
         .when(F.col("new_fp").isNull(), F.lit("removed"))
@@ -70,5 +81,13 @@ def table_diff(
     return (
         j.withColumn("status", status)
         .filter(F.col("status").isNotNull())
-        .select(*key_cols, "status", "old_fp", "new_fp")
+        .select(
+            *[
+                F.coalesce(F.col(f"__ok_{c}"), F.col(f"__nk_{c}")).alias(c)
+                for c in key_cols
+            ],
+            "status",
+            "old_fp",
+            "new_fp",
+        )
     )

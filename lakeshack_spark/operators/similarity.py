@@ -1253,6 +1253,12 @@ def ivfpq_encode(
             f"got {assign_impl!r}"
         )
     if impl == "expr":
+        if assign_impl == "arrow":
+            raise ValueError(
+                "ivfpq_encode: assign_impl='arrow' only applies to "
+                "impl='arrow' (the expr path computes assignment inside "
+                "its residual expression)"
+            )
         with_res = ivf_residuals(
             vectors, centroids, id_col, vec_col,
             centroid_id_col, centroid_vec_col,
@@ -1260,36 +1266,76 @@ def ivfpq_encode(
         return pq_encode(with_res, codebooks, vec_col="__res").drop("__res")
 
     entries = _centroid_entries(centroids, centroid_id_col, centroid_vec_col)
-    assign_fn = ivf_assign_arrow if assign_impl == "arrow" else ivf_assign
-    assigned = assign_fn(
-        vectors, centroids, id_col, vec_col, centroid_id_col, centroid_vec_col
-    )
-
     m = len(codebooks)
     ds = len(codebooks[0][0][1])
 
-    fields = list(assigned.schema.fields) + [
+    if assign_impl == "expr":
+        assigned = ivf_assign(
+            vectors, centroids, id_col, vec_col,
+            centroid_id_col, centroid_vec_col,
+        )
+        fields = list(assigned.schema.fields) + [
+            T.StructField(f"code_{j}", T.IntegerType()) for j in range(m)
+        ] + [T.StructField("recon_sqerr", T.DoubleType())]
+
+        def encode(batches):
+            import numpy as np
+
+            cid_to_idx = {
+                cid: i for i, (cid, _cv, _cn) in enumerate(entries)
+            }
+            cmat = np.array(
+                [cv for _cid, cv, _cn in entries], dtype=np.float64
+            )
+            books_np = _pq_numpy_books(codebooks)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                idx = pdf["cell"].map(cid_to_idx).to_numpy()
+                R = X - cmat[idx]
+                yield _pq_numpy_apply(pdf, R, books_np, ds)
+
+        return assigned.mapInPandas(encode, T.StructType(fields))
+
+    # assign_impl == "arrow": ONE fused mapInPandas — assignment,
+    # residual, and PQ codes in a single Python pass, so the float
+    # vectors cross the Arrow boundary once instead of twice (the
+    # chained ivf_assign_arrow → encode form re-serialized every row)
+    zero = [cid for cid, _cv, cn in entries if cn == 0.0]
+    if zero:
+        raise ValueError(
+            f"ivfpq_encode: zero-norm centroid ids {zero} — cosine "
+            "assignment is undefined against a zero centroid"
+        )
+    base = vectors.drop("cell") if "cell" in vectors.columns else vectors
+    fields = list(base.schema.fields) + [
+        T.StructField("cell", T.LongType())
+    ] + [
         T.StructField(f"code_{j}", T.IntegerType()) for j in range(m)
     ] + [T.StructField("recon_sqerr", T.DoubleType())]
-    out_schema = T.StructType(fields)
 
-    def encode(batches):
+    def encode_fused(batches):
         import numpy as np
 
-        cid_to_idx = {cid: i for i, (cid, _cv, _cn) in enumerate(entries)}
-        cmat = np.array(
-            [cv for _cid, cv, _cn in entries], dtype=np.float64
-        )
+        cids = np.array([cid for cid, _cv, _cn in entries], dtype=np.int64)
+        cmat = np.array([cv for _cid, cv, _cn in entries], dtype=np.float64)
+        cnorm = np.array([cn for _cid, _cv, cn in entries], dtype=np.float64)
         books_np = _pq_numpy_books(codebooks)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            idx = pdf["cell"].map(cid_to_idx).to_numpy()
-            R = X - cmat[idx]
+            vnorm = np.sqrt((X * X).sum(axis=1))
+            denom = np.outer(vnorm, cnorm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.where(denom > 0, (X @ cmat.T) / denom, 0.0)
+            best = sims.argmax(axis=1)  # ivf_assign_arrow's exact rule
+            pdf["cell"] = cids[best]
+            R = X - cmat[best]
             yield _pq_numpy_apply(pdf, R, books_np, ds)
 
-    return assigned.mapInPandas(encode, out_schema)
+    return base.mapInPandas(encode_fused, T.StructType(fields))
 
 
 def ivfpq_search(
@@ -1397,16 +1443,31 @@ def ivf_assign_arrow(
     from the gated expression path by one adjacent cell — acceptable
     for the production bulk-encode tier, NOT for the hash-gated
     entries (those keep :func:`ivf_assign`); parity is pinned by a
-    near-tie-refereed unit test. Zero-norm vectors assign to the
-    smallest cid (sim treated as 0 against every centroid), matching
-    the expression path's NULL-free guard behavior."""
+    near-tie-refereed unit test. Zero-norm INPUT vectors assign to the
+    smallest cid (sim treated as 0 against every centroid); the
+    expression path yields NaN cosines there, so zero vectors are the
+    one documented semantic delta. Zero-norm CENTROIDS are rejected
+    outright — the expression path's NaN-propagating array_max would
+    assign EVERY vector to such a centroid (a silent wholesale
+    divergence, caught in review), so neither path should be fed one."""
     import numpy as np
 
     entries = _centroid_entries(centroids, centroid_id_col, centroid_vec_col)
+    zero = [cid for cid, _cv, cn in entries if cn == 0.0]
+    if zero:
+        raise ValueError(
+            f"ivf_assign_arrow: zero-norm centroid ids {zero} — cosine "
+            "assignment is undefined against a zero centroid"
+        )
     cids = np.array([cid for cid, _cv, _cn in entries], dtype=np.int64)
     cmat = np.array([cv for _cid, cv, _cn in entries], dtype=np.float64)
     cnorm = np.array([cn for _cid, _cv, cn in entries], dtype=np.float64)
 
+    if "cell" in vectors.columns:
+        # re-assignment (e.g. after a centroid refresh): the twin's
+        # withColumn REPLACES the column; here the old one is dropped so
+        # the appended field keeps schema and pandas column order aligned
+        vectors = vectors.drop("cell")
     fields = list(vectors.schema.fields) + [
         T.StructField("cell", T.LongType())
     ]

@@ -1802,3 +1802,71 @@ def test_table_diff_fingerprint_no_boundary_collision(spark):
     assert {r.status for r in table_diff(old, new, ["k"]).collect()} == {
         "changed"
     }
+
+
+def test_table_diff_null_keys_match_null_safely(spark):
+    """A NULL-keyed row present on both sides must compare as the SAME
+    key (changed/identical), not a spurious added+removed pair."""
+    from lakeshack_spark.operators.diff import table_diff
+
+    old = spark.createDataFrame([(None, "a"), (1, "x")], "k int, s string")
+    new = spark.createDataFrame([(None, "b"), (1, "x")], "k int, s string")
+    rows = table_diff(old, new, ["k"]).collect()
+    assert len(rows) == 1
+    assert rows[0].k is None and rows[0].status == "changed"
+
+
+def test_ivf_assign_arrow_reassign_and_zero_centroid(spark):
+    """Re-assigning an already-assigned frame replaces the cell column
+    (the drop-in-twin contract); zero-norm centroids are rejected."""
+    from pyspark.sql import functions as F
+
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.sample_centroids(emb, 4)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    once = sim.ivf_assign_arrow(emb, cents)
+    twice = sim.ivf_assign_arrow(once, cents)
+    assert twice.columns.count("cell") == 1
+    a = {r.vec_id: r.cell for r in once.select("vec_id", "cell").collect()}
+    b = {r.vec_id: r.cell for r in twice.select("vec_id", "cell").collect()}
+    assert a == b
+    zero = cents.withColumn(
+        "centroid",
+        F.when(
+            F.col("centroid_id") == 0,
+            F.expr("transform(centroid, x -> CAST(0.0 AS DOUBLE))"),
+        ).otherwise(F.col("centroid")),
+    )
+    with pytest.raises(ValueError, match="zero-norm"):
+        sim.ivf_assign_arrow(emb, zero)
+
+
+def test_ivfpq_encode_fused_equals_chained(spark):
+    """The fused single-pass arrow encode equals the chained
+    assignment + encode form (identical numpy math)."""
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.sample_centroids(emb, 8)
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
+    res = sim.ivf_residuals(emb, cents)
+    books = sim.pq_train(res, m=4, n_codes=8, sample_n=200, iters=3,
+                         vec_col="__res")
+    fused = {r.vec_id: r for r in
+             sim.ivfpq_encode(emb, cents, books,
+                              assign_impl="arrow").collect()}
+    chained_assigned = sim.ivf_assign_arrow(emb, cents)
+    # chained form: numpy residual+codes over the pre-assigned frame
+    exprd = {r.vec_id: r for r in
+             sim.ivfpq_encode(emb, cents, books,
+                              assign_impl="expr").collect()}
+    assert set(fused) == set(exprd)
+    for vid in fused:
+        assert fused[vid].cell == exprd[vid].cell, vid  # no near-ties here
+        for j in range(4):
+            assert fused[vid][f"code_{j}"] == exprd[vid][f"code_{j}"], (vid, j)
+    with pytest.raises(ValueError, match="assign_impl"):
+        sim.ivfpq_encode(emb, cents, books, impl="expr",
+                         assign_impl="arrow")
