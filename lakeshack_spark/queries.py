@@ -407,6 +407,60 @@ def window_range_frame_orders(spark, sf_dir):
 
 
 @register(
+    "quantile_bins_orders",
+    """
+    WITH c AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 1e2) AS BIGINT) AS cents
+      FROM orders
+    ), b AS (
+      SELECT quantile_cont(cents, 0.25) AS q1,
+             quantile_cont(cents, 0.50) AS q2,
+             quantile_cont(cents, 0.75) AS q3
+      FROM c
+    )
+    SELECT o_orderkey,
+           CAST(CASE WHEN cents <= q1 THEN 0
+                     WHEN cents <= q2 THEN 1
+                     WHEN cents <= q3 THEN 2
+                     ELSE 3 END AS INTEGER) AS price_bin,
+           CAST(q1 AS DOUBLE) AS q1, CAST(q2 AS DOUBLE) AS q2,
+           CAST(q3 AS DOUBLE) AS q3
+    FROM c, b
+    """,
+)
+def quantile_bins_orders(spark, sf_dir):
+    """Quantile discretization (the MLlib QuantileDiscretizer semantics,
+    feature binning for training data): quartile bounds of order value
+    computed as EXACT percentiles over integer cents — interpolation
+    lands on quarter-integers, so both engines produce identical doubles
+    (the robust-outliers recipe) — broadcast back as a 1-row dim, each
+    order assigned its bucket by boundary comparison. Every row carries
+    the bounds so the hash pins them alongside the assignment."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 1e2) AS BIGINT)").alias("cents"),
+    )
+    b = c.agg(
+        F.expr("percentile(cents, 0.25)").alias("q1"),
+        F.expr("percentile(cents, 0.50)").alias("q2"),
+        F.expr("percentile(cents, 0.75)").alias("q3"),
+    )
+    return c.join(F.broadcast(b)).select(
+        "o_orderkey",
+        F.when(F.col("cents") <= F.col("q1"), F.lit(0))
+        .when(F.col("cents") <= F.col("q2"), F.lit(1))
+        .when(F.col("cents") <= F.col("q3"), F.lit(2))
+        .otherwise(F.lit(3))
+        .cast("int")
+        .alias("price_bin"),
+        F.col("q1").cast("double").alias("q1"),
+        F.col("q2").cast("double").alias("q2"),
+        F.col("q3").cast("double").alias("q3"),
+    )
+
+
+@register(
     "window_share_of_total",
     """
     SELECT r_name, n_name, CAST(cnt AS BIGINT) AS n_customers,
