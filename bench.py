@@ -287,7 +287,40 @@ def main() -> None:
         except Exception as exc:  # the replay must never sink the bench
             out["replay"] = {"error": str(exc)[:2000]}
 
-    print(json.dumps(out))
+    # The driver keeps only the LAST 2000 chars of stdout (BENCH_r05 lesson:
+    # the full record grew past that and the round recorded parsed:null), so
+    # the FINAL line must be a compact headline JSON. The full detail —
+    # per-query median/steady maps and the same-data replay block — goes to
+    # an earlier stdout line AND a side file the judge can read directly.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+    except OSError:
+        pass  # side file is best-effort; stdout still carries everything
+    print(json.dumps(out))  # full record, earlier line (may exceed the tail)
+
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": timings,
+        "value_median": out["value_median"],
+        "value_steady": out["value_steady"],
+        "pipeline_clean_corpus_steady": pipeline_steady,
+        "drop_set_giant_cluster_steady": out["drop_set_giant_cluster_steady"],
+        "srp_near_dup_steady": out["srp_near_dup_steady"],
+        "cluster_labels_steady": out["cluster_labels_steady"],
+        "repeated_passages_steady": out["repeated_passages_steady"],
+        "sf": sf_val,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # belt-and-braces: never exceed the driver's tail
+        compact.pop("queries")
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
