@@ -1,0 +1,224 @@
+"""Scale-safe EXACT percentiles: distributed order-statistic selection.
+
+Spark's exact ``percentile`` aggregate keeps a value→count map per group
+that is merged onto a single final task — for an unbounded global group
+that buffer grows with the number of distinct values and OOMs at scale
+(VERDICT_r5 "what's wrong #1"; same failure class as a driver collect).
+``approx_percentile`` is the sketch answer, but quantile *gates* (and
+integer-cents exactness recipes) need the exact order statistics.
+
+This module computes exact percentiles with NO single-task value buffer,
+by direct rank selection over a range-partitioned sort:
+
+1. range-repartition the values (the one shuffle) and sort within
+   partitions; per-partition row counts via a map-side-combined
+   ``groupBy(partition_id)`` — #partitions rows to the driver (bounded
+   collect, same shape as packing's prefix sum);
+2. the driver turns counts into per-partition starting ranks (range
+   partitioning is order-preserving), maps each requested percentile to
+   its 1-indexed interpolation ranks ``lo = floor(1 + p·(n-1))`` /
+   ``hi = ceil(...)``, and broadcasts the tiny {partition: local ranks}
+   map;
+3. a shuffle-free ``mapInPandas`` pass keeps a running local index per
+   partition and emits ONLY the ≤ 2·|ps| rows at requested ranks —
+   memory per task is one Arrow batch, never the group.
+
+Interpolation ``x_lo + frac · (x_hi − x_lo)`` matches Spark's
+``Percentile`` and DuckDB's ``quantile_cont`` exactly (SQL-standard
+continuous interpolation) — on integer-valued domains with quarter
+fractions every engine lands on the identical double (the robust-outliers
+exactness recipe). Equality with ``F.percentile`` is unit-pinned on
+integer-cents domains; partition-count invariance is asserted.
+
+The determinism trap this module inherits from packing.py: the
+range-partitioned frame MUST be persisted and materialized by the counts
+action before pass 3 reads it — an unmaterialized cache would recompute
+(and potentially resample range boundaries) per consumer.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd  # module level: required for pandas-UDF-adjacent code
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+
+def _rank_picks(
+    base: DataFrame, wanted: dict[int, list[int]]
+) -> DataFrame:
+    """Rows of ``base`` (sorted-within-partition, ``__pid`` attached) at
+    the requested 1-indexed LOCAL ranks per partition. Shuffle-free; the
+    output is ≤ sum(len(v)) rows."""
+    spark = base.sparkSession
+    bwanted = spark.sparkContext.broadcast(
+        {pid: sorted(rs) for pid, rs in wanted.items()}
+    )
+    schema = T.StructType(
+        [
+            T.StructField("__pid", T.IntegerType()),
+            T.StructField("__local_rank", T.LongType()),
+            T.StructField("__x", T.DoubleType()),
+        ]
+    )
+
+    def pick(batches):
+        seen = 0
+        targets: list[int] | None = None
+        ti = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            if targets is None:
+                targets = bwanted.value.get(pid, [])
+            lo, hi = seen + 1, seen + len(pdf)
+            rows = []
+            while ti < len(targets) and targets[ti] <= hi:
+                r = targets[ti]
+                if r >= lo:
+                    rows.append(
+                        {
+                            "__pid": pid,
+                            "__local_rank": r,
+                            "__x": float(pdf["__x"].iloc[r - lo]),
+                        }
+                    )
+                ti += 1
+            seen = hi
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return base.select("__pid", "__x").mapInPandas(pick, schema)
+
+
+def _ranked_base(
+    df: DataFrame, value_col: str, n_partitions: int
+) -> tuple[DataFrame, dict[int, int], int]:
+    """Range-partitioned, partition-sorted, persisted value frame plus the
+    per-partition starting-rank offsets and the total non-null count. The
+    caller owns the returned frame's unpersist."""
+    v = (
+        df.select(F.col(value_col).cast("double").alias("__x"))
+        .filter(F.col("__x").isNotNull())
+    )
+    base = (
+        v.repartitionByRange(n_partitions, F.col("__x"))
+        .sortWithinPartitions("__x")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in base.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offs: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offs[pid] = acc
+        acc += int(counts[pid])
+    return base, offs, acc
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    ps: list[float],
+    n_partitions: int | None = None,
+) -> dict[float, float | None]:
+    """Exact continuous percentiles of ``value_col`` (nulls ignored),
+    computed by distributed rank selection — the production twin of the
+    ``F.percentile`` gate form. Returns {p: value} (None on empty input).
+    """
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile out of range: {p}")
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    base, offs, n = _ranked_base(df, value_col, n_partitions)
+    try:
+        if n == 0:
+            return {p: None for p in ps}
+        # 0-indexed interpolation position — EXACTLY Spark Percentile's
+        # expression order (`pos = p·(n−1)`, `frac = pos − floor(pos)`):
+        # adding 1 before the floor changes the double (0.9·4999 + 1 and
+        # 0.9·4999 round their fractional parts differently) and breaks
+        # cell-exactness, so ranks are 1-indexed only AFTER the frac.
+        specs: list[tuple[float, int, int, float]] = []
+        for p in ps:
+            pos = p * (n - 1)
+            lo0 = int(math.floor(pos))
+            specs.append((p, lo0 + 1, int(math.ceil(pos)) + 1, pos - lo0))
+        # Map each needed global rank to (partition, local rank).
+        pids = sorted(offs)
+        ends = {pid: offs[pid] for pid in pids}  # start offsets
+        wanted: dict[int, list[int]] = {}
+
+        def locate(rank: int) -> None:
+            # partitions are rank-contiguous in pid order
+            for i, pid in enumerate(pids):
+                nxt = offs[pids[i + 1]] if i + 1 < len(pids) else n
+                if ends[pid] < rank <= nxt:
+                    wanted.setdefault(pid, []).append(rank - ends[pid])
+                    return
+            raise AssertionError(f"rank {rank} outside [1, {n}]")
+
+        needed = sorted({r for (_p, lo, hi, _f) in specs for r in (lo, hi)})
+        global_to_val: dict[int, float] = {}
+        for r in needed:
+            locate(r)
+        picks = _rank_picks(base, wanted).collect()
+        for row in picks:
+            global_to_val[ends[row["__pid"]] + row["__local_rank"]] = row["__x"]
+        out: dict[float, float | None] = {}
+        for p, lo, hi, frac in specs:
+            xlo = global_to_val[lo]
+            xhi = global_to_val[hi]
+            # Spark Percentile's exact expression order:
+            # (higher−pos)·x_lo + (pos−lower)·x_hi — NOT the algebraically
+            # equal x_lo + frac·(x_hi−x_lo), which rounds differently on
+            # non-quarter fractions (measured: 89978.90000000001 vs
+            # 89978.9 at p=0.9). On quarter-fraction integer domains both
+            # forms are exact, which is why the DuckDB quantile_cont gate
+            # oracle also matches.
+            out[p] = xlo if lo == hi else (1.0 - frac) * xlo + frac * xhi
+        return out
+    finally:
+        base.unpersist()
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    id_cols: list[str],
+    ps: list[float] | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Quantile discretization (MLlib QuantileDiscretizer semantics) with
+    EXACT boundaries from :func:`exact_percentiles` — no single-task
+    value buffer anywhere in the plan. Output: ``id_cols`` + ``bin``
+    (int, 0..len(ps)) + one double boundary column per percentile
+    (``q1..qk``), every row carrying the bounds so a gate hash pins them
+    alongside the assignment."""
+    if ps is None:
+        ps = [0.25, 0.50, 0.75]
+    qs = exact_percentiles(df, value_col, ps, n_partitions)
+    bounds = [qs[p] for p in ps]
+    col = F.col(value_col)
+    bin_expr = None
+    for i, b in enumerate(bounds):
+        cond = col <= F.lit(b)
+        bin_expr = F.when(cond, F.lit(i)) if bin_expr is None else bin_expr.when(
+            cond, F.lit(i)
+        )
+    bin_expr = bin_expr.otherwise(F.lit(len(bounds))).cast("int")
+    return df.select(
+        *id_cols,
+        bin_expr.alias("bin"),
+        *[
+            F.lit(b).cast("double").alias(f"q{i + 1}")
+            for i, b in enumerate(bounds)
+        ],
+    )

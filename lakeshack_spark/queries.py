@@ -32,6 +32,7 @@ from lakeshack_spark.functions.deterministic import davg, dsum, oracle_davg, ora
 from lakeshack_spark.operators import (
     dedup,
     graph,
+    order_stats,
     relational,
     retrieval,
     sampling,
@@ -433,30 +434,28 @@ def quantile_bins_orders(spark, sf_dir):
     feature binning for training data): quartile bounds of order value
     computed as EXACT percentiles over integer cents — interpolation
     lands on quarter-integers, so both engines produce identical doubles
-    (the robust-outliers recipe) — broadcast back as a 1-row dim, each
-    order assigned its bucket by boundary comparison. Every row carries
-    the bounds so the hash pins them alongside the assignment."""
+    (the robust-outliers recipe) — each order assigned its bucket by
+    boundary comparison. Every row carries the bounds so the hash pins
+    them alongside the assignment.
+
+    Routed through operators.order_stats.quantile_bins: the boundaries
+    come from distributed rank selection (range-repartition + per-
+    partition rank pick), NOT Spark's exact ``percentile`` aggregate,
+    whose single-reducer value→count buffer is the 100×-scale OOM flagged
+    in VERDICT_r5. Equality of the two forms on integer-cents domains is
+    unit-pinned in tests/test_order_stats.py; this gate entry pins the
+    scale-safe path against the DuckDB quantile_cont oracle."""
     o = load_table(spark, sf_dir, "orders")
     c = o.select(
         "o_orderkey",
         F.expr("CAST(ROUND(o_totalprice * 1e2) AS BIGINT)").alias("cents"),
     )
-    b = c.agg(
-        F.expr("percentile(cents, 0.25)").alias("q1"),
-        F.expr("percentile(cents, 0.50)").alias("q2"),
-        F.expr("percentile(cents, 0.75)").alias("q3"),
-    )
-    return c.join(F.broadcast(b)).select(
+    return order_stats.quantile_bins(c, "cents", ["o_orderkey"]).select(
         "o_orderkey",
-        F.when(F.col("cents") <= F.col("q1"), F.lit(0))
-        .when(F.col("cents") <= F.col("q2"), F.lit(1))
-        .when(F.col("cents") <= F.col("q3"), F.lit(2))
-        .otherwise(F.lit(3))
-        .cast("int")
-        .alias("price_bin"),
-        F.col("q1").cast("double").alias("q1"),
-        F.col("q2").cast("double").alias("q2"),
-        F.col("q3").cast("double").alias("q3"),
+        F.col("bin").alias("price_bin"),
+        "q1",
+        "q2",
+        "q3",
     )
 
 

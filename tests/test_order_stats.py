@@ -1,0 +1,123 @@
+"""Distributed exact order statistics (operators.order_stats): equality
+with Spark's exact ``percentile`` aggregate on integer-cents domains,
+partition-count invariance, edge cases, and the plan property that
+motivates the module — no single-task value buffer (no ``Percentile``
+aggregate, no global-sort Window) anywhere in the selection plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lakeshack_spark.operators import order_stats
+
+
+def _cents_df(spark, values):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, cents long"
+    )
+
+
+PS = [0.25, 0.50, 0.75, 0.9, 0.99]
+
+
+class TestExactPercentiles:
+    def test_matches_percentile_aggregate_cell_exact(self, spark):
+        # Integer domain → interpolation is exact IEEE arithmetic on both
+        # paths; equality must be EXACT, not approximate.
+        vals = [((i * 7919) % 100_003) for i in range(5_000)]
+        df = _cents_df(spark, vals)
+        got = order_stats.exact_percentiles(df, "cents", PS, n_partitions=8)
+        exact = df.agg(
+            F.expr(f"percentile(cents, array({','.join(map(str, PS))}))")
+        ).collect()[0][0]
+        for p, e in zip(PS, exact):
+            assert got[p] == e, (p, got[p], e)
+
+    def test_partition_count_invariance(self, spark):
+        vals = [((i * 31) % 997) for i in range(2_000)]
+        df = _cents_df(spark, vals)
+        a = order_stats.exact_percentiles(df, "cents", PS, n_partitions=3)
+        b = order_stats.exact_percentiles(df, "cents", PS, n_partitions=17)
+        assert a == b
+
+    def test_nulls_ignored_and_empty(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, 10), (3, None), (4, 20)], "id long, cents long"
+        )
+        got = order_stats.exact_percentiles(df, "cents", [0.5], n_partitions=4)
+        assert got[0.5] == 15.0  # median of {10, 20}
+        empty = df.filter(F.col("cents").isNull())
+        assert order_stats.exact_percentiles(empty, "cents", [0.5]) == {
+            0.5: None
+        }
+
+    def test_extremes_and_single_row(self, spark):
+        df = _cents_df(spark, [42])
+        got = order_stats.exact_percentiles(df, "cents", [0.0, 0.5, 1.0])
+        assert got == {0.0: 42.0, 0.5: 42.0, 1.0: 42.0}
+        df2 = _cents_df(spark, list(range(1, 101)))
+        got2 = order_stats.exact_percentiles(df2, "cents", [0.0, 1.0])
+        assert got2 == {0.0: 1.0, 1.0: 100.0}
+
+    def test_out_of_range_p_raises(self, spark):
+        df = _cents_df(spark, [1, 2, 3])
+        with pytest.raises(ValueError):
+            order_stats.exact_percentiles(df, "cents", [1.5])
+
+
+class TestQuantileBins:
+    def test_bins_match_percentile_based_form(self, spark):
+        vals = [((i * 131) % 10_007) for i in range(3_000)]
+        df = _cents_df(spark, vals)
+        out = order_stats.quantile_bins(df, "cents", ["id"], n_partitions=8)
+        rows = {r["id"]: r for r in out.collect()}
+        q1, q2, q3 = df.agg(
+            F.expr("percentile(cents, array(0.25, 0.5, 0.75))")
+        ).collect()[0][0]
+        assert rows[0]["q1"] == q1 and rows[0]["q2"] == q2
+        assert rows[0]["q3"] == q3
+        for i, v in enumerate(vals):
+            expect = 0 if v <= q1 else 1 if v <= q2 else 2 if v <= q3 else 3
+            assert rows[i]["bin"] == expect, (i, v)
+
+    def test_custom_ps_bin_count(self, spark):
+        df = _cents_df(spark, list(range(100)))
+        out = order_stats.quantile_bins(
+            df, "cents", ["id"], ps=[0.5], n_partitions=4
+        )
+        assert set(r["bin"] for r in out.collect()) == {0, 1}
+        assert out.columns == ["id", "bin", "q1"]
+
+
+class TestPlanShape:
+    def test_no_single_task_value_buffer(self, spark):
+        """The motivating property: the selection plan contains NO exact
+        Percentile aggregate (single-reducer value→count map) and NO
+        partition-less Window sort (single-task global sort); the one
+        shuffle is a RangePartitioning exchange, and the rank pick runs
+        per-partition behind Arrow."""
+        df = _cents_df(spark, list(range(1_000)))
+        base, offs, n = order_stats._ranked_base(df, "cents", 8)
+        try:
+            assert n == 1_000
+            wanted = {pid: [1] for pid in offs}
+            plan = order_stats._rank_picks(base, wanted)._jdf.queryExecution(
+            ).executedPlan().toString()
+            assert "percentile" not in plan.lower()
+            assert "Window" not in plan
+            base_plan = base._jdf.queryExecution().executedPlan().toString()
+            assert "rangepartitioning" in base_plan.lower()
+        finally:
+            base.unpersist()
+
+    def test_gate_query_plan_is_percentile_free(self, spark):
+        """quantile_bins builds boundaries OUTSIDE the result plan (driver
+        literals from bounded rank collects), so the returned frame's plan
+        has no aggregate at all — just the projection."""
+        df = _cents_df(spark, list(range(500)))
+        out = order_stats.quantile_bins(df, "cents", ["id"], n_partitions=4)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "percentile" not in plan.lower()
+        assert "Window" not in plan
