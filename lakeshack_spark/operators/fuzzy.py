@@ -11,8 +11,11 @@ family, Gravano et al. VLDB 2001):
   an equi-join on exploded distinct q-grams finds every such pair.
 - **length band**: each edit changes length by at most 1, so
   ``|len(a) - len(b)| <= k`` always; the band rides the gram join as an
-  extra condition and catches the strings too short for the pigeonhole
-  (len < k*q + q) through a small explode-the-short-side length join.
+  extra condition. Strings too short for the q-gram pigeonhole
+  (len < k*q + q) fall to a 1-GRAM pigeonhole tier (len > k: k edits
+  destroy at most k character occurrences, so one original character
+  must survive — shared-char equi-join + band), and only strings of
+  len <= k (fully rewritable by k edits) use the bare length band.
 - **verify**: ``F.levenshtein`` (identical classic DP in Spark and
   DuckDB) filters candidates exactly, so false candidates are harmless
   and the result provably equals the naive cross-join answer.
@@ -20,9 +23,11 @@ family, Gravano et al. VLDB 2001):
 Scale shape: the gram join shuffles O(total distinct grams) small rows
 on uniform gram keys; hot grams (e.g. a ubiquitous bigram) square only
 within their bucket — at corpus scale prefer larger ``q`` to thin them.
-The short-string path explodes 2k+1 length keys per SHORT row only.
-No full-text column crosses the candidate shuffle; strings rejoin by id
-for the verify.
+The mid-tier path explodes distinct characters of sub-``lmin+k`` rows
+only (alphabet-bucketed, never length-bucketed all-pairs); the tiny tier
+(len <= k) explodes 2k+1 length keys per row over a constant-bounded
+partner set. No full-text column crosses the candidate shuffle; strings
+rejoin by id for the verify.
 """
 
 from __future__ import annotations
@@ -36,6 +41,93 @@ def _grams_expr(col: str, q: int) -> str:
     return (
         f"array_distinct(transform(sequence(1, length({col}) - {q - 1}),"
         f" i -> substring({col}, i, {q})))"
+    )
+
+
+def _candidates(l: DataFrame, r: DataFrame, k: int, q: int) -> DataFrame:
+    """Lossless candidate set ``(__lid, __rid)`` — a provable superset of
+    every pair within distance ``k``. Exposed separately so tests can pin
+    the candidate COUNT (the scale property) independently of the verify
+    (the correctness property)."""
+    lmin = k * q + q  # pigeonhole threshold: len - q + 1 > k*q
+    lg = l.filter(F.col("__ll") >= lmin).select(
+        "__lid", "__ll", F.explode(F.expr(_grams_expr("__ls", q))).alias("__g")
+    )
+    rg = r.filter(F.col("__rl") >= lmin).select(
+        "__rid", "__rl", F.explode(F.expr(_grams_expr("__rs", q))).alias("__g")
+    )
+    cand_long = (
+        lg.join(
+            rg,
+            (lg.__g == rg.__g)
+            & (F.abs(lg.__ll - rg.__rl) <= k),
+        )
+        .select("__lid", "__rid")
+        .distinct()
+    )
+
+    # Short strings (either side, len < lmin): the q-gram pigeonhole does
+    # not apply — but a 1-GRAM pigeonhole still does whenever len > k:
+    # each edit destroys at most one character occurrence, so a string of
+    # length > k keeps at least one original character in any partner
+    # within distance k. Two tiers (VERDICT_r5 "what's wrong #4" — the
+    # old exact-length-only join made every left×right pair inside a
+    # length band a candidate, length-bucketed O(n²) on short-string-
+    # heavy corpora):
+    #
+    # - mid tier (k < len < lmin): equi-join on shared distinct CHARACTER
+    #   + length band. The partner's length is < lmin + k (band), so the
+    #   opposing char explode is bounded to that stratum — never the
+    #   whole table.
+    # - tiny tier (len <= k): no pigeonhole of any order holds (k edits
+    #   can rewrite the whole string), so the length band alone is the
+    #   complete filter; partners are themselves <= 2k chars long, a
+    #   constant-bounded population.
+    def chars(df, idc, lenc, sc, lmax):
+        return df.filter(
+            (F.col(lenc) >= 1) & (F.col(lenc) < lmax)
+        ).select(
+            idc, lenc, F.explode(F.expr(_grams_expr(sc, 1))).alias("__c")
+        )
+
+    l_mid = chars(l.filter(F.col("__ll") > k), "__lid", "__ll", "__ls", lmin)
+    r_mid = chars(r.filter(F.col("__rl") > k), "__rid", "__rl", "__rs", lmin)
+    l_band = chars(l, "__lid", "__ll", "__ls", lmin + k)
+    r_band = chars(r, "__rid", "__rl", "__rs", lmin + k)
+    cand_lm = (
+        l_mid.join(
+            r_band,
+            (l_mid.__c == r_band.__c) & (F.abs(l_mid.__ll - r_band.__rl) <= k),
+        )
+        .select("__lid", "__rid")
+        .distinct()
+    )
+    cand_rm = (
+        r_mid.join(
+            l_band,
+            (r_mid.__c == l_band.__c) & (F.abs(l_band.__ll - r_mid.__rl) <= k),
+        )
+        .select("__lid", "__rid")
+        .distinct()
+    )
+
+    l_tiny = l.filter(F.col("__ll") <= k).select(
+        "__lid",
+        F.explode(F.sequence(F.col("__ll") - k, F.col("__ll") + k)).alias("__bl"),
+    )
+    cand_lt = l_tiny.join(r, l_tiny.__bl == r.__rl).select("__lid", "__rid")
+    r_tiny = r.filter(F.col("__rl") <= k).select(
+        "__rid",
+        F.explode(F.sequence(F.col("__rl") - k, F.col("__rl") + k)).alias("__bl"),
+    )
+    cand_rt = r_tiny.join(l, r_tiny.__bl == l.__ll).select("__lid", "__rid")
+
+    return (
+        cand_long.unionByName(cand_lm)
+        .unionByName(cand_rm)
+        .unionByName(cand_lt)
+        .unionByName(cand_rt)
+        .distinct()
     )
 
 
@@ -55,44 +147,13 @@ def fuzzy_join(
     Exactly equal to the naive cross-join result (lossless prefilter +
     exact verify); deterministic."""
     k = max_dist
-    lmin = k * q + q  # pigeonhole threshold: len - q + 1 > k*q
     l = left.select(
         F.col(left_id).alias("__lid"), F.col(left_text).alias("__ls")
     ).withColumn("__ll", F.length("__ls"))
     r = right.select(
         F.col(right_id).alias("__rid"), F.col(right_text).alias("__rs")
     ).withColumn("__rl", F.length("__rs"))
-
-    lg = l.filter(F.col("__ll") >= lmin).select(
-        "__lid", "__ll", F.explode(F.expr(_grams_expr("__ls", q))).alias("__g")
-    )
-    rg = r.filter(F.col("__rl") >= lmin).select(
-        "__rid", "__rl", F.explode(F.expr(_grams_expr("__rs", q))).alias("__g")
-    )
-    cand_long = (
-        lg.join(
-            rg,
-            (lg.__g == rg.__g)
-            & (F.abs(lg.__ll - rg.__rl) <= k),
-        )
-        .select("__lid", "__rid")
-        .distinct()
-    )
-
-    # short strings (either side): the pigeonhole does not apply, but the
-    # length band does — explode the SHORT side to its k-neighborhood of
-    # lengths and equi-join on exact length (short sets are bounded by
-    # the lmin constant, so these joins are small)
-    l_short = l.filter(F.col("__ll") < lmin).select(
-        "__lid", F.explode(F.sequence(F.col("__ll") - k, F.col("__ll") + k)).alias("__bl")
-    )
-    cand_ls = l_short.join(r, l_short.__bl == r.__rl).select("__lid", "__rid")
-    r_short = r.filter(F.col("__rl") < lmin).select(
-        "__rid", F.explode(F.sequence(F.col("__rl") - k, F.col("__rl") + k)).alias("__bl")
-    )
-    cand_rs = r_short.join(l, r_short.__bl == l.__ll).select("__lid", "__rid")
-
-    cand = cand_long.unionByName(cand_ls).unionByName(cand_rs).distinct()
+    cand = _candidates(l, r, k, q)
     out = (
         cand.join(l.select("__lid", "__ls"), "__lid")
         .join(r.select("__rid", "__rs"), "__rid")
