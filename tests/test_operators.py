@@ -1315,6 +1315,39 @@ def test_pq_adc_matches_python_tables(spark):
         assert dist == total, (qid, nid)
 
 
+def test_pq_adc_literal_and_join_paths_identical(spark):
+    """The large-query-set switchover (VERDICT_r5 item 8): forcing the
+    broadcast-join table distribution (literal_max_queries=0) returns
+    EXACTLY the literal path's rows — same ids, ranks, and bit-identical
+    adc_dist, since both paths share _adc_tables and the %.17e literal
+    render round-trips doubles exactly. Also pins that the default
+    threshold actually switches: a query set above it plans a broadcast
+    join, not a giant literal."""
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = sim.pq_codebooks(emb, m=4, n_codes=8)
+    enc = sim.pq_encode(emb, books)
+    q = emb.filter("vec_id < 6")
+    lit_rows = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adc_dist)
+        for r in sim.pq_adc_topk(enc, q, books, k=4).collect()
+    )
+    join_rows = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adc_dist)
+        for r in sim.pq_adc_topk(
+            enc, q, books, k=4, literal_max_queries=0
+        ).collect()
+    )
+    assert lit_rows == join_rows and len(lit_rows) == 6 * 4
+
+    big_q = emb.filter(f"vec_id < {sim.PQ_ADC_LITERAL_MAX_QUERIES + 1}")
+    df = sim.pq_adc_topk(enc, big_q, books, k=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "named_struct" not in plan
+
+
 def test_pq_train_reduces_reconstruction_error(spark):
     """Lloyd-refined codebooks must not lose to the raw seed on the
     training distribution (deterministic: no RNG anywhere)."""
