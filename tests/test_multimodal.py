@@ -45,9 +45,83 @@ def test_extract_features_shape_and_determinism(spark, media):
     }
 
 
-def test_decode_stub_rejects_real_media(spark):
+def test_decode_boundary_rejects_compressed_media(spark):
     with pytest.raises(NotImplementedError):
         mm._decode_payload(b"\x89PNG\r\n\x1a\n....")
+
+
+# ------------------------------------------------ real codec boundary
+
+
+def test_ppm_round_trip_and_header_variants():
+    pixels = bytes(range(4 * 2 * 3))
+    data = mm.encode_ppm(4, 2, pixels)
+    assert mm.decode_ppm(data) == (4, 2, pixels)
+    # netpbm allows comments and arbitrary header whitespace
+    commented = b"P6\n# a comment\n 4\t2 # another\n255\n" + pixels
+    assert mm.decode_ppm(commented) == (4, 2, pixels)
+    with pytest.raises(ValueError):
+        mm.decode_ppm(data[:-1])  # truncated raster
+    with pytest.raises(ValueError):
+        mm.encode_ppm(4, 2, pixels[:-1])
+    with pytest.raises(NotImplementedError):
+        mm.decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)  # 16-bit
+
+
+def test_wav_round_trip_and_chunk_walk():
+    samples = [0, 1, -1, 32767, -32768, 1234]
+    data = mm.encode_wav_pcm16(16000, samples)
+    assert mm.decode_wav_pcm16(data) == (16000, 1, samples)
+    # extra chunk before data must be skipped (chunk walk, not offsets)
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = data[:12] + extra + data[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert mm.decode_wav_pcm16(patched) == (16000, 1, samples)
+    with pytest.raises(NotImplementedError):
+        # fmt tag 2 = ADPCM (compressed) — behind the codec boundary
+        bad = bytearray(data)
+        bad[20] = 2
+        mm.decode_wav_pcm16(bytes(bad))
+
+
+def test_decode_media_dispatch():
+    img = mm.encode_ppm(2, 1, b"abcdef")
+    d = mm.decode_media(img)
+    assert (d["format"], d["width"], d["height"], d["content"]) == (
+        "ppm", 2, 1, b"abcdef"
+    )
+    wav = mm.encode_wav_pcm16(8000, [7, -7])
+    d = mm.decode_media(wav)
+    assert d["format"] == "wav" and d["samples"] == [7, -7]
+    assert mm.decode_media(b"LSFAKE1:xyz")["content"] == b"xyz"
+
+
+def test_image_stats_real_decode_end_to_end(spark):
+    """payload→pixels→features with no stub anywhere: plant PPMs from
+    ids, decode through the netpbm parser, check channel sums against a
+    pure-Python recomputation of the md5-derived pixels."""
+    import hashlib
+
+    media = mm.plant_ppm_media(spark.range(25), "id", width=4, height=3)
+    rows = {r["media_id"]: r for r in mm.image_stats(media).collect()}
+    assert len(rows) == 25
+    for mid in range(25):
+        digest = hashlib.md5(str(mid).encode()).digest()
+        pix = (digest * 3)[:36]
+        sums = [0, 0, 0]
+        for i, b in enumerate(pix):
+            sums[i % 3] += b
+        r = rows[mid]
+        assert (r["width"], r["height"], r["n_pixels"]) == (4, 3, 12)
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(sums)
+        assert r["mean_r"] == sums[0] / 12
+    # extract_features (the generic path) also crosses the real decoder:
+    # checksum is over the decoded RASTER, not the encoded payload
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    digest = hashlib.sha256((hashlib.md5(b"0").digest() * 3)[:36]).digest()
+    assert feats[0]["checksum"] == digest.hex()[:16]
 
 
 def test_resize_updates_meta_only_for_images(spark, media):
