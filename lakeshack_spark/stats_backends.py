@@ -53,12 +53,21 @@ def make_backend(spark: SparkSession, store_path: str) -> "StatsBackend":
             return cls(spark, rest[1:] if rest.startswith("/") else rest)
     if "://" in store_path:
         scheme = store_path.split("://", 1)[0]
-        if scheme in ("postgresql", "mysql", "mssql", "oracle"):
+        # SQLAlchemy's dialect[+driver] spelling (the reference accepts
+        # any create_engine URL, ref lakeshack/metastore.py:79-98):
+        # postgresql:// and mysql:// route to the generic DB-API backend
+        # with their conventional drivers; an explicit +driver names the
+        # DB-API module directly (e.g. postgresql+psycopg2://...).
+        dialect, _, driver = scheme.partition("+")
+        if dialect in ("postgresql", "postgres", "mysql") or driver:
+            return DbApiStatsBackend(spark, store_path)
+        if dialect in ("mssql", "oracle"):
             raise ValueError(
-                f"RDBMS store URL {store_path!r} is not supported; the "
-                "single-file RDBMS-backed stores here are DuckDB and "
-                "SQLite — pass a path ending in .duckdb/.sqlite (or a "
-                "duckdb:/// / sqlite:/// URL) instead"
+                f"RDBMS store URL {store_path!r} is not supported; "
+                "supported RDBMS stores: DuckDB/SQLite file paths (or "
+                "duckdb:/// / sqlite:/// URLs) and PostgreSQL/MySQL via "
+                "the generic DB-API backend (postgresql://, mysql://, or "
+                "an explicit dialect+driver:// URL)"
             )
     if store_path.endswith(".duckdb"):
         return DuckDBStatsBackend(spark, store_path)
@@ -583,3 +592,263 @@ class SQLiteStatsBackend(_DriverDbStatsBackend):
         finally:
             con.close()
         return len(rows)
+
+
+# ----------------------------------------------------------- generic DB-API
+
+#: ANSI declared types for the generic dialect (PostgreSQL-compatible;
+#: DuckDB and MySQL accept the same spellings).
+_SPARK_TO_ANSI = {
+    T.LongType(): "BIGINT",
+    T.DoubleType(): "DOUBLE PRECISION",
+    T.StringType(): "VARCHAR",
+    T.DateType(): "DATE",
+    T.TimestampType(): "TIMESTAMP",
+}
+#: information_schema data_type strings across engines (PG lowercases and
+#: expands; DuckDB/MySQL report the short forms) — compared upper-cased.
+_ANSI_TO_SPARK = {
+    "BIGINT": T.LongType(),
+    "INT8": T.LongType(),
+    "DOUBLE": T.DoubleType(),
+    "DOUBLE PRECISION": T.DoubleType(),
+    "FLOAT8": T.DoubleType(),
+    "VARCHAR": T.StringType(),
+    "CHARACTER VARYING": T.StringType(),
+    "TEXT": T.StringType(),
+    "DATE": T.DateType(),
+    "TIMESTAMP": T.TimestampType(),
+    "TIMESTAMP WITHOUT TIME ZONE": T.TimestampType(),
+    "DATETIME": T.TimestampType(),
+}
+
+#: Conventional DB-API driver module per dialect (SQLAlchemy's own
+#: defaults); an explicit ``dialect+driver://`` URL overrides.
+_DEFAULT_DRIVERS = {
+    "postgresql": "psycopg2",
+    "postgres": "psycopg2",
+    "mysql": "pymysql",
+}
+
+
+class DbApiStatsBackend(_DriverDbStatsBackend):
+    """Stats table behind ANY DB-API 2.0 driver, addressed by a
+    SQLAlchemy-style URL — the reference's ``create_engine(store_url)``
+    surface (ref lakeshack/metastore.py:79-98) for server RDBMSes:
+    ``postgresql://user:pw@host/db``, ``mysql://...``, or an explicit
+    ``dialect+driver://`` naming the DB-API module (SQLAlchemy's own
+    convention). SQL stays in the ANSI subset every target speaks
+    (information_schema, CREATE TABLE IF NOT EXISTS, qmark/pyformat
+    placeholders), and temporal values cross the driver as native
+    date/datetime objects per the DB-API spec.
+
+    The driver module resolves lazily with a guided error naming the
+    missing package. Tests exercise the full generic path against a real
+    SQL engine by routing ``postgresql+duckdb:///file`` through DuckDB's
+    DB-API module — same SQL, same placeholders, same
+    information_schema reads a server would get."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        url: str,
+        connect_factory=None,
+        paramstyle: str | None = None,
+    ) -> None:
+        super().__init__(spark, url)
+        self.url = url
+        scheme = url.split("://", 1)[0] if "://" in url else ""
+        self.dialect, _, driver = scheme.partition("+")
+        self.driver = driver or _DEFAULT_DRIVERS.get(self.dialect)
+        if connect_factory is None and self.driver is None:
+            raise ValueError(
+                f"cannot infer a DB-API driver for store URL {url!r}; use "
+                "an explicit dialect+driver:// URL (the driver part names "
+                "the DB-API module, e.g. postgresql+psycopg2://)"
+            )
+        self._connect_factory = connect_factory
+        self._paramstyle = paramstyle
+
+    # -- driver plumbing
+
+    def _module(self):
+        import importlib
+
+        try:
+            return importlib.import_module(self.driver)
+        except ImportError as exc:
+            raise ImportError(
+                f"store URL {self.url!r} needs the DB-API module "
+                f"{self.driver!r}, which is not installed; install it or "
+                "use a DuckDB/SQLite store path instead"
+            ) from exc
+
+    def _local_path(self) -> str:
+        # three slashes = relative, four = absolute (SQLAlchemy rule)
+        rest = self.url.split("://", 1)[1]
+        return rest[1:] if rest.startswith("/") else rest
+
+    def _plain_url(self) -> str:
+        """The URL with any +driver qualifier removed — what libpq-style
+        ``connect(dsn)`` drivers expect."""
+        return f"{self.dialect}://" + self.url.split("://", 1)[1]
+
+    def _connect(self):
+        if self._connect_factory is not None:
+            return self._connect_factory()
+        mod = self._module()
+        if self.driver == "duckdb":
+            return mod.connect(self._local_path())
+        if self.driver == "pymysql":
+            from urllib.parse import urlparse
+
+            u = urlparse(self._plain_url())
+            return mod.connect(
+                host=u.hostname or "localhost",
+                port=u.port or 3306,
+                user=u.username,
+                password=u.password or "",
+                database=u.path.lstrip("/"),
+            )
+        # libpq-style drivers (psycopg2 et al.) take the URL as the DSN
+        return mod.connect(self._plain_url())
+
+    def _ph(self) -> str:
+        style = self._paramstyle
+        if style is None:
+            mod = self._module() if self._connect_factory is None else None
+            style = getattr(mod, "paramstyle", "qmark") if mod else "qmark"
+        return "?" if style == "qmark" else "%s"
+
+    @staticmethod
+    def _commit(con) -> None:
+        try:
+            con.commit()
+        except Exception:  # autocommit drivers may refuse an empty commit
+            pass
+
+    def _table_exists(self, con) -> bool:
+        cur = con.cursor()
+        cur.execute(
+            "SELECT 1 FROM information_schema.tables WHERE table_name = "
+            + self._ph(),
+            (self.TABLE,),
+        )
+        return bool(cur.fetchall())
+
+    def _ddl(self) -> str:
+        cols = []
+        for f in self.stats_schema.fields:
+            try:
+                decl = _SPARK_TO_ANSI[f.dataType]
+            except KeyError:  # pragma: no cover - stat types are closed
+                raise ValueError(
+                    f"stat column {f.name!r} has unmappable type {f.dataType}"
+                )
+            pk = " PRIMARY KEY" if f.name == "filepath" else ""
+            null = "" if f.nullable else " NOT NULL"
+            cols.append(f'"{f.name}" {decl}{pk}{null}')
+        return f'CREATE TABLE IF NOT EXISTS "{self.TABLE}" ({", ".join(cols)})'
+
+    def _insert(self, con, names: list[str], rows: list[tuple]) -> None:
+        cols = ", ".join(f'"{n}"' for n in names)
+        ph = ", ".join(self._ph() for _ in names)
+        con.cursor().executemany(
+            f'INSERT INTO "{self.TABLE}" ({cols}) VALUES ({ph})', rows
+        )
+
+    # -- contract
+
+    def exists(self) -> bool:
+        con = self._connect()
+        try:
+            return self._table_exists(con)
+        finally:
+            con.close()
+
+    def actual_schema(self) -> T.StructType | None:
+        con = self._connect()
+        try:
+            if not self._table_exists(con):
+                return None
+            cur = con.cursor()
+            cur.execute(
+                "SELECT column_name, data_type FROM "
+                "information_schema.columns WHERE table_name = "
+                + self._ph()
+                + " ORDER BY ordinal_position",
+                (self.TABLE,),
+            )
+            info = cur.fetchall()
+        finally:
+            con.close()
+        fields = []
+        for name, decl in info:
+            spark_type = _ANSI_TO_SPARK.get((decl or "").upper())
+            if spark_type is None:
+                # Surface the mismatch as an impossible type so the
+                # metastore's validation reports it instead of crashing.
+                spark_type = T.NullType()
+            fields.append(T.StructField(name, spark_type, True))
+        return T.StructType(fields)
+
+    def read_arrow(self, max_rows: int) -> "pa.Table":
+        """Driver-side like the reference's DB round trips; ``max_rows``
+        is a no-op (stats are metadata-scale by design)."""
+        import pyarrow as pa
+
+        actual = self.actual_schema()
+        if actual is None:
+            return pa.table({})
+        names = [f.name for f in actual.fields]
+        cols = ", ".join(f'"{n}"' for n in names)
+        con = self._connect()
+        try:
+            cur = con.cursor()
+            cur.execute(f'SELECT {cols} FROM "{self.TABLE}"')
+            rows = cur.fetchall()
+        finally:
+            con.close()
+        arrays, fields = [], []
+        for i, f in enumerate(actual.fields):
+            at = _arrow_stat_type(f.dataType)
+            arrays.append(pa.array([r[i] for r in rows], type=at))
+            fields.append(pa.field(f.name, at))
+        return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+    def _native_rows(self, table: "pa.Table") -> tuple[list[str], list[tuple]]:
+        names = [f.name for f in self.stats_schema.fields]
+        return names, [
+            tuple(rec.get(n) for n in names) for rec in table.to_pylist()
+        ]
+
+    def append(self, df: DataFrame, n_rows: int) -> None:
+        names, rows = self._native_rows(self._strip_tz(df.toArrow()))
+        con = self._connect()
+        try:
+            con.cursor().execute(self._ddl())
+            self._insert(con, names, rows)
+            self._commit(con)
+        finally:
+            con.close()
+
+    def rewrite(self, df: DataFrame) -> int:
+        names, rows = self._native_rows(self._strip_tz(df.toArrow()))
+        con = self._connect()
+        try:
+            cur = con.cursor()
+            cur.execute(f'DROP TABLE IF EXISTS "{self.TABLE}"')
+            cur.execute(self._ddl())
+            self._insert(con, names, rows)
+            self._commit(con)
+        finally:
+            con.close()
+        return len(rows)
+
+    def drop(self) -> None:
+        con = self._connect()
+        try:
+            con.cursor().execute(f'DROP TABLE IF EXISTS "{self.TABLE}"')
+            self._commit(con)
+        finally:
+            con.close()

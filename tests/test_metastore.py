@@ -20,14 +20,24 @@ def _store_path(tmp_path_factory, tag: str, backend: str) -> str:
     """A store location for the requested backend: a directory for
     Parquet, a ``*.duckdb``/``*.sqlite`` file path for the RDBMS
     backends (selection is by suffix, mirroring the reference's store
-    URL)."""
+    URL). ``dbapi`` yields a SQLAlchemy dialect+driver URL routed
+    through the GENERIC DB-API backend — DuckDB's DB-API module stands
+    in for a server driver, so the whole ANSI/information_schema path a
+    PostgreSQL deployment would hit runs against a real SQL engine."""
     root = tmp_path_factory.mktemp(tag)
     if backend in ("duckdb", "sqlite"):
         return str(root / f"stats.{backend}")
+    if backend == "dbapi":
+        # four slashes after the scheme = absolute path (SQLAlchemy rule)
+        return f"postgresql+duckdb:///{root}/stats.duckdb"
     return str(root)
 
 
-@pytest.fixture(scope="module", params=["parquet", "duckdb", "sqlite"])
+def _dbapi_local_path(store: str) -> str:
+    return store.split("://", 1)[1][1:]
+
+
+@pytest.fixture(scope="module", params=["parquet", "duckdb", "sqlite", "dbapi"])
 def metastore(spark, sales_fixture, tmp_path_factory, request):
     root, files = sales_fixture
     schema = spark.read.parquet(files[0]).schema
@@ -119,7 +129,10 @@ def _variant_boundaries(variant):
     return GLOBAL_MIN_TS.date(), MID_2021_08_01.date()
 
 
-@pytest.fixture(scope="module", params=["ts", "tz", "dt", "tz+duckdb", "tz+sqlite"])
+@pytest.fixture(
+    scope="module",
+    params=["ts", "tz", "dt", "tz+duckdb", "tz+sqlite", "tz+dbapi"],
+)
 def variant_metastore(spark, request, tmp_path_factory):
     from tests.fixture_sales import generate_sales_fixture
 
@@ -266,7 +279,7 @@ def test_distributed_prune_equivalence_sweep(metastore):
         assert fast == slow, (values, clauses)
 
 
-@pytest.fixture(params=["parquet", "duckdb", "sqlite"])
+@pytest.fixture(params=["parquet", "duckdb", "sqlite", "dbapi"])
 def legacy_store(spark, sales_fixture, tmp_path_factory, request):
     """A store written WITHOUT the file_bytes column (pre-byte-telemetry
     layout), produced by physically stripping the column."""
@@ -275,10 +288,11 @@ def legacy_store(spark, sales_fixture, tmp_path_factory, request):
     store = _store_path(tmp_path_factory, "stats_legacy", request.param)
     ms = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
     ms.update(root)
-    if request.param == "duckdb":
+    if request.param in ("duckdb", "dbapi"):
         import duckdb
 
-        with duckdb.connect(store) as con:
+        path = _dbapi_local_path(store) if request.param == "dbapi" else store
+        with duckdb.connect(path) as con:
             con.execute('ALTER TABLE "file_stats" DROP COLUMN file_bytes')
     elif request.param == "sqlite":
         import sqlite3
@@ -342,7 +356,7 @@ def test_legacy_store_migrates_file_bytes_in_place(spark, legacy_store):
 # ---------------------------------------------------------------------
 
 
-@pytest.fixture(params=["parquet", "duckdb", "sqlite"])
+@pytest.fixture(params=["parquet", "duckdb", "sqlite", "dbapi"])
 def reconnect_store(spark, sales_fixture, tmp_path_factory, request):
     root, files = sales_fixture
     schema = spark.read.parquet(files[0]).schema
@@ -424,6 +438,53 @@ def test_non_indexable_optional_column_skipped(spark, sales_fixture):
 # our equivalent. Shared semantics are covered by the backend-
 # parametrized fixtures above; these pin backend-specific behavior.
 # ---------------------------------------------------------------------
+
+
+def test_dbapi_url_routing_and_guided_errors(spark):
+    """SQLAlchemy URL surface of make_backend: postgresql://mysql://
+    (and any explicit dialect+driver://) route to the generic DB-API
+    backend; a missing driver module raises a guided ImportError naming
+    it at connect time, not a silent Parquet store named like a URL;
+    dialects with no driver story still raise ValueError."""
+    from lakeshack_spark.stats_backends import DbApiStatsBackend, make_backend
+
+    b = make_backend(spark, "postgresql://u:p@host:5432/db")
+    assert isinstance(b, DbApiStatsBackend)
+    assert b.dialect == "postgresql" and b.driver == "psycopg2"
+    with pytest.raises(ImportError, match="psycopg2"):
+        b.exists()  # driver resolution is lazy and guided
+
+    b2 = make_backend(spark, "mysql://u@host/db")
+    assert isinstance(b2, DbApiStatsBackend) and b2.driver == "pymysql"
+    b3 = make_backend(spark, "postgresql+psycopg2://host/db")
+    assert b3.driver == "psycopg2"
+    with pytest.raises(ValueError, match="not supported"):
+        make_backend(spark, "oracle://host/db")
+    with pytest.raises(ValueError, match="dialect\\+driver"):
+        DbApiStatsBackend(spark, "nosuchdialect://host/db")
+
+
+def test_dbapi_store_matches_parquet_store(spark, sales_fixture, tmp_path_factory):
+    """The generic DB-API backend (over DuckDB's DB-API module) produces
+    identical stats rows and identical pruning to the Parquet backend —
+    the server-RDBMS path is semantics-preserving end to end."""
+    root, files = sales_fixture
+    schema = spark.read.parquet(files[0]).schema
+    pq_ms = FileStatsMetastore(
+        spark, _store_path(tmp_path_factory, "par_cmp2", "parquet"),
+        schema, "id", ["timestamp"],
+    )
+    db_ms = FileStatsMetastore(
+        spark, _store_path(tmp_path_factory, "dbapi_cmp", "dbapi"),
+        schema, "id", ["timestamp"],
+    )
+    assert pq_ms.update(root) == 10 and db_ms.update(root) == 10
+    assert db_ms.update(root) == 0  # idempotent
+    key = lambda r: r["filepath"]
+    assert sorted(pq_ms.stats_df().collect(), key=key) == sorted(
+        db_ms.stats_df().collect(), key=key
+    )
+    assert sorted(pq_ms.prune(TEN_IDS[:3])) == sorted(db_ms.prune(TEN_IDS[:3]))
 
 
 def test_duckdb_store_matches_parquet_store(spark, sales_fixture, tmp_path_factory):
@@ -596,8 +657,15 @@ def test_store_url_handling(spark, sales_fixture, tmp_path_factory):
     from lakeshack_spark.stats_backends import ParquetStatsBackend
 
     assert isinstance(make_backend(spark, str(root / "s.db")), ParquetStatsBackend)
-    with pytest.raises(ValueError, match="duckdb"):
-        make_backend(spark, "postgresql://host/stats")
+    # postgresql:// now routes to the generic DB-API backend (r6); only
+    # dialects with no DB-API driver story still raise
+    from lakeshack_spark.stats_backends import DbApiStatsBackend
+
+    assert isinstance(
+        make_backend(spark, "postgresql://host/stats"), DbApiStatsBackend
+    )
+    with pytest.raises(ValueError, match="not supported"):
+        make_backend(spark, "mssql://host/stats")
 
 
 def test_fractional_clause_value_on_integer_column_does_not_overprune(
