@@ -1747,6 +1747,326 @@ def q22_idle_rich_customers(spark, sf_dir):
 
 
 @register(
+    "q4_order_priority_checking",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_checking(spark, sf_dir):
+    """TPC-H Q4 shape: orders in a quarter having at least one LATE line
+    item, counted per priority. The testdata ships no
+    l_commitdate/l_receiptdate, so "late" is shipped >30 days after the
+    order date — same correlated-EXISTS shape, same decorrelation story:
+    Spark plans the EXISTS as a LEFT SEMI join on (orderkey, the
+    non-equi lateness condition), never a per-row subquery."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q12_priority_shipping_split",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('R', 'A')
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_shipping_split(spark, sf_dir):
+    """TPC-H Q12 shape: late shipments in a year split into high/low
+    priority counts per category (l_returnflag stands in for the
+    unshipped l_shipmode; lateness is the Q4 stand-in). Conditional
+    aggregation — both CASE sums ride ONE hash aggregate with map-side
+    partial combine; the year filter prunes lineitem below the join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+#: Q2's part-supplier "catalog": the testdata ships no partsupp table, so
+#: the observed (part, supplier) pairs with their minimum unit price
+#: stand in for (ps_partkey, ps_suppkey, ps_supplycost). Each unit price
+#: is ONE IEEE division of doubles and MIN is order-independent, so both
+#: engines derive identical costs (CLAUDE.md float-exactness recipe).
+_Q2_PS_SQL = """
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DOUBLE)
+                 / CAST(l_quantity AS DOUBLE)) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH ps AS ({_Q2_PS_SQL})
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, ps_supplycost
+    FROM part, ps, supplier, nation, region
+    WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA' AND p_size <= 15 AND p_type = 'LARGE'
+      AND ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM ps ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE r2.r_name = 'ASIA' AND ps2.l_partkey = ps.l_partkey
+      )
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 20
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each part in a size/type slice, the
+    region-eligible supplier(s) achieving the MINIMUM supply cost —
+    the classic correlated-MIN-equality query. The oracle keeps the
+    correlated subquery; the Spark side is the decorrelated plan a
+    cost-based engine should reach: compute the eligible (part,
+    supplier, cost) catalog once, derive per-part min cost with ONE
+    hash aggregate, and join back on (partkey, cost equality) — no
+    per-row subquery, both dims broadcast. (s_name, p_partkey) is a
+    unique tiebreak (one catalog row per part-supplier pair)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("ps_supplycost")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    eligible = (
+        ps.join(F.broadcast(s), ps.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    min_cost = eligible.groupBy("l_partkey").agg(
+        F.min("ps_supplycost").alias("__min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        eligible.join(min_cost, "l_partkey")
+        .filter(F.col("ps_supplycost") == F.col("__min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "ps_supplycost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "q11_important_part_values",
+    f"""
+    WITH v AS (
+      SELECT l_partkey, {oracle_dsum('l_extendedprice', 2)} AS part_value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey < 13
+      GROUP BY l_partkey
+    ), t AS (
+      SELECT {oracle_dsum('l_extendedprice', 2)} AS total_value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey < 13
+    ), n AS (
+      SELECT COUNT(*) AS n_parts FROM v
+    )
+    SELECT l_partkey AS partkey, part_value
+    FROM v, t, n
+    WHERE part_value > CAST(1.5 AS DOUBLE) * total_value
+                         / CAST(n_parts AS DOUBLE)
+    """,
+)
+def q11_important_part_values(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value concentration for one supplier
+    nation group, HAVING > a threshold derived from a scalar subquery
+    over the same restricted join. TPC-H's literal fraction scales with
+    1/SF; the scale-free equivalent here is 1.5× the MEAN part value
+    (non-empty at every shipped SF — a fixed fraction yields zero rows
+    at sf0.1 and an empty, evidence-free gate). The sum runs in decimal
+    space (dsum); the threshold is one multiply and one divide of exact
+    values, identical single IEEE ops in both engines. Spark
+    decorrelates the scalar as a 1-row broadcast cross join — the
+    aggregate runs once, not per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 13)
+    base = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    v = base.groupBy("l_partkey").agg(
+        dsum("l_extendedprice", 2).alias("part_value")
+    )
+    total = base.agg(dsum("l_extendedprice", 2).alias("__total"))
+    n_parts = v.agg(F.count("*").alias("__n_parts"))
+    return (
+        v.join(F.broadcast(total))
+        .join(F.broadcast(n_parts))
+        .filter(
+            F.col("part_value")
+            > F.lit(1.5) * F.col("__total") / F.col("__n_parts").cast("double")
+        )
+        .select(F.col("l_partkey").alias("partkey"), "part_value")
+    )
+
+
+@register(
+    "q20_excess_quantity_suppliers",
+    f"""
+    SELECT s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 2
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'large%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING {oracle_dsum('l_quantity', 2)} > CAST(50 AS DOUBLE)
+      )
+    """,
+)
+def q20_excess_quantity_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in one region who moved an EXCESS
+    quantity (>50 units in the year) of any name-matched part — the
+    nested IN over a grouped-HAVING subquery. Spark plans the IN as a
+    LEFT SEMI join against the (supplier, part) quantity aggregate
+    (decimal-space sum, exact > comparison); the part name filter prunes
+    below the join and both dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("large%"))
+    excess = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(dsum("l_quantity", 2).alias("__qty"))
+        .filter(F.col("__qty") > F.lit(50.0))
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(excess, s.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders o
+    WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 10
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    finished multi-supplier orders (lateness = the Q4 stand-in). The
+    oracle keeps the textbook EXISTS + NOT-EXISTS self-joins; the Spark
+    side is the set-based decorrelation those quantifiers reduce to —
+    EXISTS(other supplier) ⟺ the order has ≥2 distinct suppliers, and
+    NOT EXISTS(other late supplier) ⟺ the order's distinct LATE
+    suppliers number exactly 1 (l1 itself is late) — so two per-order
+    countDistinct aggregates replace two correlated self-joins, each
+    with map-side partial combine, and l1 rows filter against the tiny
+    per-order stats. Row-for-row equal to the quantifier form."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = lo.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    n_supp = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp")
+    )
+    n_late = late.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_late")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = (
+        late.join(n_supp, "l_orderkey")
+        .join(n_late, "l_orderkey")
+        .filter((F.col("__n_supp") >= 2) & (F.col("__n_late") == 1))
+    )
+    return (
+        l1.join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+@register(
     "q8_market_share",
     f"""
     SELECT o_year, nation_volume / total_volume AS mkt_share,

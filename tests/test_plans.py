@@ -316,6 +316,45 @@ def test_q17_decorrelates_to_aggregate_join(spark):
     assert "Join" in s
 
 
+def test_q4_plans_exists_as_semi_join(spark):
+    """The correlated EXISTS must plan as LeftSemi on the order key with
+    the lateness condition riding the join — never a per-row subquery;
+    the quarter filter must reach the orders scan."""
+    s = plans.explain_str(q("q4_order_priority_checking", spark))
+    assert "LeftSemi" in s
+    pf = plans.pushed_filters(q("q4_order_priority_checking", spark))
+    assert any("o_orderdate" in f for f in pf), pf
+
+
+def test_q20_plans_nested_in_as_semi_join_over_aggregate(spark):
+    """The IN over a grouped-HAVING subquery must plan as LeftSemi
+    against the quantity aggregate (partial combine visible), with the
+    part name filter pushed to its scan."""
+    s = plans.explain_str(q("q20_excess_quantity_suppliers", spark))
+    assert "LeftSemi" in s and "partial_" in s
+    pf = plans.pushed_filters(q("q20_excess_quantity_suppliers", spark))
+    assert any("p_name" in f for f in pf), pf
+
+
+def test_q21_decorrelates_both_quantifiers(spark):
+    """EXISTS + NOT EXISTS reduce to two per-order countDistinct
+    aggregates joined back — the plan must show distinct aggregates and
+    NO nested-loop join (the correlated form's quadratic signature)."""
+    s = plans.explain_str(q("q21_waiting_suppliers", spark))
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "CartesianProduct" not in s
+    assert "partial_count(distinct" in s or "count(distinct" in s, s[:500]
+
+
+def test_q2_min_equality_is_aggregate_join_with_broadcast_dims(spark):
+    """The correlated-MIN subquery decorrelates to one per-part min
+    aggregate joined back on (partkey, cost); the three dims broadcast."""
+    s = plans.explain_str(q("q2_min_cost_supplier", spark))
+    assert "partial_min" in s
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+
+
 def test_fuzzy_join_never_plans_a_cartesian_product(spark):
     """The q-gram prefilter exists so the edit-distance join is never a
     cross join — the one plan property that makes it scale."""
