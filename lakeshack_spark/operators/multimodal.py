@@ -285,6 +285,88 @@ def plant_ppm_media(df: DataFrame, id_col: str, width: int = 4, height: int = 3)
     return df.select(id_col).mapInPandas(build, MEDIA_SCHEMA)
 
 
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("sum_amp", T.LongType(), False),
+        T.StructField("max_abs", T.IntegerType(), False),
+        T.StructField("mean_amp", T.DoubleType(), False),
+    ]
+)
+
+
+def plant_wav_media(
+    df: DataFrame, id_col: str, sample_rate: int = 8000, n_samples: int = 32
+) -> DataFrame:
+    """Deterministic planted PCM16 WAV payloads: sample ``i`` is the
+    little-endian int16 at bytes ``2i, 2i+1`` of the id's md5 digest
+    cycled — reconstructible arithmetically from the id alone, the audio
+    twin of :func:`plant_ppm_media`."""
+    import hashlib
+    import struct
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        reps = -(-2 * n_samples // 16)
+        for pdf in batches:
+            rows = []
+            for mid in pdf[id_col]:
+                digest = hashlib.md5(str(int(mid)).encode()).digest()
+                raw = (digest * reps)[: 2 * n_samples]
+                samples = [
+                    struct.unpack("<h", raw[2 * i : 2 * i + 2])[0]
+                    for i in range(n_samples)
+                ]
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": "audio",
+                        "payload": encode_wav_pcm16(sample_rate, samples),
+                        "meta": {
+                            "width": None,
+                            "height": None,
+                            "sample_rate": sample_rate,
+                            "n_frames": None,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(build, MEDIA_SCHEMA)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode end-to-end: parse each payload's RIFF chunks
+    and emit sample count/rate, exact integer amplitude sum, peak
+    |amplitude|, and the mean (one IEEE division of exact ints — the
+    cross-engine recipe; gate entry ``multimodal_wav_features`` pins it
+    against an oracle rebuilding the samples from md5 hex). Map-only."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, _ch, samples = decode_wav_pcm16(bytes(payload))
+                n = len(samples)
+                total = sum(samples)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": rate,
+                        "n_samples": n,
+                        "sum_amp": total,
+                        "max_abs": max(abs(s) for s in samples) if n else 0,
+                        "mean_amp": total / n if n else 0.0,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats, AUDIO_STATS_SCHEMA
+    )
+
+
 def image_stats(media: DataFrame) -> DataFrame:
     """REAL decode end-to-end: parse each payload's PPM raster and emit
     per-channel byte sums and means plus the parsed dimensions. Sums are

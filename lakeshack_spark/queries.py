@@ -4465,6 +4465,62 @@ def multimodal_ppm_features(spark, sf_dir):
 
 
 @register(
+    "multimodal_wav_features",
+    """
+    WITH ids AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents WHERE doc_id < 200
+    ), smp AS (
+      -- sample i = little-endian int16 at bytes (2i, 2i+1) of the md5
+      -- digest cycled; byte j = hex pair (2*(j%16)+1, 2*(j%16)+2)
+      SELECT doc_id, i,
+        CASE WHEN lo + 256*hi >= 32768 THEN lo + 256*hi - 65536
+             ELSE lo + 256*hi END AS s
+      FROM (
+        SELECT doc_id, i,
+          (strpos('0123456789abcdef',
+             substr(h, 2*((2*i) % 16) + 1, 1)) - 1)*16
+        + (strpos('0123456789abcdef',
+             substr(h, 2*((2*i) % 16) + 2, 1)) - 1) AS lo,
+          (strpos('0123456789abcdef',
+             substr(h, 2*((2*i + 1) % 16) + 1, 1)) - 1)*16
+        + (strpos('0123456789abcdef',
+             substr(h, 2*((2*i + 1) % 16) + 2, 1)) - 1) AS hi
+        FROM ids, generate_series(0, 31) t(i)
+      )
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(32 AS BIGINT) AS n_samples,
+           CAST(SUM(s) AS BIGINT) AS sum_amp,
+           CAST(MAX(ABS(s)) AS INTEGER) AS max_abs,
+           CAST(SUM(s) AS DOUBLE) / CAST(32 AS DOUBLE) AS mean_amp
+    FROM smp GROUP BY doc_id
+    """,
+)
+def multimodal_wav_features(spark, sf_dir):
+    """The AUDIO twin of multimodal_ppm_features: planted PCM16 WAV
+    payloads (samples are md5-derived little-endian int16s) are encoded
+    into real RIFF containers, decoded by the pure-Python chunk-walking
+    parser (operators.multimodal.decode_wav_pcm16), and reduced to
+    amplitude statistics. The oracle rebuilds the identical samples
+    arithmetically from md5 hex — a hash match proves the WAV encode→
+    decode round trip sample-for-sample (any fmt/data chunk mis-parse or
+    endianness slip shifts sum_amp). Integer sums exact; the mean is one
+    IEEE division (cross-engine recipe). Map-only plan."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = multimodal.plant_wav_media(docs, "doc_id")
+    return multimodal.audio_stats(media).select(
+        F.col("media_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "sum_amp",
+        "max_abs",
+        "mean_amp",
+    )
+
+
+@register(
     "sketch_distinct_and_quantiles",
     """
     SELECT o_orderstatus,
