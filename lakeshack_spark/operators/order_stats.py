@@ -189,6 +189,64 @@ def exact_percentiles(
         base.unpersist()
 
 
+def grouped_exact_percentiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+    names: list[str] | None = None,
+) -> DataFrame:
+    """Per-GROUP exact percentiles without the aggregate buffer: Spark's
+    ``percentile(...) GROUP BY g`` builds one value→count OpenHashMap per
+    group merged in memory on the final reducer — the per-group analogue
+    of the global buffer this module exists to avoid. Here each group is
+    instead SORTED (``row_number`` over (group, value) — Spark's sort
+    spills through UnsafeExternalSorter, so a giant group costs disk,
+    not an OOM) and the two interpolation order statistics per
+    percentile are picked by rank and folded in one conditional
+    aggregation.
+
+    The rank arithmetic reproduces ``Percentile``'s expression order
+    exactly (``pos = p·(n−1)``, ``(1−frac)·x_lo + frac·x_hi``) in Spark
+    SQL doubles — the same single IEEE ops — so results are cell-exact
+    vs the aggregate form on any input (unit-pinned, including
+    non-quarter fractions). NULL values are ignored per SQL semantics;
+    groups whose values are all NULL are dropped (matching GROUP BY over
+    the non-null projection).
+
+    Returns one row per group: ``(group_col, <name per p>)``; names
+    default to ``p<percent>``."""
+    for p in ps:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile out of range: {p}")
+    if names is None:
+        names = [f"p{int(round(p * 100))}" for p in ps]
+    from pyspark.sql import Window
+
+    g = F.col(group_col)
+    v = df.select(g, F.col(value_col).cast("double").alias("__x")).filter(
+        F.col("__x").isNotNull()
+    )
+    w = Window.partitionBy(group_col).orderBy("__x")
+    ranked = v.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(Window.partitionBy(group_col))
+    )
+    aggs = []
+    for p, name in zip(ps, names):
+        pos = F.lit(float(p)) * (F.col("__n") - F.lit(1)).cast("double")
+        lo = F.floor(pos) + F.lit(1)
+        hi = F.ceil(pos) + F.lit(1)
+        frac = pos - F.floor(pos).cast("double")
+        lo_val = F.max(F.when(F.col("__rn") == lo, F.col("__x")))
+        hi_val = F.max(F.when(F.col("__rn") == hi, F.col("__x")))
+        aggs.append(
+            (
+                (F.lit(1.0) - F.max(frac)) * lo_val + F.max(frac) * hi_val
+            ).alias(name)
+        )
+    return ranked.groupBy(group_col).agg(*aggs)
+
+
 def quantile_bins(
     df: DataFrame,
     value_col: str,

@@ -4465,6 +4465,38 @@ def multimodal_ppm_features(spark, sf_dir):
 
 
 @register(
+    "grouped_percentiles_orders",
+    """
+    WITH c AS (
+      SELECT o_orderstatus,
+             CAST(ROUND(o_totalprice * 1e2) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           quantile_cont(cents, 0.5) AS p50,
+           quantile_cont(cents, 0.9) AS p90
+    FROM c GROUP BY o_orderstatus
+    """,
+)
+def grouped_percentiles_orders(spark, sf_dir):
+    """Per-group exact percentiles through the SCALE-SAFE operator
+    (order_stats.grouped_exact_percentiles — per-group sort + rank-picked
+    interpolation rows, no per-group value→count aggregate buffer; the
+    production twin of agg_orders_by_status's exact-``percentile`` gate
+    form, which stays as the buffer-based twin). Integer-cents domain +
+    Percentile's reproduced expression order make the hash cell-exact vs
+    DuckDB's quantile_cont, including the non-quarter p90 fraction."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderstatus",
+        F.expr("CAST(ROUND(o_totalprice * 1e2) AS BIGINT)").alias("cents"),
+    )
+    return order_stats.grouped_exact_percentiles(
+        c, "o_orderstatus", "cents", [0.5, 0.9], names=["p50", "p90"]
+    )
+
+
+@register(
     "multimodal_wav_features",
     """
     WITH ids AS (

@@ -67,6 +67,50 @@ class TestExactPercentiles:
             order_stats.exact_percentiles(df, "cents", [1.5])
 
 
+class TestGroupedExactPercentiles:
+    def test_matches_grouped_percentile_aggregate_cell_exact(self, spark):
+        # non-quarter fractions included: equality must be EXACT on the
+        # integer domain because the operator reproduces Percentile's
+        # expression order, not merely its value
+        rows = [
+            (f"g{i % 7}", ((i * 7919) % 100_003)) for i in range(4_000)
+        ]
+        df = spark.createDataFrame(rows, "g string, cents long")
+        got = {
+            r["g"]: (r["a"], r["b"], r["c"])
+            for r in order_stats.grouped_exact_percentiles(
+                df, "g", "cents", [0.5, 0.9, 0.37], names=["a", "b", "c"]
+            ).collect()
+        }
+        want = {
+            r["g"]: tuple(r["q"])
+            for r in df.groupBy("g")
+            .agg(F.expr("percentile(cents, array(0.5, 0.9, 0.37))").alias("q"))
+            .collect()
+        }
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == want[k], (k, got[k], want[k])
+
+    def test_nulls_and_all_null_groups(self, spark):
+        df = spark.createDataFrame(
+            [("a", 10), ("a", None), ("a", 20), ("b", None)],
+            "g string, cents long",
+        )
+        out = order_stats.grouped_exact_percentiles(df, "g", "cents", [0.5])
+        rows = {r["g"]: r["p50"] for r in out.collect()}
+        assert rows == {"a": 15.0}  # b dropped: no non-null values
+
+    def test_no_percentile_aggregate_in_plan(self, spark):
+        """The motivating property: the plan sorts (spillable) instead of
+        building Percentile's per-group value->count map."""
+        df = spark.createDataFrame([("a", 1)], "g string, cents long")
+        out = order_stats.grouped_exact_percentiles(df, "g", "cents", [0.5])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "percentile" not in plan.lower()
+        assert "Sort" in plan
+
+
 class TestQuantileBins:
     def test_bins_match_percentile_based_form(self, spark):
         vals = [((i * 131) % 10_007) for i in range(3_000)]
