@@ -4465,6 +4465,93 @@ def multimodal_ppm_features(spark, sf_dir):
 
 
 @register(
+    "ivfpq_codes_embeddings",
+    """
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS centroid_id,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id ASC LIMIT 8)
+    ), scored AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             c.centroid_id, c.cv,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM embeddings e CROSS JOIN c
+    ), res AS (
+      SELECT vec_id, centroid_id AS cell,
+             list_transform(range(1, 65), i -> v[i] - cv[i]) AS r
+      FROM (
+        SELECT vec_id, v, centroid_id, cv,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC
+               ) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+               AS code,
+             r AS cv
+      FROM (SELECT vec_id, r FROM res ORDER BY vec_id LIMIT 16)
+    ), js AS (
+      SELECT unnest(range(0, 4)) AS j
+    ), sub AS (
+      SELECT code, j, list_slice(cv, j*16 + 1, (j+1)*16) AS cs FROM cb, js
+    ), rv AS (
+      SELECT vec_id, cell, j, list_slice(r, j*16 + 1, (j+1)*16) AS x
+      FROM res, js
+    ), d AS (
+      SELECT vec_id, cell, j, code,
+        list_dot_product(x, x)
+          - CAST(2.0 AS DOUBLE) * list_dot_product(x, cs)
+          + list_dot_product(cs, cs) AS d2
+      FROM rv JOIN sub USING (j)
+    ), bestc AS (
+      SELECT vec_id, cell, j, code, d2 FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC) AS rn
+        FROM d) WHERE rn = 1
+    )
+    SELECT vec_id, MAX(cell) AS cell,
+      MAX(CASE WHEN j = 0 THEN code END) AS code_0,
+      MAX(CASE WHEN j = 1 THEN code END) AS code_1,
+      MAX(CASE WHEN j = 2 THEN code END) AS code_2,
+      MAX(CASE WHEN j = 3 THEN code END) AS code_3,
+      MAX(CASE WHEN j = 0 THEN d2 END) + MAX(CASE WHEN j = 1 THEN d2 END)
+        + MAX(CASE WHEN j = 2 THEN d2 END) + MAX(CASE WHEN j = 3 THEN d2 END)
+        AS recon_sqerr
+    FROM bestc GROUP BY vec_id
+    """,
+)
+def ivfpq_codes_embeddings(spark, sf_dir):
+    """IVF-PQ (Jégou et al. 2011's IVFADC) under the hash gate — the one
+    ANN tier that was previously only parity/stress-pinned: coarse
+    cosine-argmax cell assignment (8 smallest-id centroids, the
+    sample_centroids rule the ivf_assign_cells oracle already pins),
+    RESIDUAL vectors (one exact double subtraction per component —
+    zip_with on Spark, indexed list_transform in the oracle), residual-
+    seeded codebooks (16 smallest-id residuals, the pq_codebooks rule),
+    and per-subspace argmin encoding with the identical expanded IEEE
+    tree and (d2, code) tie rule. The hash therefore pins the WHOLE
+    IVFADC encode composition bit-for-bit: assignment, residualization,
+    codebook derivation, codes, and summed residual reconstruction
+    error. Spark side uses the deterministic expression twin
+    (impl='expr' — the gated semantics; the Arrow fast path is
+    parity-pinned against it in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.sample_centroids(emb, 8)
+    with_res = similarity.ivf_residuals(emb, cents)
+    books = similarity.pq_codebooks(with_res, m=4, n_codes=16, vec_col="__res")
+    out = similarity.ivfpq_encode(emb, cents, books, impl="expr")
+    return out.select(
+        "vec_id", "cell", "code_0", "code_1", "code_2", "code_3",
+        "recon_sqerr",
+    )
+
+
+@register(
     "grouped_percentiles_orders",
     """
     WITH c AS (
@@ -4640,9 +4727,9 @@ _DRIVER_WINDOW = [
     "pq_adc_topk_embeddings",
     "srp_near_dup_planted",
     "cosine_topk_pandas_udf",
+    "ivfpq_codes_embeddings",
     "kmeans_update_quantized",
     "jl_projection_embeddings",
-    "quantized_embedding_stats",
     "ivf_assign_cells",
     # r5-era: graph / sketch / frequent
     "simhash_near_pairs",
