@@ -4464,10 +4464,11 @@ def multimodal_ppm_features(spark, sf_dir):
     )
 
 
-@register(
-    "ivfpq_codes_embeddings",
-    """
-    WITH c AS (
+#: Shared IVFADC oracle CTE chain (assignment → residuals → residual-
+#: seeded codebooks → per-subspace argmin codes) — used verbatim by both
+#: the encode gate and the search gate so the two pins share one
+#: derivation of the quantizer.
+_IVFPQ_BASE_SQL = """c AS (
       SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS centroid_id,
              CAST(embedding AS DOUBLE[]) AS cv
       FROM (SELECT vec_id, embedding FROM embeddings
@@ -4513,16 +4514,25 @@ def multimodal_ppm_features(spark, sf_dir):
         SELECT *, row_number() OVER (
           PARTITION BY vec_id, j ORDER BY d2 ASC, code ASC) AS rn
         FROM d) WHERE rn = 1
-    )
-    SELECT vec_id, MAX(cell) AS cell,
-      MAX(CASE WHEN j = 0 THEN code END) AS code_0,
-      MAX(CASE WHEN j = 1 THEN code END) AS code_1,
-      MAX(CASE WHEN j = 2 THEN code END) AS code_2,
-      MAX(CASE WHEN j = 3 THEN code END) AS code_3,
-      MAX(CASE WHEN j = 0 THEN d2 END) + MAX(CASE WHEN j = 1 THEN d2 END)
-        + MAX(CASE WHEN j = 2 THEN d2 END) + MAX(CASE WHEN j = 3 THEN d2 END)
-        AS recon_sqerr
-    FROM bestc GROUP BY vec_id
+    ), enc AS (
+      SELECT vec_id, MAX(cell) AS cell,
+        MAX(CASE WHEN j = 0 THEN code END) AS code_0,
+        MAX(CASE WHEN j = 1 THEN code END) AS code_1,
+        MAX(CASE WHEN j = 2 THEN code END) AS code_2,
+        MAX(CASE WHEN j = 3 THEN code END) AS code_3,
+        MAX(CASE WHEN j = 0 THEN d2 END) + MAX(CASE WHEN j = 1 THEN d2 END)
+          + MAX(CASE WHEN j = 2 THEN d2 END) + MAX(CASE WHEN j = 3 THEN d2 END)
+          AS recon_sqerr
+      FROM bestc GROUP BY vec_id
+    )"""
+
+
+@register(
+    "ivfpq_codes_embeddings",
+    f"""
+    WITH {_IVFPQ_BASE_SQL}
+    SELECT vec_id, cell, code_0, code_1, code_2, code_3, recon_sqerr
+    FROM enc
     """,
 )
 def ivfpq_codes_embeddings(spark, sf_dir):
@@ -4548,6 +4558,86 @@ def ivfpq_codes_embeddings(spark, sf_dir):
     return out.select(
         "vec_id", "cell", "code_0", "code_1", "code_2", "code_3",
         "recon_sqerr",
+    )
+
+
+@register(
+    "ivfpq_search_embeddings",
+    f"""
+    WITH {_IVFPQ_BASE_SQL}, q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 3
+    ), qprobe AS (
+      -- probe rule: nprobe=2 nearest cells by COSINE, tie -> smaller cid
+      -- (the same metric assignment used, so probed cells are the ones
+      -- assignment actually filled)
+      SELECT query_id, centroid_id AS cell,
+             list_transform(range(1, 65), i -> qv[i] - cv[i]) AS qres
+      FROM (
+        SELECT q.query_id, q.qv, c.centroid_id, c.cv,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.centroid_id ASC
+               ) AS prn
+        FROM q CROSS JOIN c
+      ) WHERE prn <= 2
+    ), qsub AS (
+      SELECT query_id, cell, j,
+             list_slice(qres, j*16 + 1, (j+1)*16) AS xq
+      FROM qprobe, js
+    ), cand AS (
+      -- the cell equi-join IS the pruning: candidates outside probed
+      -- cells never produce a row
+      SELECT p.query_id, e.vec_id AS neighbor_id, p.cell, p.j, p.xq,
+             CASE p.j WHEN 0 THEN e.code_0 WHEN 1 THEN e.code_1
+                      WHEN 2 THEN e.code_2 ELSE e.code_3 END AS code
+      FROM qsub p JOIN enc e ON e.cell = p.cell
+      WHERE e.vec_id <> p.query_id
+    ), terms AS (
+      SELECT query_id, neighbor_id, cand.j AS j,
+        list_dot_product(xq, xq)
+          - CAST(2.0 AS DOUBLE) * list_dot_product(xq, cs)
+          + list_dot_product(cs, cs) AS t
+      FROM cand JOIN sub ON sub.j = cand.j AND sub.code = cand.code
+    ), dist AS (
+      SELECT query_id, neighbor_id,
+        MAX(CASE WHEN j = 0 THEN t END) + MAX(CASE WHEN j = 1 THEN t END)
+          + MAX(CASE WHEN j = 2 THEN t END) + MAX(CASE WHEN j = 3 THEN t END)
+          AS adc_dist
+      FROM terms GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC
+      ) AS rank FROM dist
+    ) WHERE rank <= 5
+    """,
+)
+def ivfpq_search_embeddings(spark, sf_dir):
+    """IVF-PQ cell-probed ADC SEARCH under the hash gate — with
+    ivfpq_codes_embeddings this oracle-gates the complete IVFADC
+    pipeline (encode + search). Each query probes its nprobe=2 nearest
+    cells by cosine (the assignment metric; tie → smaller cid), builds
+    per-(query, cell) residual distance tables, and scores ONLY
+    candidates stored in probed cells — the broadcast cell equi-join IS
+    the pruning. The oracle recomputes the probe ranking, the query
+    residuals, every table term with the identical expanded IEEE tree,
+    and the same left-associated 4-term sum and (dist, neighbor) tie
+    rule, so the hash pins routing, table construction, lookup, and
+    ranking together. Spark side: similarity.ivfpq_search over the
+    expression-twin encoding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.sample_centroids(emb, 8)
+    with_res = similarity.ivf_residuals(emb, cents)
+    books = similarity.pq_codebooks(with_res, m=4, n_codes=16, vec_col="__res")
+    encoded = similarity.ivfpq_encode(emb, cents, books, impl="expr")
+    queries_df = emb.filter(F.col("vec_id") < 3)
+    return similarity.ivfpq_search(
+        encoded, queries_df, cents, books, k=5, nprobe=2
     )
 
 
