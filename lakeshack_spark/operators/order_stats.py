@@ -137,7 +137,7 @@ def exact_percentiles(
     spark = df.sparkSession
     if n_partitions is None:
         n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    base, offs, n = _ranked_base(df, value_col, n_partitions)
+    base, starts, n = _ranked_base(df, value_col, n_partitions)
     try:
         if n == 0:
             return {p: None for p in ps}
@@ -152,16 +152,15 @@ def exact_percentiles(
             lo0 = int(math.floor(pos))
             specs.append((p, lo0 + 1, int(math.ceil(pos)) + 1, pos - lo0))
         # Map each needed global rank to (partition, local rank).
-        pids = sorted(offs)
-        ends = {pid: offs[pid] for pid in pids}  # start offsets
+        pids = sorted(starts)
         wanted: dict[int, list[int]] = {}
 
         def locate(rank: int) -> None:
             # partitions are rank-contiguous in pid order
             for i, pid in enumerate(pids):
-                nxt = offs[pids[i + 1]] if i + 1 < len(pids) else n
-                if ends[pid] < rank <= nxt:
-                    wanted.setdefault(pid, []).append(rank - ends[pid])
+                nxt = starts[pids[i + 1]] if i + 1 < len(pids) else n
+                if starts[pid] < rank <= nxt:
+                    wanted.setdefault(pid, []).append(rank - starts[pid])
                     return
             raise AssertionError(f"rank {rank} outside [1, {n}]")
 
@@ -171,7 +170,9 @@ def exact_percentiles(
             locate(r)
         picks = _rank_picks(base, wanted).collect()
         for row in picks:
-            global_to_val[ends[row["__pid"]] + row["__local_rank"]] = row["__x"]
+            global_to_val[starts[row["__pid"]] + row["__local_rank"]] = row[
+                "__x"
+            ]
         out: dict[float, float | None] = {}
         for p, lo, hi, frac in specs:
             xlo = global_to_val[lo]
@@ -265,12 +266,13 @@ def quantile_bins(
     qs = exact_percentiles(df, value_col, ps, n_partitions)
     bounds = [qs[p] for p in ps]
     col = F.col(value_col)
-    bin_expr = None
+    # NULL values were ignored when computing the boundaries, so they
+    # must get a NULL bin — without the leading isNull guard every
+    # `NULL <= bound` comparison is NULL and the chain would fall
+    # through to the TOP bin (self-review r6).
+    bin_expr = F.when(col.isNull(), F.lit(None))
     for i, b in enumerate(bounds):
-        cond = col <= F.lit(b)
-        bin_expr = F.when(cond, F.lit(i)) if bin_expr is None else bin_expr.when(
-            cond, F.lit(i)
-        )
+        bin_expr = bin_expr.when(col <= F.lit(b), F.lit(i))
     bin_expr = bin_expr.otherwise(F.lit(len(bounds))).cast("int")
     return df.select(
         *id_cols,

@@ -715,10 +715,37 @@ class DbApiStatsBackend(_DriverDbStatsBackend):
 
     def _ph(self) -> str:
         style = self._paramstyle
-        if style is None:
-            mod = self._module() if self._connect_factory is None else None
-            style = getattr(mod, "paramstyle", "qmark") if mod else "qmark"
-        return "?" if style == "qmark" else "%s"
+        if style is None and self.driver is not None:
+            # resolve from the driver module even when a connect_factory
+            # was injected — psycopg2/pymysql factories still speak
+            # pyformat, and hard-defaulting to qmark would hand them '?'
+            # placeholders they reject (self-review r6)
+            try:
+                import importlib
+
+                style = getattr(
+                    importlib.import_module(self.driver), "paramstyle", None
+                )
+            except ImportError:
+                style = None
+        return "?" if (style or "qmark") == "qmark" else "%s"
+
+    def _q(self, name: str) -> str:
+        """Quoted identifier: MySQL's default sql_mode parses double-
+        quoted identifiers as string literals — backticks there, ANSI
+        double quotes everywhere else (self-review r6)."""
+        if self.dialect == "mysql":
+            return f"`{name}`"
+        return f'"{name}"'
+
+    def _schema_filter(self) -> str:
+        """information_schema predicates must scope to the CURRENT
+        schema/database — a same-named table in another schema on a
+        shared server would otherwise satisfy exists() and feed
+        actual_schema foreign columns (self-review r6)."""
+        if self.dialect == "mysql":
+            return " AND table_schema = DATABASE()"
+        return " AND table_schema = current_schema()"
 
     @staticmethod
     def _commit(con) -> None:
@@ -731,7 +758,8 @@ class DbApiStatsBackend(_DriverDbStatsBackend):
         cur = con.cursor()
         cur.execute(
             "SELECT 1 FROM information_schema.tables WHERE table_name = "
-            + self._ph(),
+            + self._ph()
+            + self._schema_filter(),
             (self.TABLE,),
         )
         return bool(cur.fetchall())
@@ -745,16 +773,24 @@ class DbApiStatsBackend(_DriverDbStatsBackend):
                 raise ValueError(
                     f"stat column {f.name!r} has unmappable type {f.dataType}"
                 )
+            if self.dialect == "mysql" and decl == "VARCHAR":
+                # MySQL requires a VARCHAR length, and an indexable (PK)
+                # key must fit InnoDB's 3072-byte limit: 512 utf8mb4
+                # chars = 2048 bytes (self-review r6)
+                decl = "VARCHAR(512)"
             pk = " PRIMARY KEY" if f.name == "filepath" else ""
             null = "" if f.nullable else " NOT NULL"
-            cols.append(f'"{f.name}" {decl}{pk}{null}')
-        return f'CREATE TABLE IF NOT EXISTS "{self.TABLE}" ({", ".join(cols)})'
+            cols.append(f"{self._q(f.name)} {decl}{pk}{null}")
+        return (
+            f"CREATE TABLE IF NOT EXISTS {self._q(self.TABLE)} "
+            f"({', '.join(cols)})"
+        )
 
     def _insert(self, con, names: list[str], rows: list[tuple]) -> None:
-        cols = ", ".join(f'"{n}"' for n in names)
+        cols = ", ".join(self._q(n) for n in names)
         ph = ", ".join(self._ph() for _ in names)
         con.cursor().executemany(
-            f'INSERT INTO "{self.TABLE}" ({cols}) VALUES ({ph})', rows
+            f"INSERT INTO {self._q(self.TABLE)} ({cols}) VALUES ({ph})", rows
         )
 
     # -- contract
@@ -776,6 +812,7 @@ class DbApiStatsBackend(_DriverDbStatsBackend):
                 "SELECT column_name, data_type FROM "
                 "information_schema.columns WHERE table_name = "
                 + self._ph()
+                + self._schema_filter()
                 + " ORDER BY ordinal_position",
                 (self.TABLE,),
             )
@@ -801,11 +838,11 @@ class DbApiStatsBackend(_DriverDbStatsBackend):
         if actual is None:
             return pa.table({})
         names = [f.name for f in actual.fields]
-        cols = ", ".join(f'"{n}"' for n in names)
+        cols = ", ".join(self._q(n) for n in names)
         con = self._connect()
         try:
             cur = con.cursor()
-            cur.execute(f'SELECT {cols} FROM "{self.TABLE}"')
+            cur.execute(f"SELECT {cols} FROM {self._q(self.TABLE)}")
             rows = cur.fetchall()
         finally:
             con.close()
@@ -837,7 +874,7 @@ class DbApiStatsBackend(_DriverDbStatsBackend):
         con = self._connect()
         try:
             cur = con.cursor()
-            cur.execute(f'DROP TABLE IF EXISTS "{self.TABLE}"')
+            cur.execute(f"DROP TABLE IF EXISTS {self._q(self.TABLE)}")
             cur.execute(self._ddl())
             self._insert(con, names, rows)
             self._commit(con)
@@ -848,7 +885,7 @@ class DbApiStatsBackend(_DriverDbStatsBackend):
     def drop(self) -> None:
         con = self._connect()
         try:
-            con.cursor().execute(f'DROP TABLE IF EXISTS "{self.TABLE}"')
+            con.cursor().execute(f"DROP TABLE IF EXISTS {self._q(self.TABLE)}")
             self._commit(con)
         finally:
             con.close()

@@ -49,17 +49,40 @@ def _state_subdirs(spark: SparkSession, root: str) -> list[str]:
 
 def _compact_state_store(spark: SparkSession, root: str, batch_id: int) -> None:
     """Consolidate every ``batch-*``/``compact-*`` subdir of ``root`` into
-    one ``compact-<batch_id>`` dir, then delete the inputs. Content is
-    append-only state, so the rewrite is a pure re-layout; ``distinct()``
-    also clears any duplicate rows a prior crash-between-write-and-delete
-    left behind (duplicates are read-harmless in the meantime — the probe
-    path distincts its candidates — so every crash window is safe: state
-    content is never deleted before its consolidated copy is fully
-    written)."""
-    target = f"{root}/compact-{batch_id:05d}"
-    olds = [d for d in _state_subdirs(spark, root) if not d.endswith(
-        f"compact-{batch_id:05d}"
-    )]
+    one NEW ``compact-<batch_id>[-rK]`` dir, then delete the inputs.
+    Content is append-only state, so the rewrite is a pure re-layout;
+    ``distinct()`` also clears any duplicate rows a prior
+    crash-between-write-and-delete left behind (duplicates are
+    read-harmless in the meantime — the probe path distincts its
+    candidates).
+
+    Crash safety hinges on two invariants: (1) the target is a FRESH name
+    never equal to an input — a replayed batch re-compacting after a
+    partial delete must read the previous target as an input, not
+    overwrite it (overwriting from the surviving inputs would discard the
+    only copy of content whose source dirs were already deleted); the
+    ``-rK`` suffix keeps replay targets unique while still matching the
+    ``compact-*`` read glob. (2) Inputs are deleted only AFTER the
+    superset copy is fully written under a glob-visible name — so every
+    crash window leaves the state content-complete (possibly duplicated,
+    never lost)."""
+    existing = _state_subdirs(spark, root)
+    # compare by BASENAME: the Hadoop listing returns scheme-qualified
+    # URIs (file:/...) while root is a plain path — a full-string compare
+    # would never match, the target would collide with an existing dir,
+    # and the overwrite-then-delete would destroy the store
+    names = {d.rstrip("/").rsplit("/", 1)[-1] for d in existing}
+    target_name = f"compact-{batch_id:05d}"
+    k = 0
+    while target_name in names:
+        k += 1
+        target_name = f"compact-{batch_id:05d}-r{k}"
+    target = f"{root}/{target_name}"
+    olds = [
+        d
+        for d in existing
+        if d.rstrip("/").rsplit("/", 1)[-1] != target_name
+    ]
     if len(olds) <= 1:
         return
     spark.read.parquet(*olds).distinct().write.mode("overwrite").parquet(target)

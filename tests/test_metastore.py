@@ -464,6 +464,47 @@ def test_dbapi_url_routing_and_guided_errors(spark):
         DbApiStatsBackend(spark, "nosuchdialect://host/db")
 
 
+def test_dbapi_mysql_dialect_sql(spark):
+    """Self-review r6: the advertised mysql:// route must emit SQL a
+    default-configured MySQL server accepts — backtick identifiers (no
+    ANSI_QUOTES assumption), VARCHAR with a length (PK-indexable under
+    InnoDB's 3072-byte cap), DATABASE()-scoped information_schema
+    lookups — and pyformat placeholders from pymysql's paramstyle even
+    though the module is absent here (paramstyle may be passed
+    explicitly when the driver cannot be imported)."""
+    from pyspark.sql import types as T
+
+    from lakeshack_spark.stats_backends import DbApiStatsBackend
+
+    b = DbApiStatsBackend(
+        spark, "mysql://u@host/db", connect_factory=lambda: None,
+        paramstyle="pyformat",
+    )
+    b.bind(
+        T.StructType(
+            [
+                T.StructField("filepath", T.StringType(), False),
+                T.StructField("id_min", T.LongType(), True),
+                T.StructField("ts_min", T.TimestampType(), True),
+            ]
+        )
+    )
+    ddl = b._ddl()
+    assert "`file_stats`" in ddl and '"' not in ddl
+    assert "`filepath` VARCHAR(512) PRIMARY KEY NOT NULL" in ddl
+    assert b._ph() == "%s"
+    assert b._schema_filter() == " AND table_schema = DATABASE()"
+    # the generic (postgres/duckdb) dialect keeps ANSI quoting and
+    # current_schema() scoping
+    g = DbApiStatsBackend(
+        spark, "postgresql+duckdb:///x", paramstyle="qmark"
+    )
+    g.bind(b.stats_schema)
+    assert '"file_stats"' in g._ddl() and "`" not in g._ddl()
+    assert "VARCHAR PRIMARY KEY" in g._ddl()
+    assert g._schema_filter() == " AND table_schema = current_schema()"
+
+
 def test_dbapi_store_matches_parquet_store(spark, sales_fixture, tmp_path_factory):
     """The generic DB-API backend (over DuckDB's DB-API module) produces
     identical stats rows and identical pruning to the Parquet backend —

@@ -126,6 +126,17 @@ class TestQuantileBins:
             expect = 0 if v <= q1 else 1 if v <= q2 else 2 if v <= q3 else 3
             assert rows[i]["bin"] == expect, (i, v)
 
+    def test_null_values_get_null_bin_not_top_bin(self, spark):
+        """Self-review r6: NULLs are ignored for the boundaries, so they
+        must not silently land in the top bin via NULL-comparison
+        fall-through."""
+        df = spark.createDataFrame(
+            [(0, 10), (1, None), (2, 90)], "id long, cents long"
+        )
+        out = order_stats.quantile_bins(df, "cents", ["id"], n_partitions=2)
+        rows = {r["id"]: r["bin"] for r in out.collect()}
+        assert rows[1] is None and rows[0] == 0 and rows[2] == 3
+
     def test_custom_ps_bin_count(self, spark):
         df = _cents_df(spark, list(range(100)))
         out = order_stats.quantile_bins(

@@ -593,6 +593,40 @@ def test_stream_ingest_deduped_state_compaction(spark, tmp_path_factory):
     assert n_seen == 120
 
 
+def test_state_compaction_replay_never_loses_consolidated_content(
+    spark, tmp_path_factory
+):
+    """The crash-replay window the first cut got wrong (self-review r6):
+    after a compaction that deleted some inputs, a replayed batch
+    re-compacts with the previous target still present — the previous
+    target must be READ AS AN INPUT (its content's source dirs are gone)
+    and the new target must be a fresh -rK name, never an overwrite of
+    the old one."""
+    from lakeshack_spark.streaming.ingest import (
+        _compact_state_store,
+        _state_subdirs,
+    )
+
+    root = str(tmp_path_factory.mktemp("cmp_crash") / "index")
+    spark.range(0, 1).write.parquet(f"{root}/batch-00000")
+    spark.range(1, 2).write.parquet(f"{root}/batch-00001")
+    _compact_state_store(spark, root, 1)
+    assert [d.rsplit("/", 1)[-1] for d in _state_subdirs(spark, root)] == [
+        "compact-00001"
+    ]
+    # replay after a crash mid-delete: the batch rewrites its own dir,
+    # the earlier batch's only copy now lives inside compact-00001
+    spark.range(1, 2).write.parquet(f"{root}/batch-00001")
+    _compact_state_store(spark, root, 1)
+    subs = [d.rsplit("/", 1)[-1] for d in _state_subdirs(spark, root)]
+    assert subs == ["compact-00001-r1"], subs
+    got = {
+        r["id"]
+        for r in spark.read.parquet(f"{root}/compact-*").collect()
+    }
+    assert got == {0, 1}, got  # batch-00000's content survived the replay
+
+
 def test_streaming_heavy_hitters_no_truncation_matches_exact(
     spark, tmp_path_factory
 ):
