@@ -4562,6 +4562,53 @@ def ivfpq_codes_embeddings(spark, sf_dir):
 
 
 @register(
+    "interval_join_click_purchase",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+      FROM events
+    )
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(p.us - c.us AS BIGINT) AS gap_us
+    FROM e c JOIN e p ON c.user_id = p.user_id
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND p.us > c.us AND p.us <= c.us + 1800000000
+    """,
+)
+def interval_join_click_purchase(spark, sf_dir):
+    """Event-time INTERVAL JOIN (streaming.joins.interval_join, batch
+    twin): every purchase by the same user strictly within 30 minutes
+    after a click — the stream-stream attribution shape, run here on
+    batch frames so DuckDB can oracle it; the streaming path (watermarks
+    on both sides bounding join state) is pinned stream ≡ batch in
+    tests/test_streaming.py. Interval arithmetic on µs timestamps is
+    exact integer µs addition, so the oracle works in ``epoch_ns // 1000``
+    integer space (generation-proof across the nanos/µs events flavors);
+    the gap is output as integer µs, never a raw timestamp."""
+    from lakeshack_spark.streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_utc"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_utc"
+    )
+    j = interval_join(
+        clicks, purchases, "user_id", "30 minutes", watermark=None
+    )
+    return j.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_r").alias("purchase_id"),
+        (F.unix_micros(F.col("ts_utc_r")) - F.unix_micros(F.col("ts_utc")))
+        .alias("gap_us"),
+    )
+
+
+@register(
     "ivfpq_search_embeddings",
     f"""
     WITH {_IVFPQ_BASE_SQL}, q AS (

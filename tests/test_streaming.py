@@ -122,6 +122,42 @@ def test_dedup_within_watermark_stream(spark, events_stream_dir):
     assert got_df.count() == want
 
 
+def test_interval_join_stream_matches_batch(spark, events_stream_dir):
+    """Stream-stream interval join ≡ batch interval join, row for row.
+    Both sides are unbounded streams; watermarks make the inner join
+    plannable and bound its state. availableNow drains the file source,
+    so every in-watermark pair must be emitted — the pair set and gaps
+    must equal the batch twin exactly."""
+    from lakeshack_spark.streaming.joins import interval_join
+
+    batch, stream = _events_stream(spark, events_stream_dir)
+
+    def split(ev):
+        c = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "event_id", "ts_utc"
+        )
+        p = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts_utc"
+        )
+        return c, p
+
+    def pairs(df):
+        return {
+            (r["user_id"], r["event_id"], r["event_id_r"]) for r in df.collect()
+        }
+
+    bc, bp = split(batch)
+    want = pairs(interval_join(bc, bp, "user_id", "30 minutes", watermark=None))
+    sc, sp = split(stream)
+    got_df = _run_stream_to_memory(
+        spark,
+        interval_join(sc, sp, "user_id", "30 minutes", watermark="10 hours"),
+        "ij_mem",
+    )
+    got = pairs(got_df)
+    assert got == want and len(want) > 0
+
+
 def test_stateful_running_user_stats(spark, events_stream_dir):
     """applyInPandasWithState (streaming) converges to the same final
     per-user stats as the batch pass; with multiple micro-batches the
