@@ -4882,7 +4882,7 @@ _DRIVER_WINDOW = [
     "unpivot_order_measures",
     "string_agg_region_nations",
     "right_outer_order_lineitems",
-    "funnel_signup_click_purchase",
+    "interval_join_click_purchase",
     "range_join_user_windows",
     "grouped_ols_slope_customers",
     "udtf_ngram_stats",
