@@ -111,3 +111,48 @@ def stratified_sample(
             F.lit(int(frac * _BUCKETS)),
         ).otherwise(bound)
     return df.filter(bucket < bound)
+
+
+def stratified_take_n(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    key_col: str,
+    label: str = "take_n",
+) -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum value, chosen by
+    deterministic hash rank (md5 of ``label:stratum|key``, ties broken by
+    key). Adds ``sample_rank`` (1-based within the stratum).
+
+    The fraction operators above cannot guarantee a per-stratum COUNT;
+    this one does — "exactly 10k held-out docs per language". The hash
+    ordering keeps the choice stable across runs/partitionings AND
+    nested: a stratum's top-n is always a prefix of its top-2n, so
+    growing the eval set never swaps out existing members.
+
+    100 TB shape: expressed as row_number over (stratum, hash) so
+    Catalyst plans a WindowGroupLimit pair — each map task keeps only its
+    local top-n per stratum BEFORE the exchange (Partial mode), so the
+    shuffle carries O(tasks · strata · n) rows instead of the table, and
+    the Final limit + window run over that bounded set. Plan-pinned in
+    tests/test_plans.py.
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    from pyspark.sql import Window
+
+    from lakeshack_spark.operators.dedup import _h64
+
+    h = _h64(
+        F.concat(
+            F.lit(label),
+            F.lit(":"),
+            F.col(strata_col).cast("string"),
+            F.lit("|"),
+            F.col(key_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return df.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= n
+    )

@@ -194,10 +194,13 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    keep_block: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ).
     ``block_col`` (e.g. a coarse LSH bucket or label) bounds the join; at
-    scale feed IVF cell assignments as the block."""
+    scale feed IVF cell assignments as the block. ``keep_block`` adds the
+    shared block value as a fourth output column (both sides are equal by
+    the join condition, so one copy suffices)."""
     cols = [F.col(id_col), F.col(vec_col)]
     if block_col:
         cols.append(F.col(block_col))
@@ -209,18 +212,78 @@ def embedding_near_dup_pairs(
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
-    return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            (
-                dot_d(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-                / (F.col("a.__n") * F.col("b.__n"))
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    out_cols = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        (
+            dot_d(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+            / (F.col("a.__n") * F.col("b.__n"))
+        ).alias("cosine"),
+    ]
+    if block_col and keep_block:
+        out_cols.append(F.col(f"a.{block_col}").alias(block_col))
+    return a.join(b, cond).select(*out_cols).filter(F.col("cosine") >= threshold)
+
+
+def semantic_dedup_drops(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup drop report (Abbas et al. 2023, "SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): cluster the
+    embeddings around ``centroids`` (:func:`ivf_assign`, map-only literal
+    argmax), then WITHIN each cluster mark every vector that has a
+    cosine-≥-τ neighbor with a smaller id as a drop — the keep-earliest
+    rule over the pairwise near-dup relation, the same survivor
+    convention as the MinHash drop set.
+
+    Returns one row per dropped vector: ``(vec_id, cell, n_witnesses,
+    max_cosine, min_witness)`` — witness stats are deterministic
+    aggregates (count / float max / id min), never an order-dependent
+    float sum.
+
+    100 TB shape: the pair join is equi-keyed on the cluster id, so work
+    is Σ|cell|² — SemDeDup's own design bounds |cell| by scaling the
+    cluster count with n (clusters ≈ n / target_cell_size), keeping the
+    per-cell quadratic a constant and the whole pass linear. No all-pairs
+    join exists at any scale; the cell id rides the shuffle instead of
+    the raw text/vector crossing it twice.
+    """
+    assigned = ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+    pairs = embedding_near_dup_pairs(
+        assigned,
+        threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cell",
+        keep_block=True,
     )
+    return pairs.groupBy(
+        F.col("id_b").alias(id_col), F.col("cell")
+    ).agg(
+        F.count("*").alias("n_witnesses"),
+        F.max("cosine").alias("max_cosine"),
+        F.min("id_a").alias("min_witness"),
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup survivors: the input minus :func:`semantic_dedup_drops`
+    (left-anti on the id). Within every near-dup pair the smaller id
+    always survives; a cluster's earliest member is never dropped."""
+    drops = semantic_dedup_drops(
+        vectors, centroids, threshold, id_col=id_col, vec_col=vec_col
+    ).select(id_col)
+    return vectors.join(drops, on=id_col, how="left_anti")
 
 
 def ivf_assign(

@@ -3779,6 +3779,65 @@ def ivf_assign_cells(spark, sf_dir):
 
 
 @register(
+    "semdedup_embeddings",
+    """
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS centroid_id,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id ASC LIMIT 64)
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+      FROM v e CROSS JOIN c
+    ), best AS (
+      SELECT vec_id, centroid_id AS cell FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (
+                 PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC
+               ) AS rn
+        FROM scored) WHERE rn = 1
+    ), pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib, a.cell AS cell,
+             list_dot_product(va.v, vb.v)
+               / (sqrt(list_dot_product(va.v, va.v))
+                  * sqrt(list_dot_product(vb.v, vb.v))) AS cosine
+      FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+    )
+    SELECT ib AS vec_id, cell,
+           COUNT(*) AS n_witnesses,
+           MAX(cosine) AS max_cosine,
+           MIN(ia) AS min_witness
+    FROM pairs WHERE cosine >= CAST(0.4 AS DOUBLE)
+    GROUP BY ib, cell
+    """,
+)
+def semdedup_embeddings(spark, sf_dir):
+    """SemDeDup (operators.similarity.semantic_dedup_drops) under the
+    hash gate: cluster embeddings around the 64 smallest-id seed vectors
+    (the sample_centroids rule, assignment already pinned by
+    ivf_assign_cells), then within each cluster drop every vector with a
+    cosine-≥-0.4 smaller-id neighbor. The oracle IS the naive
+    cross-join+argmax assignment plus the full within-cell pair join; the
+    Spark side is the map-only literal argmax plus the cell-equi-keyed
+    pair join (never all-pairs) — agreement pins assignment, blocked-join
+    completeness, the keep-earliest drop rule, and the witness stats
+    (count / IEEE float max / id min, all order-independent; the cosine
+    expression tree — one dot, two sqrt-norms multiplied, one divide —
+    is the same sequential fold on both engines). τ = 0.4 is data-tuned
+    so the synthetic corpus yields real drops at every shipped SF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.sample_centroids(emb, 64)
+    return similarity.semantic_dedup_drops(emb, centroids, threshold=0.4)
+
+
+@register(
     "quantized_embedding_stats",
     """
     WITH q AS (
@@ -4104,6 +4163,39 @@ def mixture_sample_counts(spark, sf_dir):
     return out.groupBy("source").agg(
         F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_sum")
     )
+
+
+@register(
+    "stratified_take_docs",
+    """
+    WITH h AS (
+      SELECT doc_id, lang,
+        {h64} AS hv
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rank AS INTEGER) AS sample_rank FROM (
+      SELECT doc_id, lang, row_number() OVER (
+        PARTITION BY lang ORDER BY hv ASC, doc_id ASC) AS rank
+      FROM h
+    ) WHERE rank <= 20
+    """.format(
+        h64=_H64_SQL.format(
+            x="'take_n:' || lang || '|' || CAST(doc_id AS VARCHAR)"
+        )
+    ),
+)
+def stratified_take_docs(spark, sf_dir):
+    """Exact-count stratified sampling under the hash gate
+    (operators.sampling.stratified_take_n): exactly min(20, |stratum|)
+    documents per language, chosen by portable md5 rank with doc_id
+    tie-break, reproduced row-for-row (ids AND ranks) by the DuckDB
+    row_number oracle. The Spark side plans a WindowGroupLimit pair —
+    map tasks keep a local top-20 per language before the exchange, so
+    the shuffle is O(tasks · strata · n), not the corpus (plan-pinned in
+    tests/test_plans.py); the oracle is the naive full window."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.stratified_take_n(docs, "lang", 20, "doc_id")
+    return out.select("doc_id", "lang", "sample_rank")
 
 
 @register(

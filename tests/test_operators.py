@@ -534,6 +534,44 @@ def test_srp_cosines_match_bruteforce_exactly(spark, vecs_with_dups):
         assert cos == brute[pair], pair  # same fold order → bit-identical
 
 
+def test_semantic_dedup_keep_earliest(spark, vecs_with_dups):
+    """SemDeDup drop report ≡ the independently computed within-cell
+    pair relation; survivors partition the input with drops; witness
+    stats exact; keep-earliest means no surviving within-cell pair is
+    above threshold."""
+    cents = similarity.sample_centroids(vecs_with_dups, 4)
+    drops = similarity.semantic_dedup_drops(vecs_with_dups, cents, threshold=0.99)
+    drop_rows = {r.vec_id: r for r in drops.collect()}
+    assigned = {
+        r.vec_id: r.cell
+        for r in similarity.ivf_assign(vecs_with_dups, cents).collect()
+    }
+    pairs = [
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.embedding_near_dup_pairs(
+            vecs_with_dups, threshold=0.99
+        ).collect()
+        if assigned[r.id_a] == assigned[r.id_b]
+    ]
+    want = {b for _, b, _ in pairs}
+    # planted near-identical dups land in their original's cell → drops
+    assert set(drop_rows) == want and want
+    for b, r in drop_rows.items():
+        ws = [(a, c) for a, bb, c in pairs if bb == b]
+        assert r.n_witnesses == len(ws)
+        assert r.min_witness == min(a for a, _ in ws)
+        assert r.max_cosine == max(c for _, c in ws)
+        assert r.cell == assigned[b]
+    surv = {
+        r.vec_id
+        for r in similarity.semantic_dedup(
+            vecs_with_dups, cents, threshold=0.99
+        ).collect()
+    }
+    assert surv | set(drop_rows) == set(assigned)
+    assert surv.isdisjoint(drop_rows)
+
+
 # ------------------------------- property: repetition mode-scan vs python
 
 

@@ -396,3 +396,30 @@ def test_pq_adc_stored_codes_scan_never_reads_vectors(spark, tmp_path):
     # appear (a bare Window node-count is vacuous in formatted explain,
     # which prints every node twice)
     assert "__part" in plans.explain_str(out)
+
+
+def test_stratified_take_has_window_group_limit(spark):
+    """stratified_take_n must plan a WindowGroupLimit PAIR: a Partial
+    limit below the stratum Exchange (map tasks pre-trim to their local
+    top-n per stratum, so the shuffle carries O(tasks·strata·n) rows,
+    never the corpus) and a Final limit above it."""
+    s = q("stratified_take_docs", spark)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in s
+    assert "Partial" in s and "Final" in s
+    # Partial must sit BELOW the exchange: last WindowGroupLimit mention
+    # (deepest plan line) follows the Exchange line in toString order.
+    lines = [l for l in s.splitlines() if "WindowGroupLimit" in l or "Exchange" in l]
+    kinds = ["P" if "Partial" in l else "F" if "Final" in l else "E" for l in lines]
+    assert kinds == ["F", "E", "P"], lines
+
+
+def test_semdedup_pair_join_is_cell_keyed(spark):
+    """SemDeDup's pair join must be equi-keyed on the cluster id — never
+    a CartesianProduct / BroadcastNestedLoop (the all-pairs scale
+    killer). The cell id is the block that bounds the quadratic."""
+    s = q("semdedup_embeddings", spark)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoop" not in s
+    join_lines = [l for l in s.splitlines() if "Join [cell" in l or "Join cell" in l
+                  or ("Join" in l and "cell" in l)]
+    assert join_lines, s

@@ -95,3 +95,35 @@ def test_bad_args(spark, docs):
         sampling.hash_split(docs, "doc_id", {})
     with pytest.raises(ValueError):
         sampling.deterministic_sample(docs, "doc_id", 1.5)
+
+
+def test_stratified_take_n_counts_and_nesting(spark, docs):
+    out = sampling.stratified_take_n(docs, "lang", 5, "doc_id")
+    rows = out.select("doc_id", "lang", "sample_rank").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.lang, []).append((r.sample_rank, r.doc_id))
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, got in per.items():
+        # exactly min(n, |stratum|), ranks are 1..k with no gaps
+        assert len(got) == min(5, sizes[lang])
+        assert sorted(rank for rank, _ in got) == list(range(1, len(got) + 1))
+    # nesting: top-5 is a prefix of top-10 (same hash ordering)
+    bigger = {
+        (r.lang, r.doc_id)
+        for r in sampling.stratified_take_n(docs, "lang", 10, "doc_id").collect()
+    }
+    assert {(l, d) for l, v in per.items() for _, d in v} <= bigger
+    # stability across repartitionings
+    again = {
+        (r.lang, r.doc_id, r.sample_rank)
+        for r in sampling.stratified_take_n(
+            docs.repartition(7), "lang", 5, "doc_id"
+        ).collect()
+    }
+    assert again == {(r.lang, r.doc_id, r.sample_rank) for r in rows}
+
+
+def test_stratified_take_n_rejects_bad_n(spark, docs):
+    with pytest.raises(ValueError):
+        sampling.stratified_take_n(docs, "lang", 0, "doc_id")
