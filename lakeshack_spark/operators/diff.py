@@ -91,3 +91,89 @@ def table_diff(
             "new_fp",
         )
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    update_cols: list[str] | None = None,
+    delete_col: str | None = None,
+    insert: bool = True,
+) -> DataFrame:
+    """Delta-style MERGE (the CDC apply: WHEN MATCHED UPDATE / WHEN
+    MATCHED AND flag DELETE / WHEN NOT MATCHED INSERT) as ONE relational
+    expression over a null-safe full-outer key join. Returns a frame
+    with exactly the target's schema:
+
+    - matched, source ``delete_col`` true  -> row dropped
+    - matched otherwise                    -> target row with
+      ``update_cols`` taken from the source (default: every shared
+      non-key column)
+    - unmatched target                     -> unchanged
+    - unmatched source                     -> inserted when ``insert``
+      (delete-flagged unmatched rows are ignored, the idempotent-replay
+      convention for CDC feeds)
+
+    Source keys must be unique — multiple matches per target key make
+    MERGE ill-defined (Delta raises at runtime; pre-aggregate the batch
+    to latest-per-key first). The key join is NULL-SAFE, matching
+    :func:`table_diff`'s convention.
+
+    Scale shape: each side shuffles ONCE on the key; every output value
+    is a map-side when/otherwise after the join — no window, no second
+    pass, no driver round trip. A small CDC batch against a huge target
+    broadcasts under AQE like any dimension. The reference engine has no
+    write-path mutation surface; this is the lakehouse-standard
+    MERGE INTO semantics (Delta/Iceberg), the apply-side twin of
+    :func:`table_diff`.
+    """
+    if update_cols is None:
+        tset = set(target.columns)
+        update_cols = [
+            c for c in source.columns if c in tset and c not in key_cols
+        ]
+    src_set = set(source.columns)
+    if insert:
+        missing = [c for c in target.columns if c not in src_set]
+        if missing:
+            raise ValueError(
+                f"insert=True requires the source to carry every target "
+                f"column; missing: {missing}"
+            )
+    t = target.select(
+        F.lit(True).alias("__t_present"),
+        *[F.col(c).alias(f"__t_{c}") for c in target.columns],
+    )
+    s = source.select(
+        F.lit(True).alias("__s_present"),
+        *[F.col(c).alias(f"__s_{c}") for c in source.columns],
+    )
+    cond = None
+    for c in key_cols:
+        e = F.col(f"__t_{c}").eqNullSafe(F.col(f"__s_{c}"))
+        cond = e if cond is None else cond & e
+    j = t.join(s, cond, "full_outer")
+    tp = F.coalesce(F.col("__t_present"), F.lit(False))
+    sp = F.coalesce(F.col("__s_present"), F.lit(False))
+    if delete_col is not None:
+        del_flag = F.coalesce(F.col(f"__s_{delete_col}"), F.lit(False))
+    else:
+        del_flag = F.lit(False)
+    keep = (
+        F.when(tp & sp, ~del_flag)
+        .when(tp, F.lit(True))
+        .otherwise(F.lit(insert) & ~del_flag)
+    )
+    out = []
+    for c in target.columns:
+        if c in src_set and c in update_cols:
+            # matched update AND insert both read the source value
+            val = F.when(sp, F.col(f"__s_{c}")).otherwise(F.col(f"__t_{c}"))
+        elif c in src_set:
+            # keys / non-updated columns: target wins when present
+            val = F.when(tp, F.col(f"__t_{c}")).otherwise(F.col(f"__s_{c}"))
+        else:
+            val = F.col(f"__t_{c}")
+        out.append(val.alias(c))
+    return j.filter(keep).select(*out)

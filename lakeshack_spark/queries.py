@@ -2505,6 +2505,65 @@ def table_diff_orders(spark, sf_dir):
 
 
 @register(
+    "merge_upsert_orders",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    ), mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM t)
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderkey % 100 = 7
+                THEN o_totalprice + CAST(10.0 AS DOUBLE)
+                ELSE o_totalprice END AS o_totalprice
+    FROM t
+    WHERE o_orderkey % 100 <> 13
+    UNION ALL
+    SELECT o_orderkey + m AS o_orderkey, o_custkey,
+           'I' AS o_orderstatus,
+           o_totalprice * CAST(0.5 AS DOUBLE) AS o_totalprice
+    FROM t, mx WHERE o_orderkey % 100 = 21
+    """,
+)
+def merge_upsert_orders(spark, sf_dir):
+    """Delta-style MERGE INTO (operators.diff.merge_upsert) under the
+    hash gate: a deterministic CDC batch against orders — every 7th-mod
+    key updated (+10 totalprice), every 13th-mod deleted, every 21st-mod
+    re-keyed past max(key)+1 and inserted at half price with status 'I'.
+    One null-safe full-outer key join, all row construction map-side;
+    the oracle rebuilds the final table with plain set logic (keep ∪
+    updates ∪ inserts), so the hash match pins matched-update,
+    matched-delete, unmatched-keep, and not-matched-insert semantics
+    row-for-row, including exact IEEE double arithmetic on the updated
+    prices. Insert keys derive from max(key)+1, never a fixed offset."""
+    from lakeshack_spark.operators.diff import merge_upsert
+
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    mx = t.agg((F.max("o_orderkey") + 1).alias("__mx"))
+    upd = (
+        t.filter(F.col("o_orderkey") % 100 == 7)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+        .withColumn("is_delete", F.lit(False))
+    )
+    dele = t.filter(F.col("o_orderkey") % 100 == 13).withColumn(
+        "is_delete", F.lit(True)
+    )
+    ins = (
+        t.filter(F.col("o_orderkey") % 100 == 21)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("__mx")).alias("o_orderkey"),
+            "o_custkey",
+            F.lit("I").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+            F.lit(False).alias("is_delete"),
+        )
+    )
+    source = upd.unionByName(dele).unionByName(ins)
+    return merge_upsert(t, source, ["o_orderkey"], delete_col="is_delete")
+
+
+@register(
     "gap_fill_daily_spend",
     """
     WITH obs AS (

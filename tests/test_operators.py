@@ -1958,6 +1958,69 @@ def test_table_diff_null_keys_match_null_safely(spark):
     assert rows[0].k is None and rows[0].status == "changed"
 
 
+def test_merge_upsert_full_semantics(spark):
+    """MERGE: matched update, matched delete, unmatched-target keep,
+    not-matched insert, delete-flagged unmatched source ignored."""
+    from lakeshack_spark.operators.diff import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        ["k", "s", "v"],
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "B", 99, False),   # matched -> update
+            (3, "c", 30, True),    # matched -> delete
+            (5, "e", 50, False),   # unmatched -> insert
+            (6, "f", 60, True),    # unmatched delete -> ignored
+        ],
+        ["k", "s", "v", "is_delete"],
+    )
+    got = {
+        r.k: (r.s, r.v)
+        for r in merge_upsert(target, source, ["k"], delete_col="is_delete").collect()
+    }
+    assert got == {1: ("a", 10), 2: ("B", 99), 4: ("d", 40), 5: ("e", 50)}
+
+
+def test_merge_upsert_update_subset_and_no_insert(spark):
+    """Explicit update_cols leaves other columns at their target values;
+    insert=False drops unmatched source rows and tolerates a source
+    missing target columns."""
+    from lakeshack_spark.operators.diff import merge_upsert
+
+    target = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ["k", "s", "v"])
+    source = spark.createDataFrame([(1, 99), (7, 70)], ["k", "v"])
+    got = {
+        r.k: (r.s, r.v)
+        for r in merge_upsert(
+            target, source, ["k"], update_cols=["v"], insert=False
+        ).collect()
+    }
+    assert got == {1: ("a", 99), 2: ("b", 20)}
+
+
+def test_merge_upsert_insert_requires_full_schema(spark):
+    from lakeshack_spark.operators.diff import merge_upsert
+
+    target = spark.createDataFrame([(1, "a", 10)], ["k", "s", "v"])
+    source = spark.createDataFrame([(1, 99)], ["k", "v"])
+    with pytest.raises(ValueError, match="missing"):
+        merge_upsert(target, source, ["k"])
+
+
+def test_merge_upsert_null_safe_keys(spark):
+    """A NULL-keyed source row must MATCH a NULL-keyed target row (one
+    updated survivor), not insert a duplicate."""
+    from lakeshack_spark.operators.diff import merge_upsert
+
+    target = spark.createDataFrame([(None, "a"), (1, "x")], "k int, s string")
+    source = spark.createDataFrame([(None, "A")], "k int, s string")
+    rows = merge_upsert(target, source, ["k"]).collect()
+    got = {r.k: r.s for r in rows}
+    assert len(rows) == 2 and got == {None: "A", 1: "x"}
+
+
 def test_ivf_assign_arrow_reassign_and_zero_centroid(spark):
     """Re-assigning an already-assigned frame replaces the cell column
     (the drop-in-twin contract); zero-norm centroids are rejected."""
