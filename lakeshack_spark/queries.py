@@ -2287,6 +2287,48 @@ def right_outer_order_lineitems(spark, sf_dir):
 
 
 @register(
+    "bpe_pair_counts_docs",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ), v AS (
+      SELECT w, COUNT(*) AS wc FROM w WHERE len(w) >= 2 GROUP BY w
+    ), p AS (
+      SELECT substr(w, i, 1) AS pair_left, substr(w, i + 1, 1) AS pair_right,
+             wc
+      FROM v, unnest(generate_series(1, len(w) - 1)) AS t(i)
+    )
+    SELECT pair_left, pair_right, CAST(SUM(wc) AS BIGINT) AS n
+    FROM p GROUP BY pair_left, pair_right
+    ORDER BY n DESC, pair_left ASC, pair_right ASC
+    LIMIT 50
+    """,
+)
+def bpe_pair_counts_docs(spark, sf_dir):
+    """BPE tokenizer training, round-0 pair statistics (operators.bpe):
+    the top-50 corpus-weighted adjacent character pairs — the quantity
+    whose argmax IS the first merge. The Spark side is histogram-first
+    (corpus reduces once to the word histogram; pair counting runs over
+    the VOCAB weighted by counts — the reduction real BPE trainers live
+    on); the oracle re-derives the same counts from a naive
+    unnest-per-position over the DuckDB word histogram. Total order
+    (n DESC, pair ASC) with the pair itself as the unique tiebreaker
+    under the LIMIT, per the registry convention. The iterative trainer
+    (bpe.bpe_train: argmax + left-to-right non-overlapping merge fold,
+    one bounded vocab aggregate per round) is pinned against a
+    pure-Python reference in tests/test_operators.py."""
+    from lakeshack_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = bpe.initial_symbols(bpe.word_histogram(docs, "text"))
+    return (
+        bpe.pair_counts(vocab)
+        .orderBy(F.desc("n"), F.asc("pair_left"), F.asc("pair_right"))
+        .limit(50)
+    )
+
+
+@register(
     "vocab_encode_docs",
     """
     WITH d AS (

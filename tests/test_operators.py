@@ -1958,6 +1958,77 @@ def test_table_diff_null_keys_match_null_safely(spark):
     assert rows[0].k is None and rows[0].status == "changed"
 
 
+def _py_bpe(word_counts, n_merges, min_count=2):
+    """Reference BPE: greedy argmax with (count desc, left, right)
+    tie-break; left-to-right non-overlapping merge."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_counts[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), n = best
+        if n < min_count:
+            break
+        merges.append((l, r, n))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Distributed BPE ≡ the canonical greedy trainer: same merge
+    sequence (incl. counts) and same final symbolization, on a corpus
+    with overlap traps ('aaaa'), ties, and repeated words."""
+    from lakeshack_spark.operators import bpe
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "aaaa aa baa aab",
+        "low new wide wider",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wc = {}
+    for t in texts:
+        for w in t.split(" "):
+            wc[w] = wc.get(w, 0) + 1
+    want_merges, want_vocab = _py_bpe(wc, 8)
+    got_merges, got_vocab = bpe.bpe_train(docs, 8, checkpoint_every=3)
+    assert got_merges == want_merges
+    got_syms = {r.w: list(r.syms) for r in got_vocab.collect()}
+    assert got_syms == want_vocab
+    got_counts = {r.w: r.wc for r in got_vocab.collect()}
+    assert got_counts == wc
+    got_vocab.unpersist()
+
+
+def test_bpe_apply_merge_overlap_rule(spark):
+    """'aaa' + (a,a) -> [aa, a]; 'aaaa' -> [aa, aa] (left-to-right
+    non-overlapping, the canonical scan)."""
+    from lakeshack_spark.operators import bpe
+
+    docs = spark.createDataFrame([(0, "aaa aaaa ab")], "doc_id long, text string")
+    vocab = bpe.initial_symbols(bpe.word_histogram(docs, "text"))
+    merged = bpe.apply_merge(vocab, "a", "a")
+    got = {r.w: list(r.syms) for r in merged.collect()}
+    assert got == {"aaa": ["aa", "a"], "aaaa": ["aa", "aa"], "ab": ["a", "b"]}
+
+
 def test_merge_upsert_full_semantics(spark):
     """MERGE: matched update, matched delete, unmatched-target keep,
     not-matched insert, delete-flagged unmatched source ignored."""
