@@ -166,3 +166,78 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    n_iter: int = 10,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    damping_pct: int = 85,
+    scale: int = 10**9,
+) -> DataFrame:
+    """PageRank over the undirected (symmetrized) graph, in EXACT
+    integer fixed-point arithmetic: ``(node, rank)`` with ranks in units
+    of ``1/scale``, after ``n_iter`` power iterations of
+
+        rank'(v) = (100-d)·scale//100  +  Σ_{u~v} (d·rank(u)) // (100·outdeg(u))
+
+    Why integer: float PageRank sums contributions in shuffle order, so
+    two runs (or two engines) differ in the last ulps and the result is
+    not reproducible. Here every quantity is an int64 — integer sums are
+    order-independent, and ``div``/``//`` agree on the non-negative
+    domain across engines — so the ranks are bit-exact and a DuckDB
+    oracle can unroll the same iterations (gate entry
+    ``pagerank_trade_network``). Truncation loses < 1 unit (1/scale) per
+    in-edge per round: pick ``scale`` ≫ max degree.
+
+    Symmetrization means no dangling nodes (every node has outdeg ≥ 1),
+    so no teleport-mass redistribution is needed — the right model for
+    the affinity/trade/co-occurrence graphs a corpus pipeline scores
+    (quality-weighting domains à la CommonCrawl ranks).
+
+    Scale shape per round: ONE |E|⋈|V| join on the pre-partitioned,
+    checkpointed edge set (:func:`_symmetrized_edges` — only the ranks
+    side exchanges, plan contract shared with connected_components), one
+    |E| partial-aggregated sum, one |V| left join. Rank frames are
+    eagerly checkpointed per round, lineage stays flat. ``n_iter`` is
+    fixed (power iteration), no convergence scan needed; ranks overflow
+    int64 only past ~9e18/(damping·scale) total mass — 9e6 nodes at the
+    default scale; shrink ``scale`` for bigger graphs.
+    """
+    if not 0 < damping_pct < 100:
+        raise ValueError("damping_pct must be in (0, 100)")
+    edges = _symmetrized_edges(pairs, id_a, id_b)
+    deg = (
+        edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    teleport = (100 - damping_pct) * scale // 100
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(int(scale)).cast("long").alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"CAST(({damping_pct} * rank) div (100 * outdeg) AS LONG)"
+                ).alias("c"),
+            )
+        )
+        in_mass = contrib.groupBy("node").agg(F.sum("c").alias("m"))
+        nxt = (
+            deg.select(F.col("src").alias("node"))
+            .join(in_mass, "node", "left")
+            .select(
+                "node",
+                (F.lit(int(teleport)) + F.coalesce(F.col("m"), F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ranks = nxt
+    return ranks

@@ -4596,6 +4596,66 @@ def dedup_cluster_labels(spark, sf_dir):
     ).select(F.col("node").alias("doc_id"), "cluster_id")
 
 
+_PAGERANK_STEP = """
+  SELECT n.node,
+         CAST(150000000 + COALESCE(m.s, 0) AS BIGINT) AS rank
+  FROM n LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM((85 * r.rank) // (100 * d.outdeg)) AS BIGINT) AS s
+    FROM e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst) m ON n.node = m.node
+"""
+
+
+@register(
+    "pagerank_trade_network",
+    f"""
+    WITH ed AS (
+      SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), e AS (
+      SELECT a AS src, b AS dst FROM ed
+      UNION ALL
+      SELECT b AS src, a AS dst FROM ed
+    ), deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src
+    ), n AS (
+      SELECT src AS node FROM deg
+    ), r0 AS (
+      SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM n
+    ), r1 AS ({_PAGERANK_STEP.format(prev="r0")}
+    ), r2 AS ({_PAGERANK_STEP.format(prev="r1")}
+    ), r3 AS ({_PAGERANK_STEP.format(prev="r2")}
+    )
+    SELECT node, rank FROM r3
+    """,
+)
+def pagerank_trade_network(spark, sf_dir):
+    """PageRank (operators.graph.pagerank) under the hash gate, on the
+    customer↔supplier trade graph (distinct order lines; customers at
+    2k, suppliers at 2k+1 keep the id spaces disjoint arithmetically —
+    no max()-dependent offsets). Three power iterations in EXACT int64
+    fixed-point (scale 1e9, damping 85/100): integer sums are
+    order-independent and `div`/`//` agree on non-negatives, so the
+    DuckDB oracle unrolls the identical recurrence and every rank
+    matches bit-for-bit — float PageRank could never cross this gate.
+    The corpus-pipeline use is source/domain quality weighting
+    (CommonCrawl-style rank features). Spark-side each round joins the
+    pre-partitioned checkpointed edge set once and shuffles only the
+    rank frame; plan contract shared with connected_components."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("id_a"),
+            (F.col("l_suppkey") * 2 + 1).alias("id_b"),
+        )
+        .distinct()
+    )
+    return graph.pagerank(pairs, n_iter=3, damping_pct=85, scale=10**9)
+
+
 @register(
     "multimodal_ppm_features",
     """

@@ -1958,6 +1958,41 @@ def test_table_diff_null_keys_match_null_safely(spark):
     assert rows[0].k is None and rows[0].status == "changed"
 
 
+def test_pagerank_matches_python_reference(spark):
+    """Integer fixed-point PageRank ≡ an exact Python recurrence on a
+    small asymmetric graph (star + path + triangle): every rank equal,
+    every iteration count respected, no float anywhere."""
+    from lakeshack_spark.operators.graph import pagerank
+
+    raw = [(1, 2), (1, 3), (1, 4), (4, 5), (5, 6), (7, 8), (8, 9), (9, 7)]
+    pairs = spark.createDataFrame(raw, ["id_a", "id_b"])
+    scale, d = 10**9, 85
+    # symmetrize exactly as the operator does
+    edges = set()
+    for a, b in raw:
+        edges |= {(a, b), (b, a)}
+    nodes = sorted({x for e in edges for x in e})
+    out = {u: sum(1 for s, _ in edges if s == u) for u in nodes}
+    rank = {u: scale for u in nodes}
+    for _ in range(4):
+        msg = {u: 0 for u in nodes}
+        for s, t in edges:
+            msg[t] += (d * rank[s]) // (100 * out[s])
+        rank = {u: (100 - d) * scale // 100 + msg[u] for u in nodes}
+    got = {r.node: r.rank for r in pagerank(pairs, n_iter=4).collect()}
+    assert got == rank
+    # hub (node 1, degree 3) must outrank every leaf
+    assert got[1] > max(got[2], got[3], got[6])
+
+
+def test_pagerank_rejects_bad_damping(spark):
+    from lakeshack_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    with pytest.raises(ValueError):
+        pagerank(pairs, n_iter=1, damping_pct=100)
+
+
 def _py_bpe(word_counts, n_merges, min_count=2):
     """Reference BPE: greedy argmax with (count desc, left, right)
     tie-break; left-to-right non-overlapping merge."""
