@@ -5119,7 +5119,7 @@ _DRIVER_WINDOW = [
     "cosine_topk_pandas_udf",
     "ivfpq_codes_embeddings",
     "kmeans_update_quantized",
-    "jl_projection_embeddings",
+    "semdedup_embeddings",
     "ivf_assign_cells",
     # r5-era: graph / sketch / frequent
     "simhash_near_pairs",
@@ -5132,12 +5132,12 @@ _DRIVER_WINDOW = [
     "table_diff_orders",
     "scd2_merge_customer_segments",
     "null_semantics_suite",
-    "unpivot_order_measures",
-    "string_agg_region_nations",
-    "right_outer_order_lineitems",
+    "pagerank_trade_network",
+    "bpe_pair_counts_docs",
+    "stratified_take_docs",
     "interval_join_click_purchase",
     "range_join_user_windows",
-    "grouped_ols_slope_customers",
+    "merge_upsert_orders",
     "udtf_ngram_stats",
     # r6: real multimodal decode (payload -> pixels -> features)
     "multimodal_ppm_features",
