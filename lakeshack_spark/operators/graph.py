@@ -208,18 +208,35 @@ def pagerank(
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
     edges = _symmetrized_edges(pairs, id_a, id_b)
-    deg = (
-        edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-        .localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # outdeg is a per-src CONSTANT: fold it into the checkpointed edge
+    # set once, so every round runs ONE join (edges⋈ranks) instead of
+    # two — at |E| ≫ |V| the second per-round join was pure overhead.
+    # Same AQE-off checkpoint scope as _symmetrized_edges so the
+    # LogicalRDD keeps HashPartitioning(src) and rounds exchange only
+    # the rank frame.
+    spark = pairs.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        n_parts = edges.rdd.getNumPartitions()
+        edges = (
+            edges.join(deg, "src")
+            .repartition(n_parts, F.col("src"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    universe = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
     )
     teleport = (100 - damping_pct) * scale // 100
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(int(scale)).cast("long").alias("rank")
+    ranks = universe.select(
+        "node", F.lit(int(scale)).cast("long").alias("rank")
     ).localCheckpoint(eager=True)
     for _ in range(n_iter):
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
             .select(
                 F.col("dst").alias("node"),
                 F.expr(
@@ -229,8 +246,7 @@ def pagerank(
         )
         in_mass = contrib.groupBy("node").agg(F.sum("c").alias("m"))
         nxt = (
-            deg.select(F.col("src").alias("node"))
-            .join(in_mass, "node", "left")
+            universe.join(in_mass, "node", "left")
             .select(
                 "node",
                 (F.lit(int(teleport)) + F.coalesce(F.col("m"), F.lit(0)))
