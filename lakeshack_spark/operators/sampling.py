@@ -156,3 +156,37 @@ def stratified_take_n(
     return df.withColumn("sample_rank", F.row_number().over(w)).filter(
         F.col("sample_rank") <= n
     )
+
+
+def epoch_shuffle(
+    df: DataFrame, key_col: str, epoch: int, with_key: bool = False
+) -> DataFrame:
+    """Deterministic training-epoch shuffle: the frame globally sorted by
+    ``md5(epoch:key)`` (ties by key). Each epoch is an independent,
+    reproducible permutation of the corpus — re-running epoch 3 next
+    month, on different partition counts or a different engine, yields
+    byte-identical order, which Spark's ``rand()``-based shuffles cannot
+    promise. Write the result with a partition-preserving sink and the
+    training order is pinned.
+
+    100 TB shape: a global sort is RangePartitioning — Spark samples the
+    hash domain, range-partitions, and sorts per partition (spillable);
+    no single task ever sees more than its range. There is deliberately
+    NO global row-number column: a global row_number is a one-partition
+    window (the scale killer); consumers that need positions take them
+    from the written file/row order.
+
+    ``with_key`` materializes the sort key as ``shuffle_key`` (audit /
+    oracle use).
+    """
+    from lakeshack_spark.operators.dedup import _h64
+
+    h = _h64(
+        F.concat(
+            F.lit(f"epoch{int(epoch)}"), F.lit(":"), F.col(key_col).cast("string")
+        )
+    )
+    if with_key:
+        df = df.withColumn("shuffle_key", h)
+        return df.orderBy(F.col("shuffle_key").asc(), F.col(key_col).asc())
+    return df.orderBy(h.asc(), F.col(key_col).asc())

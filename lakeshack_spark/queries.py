@@ -4300,6 +4300,40 @@ def stratified_take_docs(spark, sf_dir):
 
 
 @register(
+    "epoch_shuffle_prefix_docs",
+    """
+    WITH h AS (
+      SELECT doc_id,
+        {h64} AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(row_number() OVER (ORDER BY shuffle_key ASC, doc_id ASC)
+                AS INTEGER) AS epoch_rank
+    FROM h ORDER BY shuffle_key ASC, doc_id ASC LIMIT 30
+    """.format(
+        h64=_H64_SQL.format(x="'epoch3:' || CAST(doc_id AS VARCHAR)")
+    ),
+)
+def epoch_shuffle_prefix_docs(spark, sf_dir):
+    """Deterministic epoch shuffle (operators.sampling.epoch_shuffle):
+    the first 30 documents of epoch 3's reproducible corpus permutation,
+    with their md5 sort keys and positions, pinned against the DuckDB
+    window oracle — the permutation PREFIX (ids, keys, AND ranks) must
+    match exactly, which an order-insensitive value hash can only see if
+    the rank is a column. The operator itself is a RangePartitioned
+    global sort (no global row_number — that is a one-partition window);
+    the rank here is computed on the bounded 30-row prefix only, after a
+    TakeOrderedAndProject limit."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    s = sampling.epoch_shuffle(docs, "doc_id", 3, with_key=True).limit(30)
+    w = Window.orderBy(F.col("shuffle_key").asc(), F.col("doc_id").asc())
+    return s.withColumn(
+        "epoch_rank", F.row_number().over(w).cast("int")
+    ).select("doc_id", "shuffle_key", "epoch_rank")
+
+
+@register(
     "pq_codes_embeddings",
     """
     WITH cb AS (

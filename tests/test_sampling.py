@@ -127,3 +127,26 @@ def test_stratified_take_n_counts_and_nesting(spark, docs):
 def test_stratified_take_n_rejects_bad_n(spark, docs):
     with pytest.raises(ValueError):
         sampling.stratified_take_n(docs, "lang", 0, "doc_id")
+
+
+def test_epoch_shuffle_is_reproducible_permutation(spark, docs):
+    ids = [r.doc_id for r in sampling.epoch_shuffle(docs, "doc_id", 1).select("doc_id").collect()]
+    # a permutation of the corpus
+    assert sorted(ids) == sorted(r.doc_id for r in docs.select("doc_id").collect())
+    # reproducible across partitionings
+    again = [
+        r.doc_id
+        for r in sampling.epoch_shuffle(docs.repartition(7), "doc_id", 1)
+        .select("doc_id")
+        .collect()
+    ]
+    assert again == ids
+    # different epochs give different orders (decorrelated permutations)
+    other = [r.doc_id for r in sampling.epoch_shuffle(docs, "doc_id", 2).select("doc_id").collect()]
+    assert other != ids and sorted(other) == sorted(ids)
+    # with_key exposes the sort key in sorted order
+    keys = [
+        r.shuffle_key
+        for r in sampling.epoch_shuffle(docs, "doc_id", 1, with_key=True).collect()
+    ]
+    assert keys == sorted(keys)
