@@ -110,6 +110,53 @@ def shack_pruned_lookup(spark, sf_dir):
     )
 
 
+_BLOOM_IDX_CACHE: dict[str, object] = {}
+
+
+def _docs_bloom_index(spark: SparkSession, sf_dir: str):
+    """A per-process bloom-indexed lake over documents: files clustered
+    by ``source`` (so ``doc_id`` is UNCORRELATED with file layout — the
+    exact case zone maps cannot prune), bloom sidecar on ``doc_id``.
+    Built fresh per process into a temp dir; cached per sf."""
+    from lakeshack_spark.fileindex import BloomFileIndex
+    from lakeshack_spark.writer import cluster_write
+
+    key = sf_dir.rstrip("/")
+    idx = _BLOOM_IDX_CACHE.get(key)
+    if idx is not None and idx.spark is spark:
+        return idx
+    lake = tempfile.mkdtemp(prefix="lakeshack_bloom_lake_")
+    docs = load_table(spark, sf_dir, "documents")
+    cluster_write(docs, os.path.join(lake, "data"), "source", n_files=8)
+    idx = BloomFileIndex(
+        spark, os.path.join(lake, "_lakeshack_bloom", "doc_id"), "doc_id"
+    )
+    idx.update(os.path.join(lake, "data"))
+    _BLOOM_IDX_CACHE[key] = idx
+    return idx
+
+
+@register(
+    "bloom_index_point_lookup",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE doc_id IN (3, 17, 41, 97, 123)
+    """,
+)
+def bloom_index_point_lookup(spark, sf_dir):
+    """Per-file Bloom-index point lookup on a column the zone maps can
+    never prune (doc_id scattered across source-clustered files): probe
+    the sidecar driver-side, scan ONLY surviving files, re-apply the
+    exact IN predicate — provably identical to the full-scan filter the
+    oracle runs, with the index's only effect being skipped I/O
+    (fileindex.BloomFileIndex; no-false-negative + parity tests in
+    tests/test_fileindex.py)."""
+    return _docs_bloom_index(spark, sf_dir).lookup(
+        [3, 17, 41, 97, 123], columns=["doc_id", "lang", "source", "n_chars"]
+    )
+
+
 @register(
     "scan_filter_project",
     """
@@ -5141,6 +5188,7 @@ def sketch_distinct_and_quantiles(spark, sf_dir):
 _DRIVER_WINDOW = [
     # lakeshack core surface (O1-O9)
     "shack_pruned_lookup",
+    "bloom_index_point_lookup",
     "scan_filter_project",
     "in_list_filter",
     "topk_orders",
@@ -5195,7 +5243,6 @@ _DRIVER_WINDOW = [
     "quantile_bins_orders",
     "asof_join_events_orders",
     "window_top2_per_customer",
-    "events_hourly_stats",
 ]
 
 
