@@ -4738,6 +4738,72 @@ def pagerank_trade_network(spark, sf_dir):
 
 
 @register(
+    "triangle_census_cosuppliers",
+    f"""
+    WITH pres AS (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+    ), alledges AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM pres a JOIN pres b ON a.o = b.o AND a.s < b.s
+    ), edges AS (
+      SELECT u, v FROM alledges
+      WHERE {_H64_SQL.format(x="'tri:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)")} % 10 = 0
+    ), deg AS (
+      SELECT n, COUNT(*) AS d
+      FROM (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+      GROUP BY n
+    ), tri AS (
+      SELECT COUNT(*) AS t
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.u AND e2.v > e1.v
+      JOIN edges e3 ON e3.u = e1.v AND e3.v = e2.v
+    ), wdg AS (
+      SELECT COALESCE(CAST(SUM(d * (d - 1) // 2) AS BIGINT), 0) AS w FROM deg
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM edges) AS n_edges,
+           (SELECT w FROM wdg) AS n_wedges,
+           (SELECT t FROM tri) AS n_triangles,
+           CASE WHEN (SELECT w FROM wdg) > 0
+                THEN CAST(3 * (SELECT t FROM tri) AS DOUBLE)
+                     / CAST((SELECT w FROM wdg) AS DOUBLE)
+           END AS global_clustering
+    """,
+)
+def triangle_census_cosuppliers(spark, sf_dir):
+    """Exact triangle census (operators.graph.triangle_stats) of the
+    supplier co-occurrence graph (suppliers sharing an order, edges
+    md5-sparsified to one-in-ten so density stays graph-shaped across
+    SFs). Spark side orients edges by (degree, id) so every triangle
+    materializes exactly once as a wedge at its smallest vertex — the
+    O(m^1.5)-bounded MapReduce shape; the oracle counts the same
+    triangles with the naive canonical 3-way join. Counts are exact
+    int64; the clustering coefficient is one double division of
+    sub-2^53 integers, bit-identical cross-engine. Corpus-pipeline use:
+    community density / mutual-affinity features on co-occurrence
+    graphs (domains co-linked, entities co-mentioned)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    key = F.concat(
+        F.lit("tri:"),
+        F.col("u").cast("string"),
+        F.lit(":"),
+        F.col("v").cast("string"),
+    )
+    edges = pairs.filter(dedup._h64(key) % 10 == 0)
+    return graph.triangle_stats(edges, "u", "v")
+
+
+@register(
     "multimodal_ppm_features",
     """
     WITH ids AS (

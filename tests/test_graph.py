@@ -66,3 +66,45 @@ def test_cc_universe_missing_endpoint_still_gets_min_label(spark):
     nodes = spark.createDataFrame([(5,), (9,)], "doc_id long")
     got = _labels(graph.connected_components(pairs, nodes=nodes, node_col="doc_id"))
     assert got == {3: 3, 5: 3, 9: 9}
+
+
+def test_triangle_stats_known_graph(spark):
+    # triangle {1,2,3} + square {4,5,6,7} (no triangle) + pendant (3,8),
+    # with duplicate / reversed / self-loop noise that must canonicalize
+    edges = [(1, 2), (2, 3), (1, 3), (3, 1), (2, 1),
+             (4, 5), (5, 6), (6, 7), (7, 4), (3, 8), (5, 5)]
+    df = spark.createDataFrame(edges, "u long, v long")
+    (row,) = graph.triangle_stats(df).collect()
+    assert row.n_nodes == 8
+    assert row.n_edges == 8
+    # degrees: 1:2 2:2 3:3 4:2 5:2 6:2 7:2 8:1 -> sum C(d,2) = 9
+    assert row.n_wedges == 9
+    assert row.n_triangles == 1
+    assert row.global_clustering == 3.0 / 9.0
+
+
+def test_triangle_stats_matches_bruteforce(spark):
+    # md5-derived pseudo-random graph on 24 nodes, ~30% density
+    import hashlib
+    from itertools import combinations
+
+    nodes = list(range(24))
+    edges = [
+        (a, b)
+        for a, b in combinations(nodes, 2)
+        if int(hashlib.md5(f"tri:{a}:{b}".encode()).hexdigest()[:4], 16) % 10 < 3
+    ]
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = sum(
+        1 for x, y, z in combinations(nodes, 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    df = spark.createDataFrame(edges, "u long, v long")
+    (row,) = graph.triangle_stats(df).collect()
+    assert row.n_triangles == want
+    assert row.n_edges == len(edges)
+    deg = {n: len(adj[n]) for n in nodes}
+    assert row.n_wedges == sum(d * (d - 1) // 2 for d in deg.values())
