@@ -3876,6 +3876,94 @@ def ivf_topk_full_probe(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, centroids, k=5, nprobe=8)
 
 
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted IVF index over the embeddings table (8 smallest-id
+    centroids), built once per process into a temp dir."""
+    key = sf_dir.rstrip("/")
+    path = _IVF_INDEX_CACHE.get(key)
+    if path is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = similarity.sample_centroids(emb, 8)
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="lakeshack_ivf_index_"), "index"
+        )
+        similarity.ivf_index_write(emb, cents, path)
+        _IVF_INDEX_CACHE[key] = path
+    return path
+
+
+@register(
+    "ivf_index_probe_topk",
+    """
+    WITH c AS (
+      SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cid,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id ASC LIMIT 8)
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_dot_product(e.vv, c.cv)
+                   / (sqrt(list_dot_product(e.vv, e.vv))
+                      * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.cid ASC) AS rn
+        FROM v e CROSS JOIN c
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS query_id, vv AS qv FROM v WHERE vec_id < 3
+    ), probe AS (
+      SELECT query_id, cid AS cell FROM (
+        SELECT q.query_id, c.cid,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.cid ASC) AS rn
+        FROM q CROSS JOIN c
+      ) WHERE rn <= 2
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qv, e.vv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.vv, e.vv))) AS cosine
+      FROM v e
+      JOIN assign a ON e.vec_id = a.vec_id
+      JOIN probe p ON a.cell = p.cell
+      JOIN q ON q.query_id = p.query_id
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ivf_index_probe_topk(spark, sf_dir):
+    """ANN search against a PERSISTED cell-partitioned IVF index
+    (similarity.ivf_index_write / ivf_index_probe) at nprobe=2 of 8 —
+    the "build once, probe many" serving path: the scan reads only the
+    probed cells' Hive partition directories (partition pruning is
+    plan-pinned in tests), and the oracle recomputes assignment, probe
+    selection, and ranking from scratch — so the hash match proves the
+    persisted index round-trips the exact cell structure AND that the
+    pruned scan loses no candidate."""
+    path = _ivf_index_path(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cents = similarity.sample_centroids(emb, 8)
+    return similarity.ivf_index_probe(
+        spark, path, queries, cents, k=5, nprobe=2
+    )
+
+
 @register(
     "ivf_assign_cells",
     """

@@ -2181,3 +2181,29 @@ def test_ivfpq_encode_fused_equals_chained(spark):
     with pytest.raises(ValueError, match="assign_impl"):
         sim.ivfpq_encode(emb, cents, books, impl="expr",
                          assign_impl="arrow")
+
+
+def test_ivf_index_probe_equals_in_query_ivf(spark, tmp_path):
+    """Persisted cell-partitioned index probe ≡ in-query ivf_topk at the
+    same nprobe, and the scan prunes to the probed cells' partitions."""
+    from lakeshack_spark.plans.audit import explain_str
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    cents = similarity.sample_centroids(emb, 8)
+    path = str(tmp_path / "ivf_index")
+    similarity.ivf_index_write(emb, cents, path)
+    got = similarity.ivf_index_probe(
+        spark, path, queries, cents, k=4, nprobe=2
+    )
+    want = similarity.ivf_topk(emb, queries, cents, k=4, nprobe=2)
+    g = sorted((r.query_id, r.neighbor_id, r.rank) for r in got.collect())
+    w = sorted((r.query_id, r.neighbor_id, r.rank) for r in want.collect())
+    assert g == w and len(g) > 0
+    # partition pruning: the index scan carries a PartitionFilters entry
+    # on cell; full-probe would read all 8 dirs, nprobe=2 reads <= 8
+    plan = explain_str(got)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:2000]
