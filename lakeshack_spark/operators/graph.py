@@ -357,3 +357,84 @@ def triangle_stats(
         ).alias("global_clustering"),
     )
     return out
+
+
+def k_core(
+    pairs: DataFrame,
+    k: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    rounds: int | None = None,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    every node whose degree is below ``k`` until the remaining subgraph
+    (the k-core) is stable. Output: ``(node, degree)`` — the surviving
+    nodes with their degree WITHIN the core.
+
+    The corpus-pipeline use is density-based graph denoising: on a
+    co-occurrence / affinity graph (domains co-linked, suppliers
+    co-ordered, near-dup components), the k-core strips incidental
+    fringe attachments and keeps the cohesive backbone — a standard
+    community-detection preprocessing step (Seidman 1983; Batagelj &
+    Zaveršnik's peel algorithm), and the same peel loop that computes
+    degeneracy orderings.
+
+    Two modes:
+
+    - ``rounds=None`` (production): peel until a round removes zero
+      nodes, with an exact removed-node count per round; raises past
+      ``max_rounds`` rather than silently returning a half-peeled
+      graph. Rounds are bounded by the peel depth of the graph (small
+      for the heavy-tailed graphs this targets, NOT O(log V) in
+      general — a path graph peels one layer per round).
+    - ``rounds=N`` (fixed): exactly N peel rounds, no convergence
+      scan — deterministic unrollable shape, which is what lets the
+      DuckDB oracle replay the identical recurrence in the cross-engine
+      hash gate (``kcore_cosuppliers``). Extra rounds past convergence
+      are no-ops, so a fixed N ≥ peel depth equals the fixpoint.
+
+    Scale shape per round: one |E| degree aggregation (no exchange —
+    edges stay hash-partitioned by ``src`` from
+    :func:`_symmetrized_edges`, the groupBy reuses it), one filter, and
+    one semi-join per endpoint against the ≤|V| survivor set; the
+    ``dst``-side semi-join re-exchanges surviving edges, which then
+    re-checkpoint partitioned by ``src`` for the next round (same
+    AQE-off checkpoint scope as the other iterative operators — an
+    AQE-captured LogicalRDD forgets its partitioning, measured). Each
+    round strictly shrinks |E|, so per-round cost is monotonically
+    decreasing.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    edges = _symmetrized_edges(pairs, id_a, id_b)
+    spark = pairs.sparkSession
+    n_rounds = rounds if rounds is not None else max_rounds
+    for rnd in range(n_rounds):
+        deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("src")
+        if rounds is None:
+            # Exact convergence scan: one count over the sub-threshold
+            # stratum. Runs on the checkpointed edges, so the lineage
+            # re-evaluated here is one aggregation, not the history.
+            if deg.filter(F.col("d") < k).count() == 0:
+                break
+        survivors = edges.join(keep, "src", "semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "semi"
+        )
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            edges = survivors.repartition(F.col("src")).localCheckpoint(
+                eager=True
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+    else:
+        if rounds is None:
+            raise RuntimeError(
+                f"k_core did not converge within max_rounds={max_rounds}"
+            )
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("degree")
+    )

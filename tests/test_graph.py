@@ -108,3 +108,53 @@ def test_triangle_stats_matches_bruteforce(spark):
     assert row.n_edges == len(edges)
     deg = {n: len(adj[n]) for n in nodes}
     assert row.n_wedges == sum(d * (d - 1) // 2 for d in deg.values())
+
+
+# ------------------------------------------------------------- k-core
+
+
+def test_kcore_peels_pendant_keeps_clique(spark):
+    # triangle 1-2-3 plus pendant 4 hanging off 3, plus chain 5-6:
+    # 2-core = the triangle alone, each node with in-core degree 2.
+    # Peeling 4 must DROP 3's degree before the final answer.
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 6)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = sorted(
+        (r.node, r.degree) for r in graph.k_core(pairs, k=2).collect()
+    )
+    assert got == [(1, 2), (2, 2), (3, 2)]
+
+
+def test_kcore_cascade_to_empty(spark):
+    # a path graph has no 2-core: peeling cascades from both ends
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long"
+    )
+    assert graph.k_core(pairs, k=2).count() == 0
+
+
+def test_kcore_fixed_rounds_equals_converged_when_deep_enough(spark):
+    # two triangles plus a 2-deep pendant path off node 3 (peeling 5
+    # exposes 4 — depth 2): fixed rounds >= peel depth must equal the
+    # converged fixpoint row-for-row
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5),
+             (6, 7), (7, 8), (8, 6)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    conv = sorted((r.node, r.degree)
+                  for r in graph.k_core(pairs, k=2).collect())
+    fixed = sorted((r.node, r.degree)
+                   for r in graph.k_core(pairs, k=2, rounds=6).collect())
+    assert conv == fixed and len(conv) == 6
+
+
+def test_kcore_validates(spark):
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="k must be"):
+        graph.k_core(pairs, k=0)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        graph.k_core(
+            spark.createDataFrame([(i, i + 1) for i in range(20)],
+                                  "id_a long, id_b long"),
+            k=2,
+            max_rounds=2,
+        )
