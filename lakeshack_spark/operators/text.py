@@ -792,3 +792,54 @@ def encode_with_vocab(
         F.sum((F.col("tid") == oov_id).cast("long")).alias("n_oov"),
         F.md5(F.concat_ws(",", seq)).alias("ids_fp"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    n_buckets: int = 256,
+    weight_span: int = 8,
+    seed: str = "hls",
+    threshold: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear text classifier over HASHED bag-of-words features — the
+    fastText-style quality-filter shape (Joulin et al. 2016; the
+    CCNet/RefinedWeb "model-based filtering" stage) with a fixed,
+    deterministic weight vector: ``(doc_id, n_tokens, score, keep)``.
+
+    Each token hashes into one of ``n_buckets`` feature buckets (the
+    hashing trick — no vocab table, O(1) memory at any corpus size),
+    and each bucket carries an integer weight in
+    ``[-weight_span, weight_span]`` derived from the portable md5 hash
+    of ``seed:bucket`` — a stand-in for trained coefficients that keeps
+    the whole score in EXACT int64 arithmetic, so the classifier is
+    bit-reproducible cross-engine (a float dot product would not hash-
+    gate; swap md5-derived weights for a broadcast weight table when
+    serving a real model — same plan shape, one extra broadcast join).
+
+    ``score`` = Σ_tokens weight(bucket(token)); ``keep`` = score ≥
+    ``threshold``. Scale shape: one explode of O(total tokens) rows and
+    one doc-keyed aggregation — map-side partial combine applies, no
+    joins, no Python. The bucket and weight expressions are two md5
+    calls per token inside the exploded projection; at 100 TB swap the
+    outer md5 for ``xxhash64`` (hash-independent result only if the
+    weight table is re-derived — documented, not default, mirroring the
+    bloom-probe lesson).
+    """
+    from lakeshack_spark.operators.dedup import _h64
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words_col(text_col)).alias("term"),
+    )
+    bucket = _h64(F.concat(F.lit("b:"), F.col("term"))) % F.lit(n_buckets)
+    weight = _h64(
+        F.concat(F.lit(seed + ":"), bucket.cast("string"))
+    ) % F.lit(2 * weight_span + 1) - F.lit(weight_span)
+    scored = toks.select("doc_id", weight.alias("w"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("w").alias("score"),
+        (F.sum("w") >= F.lit(threshold)).alias("keep"),
+    )

@@ -5324,6 +5324,263 @@ def sketch_distinct_and_quantiles(spark, sf_dir):
     )
 
 
+#: One k-core peel round, DuckDB side (MATERIALIZED is load-bearing:
+#: each round references its predecessor three times, and DuckDB 1.0
+#: inlines non-materialized CTEs — the unrolled chain would re-evaluate
+#: the co-supplier join 3^rounds times, measured as a hang at sf0.1).
+def _kcore_rounds_sql(n_rounds: int) -> str:
+    steps = []
+    for n in range(1, n_rounds + 1):
+        p = n - 1
+        if p > 0:
+            steps.append(
+                f"""d{p} AS MATERIALIZED (
+      SELECT src, COUNT(*) AS d FROM e{p} GROUP BY src
+    )"""
+            )
+        steps.append(
+            f"""k{n} AS MATERIALIZED (
+      SELECT src FROM d{p}, kv WHERE d >= kv.k
+    ), e{n} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{p} e
+      JOIN k{n} a ON e.src = a.src
+      JOIN k{n} b ON e.dst = b.src
+    )"""
+        )
+    return ", ".join(steps)
+
+
+@register(
+    "kcore_cosuppliers",
+    f"""
+    WITH pres AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+    ), alledges AS MATERIALIZED (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM pres a JOIN pres b ON a.o = b.o AND a.s < b.s
+    ), edges AS MATERIALIZED (
+      SELECT u, v FROM alledges
+      WHERE {_H64_SQL.format(x="'kc:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)")} % 10 = 0
+    ), e0 AS MATERIALIZED (
+      SELECT u AS src, v AS dst FROM edges
+      UNION ALL
+      SELECT v AS src, u AS dst FROM edges
+    ), d0 AS MATERIALIZED (
+      SELECT src, COUNT(*) AS d FROM e0 GROUP BY src
+    ), kv AS MATERIALIZED (
+      SELECT CAST((SUM(d) // COUNT(*)) // 2 + 1 AS BIGINT) AS k FROM d0
+    ), {_kcore_rounds_sql(4)}
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM e4 GROUP BY src
+    """,
+)
+def kcore_cosuppliers(spark, sf_dir):
+    """k-core decomposition (operators.graph.k_core) under the hash
+    gate: 4 fixed peel rounds on the md5-sparsified supplier
+    co-occurrence graph, with the threshold k derived FROM the data
+    (half the mean degree + 1, all-integer arithmetic — a fixed k can't
+    travel across scale factors because co-occurrence density grows
+    with SF). The oracle unrolls the identical peel recurrence in
+    MATERIALIZED CTEs, so every surviving node and its in-core degree
+    matches bit-for-bit. Corpus-pipeline use: density-based backbone
+    extraction on affinity graphs before community labeling. Spark-side
+    per round: degree agg on src-partitioned checkpointed edges (no
+    exchange) + two survivor semi-joins; k comes from one bounded
+    2-scalar collect (|E|, |V|)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    key = F.concat(
+        F.lit("kc:"),
+        F.col("u").cast("string"),
+        F.lit(":"),
+        F.col("v").cast("string"),
+    )
+    edges = pairs.filter(dedup._h64(key) % 10 == 0).persist()
+    n_edges = edges.count()
+    n_nodes = (
+        edges.select(F.explode(F.array("u", "v")).alias("n")).distinct().count()
+    )
+    k = ((2 * n_edges) // n_nodes) // 2 + 1
+    out = graph.k_core(edges, k=k, id_a="u", id_b="v", rounds=4)
+    return out.select("node", F.col("degree").cast("long").alias("degree"))
+
+
+@register(
+    "hashed_linear_quality_docs",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), b AS (
+      SELECT doc_id,
+             {_H64_SQL.format(x="'b:' || term")} % 256 AS bkt
+      FROM t
+    ), w AS (
+      SELECT doc_id,
+             {_H64_SQL.format(x="'hls:' || CAST(bkt AS VARCHAR)")} % 17 - 8 AS w
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(w) AS BIGINT) AS score,
+           (SUM(w) >= 0) AS keep
+    FROM w GROUP BY doc_id
+    """,
+)
+def hashed_linear_quality_docs(spark, sf_dir):
+    """Hashed-feature linear text classifier
+    (operators.text.hashed_linear_score) — the fastText-style
+    model-based quality-filter stage (CCNet/RefinedWeb shape) with a
+    deterministic md5-derived weight vector standing in for trained
+    coefficients: tokens hash into 256 buckets (the hashing trick, O(1)
+    memory at any corpus size), each bucket carries an int weight in
+    [-8, 8], and the doc score is the exact int64 feature dot product —
+    which is what lets a float-free classifier cross the cross-engine
+    hash gate. One explode + one doc-keyed aggregation, map-side
+    partial combine, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.hashed_linear_score(
+        docs, n_buckets=256, weight_span=8, seed="hls", threshold=0
+    )
+
+
+@register(
+    "incremental_view_orders",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ), mx AS (SELECT MAX(o_orderkey) + 1 AS m FROM t),
+    final AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 100 = 7
+                  THEN o_totalprice + CAST(10.0 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice
+      FROM t WHERE o_orderkey % 100 <> 13
+      UNION ALL
+      SELECT o_orderkey + m AS o_orderkey, 'I' AS o_orderstatus,
+             o_totalprice * CAST(0.5 AS DOUBLE) AS o_totalprice
+      FROM t, mx WHERE o_orderkey % 100 = 21
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM final GROUP BY o_orderstatus
+    """,
+)
+def incremental_view_orders(spark, sf_dir):
+    """Incremental materialized-view maintenance
+    (operators.diff.incremental_agg_maintain) under the hash gate: the
+    orders-by-status count/sum-cents view is maintained through the
+    same deterministic CDC batch as ``merge_upsert_orders`` (mod-7
+    update +10, mod-13 delete, mod-21 insert re-keyed past max+1 with
+    status 'I' — a group-ARRIVING change) by folding SIGNED delta
+    contributions into the existing view. The oracle re-aggregates the
+    fully merged table from scratch; Spark NEVER materializes the
+    merged table — the hash match proves view ⊕ delta ≡ recompute,
+    counts and integer-cents sums bit-exact. Scale shape: O(batch)
+    delta agg + one O(batch) key join for old rows + one view-sized
+    full-outer combine; the 100 TB base is never re-aggregated."""
+    from lakeshack_spark.operators.diff import incremental_agg_maintain
+
+    cents = F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents")
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = t.select("*", cents)
+    view = base.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.sum("cents").alias("sum_cents")
+    )
+    mx = t.agg((F.max("o_orderkey") + 1).alias("__mx"))
+    upd = (
+        t.filter(F.col("o_orderkey") % 100 == 7)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+        .withColumn("is_delete", F.lit(False))
+    )
+    dele = t.filter(F.col("o_orderkey") % 100 == 13).withColumn(
+        "is_delete", F.lit(True)
+    )
+    ins = (
+        t.filter(F.col("o_orderkey") % 100 == 21)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("__mx")).alias("o_orderkey"),
+            F.lit("I").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+            F.lit(False).alias("is_delete"),
+        )
+    )
+    changes = upd.unionByName(dele).unionByName(ins).select("*", cents)
+    return incremental_agg_maintain(
+        view,
+        base,
+        changes,
+        key_cols=["o_orderkey"],
+        group_cols=["o_orderstatus"],
+        sum_cols={"sum_cents": "cents"},
+        delete_col="is_delete",
+        count_alias="n",
+    )
+
+
+_POSTINGS_INDEX_CACHE: dict[str, str] = {}
+
+
+def _postings_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Persisted term-bucket-partitioned inverted index over the
+    documents table (16 buckets), built once per process."""
+    key = sf_dir.rstrip("/")
+    path = _POSTINGS_INDEX_CACHE.get(key)
+    if path is None:
+        docs = load_table(spark, sf_dir, "documents")
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="lakeshack_postings_index_"), "index"
+        )
+        retrieval.postings_index_write(docs, path, n_buckets=16)
+        _POSTINGS_INDEX_CACHE[key] = path
+    return path
+
+
+@register(
+    "inverted_index_search_docs",
+    """
+    WITH pairs AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(COUNT(DISTINCT term) AS INTEGER) AS n_terms_matched,
+             CAST(COUNT(*) AS BIGINT) AS sum_tf
+      FROM pairs WHERE term IN ('scan', 'vector', 'batch')
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_matched, sum_tf FROM m WHERE n_terms_matched = 3
+    """,
+)
+def inverted_index_search_docs(spark, sf_dir):
+    """Boolean AND search against a PERSISTED term-bucket-partitioned
+    inverted index (retrieval.postings_index_write /
+    postings_index_search) — the build-once/query-many text-search twin
+    of the persisted IVF index: query-term buckets are computed
+    driver-side with the md5 twin of the build-time Column hash, so the
+    scan plans a PartitionFilters entry and reads ONLY those buckets'
+    directories (≤ 3 of 16 here; plan-pinned in tests). The oracle
+    recomputes postings from the raw corpus, so the hash match proves
+    the persisted index round-trips term frequencies exactly AND that
+    bucket pruning loses no posting."""
+    path = _postings_index_path(spark, sf_dir)
+    return retrieval.postings_index_search(
+        spark, path, ["scan", "vector", "batch"], mode="and", n_buckets=16
+    )
+
+
 # =====================================================================
 # Entry points used by __spark_entry__.py
 # =====================================================================
@@ -5377,6 +5634,14 @@ _DRIVER_WINDOW = [
     "udtf_ngram_stats",
     # r6: real multimodal decode (payload -> pixels -> features)
     "multimodal_ppm_features",
+    # r6-continued: new families (k-core, IVM, persisted text index,
+    # hashed linear classifier) — surfaced in the driver's first 50;
+    # the four core shapes they displace past position 50 all carry
+    # driver-side green from rounds 1-5.
+    "kcore_cosuppliers",
+    "incremental_view_orders",
+    "inverted_index_search_docs",
+    "hashed_linear_quality_docs",
     # r5-era: text / packing / dedup tiers
     "vocab_encode_docs",
     "pack_token_windows_docs",

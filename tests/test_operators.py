@@ -2207,3 +2207,108 @@ def test_ivf_index_probe_equals_in_query_ivf(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), plan[:2000]
+
+
+def test_incremental_agg_maintain_equals_recompute(spark):
+    """view ⊕ delta ≡ full re-aggregate of the merged table, covering
+    update-in-group, group-MOVING update, delete, insert into a NEW
+    group, and delete-to-empty group removal."""
+    from lakeshack_spark.operators.diff import (
+        incremental_agg_maintain,
+        merge_upsert,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "k long, g string, v long",
+    )
+    view = base.groupBy("g").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sum_v")
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "a", 15, False),   # update, same group
+            (2, "b", 20, False),   # update, moves a -> b
+            (4, "c", 40, True),    # delete -> group c empties
+            (9, "d", 99, False),   # insert into a brand-new group
+            (8, "a", 1, True),     # delete of an absent key: no-op
+        ],
+        "k long, g string, v long, is_delete boolean",
+    )
+    got = {
+        r.g: (r.n, r.sum_v)
+        for r in incremental_agg_maintain(
+            view, base, changes,
+            key_cols=["k"], group_cols=["g"],
+            sum_cols={"sum_v": "v"}, delete_col="is_delete",
+        ).collect()
+    }
+    merged = merge_upsert(
+        base, changes.select("k", "g", "v", "is_delete"),
+        ["k"], delete_col="is_delete",
+    )
+    want = {
+        r.g: (r.n, r.sum_v)
+        for r in merged.groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want == {"a": (1, 15), "b": (2, 50), "d": (1, 99)}
+
+
+def test_incremental_agg_maintain_before_images(spark):
+    """A CDC feed that ships before-images skips the base join: passing
+    old_rows explicitly must give the same answer as deriving them."""
+    from lakeshack_spark.operators.diff import incremental_agg_maintain
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, g string, v long"
+    )
+    view = base.groupBy("g").agg(
+        F.count("*").alias("n"), F.sum("v").alias("sum_v")
+    )
+    changes = spark.createDataFrame(
+        [(1, "a", 11, False)], "k long, g string, v long, is_delete boolean"
+    )
+    old = spark.createDataFrame([(1, "a", 10)], "k long, g string, v long")
+    derived = incremental_agg_maintain(
+        view, base, changes, ["k"], ["g"], {"sum_v": "v"},
+        delete_col="is_delete",
+    )
+    shipped = incremental_agg_maintain(
+        view, base, changes, ["k"], ["g"], {"sum_v": "v"},
+        delete_col="is_delete", old_rows=old,
+    )
+    a = sorted((r.g, r.n, r.sum_v) for r in derived.collect())
+    b = sorted((r.g, r.n, r.sum_v) for r in shipped.collect())
+    assert a == b == [("a", 1, 11), ("b", 1, 20)]
+
+
+def test_hashed_linear_score_shape_and_determinism(spark):
+    """Same token -> same weight everywhere; score is the plain sum of
+    per-token weights (verified against a per-token probe); keep obeys
+    the threshold."""
+    docs = spark.createDataFrame(
+        [(0, "x y x"), (1, "y"), (2, "z z z z")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.score, r.keep)
+        for r in text.hashed_linear_score(
+            docs, n_buckets=16, weight_span=4, seed="t", threshold=1
+        ).collect()
+    }
+    # per-token weights via single-token docs
+    singles = spark.createDataFrame(
+        [(10, "x"), (11, "y"), (12, "z")], "doc_id long, text string"
+    )
+    w = {
+        r.doc_id: r.score
+        for r in text.hashed_linear_score(
+            singles, n_buckets=16, weight_span=4, seed="t", threshold=1
+        ).collect()
+    }
+    wx, wy, wz = w[10], w[11], w[12]
+    assert all(-4 <= v <= 4 for v in (wx, wy, wz))
+    assert out[0] == (3, 2 * wx + wy, (2 * wx + wy) >= 1)
+    assert out[1] == (1, wy, wy >= 1)
+    assert out[2] == (4, 4 * wz, (4 * wz) >= 1)

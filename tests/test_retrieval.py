@@ -159,3 +159,76 @@ def test_unigram_lm_external_model_smoothing(spark, docs_df):
     assert out[0] == pytest.approx(want, rel=1e-12)
     with pytest.raises(ValueError):
         text.unigram_lm_score(docs_df, variant="nope")
+
+
+# ----------------------------------------------- persisted postings index
+
+
+def test_term_bucket_py_matches_column_hash(spark):
+    """The driver-side md5 bucket twin must be bit-identical to the
+    build-time Column hash for every term that could land in the index."""
+    from pyspark.sql import functions as F
+
+    from lakeshack_spark.operators.dedup import _h64
+
+    terms = ["spark", "merge", "window", "scan", "", "éclair", "a b"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r.term: r.b
+        for r in df.select(
+            "term", (_h64(F.col("term")) % F.lit(16)).alias("b")
+        ).collect()
+    }
+    for t in terms:
+        assert got[t] == retrieval._term_bucket_py(t, 16), t
+
+
+def test_postings_index_search_equals_fresh_postings(spark, docs_df, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "pidx")
+    retrieval.postings_index_write(docs_df, path, n_buckets=8)
+    got = {
+        r.doc_id: (r.n_terms_matched, r.sum_tf)
+        for r in retrieval.postings_index_search(
+            spark, path, ["spark", "window"], mode="and", n_buckets=8
+        ).collect()
+    }
+    assert got == {0: (2, 3)}
+    any_match = {
+        r.doc_id: (r.n_terms_matched, r.sum_tf)
+        for r in retrieval.postings_index_search(
+            spark, path, ["spark", "window"], mode="or", n_buckets=8
+        ).collect()
+    }
+    assert any_match == {0: (2, 3), 1: (1, 1), 2: (1, 3), 4: (1, 1)}
+    # duplicate query terms dedup (AND arity must be the dedup'd length)
+    dup = retrieval.postings_index_search(
+        spark, path, ["spark", "spark"], mode="and", n_buckets=8
+    )
+    assert sorted(r.doc_id for r in dup.collect()) == [0, 2]
+
+
+def test_postings_index_scan_prunes_buckets(spark, docs_df, tmp_path):
+    """The probe's parquet scan must carry a PartitionFilters entry on
+    bucket — the plan-time pruning that makes the persisted index pay
+    off at 100 TB."""
+    import re
+
+    from lakeshack_spark.plans.audit import explain_str
+
+    path = str(tmp_path / "pidx")
+    retrieval.postings_index_write(docs_df, path, n_buckets=8)
+    out = retrieval.postings_index_search(
+        spark, path, ["spark"], mode="and", n_buckets=8
+    )
+    plan = explain_str(out)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:2000]
+
+
+def test_postings_index_search_validates(spark, tmp_path):
+    with pytest.raises(ValueError, match="mode"):
+        retrieval.postings_index_search(spark, "/nope", ["x"], mode="xor")
+    with pytest.raises(ValueError, match="non-empty"):
+        retrieval.postings_index_search(spark, "/nope", [])
