@@ -5581,6 +5581,96 @@ def inverted_index_search_docs(spark, sf_dir):
     )
 
 
+@register(
+    "entity_resolution_parts",
+    """
+    WITH RECURSIVE p AS (
+      SELECT p_partkey, p_name FROM part WHERE p_partkey < 200
+    ), mx AS (SELECT MAX(p_partkey) + 1 AS m FROM p),
+    recs AS (
+      SELECT p_partkey AS rec_id, p_name AS name FROM p
+      UNION ALL
+      SELECT p_partkey + m AS rec_id,
+             'x' || substr(p_name, 2, length(p_name) - 2) AS name
+      FROM p, mx
+    ), pairs AS (
+      SELECT a.rec_id AS id_a, b.rec_id AS id_b
+      FROM recs a, recs b
+      WHERE a.rec_id < b.rec_id AND levenshtein(a.name, b.name) <= 2
+    ), sym AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(node, label) AS (
+      SELECT rec_id, rec_id FROM recs
+      UNION
+      SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.node
+    ), lab AS (
+      SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+    ), agg AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_records
+      FROM lab GROUP BY cluster_id
+    )
+    SELECT a.cluster_id, a.n_records, c.name AS canonical_name
+    FROM agg a JOIN recs c ON c.rec_id = a.cluster_id
+    """,
+)
+def entity_resolution_parts(spark, sf_dir):
+    """End-to-end entity resolution — the record-linkage composition a
+    catalog/dedup pipeline runs: q-gram-blocked fuzzy matching
+    (operators.fuzzy.fuzzy_join, never a cross join) → connected
+    components over the match graph (operators.graph) → survivorship
+    (cluster size + the canonical record's name, canonical = min id).
+    Records are the first 200 part names plus a planted 2-edit typo
+    variant of each (re-keyed past max(key)+1, built identically in
+    both engines). The oracle cross-joins with the same levenshtein
+    bound and resolves clusters with a recursive-CTE transitive
+    closure, so the hash match proves blocking losslessness AND
+    cluster convergence AND survivor pick in one pin. Scale shape:
+    blocking is gram-equi-join + length band; CC rounds are
+    O(log diameter); survivorship is one group-agg + one key join."""
+    from lakeshack_spark.operators.fuzzy import fuzzy_join
+
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 200)
+        .select("p_partkey", "p_name")
+    )
+    mx = p.agg((F.max("p_partkey") + 1).alias("__mx"))
+    typos = p.crossJoin(F.broadcast(mx)).select(
+        (F.col("p_partkey") + F.col("__mx")).alias("rec_id"),
+        F.concat(
+            F.lit("x"),
+            F.expr("substr(p_name, 2, length(p_name) - 2)"),
+        ).alias("name"),
+    )
+    recs = p.select(
+        F.col("p_partkey").alias("rec_id"), F.col("p_name").alias("name")
+    ).unionByName(typos)
+    recs = recs.persist()
+    right = recs.select(
+        F.col("rec_id").alias("rec_id2"), F.col("name").alias("name2")
+    )
+    pairs = fuzzy_join(
+        recs, right, "name", "name2", "rec_id", "rec_id2", max_dist=2
+    ).filter(F.col("rec_id") < F.col("rec_id2"))
+    cc = graph.connected_components(
+        pairs,
+        id_a="rec_id",
+        id_b="rec_id2",
+        nodes=recs.select("rec_id"),
+        node_col="rec_id",
+    )
+    agg = cc.groupBy("cluster_id").agg(F.count("*").alias("n_records"))
+    return agg.join(
+        recs.select(
+            F.col("rec_id").alias("cluster_id"),
+            F.col("name").alias("canonical_name"),
+        ),
+        "cluster_id",
+    ).select("cluster_id", "n_records", "canonical_name")
+
+
 # =====================================================================
 # Entry points used by __spark_entry__.py
 # =====================================================================
@@ -5642,6 +5732,7 @@ _DRIVER_WINDOW = [
     "incremental_view_orders",
     "inverted_index_search_docs",
     "hashed_linear_quality_docs",
+    "entity_resolution_parts",
     # r5-era: text / packing / dedup tiers
     "vocab_encode_docs",
     "pack_token_windows_docs",
