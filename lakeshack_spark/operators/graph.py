@@ -438,3 +438,147 @@ def k_core(
     return edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("degree")
     )
+
+
+def _canonical_edges(edges: DataFrame, u: str, v: str) -> DataFrame:
+    """(a, b) with a < b by id, no self loops, distinct."""
+    return (
+        edges.select(
+            F.least(F.col(u), F.col(v)).alias("a"),
+            F.greatest(F.col(u), F.col(v)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _edge_support(e: DataFrame, handles: list | None = None) -> DataFrame:
+    """Per-edge triangle support of a canonical edge set ``e(a, b)``:
+    ``(a, b, support)`` for EVERY edge (0 when in no triangle).
+
+    Same degree-ordered orientation as :func:`triangle_stats` — each
+    triangle enumerated once as a wedge at its smallest-(degree, id)
+    vertex closed by one equi-join, O(m^1.5) wedge output — then each
+    triangle charges its THREE id-canonical edges and one count
+    aggregation yields supports.
+
+    The degree and oriented-edge frames are persisted (each feeds two
+    branches of ONE downstream action — the measured recomputation
+    rule); ``handles`` collects them so an iterative caller can
+    unpersist after materializing each round instead of accumulating
+    cached frames across rounds."""
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    deg = deg.persist()
+    deg.count()
+    da, db = deg.alias("da"), deg.alias("db")
+    ab = (
+        e.join(da, F.col("a") == F.col("da.n"))
+        .join(db, F.col("b") == F.col("db.n"))
+        .select(
+            F.col("a"),
+            F.col("b"),
+            F.struct(F.col("da.d").alias("d"), F.col("a").alias("n")).alias("ka"),
+            F.struct(F.col("db.d").alias("d"), F.col("b").alias("n")).alias("kb"),
+        )
+    )
+    oriented = ab.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kdst"),
+    ).persist()
+    oriented.count()
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (F.col("w1.kdst") < F.col("w2.kdst")),
+    ).select(
+        F.col("w1.src").alias("x"),
+        F.col("w1.dst").alias("y"),
+        F.col("w2.dst").alias("z"),
+    )
+    closure = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tris = wedges.join(closure, ["y", "z"], "inner")
+    charges = tris.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+                ),
+                F.struct(
+                    F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")
+                ),
+                F.struct(
+                    F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")
+                ),
+            )
+        ).alias("ed")
+    ).select(F.col("ed.a").alias("a"), F.col("ed.b").alias("b"))
+    sup = charges.groupBy("a", "b").agg(F.count("*").alias("support"))
+    out = e.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce(F.col("support"), F.lit(0).cast("long")).alias("support")
+    )
+    if handles is not None:
+        handles.extend([deg, oriented])
+    return out
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    u: str = "u",
+    v: str = "v",
+    rounds: int | None = None,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-truss: peel to the maximal subgraph where EVERY edge closes at
+    least ``k−2`` triangles. Output ``(u, v, support)`` — surviving
+    canonical edges with their in-truss support (support recomputed on
+    the final edge set, so it is the defining invariant's witness).
+
+    The edge-peeling sibling of :func:`k_core` (Cohen 2008): trussness
+    is a stronger cohesion signal than coreness (it counts closed
+    triangles, not mere degree), the standard community-backbone /
+    strong-tie filter on co-occurrence graphs. Per round: one
+    :func:`_edge_support` pass (degree-ordered wedge closure, O(m^1.5)
+    bounded) and one filter; |E| strictly shrinks. ``rounds=None``
+    converges (exact sub-threshold count per round, raises past
+    ``max_rounds``); ``rounds=N`` runs the fixed unrollable recurrence
+    the DuckDB oracle replays in the cross-engine gate
+    (``ktruss_cosuppliers``) — fixed N ≥ peel depth equals the
+    fixpoint. Rounds checkpoint eagerly (flat lineage), same discipline
+    as the other iterative operators.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3 for a k-truss, got {k}")
+    e = _canonical_edges(edges, u, v)
+    n_rounds = rounds if rounds is not None else max_rounds
+    for _ in range(n_rounds):
+        handles: list = []
+        sup = _edge_support(e, handles)
+        if rounds is None and sup.filter(F.col("support") < k - 2).count() == 0:
+            for h in handles:
+                h.unpersist()
+            break
+        e = (
+            sup.filter(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        # the round is materialized in the checkpoint: release this
+        # round's cached degree/orientation frames
+        for h in handles:
+            h.unpersist()
+    else:
+        if rounds is None:
+            raise RuntimeError(
+                f"k_truss did not converge within max_rounds={max_rounds}"
+            )
+    return _edge_support(e).select(
+        F.col("a").alias(u), F.col("b").alias(v), "support"
+    )

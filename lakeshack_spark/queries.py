@@ -5581,6 +5581,97 @@ def inverted_index_search_docs(spark, sf_dir):
     )
 
 
+#: One k-truss peel round, DuckDB side. MATERIALIZED for the same
+#: 3^rounds-inlining reason as the k-core steps; triangles enumerate
+#: once in canonical x<y<z order via the 3-way join, then charge their
+#: three edges.
+def _ktruss_rounds_sql(n_rounds: int, k: int) -> str:
+    steps = []
+    for n in range(1, n_rounds + 1):
+        p = n - 1
+        steps.append(
+            f"""t{p} AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e{p} e1 JOIN e{p} e2 ON e2.a = e1.b
+      JOIN e{p} e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), s{p} AS MATERIALIZED (
+      SELECT a, b, COUNT(*) AS sup FROM (
+        SELECT x AS a, y AS b FROM t{p}
+        UNION ALL SELECT x AS a, z AS b FROM t{p}
+        UNION ALL SELECT y AS a, z AS b FROM t{p}
+      ) GROUP BY a, b
+    ), e{n} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{p} e
+      LEFT JOIN s{p} s ON e.a = s.a AND e.b = s.b
+      WHERE COALESCE(s.sup, 0) >= {k - 2}
+    )"""
+        )
+    return ", ".join(steps)
+
+
+@register(
+    "ktruss_cosuppliers",
+    f"""
+    WITH pres AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem
+    ), alledges AS MATERIALIZED (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM pres a JOIN pres b ON a.o = b.o AND a.s < b.s
+    ), e0 AS MATERIALIZED (
+      SELECT u AS a, v AS b FROM alledges
+      WHERE {_H64_SQL.format(x="'kt:' || CAST(u AS VARCHAR) || ':' || CAST(v AS VARCHAR)")} % 10 = 0
+    ), {_ktruss_rounds_sql(4, 4)},
+    tf AS MATERIALIZED (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e4 e1 JOIN e4 e2 ON e2.a = e1.b
+      JOIN e4 e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), sf_ AS MATERIALIZED (
+      SELECT a, b, COUNT(*) AS sup FROM (
+        SELECT x AS a, y AS b FROM tf
+        UNION ALL SELECT x AS a, z AS b FROM tf
+        UNION ALL SELECT y AS a, z AS b FROM tf
+      ) GROUP BY a, b
+    )
+    SELECT e.a AS u, e.b AS v,
+           CAST(COALESCE(s.sup, 0) AS BIGINT) AS support
+    FROM e4 e LEFT JOIN sf_ s ON e.a = s.a AND e.b = s.b
+    """,
+)
+def ktruss_cosuppliers(spark, sf_dir):
+    """4-truss of the md5-sparsified co-supplier graph
+    (operators.graph.k_truss) under the hash gate: 4 fixed edge-peel
+    rounds (every edge must close ≥ 2 triangles), the stronger
+    cohesion filter than k-core — at sf0.01 the peel cascades
+    451 → 88 → 24 → 15 edges before stabilizing, so the gate
+    exercises genuine multi-round erosion, and the output support
+    column witnesses the defining invariant on the final edge set.
+    The oracle unrolls the identical recurrence: canonical x<y<z
+    triangle enumeration per round (3-way self-join), each triangle
+    charging its three edges, MATERIALIZED per round (same 3^rounds
+    CTE-inlining trap as k-core). Spark's per-round support pass uses
+    the degree-ordered O(m^1.5) wedge closure, never the naive
+    Σ deg² expansion."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+    )
+    key = F.concat(
+        F.lit("kt:"),
+        F.col("u").cast("string"),
+        F.lit(":"),
+        F.col("v").cast("string"),
+    )
+    edges = pairs.filter(dedup._h64(key) % 10 == 0)
+    return graph.k_truss(edges, k=4, u="u", v="v", rounds=4)
+
+
 @register(
     "entity_resolution_parts",
     """
@@ -5647,7 +5738,11 @@ def entity_resolution_parts(spark, sf_dir):
     recs = p.select(
         F.col("p_partkey").alias("rec_id"), F.col("p_name").alias("name")
     ).unionByName(typos)
+    # four consumers in one action (fuzzy left/right, node universe,
+    # canonical-name join): persist + eager count, the repo's measured
+    # branch-recomputation rule
     recs = recs.persist()
+    recs.count()
     right = recs.select(
         F.col("rec_id").alias("rec_id2"), F.col("name").alias("name2")
     )
@@ -5733,6 +5828,7 @@ _DRIVER_WINDOW = [
     "inverted_index_search_docs",
     "hashed_linear_quality_docs",
     "entity_resolution_parts",
+    "ktruss_cosuppliers",
     # r5-era: text / packing / dedup tiers
     "vocab_encode_docs",
     "pack_token_windows_docs",

@@ -158,3 +158,51 @@ def test_kcore_validates(spark):
             k=2,
             max_rounds=2,
         )
+
+
+# ------------------------------------------------------------- k-truss
+
+
+def test_ktruss_drops_pendant_keeps_shared_triangles(spark):
+    # K4: every edge closes 2 triangles -> the 4-truss is K4 itself,
+    # each edge with support 2; a pendant edge (4,5) must vanish.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    pairs = spark.createDataFrame(edges, "u long, v long")
+    got = sorted(
+        (r.u, r.v, r.support) for r in graph.k_truss(pairs, k=4).collect()
+    )
+    assert got == [(1, 2, 2), (1, 3, 2), (1, 4, 2),
+                   (2, 3, 2), (2, 4, 2), (3, 4, 2)]
+
+
+def test_ktruss_cascade(spark):
+    # K4 minus edge (1,4): only (2,3) closes two triangles; after it
+    # alone survives round 1, it closes none -> 4-truss is EMPTY.
+    edges = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)]
+    pairs = spark.createDataFrame(edges, "u long, v long")
+    assert graph.k_truss(pairs, k=4).count() == 0
+    # but the 3-truss (every edge in >= 1 triangle) keeps all five
+    got3 = sorted(
+        (r.u, r.v, r.support) for r in graph.k_truss(pairs, k=3).collect()
+    )
+    assert got3 == [(1, 2, 1), (1, 3, 1), (2, 3, 2), (2, 4, 1), (3, 4, 1)]
+
+
+def test_ktruss_fixed_rounds_equals_converged(spark):
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (4, 6)]
+    pairs = spark.createDataFrame(edges, "u long, v long")
+    conv = sorted(
+        (r.u, r.v, r.support) for r in graph.k_truss(pairs, k=4).collect()
+    )
+    fixed = sorted(
+        (r.u, r.v, r.support)
+        for r in graph.k_truss(pairs, k=4, rounds=4).collect()
+    )
+    assert conv == fixed and len(conv) == 6
+
+
+def test_ktruss_validates(spark):
+    pairs = spark.createDataFrame([(1, 2)], "u long, v long")
+    with pytest.raises(ValueError, match="k must be"):
+        graph.k_truss(pairs, k=2)

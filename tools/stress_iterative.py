@@ -123,6 +123,65 @@ def stress_pagerank(spark, sf_dir: str, n_iter: int) -> None:
     assert 0 <= loss <= bound, (loss, bound)
 
 
+def stress_kcore(spark, sf_dir: str) -> None:
+    """k-core invariants at sf0.1: (1) converged output really is a
+    fixpoint — re-peeling it with extra fixed rounds changes nothing;
+    (2) every surviving degree ≥ k (the defining property); (3) the
+    peel strictly removed something (k chosen above the min degree so
+    the run exercises the loop, not a no-op)."""
+    from lakeshack_spark.operators.graph import k_core
+
+    li = (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select(F.col("l_orderkey").alias("o"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .persist()
+    )
+    n_edges = pairs.count()
+    deg = (
+        pairs.select(F.col("u").alias("n"))
+        .unionAll(pairs.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    row = deg.agg(
+        F.count("*").alias("v"),
+        F.min("d").alias("dmin"),
+        F.expr("sum(d) div count(*)").alias("davg"),
+    ).collect()[0]
+    # just above the minimum: guarantees at least one peel without the
+    # quasi-regular graph cascading to empty
+    k = int(row["dmin"]) + 1
+    t0 = time.monotonic()
+    core = k_core(pairs, k=k, id_a="u", id_b="v").persist()
+    n_core = core.count()
+    t_conv = time.monotonic() - t0
+    below = core.filter(F.col("degree") < k).count()
+    assert below == 0, f"{below} survivors below k={k}"
+    assert 0 < n_core < int(row["v"]), (n_core, row["v"])
+    # fixpoint: two more peel rounds on the core change nothing
+    core_edges = pairs.join(
+        core.select(F.col("node").alias("u")), "u", "semi"
+    ).join(core.select(F.col("node").alias("v")), "v", "semi")
+    again = k_core(core_edges, k=k, id_a="u", id_b="v", rounds=2)
+    diff = core.select("node", "degree").exceptAll(again).count()
+    diff += again.exceptAll(core.select("node", "degree")).count()
+    assert diff == 0, f"fixpoint violated: {diff} differing rows"
+    print(
+        f"kcore: |V| {row['v']} |E| {n_edges} dmin {row['dmin']} davg "
+        f"{row['davg']} k {k} -> core {n_core} nodes in {t_conv:.2f}s; "
+        f"fixpoint re-peel stable"
+    )
+    core.unpersist()
+    pairs.unpersist()
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 24
@@ -131,6 +190,7 @@ def main() -> None:
     try:
         stress_bpe(spark, sf_dir, n_merges)
         stress_pagerank(spark, sf_dir, n_iter)
+        stress_kcore(spark, sf_dir)
     finally:
         spark.stop()
 
