@@ -149,3 +149,72 @@ def check_expectations(df: DataFrame, constraints: list) -> DataFrame:
     return row.select(
         F.explode(F.array(*out_structs)).alias("r")
     ).select("r.constraint", "r.passed", "r.observed")
+
+
+def hashed_distribution_drift(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Distribution-drift monitor: per ``group_col`` slice, the
+    chi-square distance between the slice's hashed-token-bucket
+    distribution and the WHOLE corpus's — the "did this source/shard/
+    day drift from the corpus profile?" gate every continuously-fed
+    training pipeline runs (the PSI/chi² monitoring shape, with fixed
+    hashed buckets so the feature space never grows).
+
+    Output: ``(group_col, n_tokens, chi2)`` with
+
+        chi2 = Σ_b (p_gb − p_cb)² / p_cb        (b = 0..n_buckets−1)
+
+    over buckets where the corpus share ``p_cb`` is non-zero.
+
+    Cross-engine exactness (the repo's float recipe): bucket counts are
+    exact int64 (md5-hash bucketing, one explode + conditional sums);
+    each share is ONE int→double division; the chi² accumulates the
+    bounded bucket list in FIXED left-to-right order (an expression
+    chain, not a data-order SUM), so every IEEE operation is
+    correctly-rounded identically in Spark and DuckDB and the statistic
+    is bit-reproducible — gate entry ``drift_chi2_docs``.
+
+    Scale shape: one O(total tokens) explode feeding TWO bounded
+    aggregations (per-group and 1-row corpus, both map-side combined,
+    n_buckets conditional sums wide), one broadcast of the 1-row corpus
+    profile. No joins on token rows, no per-row Python; n_buckets is a
+    plan-size constant (keep it ≤ a few hundred).
+    """
+    from lakeshack_spark.operators.dedup import _h64
+    from lakeshack_spark.operators.text import words_col
+
+    words = df.select(
+        F.col(group_col), F.explode(words_col(text_col)).alias("term")
+    )
+    toks = words.select(
+        F.col(group_col),
+        (
+            _h64(F.concat(F.lit("b:"), F.col("term"))) % F.lit(n_buckets)
+        ).alias("bkt"),
+    )
+    cnt = [
+        F.sum(F.when(F.col("bkt") == i, 1).otherwise(0))
+        .cast("long")
+        .alias(f"c{i}")
+        for i in range(n_buckets)
+    ]
+    per_group = toks.groupBy(group_col).agg(
+        F.count("*").alias("n_tokens"), *cnt
+    )
+    corpus = toks.agg(F.count("*").alias("N"), *[
+        c.alias(f"t{i}") for i, c in enumerate(cnt)
+    ])
+    j = per_group.crossJoin(F.broadcast(corpus))
+    chi2 = None
+    for i in range(n_buckets):
+        pg = F.col(f"c{i}").cast("double") / F.col("n_tokens").cast("double")
+        pc = F.col(f"t{i}").cast("double") / F.col("N").cast("double")
+        term = F.when(
+            F.col(f"t{i}") > 0, (pg - pc) * (pg - pc) / pc
+        ).otherwise(F.lit(0.0))
+        chi2 = term if chi2 is None else chi2 + term
+    return j.select(group_col, "n_tokens", chi2.alias("chi2"))

@@ -5581,6 +5581,70 @@ def inverted_index_search_docs(spark, sf_dir):
     )
 
 
+def _drift_chi2_sql(n_buckets: int) -> str:
+    """DuckDB twin of quality.hashed_distribution_drift: the SAME
+    expression tree — per-bucket int counts, one division per share,
+    and a fixed left-to-right + chain (never a data-order SUM) — so
+    every IEEE step rounds identically and chi2 crosses the hash gate
+    bit-for-bit. CAST(0 AS DOUBLE) in the guard: a bare 0.0 literal is
+    DECIMAL in DuckDB."""
+    h = _H64_SQL.format(x="'b:' || term")
+    cg = ", ".join(
+        f"CAST(SUM(CASE WHEN bkt = {i} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+        for i in range(n_buckets)
+    )
+    ct = ", ".join(
+        f"CAST(SUM(CASE WHEN bkt = {i} THEN 1 ELSE 0 END) AS BIGINT) AS t{i}"
+        for i in range(n_buckets)
+    )
+    terms = []
+    for i in range(n_buckets):
+        pg = f"(CAST(c{i} AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+        pc = f"(CAST(t{i} AS DOUBLE) / CAST(N AS DOUBLE))"
+        terms.append(
+            f"CASE WHEN t{i} > 0 THEN ({pg} - {pc}) * ({pg} - {pc}) / {pc} "
+            f"ELSE CAST(0 AS DOUBLE) END"
+        )
+    chain = terms[0]
+    for t in terms[1:]:
+        chain = f"({chain} + {t})"
+    return f"""
+    WITH tok AS (
+      SELECT source, {h} % {n_buckets} AS bkt FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS term
+        FROM documents
+      )
+    ), g AS (
+      SELECT source, COUNT(*) AS n_tokens, {cg}
+      FROM tok GROUP BY source
+    ), c AS (
+      SELECT COUNT(*) AS N, {ct} FROM tok
+    )
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           {chain} AS chi2
+    FROM g, c
+    """
+
+
+@register("drift_chi2_docs", _drift_chi2_sql(16))
+def drift_chi2_docs(spark, sf_dir):
+    """Distribution-drift monitor (quality.hashed_distribution_drift)
+    under the hash gate: per-source chi-square distance between the
+    source's hashed-token-bucket distribution and the whole corpus's —
+    the PSI/chi² drift gate a continuously-fed pipeline runs per
+    shard/day. The statistic is bit-reproducible cross-engine because
+    bucket counts are exact ints, each share is one int→double
+    division, and the bounded bucket list accumulates in a FIXED
+    left-to-right expression chain instead of a data-order SUM (the
+    repo's float-exactness recipe; libm-free). One explode, two
+    bounded map-side-combined aggregations, one 1-row broadcast —
+    no token-row joins."""
+    from lakeshack_spark.operators.quality import hashed_distribution_drift
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_distribution_drift(docs, "source", n_buckets=16)
+
+
 #: One k-truss peel round, DuckDB side. MATERIALIZED for the same
 #: 3^rounds-inlining reason as the k-core steps; triangles enumerate
 #: once in canonical x<y<z order via the 3-way join, then charge their
@@ -5829,6 +5893,7 @@ _DRIVER_WINDOW = [
     "hashed_linear_quality_docs",
     "entity_resolution_parts",
     "ktruss_cosuppliers",
+    "drift_chi2_docs",
     # r5-era: text / packing / dedup tiers
     "vocab_encode_docs",
     "pack_token_windows_docs",

@@ -2312,3 +2312,27 @@ def test_hashed_linear_score_shape_and_determinism(spark):
     assert out[0] == (3, 2 * wx + wy, (2 * wx + wy) >= 1)
     assert out[1] == (1, wy, wy >= 1)
     assert out[2] == (4, 4 * wz, (4 * wz) >= 1)
+
+
+def test_hashed_distribution_drift_zero_for_identical_slices(spark):
+    """A group whose text is an exact replica of the corpus profile
+    drifts by exactly 0.0 (shares are identical doubles, so every
+    chi-square term is (x-x)^2 = 0); a skewed group drifts positive."""
+    from lakeshack_spark.operators.quality import hashed_distribution_drift
+
+    balanced = "scan filter join merge window batch"
+    docs = spark.createDataFrame(
+        [
+            (0, "a", balanced),
+            (1, "b", balanced),
+            (2, "c", "scan scan scan scan scan scan"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        r.source: (r.n_tokens, r.chi2)
+        for r in hashed_distribution_drift(docs, "source", n_buckets=8).collect()
+    }
+    assert out["a"][0] == out["b"][0] == out["c"][0] == 6
+    assert out["a"][1] == out["b"][1] and out["a"][1] > 0.0  # vs mixed corpus
+    assert out["c"][1] > out["a"][1]  # the skewed slice drifts most
