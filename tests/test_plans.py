@@ -423,3 +423,27 @@ def test_semdedup_pair_join_is_cell_keyed(spark):
     join_lines = [l for l in s.splitlines() if "Join [cell" in l or "Join cell" in l
                   or ("Join" in l and "cell" in l)]
     assert join_lines, s
+
+
+def test_hashed_linear_is_joinless_with_map_side_combine(spark):
+    """The classifier is one explode + one doc-keyed aggregation: the
+    plan must carry a partial/final aggregate pair (map-side combine on
+    the token explosion) and NO join of any kind — at 100 TB the only
+    shuffle is the per-doc partials."""
+    df = q("hashed_linear_quality_docs", spark)
+    assert plans.has_partial_aggregation(df)
+    plan = plans.explain_str(df)
+    assert "Join" not in plan, plan[:2000]
+
+
+def test_drift_chi2_broadcasts_corpus_profile(spark):
+    """The 1-row corpus profile must reach the per-group frame via a
+    broadcast (nested-loop on a single row), never a shuffle join —
+    and the token relation must never be joined at all."""
+    df = q("drift_chi2_docs", spark)
+    plan = plans.explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        plan[:2000]
+    )
+    assert plans.has_partial_aggregation(df)
