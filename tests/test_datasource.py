@@ -124,3 +124,64 @@ def test_synth_source_composes_with_text_operators(registered):
     )
     out = text.hashed_linear_score(docs, n_buckets=32, weight_span=4)
     assert out.count() == 80
+
+
+# ------------------------------------------------------------ sink side
+
+
+def test_lakeshack_sink_writes_and_indexes(registered, tmp_path):
+    """The sink writes one parquet file per non-empty partition, commit
+    moves them out of staging and indexes them in the co-located stats
+    store — after which the full Lakeshack pruned-query path works on
+    the lake the sink built."""
+    import os
+
+    from lakeshack_spark.engine import Lakeshack
+    from lakeshack_spark.sources.sink import LakeshackSinkDataSource
+
+    registered.dataSource.register(LakeshackSinkDataSource)
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    orders = registered.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    (
+        orders.repartitionByRange(4, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.format("lakeshack_sink")
+        .option("path", lake)
+        .option("cluster_column", "o_custkey")
+        .option("optional_columns", "o_orderdate")  # temporal stat parity
+        .mode("append")
+        .save()
+    )
+    files = [f for f in os.listdir(lake) if f.endswith(".parquet")]
+    assert len(files) == 4
+    assert not [d for d in os.listdir(lake) if d.startswith("_staging")]
+    shack = Lakeshack(registered, lake, "o_custkey", ["o_orderdate"])
+    # the sink's commit already indexed (Spark-free, pyarrow footer
+    # stats): rows exist without any explicit update_metastore call...
+    assert shack.metastore.stats_df().count() == 4
+    # ...and the Spark ingest READS the sink-written store (schema
+    # parity incl. the timestamp stat columns) and finds nothing new
+    # (filepath-dedup interop)
+    assert shack.update_metastore() == 0
+    got = shack.query([7, 42]).count()
+    want = orders.filter(F.col("o_custkey").isin([7, 42])).count()
+    assert got == want > 0
+    # second append: only the new files are indexed on top (idempotent)
+    orders.limit(10).coalesce(1).write.format("lakeshack_sink").option(
+        "path", lake
+    ).option("cluster_column", "o_custkey").option(
+        "optional_columns", "o_orderdate"
+    ).mode("append").save()
+    assert shack.metastore.stats_df().count() == 5
+
+
+def test_lakeshack_sink_rejects_overwrite(registered, tmp_path):
+    from lakeshack_spark.sources.sink import LakeshackSinkDataSource
+
+    registered.dataSource.register(LakeshackSinkDataSource)
+    df = registered.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(Exception, match="append-only"):
+        df.write.format("lakeshack_sink").option(
+            "path", str(tmp_path / "x")
+        ).mode("overwrite").save()
