@@ -10,15 +10,16 @@ metastore. This is the write half of the reference's deployment story
 /root/reference/docs/source/lakeshack.rst:252-263 + 322-334) collapsed
 into ONE sink: data and zone-map index can no longer drift apart.
 
-Commit protocol (Hadoop-v1 shape): tasks write into a per-job
-``_staging-<token>`` directory; ``commit()`` moves the files into the
-lake root and only then indexes them; ``abort()`` removes the staging
-dir. A failed/retried task's orphan lives only in staging, so it is
-swept at job end either way, and the metastore ingest is idempotent
-(filepath anti-join) so a replayed commit re-indexes nothing. Staging
-assumes a filesystem with atomic rename that all writers share (local
-or NFS/HDFS-style); for object stores write direct and rely on the
-idempotent index — the documented trade.
+Commit protocol (Hadoop-v1 shape): tasks write into the shared
+``_staging`` directory under names unique per (process, partition,
+task attempt); ``commit()`` moves exactly the files its messages name
+into the lake root and only then indexes them; ``abort()`` sweeps the
+same message-named files. A failed/retried task's orphan lives only in
+staging (never visible to readers or the index), and the metastore
+ingest is idempotent (filepath anti-join) so a replayed commit
+re-indexes nothing. Staging assumes a filesystem with atomic rename
+that all writers share (local or NFS/HDFS-style); for object stores
+write direct and rely on the idempotent index — the documented trade.
 
 Clustering is the CALLER's plan, as in the reference's own docs: run
 ``df.repartitionByRange(n, col).sortWithinPartitions(col)`` upstream
@@ -29,14 +30,13 @@ repartition its input. The sink records whatever file layout arrives.
 from __future__ import annotations
 
 import os
-import shutil
-import time
 from dataclasses import dataclass
 from typing import TYPE_CHECKING, Iterator, List, Optional
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -63,10 +63,15 @@ class LakeshackSinkWriter(DataSourceArrowWriter):
         self.optional_columns = [
             c for c in options.get("optional_columns", "").split(",") if c
         ]
-        # per-job token: staging isolation, not a query path (the repo's
-        # no-RNG rule binds query results; a commit-scope token is the
-        # same class as tempfile.mkdtemp elsewhere in the repo)
-        self.staging = f"{self.path}/_staging-{os.getpid()}-{time.time_ns()}"
+        # staging must be DERIVABLE from options alone: the streaming
+        # path re-instantiates the writer in separate worker processes
+        # (write-side and commit-side see different instances), so a
+        # per-instance random token would desynchronize them — measured
+        # as commit() missing the files write() staged. Uniqueness lives
+        # in the FILE names (pid + task attempt id) instead; moves are
+        # message-driven, so concurrent jobs sharing the dir don't
+        # interfere.
+        self.staging = f"{self.path}/_staging"
 
     # ---- executor side -------------------------------------------------
     def write(self, iterator: Iterator["RecordBatch"]) -> _FileCommit:
@@ -85,7 +90,8 @@ class LakeshackSinkWriter(DataSourceArrowWriter):
                 if writer is None:
                     os.makedirs(self.staging, exist_ok=True)
                     fname = (
-                        f"{self.staging}/part-{part:05d}-{attempt}.parquet"
+                        f"{self.staging}/part-{os.getpid()}"
+                        f"-{part:05d}-{attempt}.parquet"
                     )
                     writer = pq.ParquetWriter(fname, batch.schema)
                 writer.write_table(pa.Table.from_batches([batch]))
@@ -110,7 +116,12 @@ class LakeshackSinkWriter(DataSourceArrowWriter):
             dst = f"{self.path}/{m.filename}"
             os.replace(src, dst)
             moved.append(dst)
-        shutil.rmtree(self.staging, ignore_errors=True)
+        # remove staging only if empty: a concurrent job (or the next
+        # micro-batch already writing) may still own files in it
+        try:
+            os.rmdir(self.staging)
+        except OSError:
+            pass
         if moved and self.cluster_column:
             self._index_committed(moved)
 
@@ -200,11 +211,29 @@ class LakeshackSinkWriter(DataSourceArrowWriter):
             schema=schema,
         )
         os.makedirs(store, exist_ok=True)
-        token = os.path.basename(self.staging).replace("_staging-", "")
+        # name derived from the indexed CONTENT: unique per batch, and a
+        # replayed commit rewrites the same file with identical rows
+        # (idempotent) instead of colliding with other batches' rows
+        import hashlib
+
+        token = hashlib.md5(
+            "|".join(sorted(r["filepath"] for r in rows)).encode("utf-8")
+        ).hexdigest()[:12]
         pq.write_table(table, f"{store}/part-sink-{token}.parquet")
 
     def abort(self, messages: List[Optional["WriterCommitMessage"]]) -> None:
-        shutil.rmtree(self.staging, ignore_errors=True)
+        # sweep only THIS job's staged files (message-driven, same
+        # reasoning as commit); the dir goes when the last owner leaves
+        for m in messages or []:
+            if m is not None and getattr(m, "filename", None):
+                try:
+                    os.remove(f"{self.staging}/{m.filename}")
+                except OSError:
+                    pass
+        try:
+            os.rmdir(self.staging)
+        except OSError:
+            pass
 
 
 class LakeshackSinkDataSource(DataSource):
@@ -229,3 +258,28 @@ class LakeshackSinkDataSource(DataSource):
                 "or delete the lake explicitly instead of overwrite mode"
             )
         return LakeshackSinkWriter(self.options)
+
+    def streamWriter(self, schema: "StructType", overwrite: bool):
+        if overwrite:
+            raise ValueError("lakeshack_sink is append-only")
+        return LakeshackSinkStreamWriter(self.options)
+
+
+class LakeshackSinkStreamWriter(LakeshackSinkWriter, DataSourceStreamArrowWriter):
+    """Streaming twin: `stream.writeStream.format("lakeshack_sink")` —
+    every micro-batch commits through the SAME staging + move + index
+    protocol, so the lake and its zone-map index advance together batch
+    by batch (the streaming/ingest.py clustered-commit story expressed
+    as a first-class sink). The staging dir is shared across batches —
+    safe because commit(batchId) moves only the files ITS batch's
+    messages name (task attempt ids keep names unique), batches run
+    sequentially, and a replayed batch re-writes and re-moves its own
+    files while the filepath-dedup index ignores the rerun."""
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803
+        LakeshackSinkWriter.commit(self, messages)
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803
+        # earlier batches' files were moved at their own commit; staging
+        # holds only the failed batch's output
+        LakeshackSinkWriter.abort(self, messages)

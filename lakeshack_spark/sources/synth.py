@@ -43,6 +43,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -143,3 +144,48 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema: "StructType") -> SynthDocsReader:
         return SynthDocsReader(self.options)
+
+    def simpleStreamReader(self, schema: "StructType"):
+        return SynthDocsStreamReader(self.options)
+
+
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the synthetic corpus: each micro-batch emits the
+    next ``rows_per_batch`` doc ids, bounded by ``n_rows`` — offsets are
+    just ``{"doc_id": next_id}``, so the stream is REPLAYABLE by
+    construction (Spark re-reads an uncommitted offset range and gets
+    bit-identical rows; ``readBetweenOffsets`` is the inherited
+    offset-range replay). At the cap the reader returns an empty slice
+    with an unchanged offset, so ``processAllAvailable()`` terminates —
+    a finite, deterministic stream for tests and backfills."""
+
+    def __init__(self, options):
+        self.seed = options.get("seed", "synth")
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"doc_id": 0}
+
+    def read(self, start: dict):
+        lo = int(start["doc_id"])
+        hi = min(lo + self.rows_per_batch, self.n_rows)
+        # a LIST ITERATOR, not a generator and not a bare list: the
+        # simple-reader harness both calls next() on the return value
+        # (so it must be an iterator) and pickles it to ship/replay the
+        # prefetched slice (so it must be picklable — generators are
+        # not; list iterators are). Bounded by rows_per_batch, so
+        # materializing is the design.
+        rows = []
+        for doc_id in range(lo, hi):
+            text = _doc_text(self.seed, doc_id)
+            rows.append(
+                (
+                    doc_id,
+                    text,
+                    f"synth-{_h(self.seed, doc_id, 'src') % 5}",
+                    len(text),
+                )
+            )
+        return iter(rows), {"doc_id": hi}
+
