@@ -5581,6 +5581,64 @@ def inverted_index_search_docs(spark, sf_dir):
     )
 
 
+#: DuckDB twin of sources.synth._h: first 15 md5 hex digits of
+#: 'seed:part:part...' as a BIGINT (same fold as _H64_SQL, different
+#: key construction).
+def _synth_h_sql(*parts: str) -> str:
+    key = " || ':' || ".join(parts)
+    return _H64_SQL.format(x=key)
+
+
+@register(
+    "synth_source_docs",
+    f"""
+    WITH vocab AS (
+      SELECT ['scan','filter','join','merge','window','batch','vector',
+              'hash','row','column','order','customer','line','small',
+              'slow','data','query','index','stream','shuffle','spark']
+             AS v
+    ), ids AS (
+      SELECT unnest(range(0, 300)) AS doc_id
+    ), docs AS (
+      SELECT doc_id,
+             array_to_string(
+               list_transform(
+                 range(0, CAST(5 + {_synth_h_sql("'synth'", "CAST(doc_id AS VARCHAR)", "'len'")} % 20 AS BIGINT)),
+                 i -> v[1 + CAST({_synth_h_sql("'synth'", "CAST(doc_id AS VARCHAR)", "CAST(i AS VARCHAR)")} % 21 AS INTEGER)]
+               ), ' ') AS text,
+             'synth-' || CAST({_synth_h_sql("'synth'", "CAST(doc_id AS VARCHAR)", "'src'")} % 5 AS VARCHAR)
+               AS source
+      FROM ids, vocab
+    )
+    SELECT doc_id, text, source, CAST(length(text) AS INTEGER) AS n_chars
+    FROM docs
+    """,
+)
+def synth_source_docs(spark, sf_dir):
+    """The CUSTOM PYTHON DATA SOURCE itself under the hash gate: 300
+    rows of the md5-deterministic synthetic corpus read through
+    ``spark.read.format("synth_docs")`` (sources/synth.py — Spark 4
+    DataSource API: schema/options/partition planning + pushFilters
+    plan-time pruning), against a DuckDB oracle that REGENERATES the
+    identical rows arithmetically (the same first-15-md5-hex-digit
+    integer fold drives word choice, length, and source bucket). The
+    hash match proves the executor-side Python generation byte-for-byte
+    — row content, per-doc word sequences, and the n_chars projection —
+    independent of partitioning (the source plans its own id-slice
+    partitions). sf-independent by design: a generator source has no
+    files to scale."""
+    from lakeshack_spark.sources.synth import SynthDocsDataSource
+
+    spark.dataSource.register(SynthDocsDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return (
+        spark.read.format("synth_docs")
+        .option("n_rows", "300")
+        .option("rows_per_partition", "64")
+        .load()
+    )
+
+
 def _drift_chi2_sql(n_buckets: int) -> str:
     """DuckDB twin of quality.hashed_distribution_drift: the SAME
     expression tree — per-bucket int counts, one division per share,
@@ -5894,6 +5952,7 @@ _DRIVER_WINDOW = [
     "entity_resolution_parts",
     "ktruss_cosuppliers",
     "drift_chi2_docs",
+    "synth_source_docs",
     # r5-era: text / packing / dedup tiers
     "vocab_encode_docs",
     "pack_token_windows_docs",
