@@ -97,3 +97,93 @@ def _rewrite(shack: Lakeshack, write_staged) -> int:
     shack.metastore.backend.drop()
     shack.update_metastore()
     return len(old_files)
+
+
+def delete_rows(
+    shack: Lakeshack,
+    cluster_column_values,
+    optional_where_clauses: tuple = (),
+) -> dict:
+    """Targeted row deletion — the compliance/GDPR primitive: remove every
+    row matching the key set (and optional clauses) by rewriting ONLY the
+    files the zone map says can contain them. Returns an accounting dict:
+    ``files_total / files_candidate / files_rewritten / files_removed /
+    rows_deleted``.
+
+    This is where the metastore pays off on the WRITE path too: on a
+    well-clustered 100 TB lake a key set touches a handful of files, so
+    the delete costs a handful of file rewrites — not a full-table
+    rewrite, not a tombstone layer. Files outside the candidate set are
+    untouched (byte-identical, same paths — asserted in tests).
+
+    Per candidate file: scan, drop matching rows, stage the replacement,
+    atomic-rename it in (new name), remove the original; a file whose
+    rows ALL match is simply removed. The metastore then reconciles in
+    one ``update_metastore`` pass — replacement files are new paths to
+    index, vanished originals are dropped by the deleted-file
+    reconciliation the ingest already performs. Candidate files are
+    processed in one driver loop (bounded by pruning — the whole premise
+    is that the candidate set is small); each rewrite is a distributed
+    scan+filter+write. Local-rename swap, same caveat as
+    :func:`compact`: under a table format, run the same rewrite as a
+    Delta/Iceberg transaction.
+
+    Exact-match semantics mirror ``Lakeshack.query``: a row is deleted
+    iff ``cluster_column IN values`` AND every optional clause holds —
+    pruning is best-effort, the per-file filter is exact.
+    """
+    from lakeshack_spark.engine import build_predicate
+
+    if "://" in shack.data_path and not shack.data_path.startswith("file://"):
+        raise NotImplementedError(
+            "delete_rows() swaps files with local renames; on object "
+            "storage run the rewrite under a table-format commit"
+        )
+    if not isinstance(cluster_column_values, (list, tuple)):
+        cluster_column_values = [cluster_column_values]
+    all_files = list_parquet_files(shack.data_path, shack.spark)
+    candidates = shack.candidate_files(
+        cluster_column_values, optional_where_clauses
+    )
+    pred = build_predicate(
+        shack.cluster_column, cluster_column_values, optional_where_clauses
+    )
+    tag = uuid.uuid4().hex[:8]
+    rewritten = removed = 0
+    rows_deleted = 0
+    for i, path in enumerate(candidates):
+        df = shack.spark.read.schema(shack.schema).parquet(path)
+        n_match = df.filter(pred).count()
+        if n_match == 0:
+            continue  # zone-map false positive: leave the file alone
+        rows_deleted += n_match
+        survivors = df.filter(~pred)
+        if survivors.isEmpty():
+            os.remove(_local(path))
+            removed += 1
+            continue
+        staging = os.path.join(
+            shack.data_path, f"_delete_staging-{tag}-{i:05d}"
+        )
+        survivors.coalesce(1).write.mode("overwrite").parquet(staging)
+        (staged,) = list_parquet_files(staging)
+        os.replace(
+            _local(staged),
+            os.path.join(shack.data_path, f"delete-{tag}-{i:05d}.parquet"),
+        )
+        shutil.rmtree(staging, ignore_errors=True)
+        os.remove(_local(path))
+        rewritten += 1
+    if rewritten or removed:
+        shack.update_metastore()
+    return {
+        "files_total": len(all_files),
+        "files_candidate": len(candidates),
+        "files_rewritten": rewritten,
+        "files_removed": removed,
+        "rows_deleted": rows_deleted,
+    }
+
+
+def _local(path: str) -> str:
+    return path[len("file://"):] if path.startswith("file://") else path
