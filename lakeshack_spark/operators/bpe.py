@@ -24,6 +24,7 @@ single-space split — the corpus is space-normalized).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints must resolve
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -144,3 +145,96 @@ def bpe_train(
         vocab.unpersist()
         vocab = nxt
     return merges, vocab
+
+
+def bpe_encode(
+    docs: DataFrame,
+    vocab_syms: DataFrame,
+    merges: list | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """APPLY a trained tokenizer to a corpus — the serving half of
+    :func:`bpe_train`: per document, ``(doc_id, n_words, n_tokens,
+    tokens_fp)`` where ``n_tokens`` counts subword symbols and
+    ``tokens_fp`` is the md5 of the full ordered symbol sequence
+    (symbols joined by U+001F within a word, words by U+001E — both
+    outside the corpus alphabet, so distinct sequences cannot collide
+    by concatenation).
+
+    Vocabulary lookup is a broadcast join word→syms against the trained
+    ``(w, syms)`` table — training already folded every merge into it,
+    so the HOT path (in-vocab words, the overwhelming mass by Zipf) does
+    no merge work at apply time. Out-of-vocabulary words — new docs the
+    trainer never saw — take the COLD path: the trained merge list is
+    applied in rank order by an Arrow-batched pandas UDF, exactly the
+    canonical BPE apply (a JVM-side expression fold would inline one
+    aggregate per merge into the plan — the repo's measured
+    plan-bloat/HOF trap — and OOV words are the rare case, so the UDF
+    runs on a filtered branch only, never the full corpus; the
+    split-branch form also keeps Spark from hoisting the UDF over ALL
+    rows, which a ``when(...)`` guard would not). With ``merges=None``
+    OOV words stay as character symbols (a frozen-vocab encoder).
+
+    Scale shape: one posexplode O(total words), one broadcast join, the
+    OOV branch, and one per-doc aggregation with order restored by
+    ``array_sort`` over (pos, wf) structs — never a window, never a
+    driver loop. Unit-pinned token-for-token against a canonical
+    pure-Python encoder, OOV words included."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+        ).alias("pos", "w"),
+    )
+    joined = toks.join(
+        F.broadcast(vocab_syms.select("w", "syms")), "w", "left"
+    )
+    hits = joined.filter(F.col("syms").isNotNull()).select(
+        "doc_id", "pos", "syms"
+    )
+    misses = joined.filter(F.col("syms").isNull())
+    if merges is not None:
+        pairs = [(m[0], m[1]) for m in merges]
+
+        @F.pandas_udf("array<string>")
+        def _encode_oov(words: pd.Series) -> pd.Series:
+            def one(w: str) -> list[str]:
+                syms = list(w)
+                for left, right in pairs:
+                    out, i = [], 0
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == left
+                            and syms[i + 1] == right
+                        ):
+                            out.append(left + right)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                return syms
+
+            return words.map(one)
+
+        oov_syms = _encode_oov(F.col("w"))
+    else:
+        oov_syms = F.filter(F.split(F.col("w"), ""), lambda x: x != F.lit(""))
+    misses = misses.select("doc_id", "pos", oov_syms.alias("syms"))
+    per_word = hits.unionByName(misses).select(
+        "doc_id",
+        "pos",
+        F.size("syms").alias("n_syms"),
+        F.concat_ws("\x1f", F.col("syms")).alias("wf"),
+    )
+    seq = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", "wf"))),
+        lambda x: x["wf"],
+    )
+    return per_word.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("n_syms").alias("n_tokens"),
+        F.md5(F.concat_ws("\x1e", seq)).alias("tokens_fp"),
+    )

@@ -2336,3 +2336,63 @@ def test_hashed_distribution_drift_zero_for_identical_slices(spark):
     assert out["a"][0] == out["b"][0] == out["c"][0] == 6
     assert out["a"][1] == out["b"][1] and out["a"][1] > 0.0  # vs mixed corpus
     assert out["c"][1] > out["a"][1]  # the skewed slice drifts most
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Tokenizer APPLY: encode a corpus (including unseen-at-training
+    docs with OOV words) with a trained merge table — per-doc subword
+    counts and the ordered-sequence fingerprint must equal a canonical
+    Python encoder applying the same merges, with OOV words falling
+    back to character symbols."""
+    import hashlib as _hl
+
+    from lakeshack_spark.operators import bpe
+
+    train_texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "low new wide wider",
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    merges, vocab = bpe.bpe_train(train, 6, checkpoint_every=3)
+
+    # encode BOTH training docs and a new doc with OOV words — incl.
+    # OOV words the trained merges DO fire inside ("slowest", "newly":
+    # the canonical apply merges unseen words too, so char-fallback
+    # semantics would diverge here)
+    enc_texts = train_texts + ["low slowest newly unknown zzz new"]
+    enc = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(enc_texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.tokens_fp)
+        for r in bpe.bpe_encode(enc, vocab, merges).collect()
+    }
+    vocab.unpersist()
+
+    def py_encode(word):
+        syms = list(word)
+        for l, r, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for doc_id, text in enumerate(enc_texts):
+        words = [w for w in text.split(" ") if w]
+        seqs = [py_encode(w) for w in words]
+        fp = _hl.md5(
+            "\x1e".join("\x1f".join(s) for s in seqs).encode()
+        ).hexdigest()
+        assert got[doc_id] == (len(words), sum(len(s) for s in seqs), fp), (
+            doc_id,
+            text,
+        )
