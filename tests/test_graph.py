@@ -206,3 +206,76 @@ def test_ktruss_validates(spark):
     pairs = spark.createDataFrame([(1, 2)], "u long, v long")
     with pytest.raises(ValueError, match="k must be"):
         graph.k_truss(pairs, k=2)
+
+
+def test_kcore_matches_bruteforce(spark):
+    """k_core ≡ a pure-Python peel on an md5-derived pseudo-random
+    graph, for several k."""
+    import hashlib
+    from itertools import combinations
+
+    nodes = list(range(20))
+    edges = [
+        (a, b)
+        for a, b in combinations(nodes, 2)
+        if int(hashlib.md5(f"kc:{a}:{b}".encode()).hexdigest()[:4], 16) % 10 < 3
+    ]
+
+    def py_kcore(es, k):
+        es = set(es)
+        while True:
+            deg = {}
+            for a, b in es:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            drop = {n for n, d in deg.items() if d < k}
+            if not drop:
+                return {n: d for n, d in deg.items()}
+            es = {(a, b) for a, b in es if a not in drop and b not in drop}
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    for k in (2, 3, 4):
+        want = py_kcore(edges, k)
+        got = {r.node: r.degree for r in graph.k_core(df, k=k).collect()}
+        assert got == want, (k, got, want)
+
+
+def test_ktruss_matches_bruteforce(spark):
+    """k_truss ≡ a pure-Python support peel on the same pseudo-random
+    graph family."""
+    import hashlib
+    from itertools import combinations
+
+    nodes = list(range(16))
+    edges = [
+        (a, b)
+        for a, b in combinations(nodes, 2)
+        if int(hashlib.md5(f"kt:{a}:{b}".encode()).hexdigest()[:4], 16) % 10 < 4
+    ]
+
+    def support(es):
+        es = set(es)
+        adj = {}
+        for a, b in es:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        return {
+            (a, b): len(adj[a] & adj[b]) for a, b in es
+        }
+
+    def py_ktruss(es, k):
+        es = set(es)
+        while True:
+            sup = support(es)
+            drop = {e for e, s in sup.items() if s < k - 2}
+            if not drop:
+                return sup
+            es -= drop
+
+    df = spark.createDataFrame(edges, "u long, v long")
+    for k in (3, 4):
+        want = py_ktruss(edges, k)
+        got = {
+            (r.u, r.v): r.support for r in graph.k_truss(df, k=k).collect()
+        }
+        assert got == want, (k, got, want)
