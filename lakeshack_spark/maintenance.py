@@ -116,17 +116,19 @@ def delete_rows(
     rewrite, not a tombstone layer. Files outside the candidate set are
     untouched (byte-identical, same paths — asserted in tests).
 
-    Per candidate file: scan, drop matching rows, stage the replacement,
-    atomic-rename it in (new name), remove the original; a file whose
-    rows ALL match is simply removed. The metastore then reconciles in
-    one ``update_metastore`` pass — replacement files are new paths to
-    index, vanished originals are dropped by the deleted-file
-    reconciliation the ingest already performs. Candidate files are
-    processed in one driver loop (bounded by pruning — the whole premise
-    is that the candidate set is small); each rewrite is a distributed
-    scan+filter+write. Local-rename swap, same caveat as
-    :func:`compact`: under a table format, run the same rewrite as a
-    Delta/Iceberg transaction.
+    Shape: ONE distributed pass over all candidate files computes the
+    per-file match counts (input_file_name groupBy — not a count job
+    per file); a file with zero matches (zone-map false positive) is
+    never touched, a file whose matches equal its stats-row num_rows is
+    removed outright with no survivors scan, and only genuinely mixed
+    files get a rewrite: scan, drop matching rows, stage the
+    replacement, atomic-rename in under a new name, remove the
+    original. The metastore then reconciles in one ``update_metastore``
+    pass — replacement files are new paths to index, vanished originals
+    are dropped by the deleted-file reconciliation the ingest already
+    performs. Local-rename swap, same caveat as :func:`compact`: under
+    a table format, run the same rewrite as a Delta/Iceberg
+    transaction.
 
     Exact-match semantics mirror ``Lakeshack.query``: a row is deleted
     iff ``cluster_column IN values`` AND every optional clause holds —
@@ -151,17 +153,44 @@ def delete_rows(
     tag = uuid.uuid4().hex[:8]
     rewritten = removed = 0
     rows_deleted = 0
+    # ONE planning pass over all candidates: per-file match counts via
+    # input_file_name (instead of one count job per file), keyed by
+    # basename (input_file_name returns scheme-qualified URIs). Files
+    # with zero matches — zone-map false positives — never get touched;
+    # files whose match count equals their stats-row num_rows are
+    # removed outright without a survivors scan.
+    matches: dict[str, int] = {}
+    if candidates:
+        from pyspark.sql import functions as F
+
+        for r in (
+            shack.spark.read.schema(shack.schema)
+            .parquet(*candidates)
+            .withColumn("__f", F.input_file_name())
+            .filter(pred)
+            .groupBy("__f")
+            .count()
+            .collect()
+        ):
+            matches[os.path.basename(r["__f"])] = r["count"]
+    file_rows = {
+        os.path.basename(r["filepath"]): r["num_rows"]
+        for r in shack.metastore.stats_df()
+        .select("filepath", "num_rows")
+        .collect()
+    }
     for i, path in enumerate(candidates):
-        df = shack.spark.read.schema(shack.schema).parquet(path)
-        n_match = df.filter(pred).count()
+        base = os.path.basename(path)
+        n_match = matches.get(base, 0)
         if n_match == 0:
             continue  # zone-map false positive: leave the file alone
         rows_deleted += n_match
-        survivors = df.filter(~pred)
-        if survivors.isEmpty():
+        if n_match == file_rows.get(base):
             os.remove(_local(path))
             removed += 1
             continue
+        df = shack.spark.read.schema(shack.schema).parquet(path)
+        survivors = df.filter(~pred)
         staging = os.path.join(
             shack.data_path, f"_delete_staging-{tag}-{i:05d}"
         )
