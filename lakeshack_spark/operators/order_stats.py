@@ -282,3 +282,121 @@ def quantile_bins(
             for i, b in enumerate(bounds)
         ],
     )
+
+
+def two_sample_ks(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance, distributed: ONE
+    row ``(n_a, n_b, ks, ks_at)`` where ``ks = sup_x |F_a(x) − F_b(x)|``
+    over the pooled support and ``ks_at`` is the SMALLEST value
+    attaining it (deterministic tie rule).
+
+    The drift-detection companion to the chi-square monitor
+    (quality.hashed_distribution_drift): chi² watches binned/hashed
+    frequencies, KS watches the full CDF of an ordered numeric column —
+    the standard "did this slice's value distribution shift?" test for
+    price/length/score columns between sources, shards, or days.
+
+    Cross-engine exactness on integer domains (the gate recipe): step
+    counts are exact int64 cumulative sums; each CDF value is ONE
+    int→double division; the difference and |·| are single IEEE ops;
+    the sup is a max over exactly-computed doubles — so Spark and a
+    DuckDB oracle using window cumulative sums agree bit-for-bit
+    (``ks_price_by_status``).
+
+    Scale shape: one value-keyed count aggregation (map-side combined),
+    one range-repartitioned sort of the DISTINCT-value frame, a
+    bounded per-partition-totals collect (#partitions rows — packing's
+    prefix-sum discipline), a shuffle-free ``mapInPandas`` cumulative
+    pass, and one max aggregation. NO single-task window: the classic
+    ``SUM() OVER (ORDER BY ...)`` formulation plans one reducer for the
+    whole table, which is exactly what this avoids.
+    """
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    counts = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == group_a, 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col(group_col) == group_b, 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    base = (
+        counts.repartitionByRange(n_partitions, F.col("v"))
+        .sortWithinPartitions("v")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = {
+        r["__pid"]: (r["ta"], r["tb"])
+        for r in base.groupBy("__pid")
+        .agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+        .collect()
+    }
+    n_a = sum(int(t[0] or 0) for t in totals.values())
+    n_b = sum(int(t[1] or 0) for t in totals.values())
+    offs: dict[int, tuple[int, int]] = {}
+    acc_a = acc_b = 0
+    for pid in sorted(totals):
+        offs[pid] = (acc_a, acc_b)
+        acc_a += int(totals[pid][0] or 0)
+        acc_b += int(totals[pid][1] or 0)
+    boffs = spark.sparkContext.broadcast(offs)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("v", base.schema["v"].dataType),
+            T.StructField("diff", T.DoubleType()),
+        ]
+    )
+
+    def cum(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = list(
+                    boffs.value.get(int(pdf["__pid"].iloc[0]), (0, 0))
+                )
+            cna = pdf["ca"].cumsum() + run[0]
+            cnb = pdf["cb"].cumsum() + run[1]
+            run[0] += int(pdf["ca"].sum())
+            run[1] += int(pdf["cb"].sum())
+            diff = (cna / n_a - cnb / n_b).abs()
+            yield pd.DataFrame({"v": pdf["v"], "diff": diff})
+
+    diffs = base.mapInPandas(cum, out_schema)
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            f"two_sample_ks: empty sample (n_a={n_a}, n_b={n_b})"
+        )
+    best = diffs.agg(
+        F.max("diff").alias("ks"),
+        F.min_by(
+            F.struct(F.col("v").alias("at")),
+            F.struct(
+                (-F.col("diff")).alias("d"), F.col("v").alias("v")
+            ),
+        ).alias("__best"),
+    )
+    return best.select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.col("ks"),
+        F.col("__best.at").alias("ks_at"),
+    )

@@ -5581,6 +5581,60 @@ def inverted_index_search_docs(spark, sf_dir):
     )
 
 
+@register(
+    "ks_price_by_status",
+    """
+    WITH t AS (
+      SELECT o_orderstatus AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders WHERE o_orderstatus IN ('O', 'F')
+    ), na AS (SELECT COUNT(*) AS c FROM t WHERE g = 'O'),
+    nb AS (SELECT COUNT(*) AS c FROM t WHERE g = 'F'),
+    c AS (
+      SELECT v,
+             SUM(CASE WHEN g = 'O' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN g = 'F' THEN 1 ELSE 0 END) AS cb
+      FROM t GROUP BY v
+    ), cum AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v) AS cna,
+             SUM(cb) OVER (ORDER BY v) AS cnb
+      FROM c
+    ), d AS (
+      SELECT v,
+             abs(CAST(cna AS DOUBLE) / CAST((SELECT c FROM na) AS DOUBLE)
+               - CAST(cnb AS DOUBLE) / CAST((SELECT c FROM nb) AS DOUBLE))
+               AS diff
+      FROM cum
+    )
+    SELECT CAST((SELECT c FROM na) AS BIGINT) AS n_a,
+           CAST((SELECT c FROM nb) AS BIGINT) AS n_b,
+           (SELECT MAX(diff) FROM d) AS ks,
+           (SELECT MIN(v) FROM d
+            WHERE diff = (SELECT MAX(diff) FROM d)) AS ks_at
+    """,
+)
+def ks_price_by_status(spark, sf_dir):
+    """Exact two-sample Kolmogorov–Smirnov distance
+    (operators.order_stats.two_sample_ks) between open and fulfilled
+    orders' price distributions, in integer cents — the full-CDF drift
+    test beside the chi-square monitor. Bit-exact cross-engine: step
+    counts are int64 cumulative sums (Spark: range-partitioned sort +
+    shuffle-free mapInPandas prefix pass — NEVER a single-reducer
+    global window, which is what the oracle's ``SUM() OVER (ORDER BY)``
+    would plan on a cluster; DuckDB runs it single-node, where it's
+    fine), each CDF value is one int→double division, and the sup is a
+    max over exactly-computed doubles with a smallest-value tie rule
+    for ``ks_at``."""
+    t = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    return order_stats.two_sample_ks(
+        t, "cents", "o_orderstatus", "O", "F", n_partitions=8
+    )
+
+
 #: DuckDB twin of sources.synth._h: first 15 md5 hex digits of
 #: 'seed:part:part...' as a BIGINT (same fold as _H64_SQL, different
 #: key construction).
@@ -5953,6 +6007,7 @@ _DRIVER_WINDOW = [
     "ktruss_cosuppliers",
     "drift_chi2_docs",
     "synth_source_docs",
+    "ks_price_by_status",
     # r5-era: text / packing / dedup tiers
     "vocab_encode_docs",
     "pack_token_windows_docs",

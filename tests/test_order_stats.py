@@ -176,3 +176,38 @@ class TestPlanShape:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "percentile" not in plan.lower()
         assert "Window" not in plan
+
+
+def test_two_sample_ks_matches_python_and_partition_invariant(spark):
+    """KS distance ≡ a pure-Python ECDF sup over the pooled support,
+    identical across partition counts; empty samples raise."""
+    from lakeshack_spark.operators.order_stats import two_sample_ks
+
+    a = [3, 7, 7, 10, 15, 22, 22, 22, 40]
+    b = [1, 7, 9, 15, 15, 33]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+
+    support = sorted(set(a) | set(b))
+    best, best_at = -1.0, None
+    for x in support:
+        d = abs(
+            sum(1 for v in a if v <= x) / len(a)
+            - sum(1 for v in b if v <= x) / len(b)
+        )
+        if d > best:
+            best, best_at = d, x
+    outs = []
+    for n_parts in (1, 3, 16):
+        (r,) = two_sample_ks(
+            df, "v", "g", "a", "b", n_partitions=n_parts
+        ).collect()
+        assert (r.n_a, r.n_b) == (len(a), len(b))
+        assert r.ks == best and r.ks_at == best_at, (n_parts, r)
+        outs.append((r.ks, r.ks_at))
+    assert len(set(outs)) == 1
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty sample"):
+        two_sample_ks(df, "v", "g", "a", "zzz").collect()
