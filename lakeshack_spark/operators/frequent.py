@@ -195,3 +195,86 @@ def heavy_hitters_exact_longhand(df: DataFrame, col: str, one_in: int) -> DataFr
             "share", F.col("n_item").cast("double") / F.lit(n).cast("double")
         )
     )
+
+
+def count_min_estimates(
+    df: DataFrame,
+    item_col: str,
+    query_items: list[str],
+    width: int = 256,
+    depth: int = 4,
+    seed: str = "cm",
+) -> DataFrame:
+    """Count-Min sketch point estimates (Cormode & Muthukrishnan 2005),
+    the frequency-ESTIMATION companion to the Misra–Gries heavy-hitter
+    detector: ``(item, exact, estimate, never_undercounts)`` for each
+    queried item.
+
+    Each occurrence charges ``depth`` cells — row r's cell is
+    ``h64(seed:r:item) % width`` — and a point estimate is the MIN over
+    the item's ``depth`` cells; collisions only ADD, so
+    ``estimate ≥ exact`` ALWAYS (the sketch's deterministic guarantee,
+    emitted as the ``never_undercounts`` witness column). ``exact`` is
+    the true count (0 for absent items; an absent item's estimate is
+    whatever its cells collected — the classic CM overcount).
+
+    Determinism: md5-derived cells, no RNG — so a DuckDB oracle
+    recomputes the IDENTICAL sketch and the gate pins the estimates
+    bit-for-bit (``count_min_terms``), on top of the inequality
+    witness.
+
+    Scale shape: one ``depth``-way explode over the item stream feeding
+    ONE map-side-combined aggregation whose result is at most
+    ``depth × width`` rows (the sketch is CONSTANT-size in the corpus —
+    that is the point); queried items probe it through a broadcast
+    join of ``|queries| × depth`` rows. No distinct-cardinality
+    shuffle anywhere.
+    """
+    if not query_items:
+        raise ValueError("query_items must be non-empty")
+    spark = df.sparkSession
+    items = df.select(F.col(item_col).alias("item"))
+    r = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
+    from lakeshack_spark.operators.dedup import _h64
+
+    def bucket(item_col_):
+        return _h64(
+            F.concat(
+                F.lit(seed + ":"),
+                F.col("r").cast("string"),
+                F.lit(":"),
+                item_col_,
+            )
+        ) % F.lit(width)
+
+    charged = items.select("item", r).select(
+        "r", bucket(F.col("item")).alias("bucket")
+    )
+    sketch = charged.groupBy("r", "bucket").agg(F.count("*").alias("c"))
+    q = spark.createDataFrame(
+        [(x,) for x in dict.fromkeys(query_items)], "item string"
+    )
+    probes = q.select("item", r).select("item", "r", bucket(F.col("item")).alias("bucket"))
+    est = (
+        sketch.join(F.broadcast(probes), ["r", "bucket"], "right")
+        .select("item", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .groupBy("item")
+        .agg(F.min("c").cast("long").alias("estimate"))
+    )
+    exact = (
+        items.join(F.broadcast(q), "item", "semi")
+        .groupBy("item")
+        .agg(F.count("*").alias("exact"))
+    )
+    return (
+        q.join(exact, "item", "left")
+        .join(est, "item", "left")
+        .select(
+            "item",
+            F.coalesce(F.col("exact"), F.lit(0)).cast("long").alias("exact"),
+            F.col("estimate"),
+            (F.col("estimate") >= F.coalesce(F.col("exact"), F.lit(0))).alias(
+                "never_undercounts"
+            ),
+        )
+    )

@@ -5582,6 +5582,61 @@ def inverted_index_search_docs(spark, sf_dir):
 
 
 @register(
+    "count_min_terms",
+    f"""
+    WITH toks AS MATERIALIZED (
+      SELECT unnest(string_split(text, ' ')) AS item FROM documents
+    ), rs AS (SELECT unnest(range(0, 4)) AS r),
+    cells AS MATERIALIZED (
+      SELECT r,
+             {_H64_SQL.format(x="'cm:' || CAST(r AS VARCHAR) || ':' || item")} % 256 AS bucket,
+             COUNT(*) AS c
+      FROM toks, rs GROUP BY 1, 2
+    ), q AS (
+      SELECT unnest(['data', 'query', 'join', 'scan', 'zz-absent']) AS item
+    ), probes AS (
+      SELECT item, r,
+             {_H64_SQL.format(x="'cm:' || CAST(r AS VARCHAR) || ':' || item")} % 256 AS bucket
+      FROM q, rs
+    ), est AS (
+      SELECT item, CAST(MIN(COALESCE(c, 0)) AS BIGINT) AS estimate
+      FROM probes LEFT JOIN cells USING (r, bucket) GROUP BY item
+    ), ex AS (
+      SELECT item, COUNT(*) AS n_true FROM toks
+      WHERE item IN ('data', 'query', 'join', 'scan', 'zz-absent')
+      GROUP BY item
+    )
+    SELECT q.item,
+           CAST(COALESCE(ex.n_true, 0) AS BIGINT) AS exact,
+           est.estimate,
+           est.estimate >= COALESCE(ex.n_true, 0) AS never_undercounts
+    FROM q LEFT JOIN ex USING (item) LEFT JOIN est USING (item)
+    """,
+)
+def count_min_terms(spark, sf_dir):
+    """Count-Min sketch point estimates
+    (operators.frequent.count_min_estimates) over the documents' token
+    stream, depth 4 × width 256 — the frequency-estimation sibling of
+    the Misra–Gries detector, completing the sketch tier (MG heavy
+    hitters, distinct/quantile sketches, CM point frequencies). The
+    md5-derived cells make the sketch DETERMINISTIC, so the DuckDB
+    oracle rebuilds the identical depth×width table and the gate pins
+    every estimate bit-for-bit — including the absent item, whose
+    estimate is pure collision mass — plus the sketch's deterministic
+    never-undercounts inequality as a witness column. Sketch size is
+    constant in the corpus; no distinct-cardinality shuffle exists in
+    the plan."""
+    from lakeshack_spark.operators.frequent import count_min_estimates
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(text.words_col("text")).alias("term")
+    )
+    return count_min_estimates(
+        toks, "term", ["data", "query", "join", "scan", "zz-absent"]
+    )
+
+
+@register(
     "ks_price_by_status",
     """
     WITH t AS (
@@ -6008,6 +6063,7 @@ _DRIVER_WINDOW = [
     "drift_chi2_docs",
     "synth_source_docs",
     "ks_price_by_status",
+    "count_min_terms",
     # r5-era: text / packing / dedup tiers
     "vocab_encode_docs",
     "pack_token_windows_docs",

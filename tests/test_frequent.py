@@ -78,3 +78,52 @@ def test_heavy_hitters_non_string_column(spark):
     ).repartition(4, "id")
     got = {r.item for r in frequent.heavy_hitters(df, "v", one_in=4).collect()}
     assert got == {"0", "1", "2"}
+
+
+def test_count_min_never_undercounts_and_matches_python(spark):
+    """CM estimates ≡ a pure-Python sketch with the same md5 cells;
+    estimate >= exact for every item (incl. absent); duplicate query
+    items dedup; empty queries raise."""
+    import hashlib
+
+    import pytest as _pt
+
+    from lakeshack_spark.operators.frequent import count_min_estimates
+
+    items = (["alpha"] * 20 + ["beta"] * 7 + ["gamma"] * 3 + ["delta"])
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    W, D = 16, 3  # tiny width: force collisions so overcount is real
+
+    def cell(r, item):
+        return (
+            int(
+                hashlib.md5(f"cm:{r}:{item}".encode()).hexdigest()[:15], 16
+            )
+            % W
+        )
+
+    sketch = {}
+    for it in items:
+        for r in range(D):
+            key = (r, cell(r, it))
+            sketch[key] = sketch.get(key, 0) + 1
+
+    queries = ["alpha", "beta", "gamma", "delta", "absent", "alpha"]
+
+    def py_est(item):
+        return min(sketch.get((r, cell(r, item)), 0) for r in range(D))
+
+    got = {
+        r.item: (r.exact, r.estimate, r.never_undercounts)
+        for r in count_min_estimates(
+            df, "item", queries, width=W, depth=D, seed="cm"
+        ).collect()
+    }
+    true = {"alpha": 20, "beta": 7, "gamma": 3, "delta": 1, "absent": 0}
+    assert set(got) == set(true)  # dedup'd
+    for item, exact in true.items():
+        est = py_est(item)
+        assert got[item] == (exact, est, True), (item, got[item], est)
+        assert est >= exact
+    with _pt.raises(ValueError, match="non-empty"):
+        count_min_estimates(df, "item", [])
