@@ -255,8 +255,12 @@ def count_min_estimates(
         [(x,) for x in dict.fromkeys(query_items)], "item string"
     )
     probes = q.select("item", r).select("item", "r", bucket(F.col("item")).alias("bucket"))
+    # the sketch is the broadcast side: depth × width rows by
+    # construction, corpus-size-independent (a right-outer with a
+    # broadcast probe side would be ignored by the planner — the build
+    # side of a right join must be the left relation)
     est = (
-        sketch.join(F.broadcast(probes), ["r", "bucket"], "right")
+        probes.join(F.broadcast(sketch), ["r", "bucket"], "left")
         .select("item", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
         .groupBy("item")
         .agg(F.min("c").cast("long").alias("estimate"))
