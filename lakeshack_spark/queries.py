@@ -5998,6 +5998,95 @@ def entity_resolution_parts(spark, sf_dir):
 
 
 # =====================================================================
+# Snapshot versioning: time travel over an evolving table
+# =====================================================================
+
+
+_VERSIONED_ORDERS_CACHE: dict[str, str] = {}
+
+
+def _versioned_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A 3-version snapshot table built from orders, once per process:
+    v1 = create(orders), v2 = copy-on-write delete of finished orders
+    from one custkey decile, v3 = append of a filtered copy of v1's
+    rows. Every mutation is pure set logic over the orders view, so the
+    DuckDB oracle can reconstruct each version exactly."""
+    from lakeshack_spark.versioning import VersionedTable
+
+    key = sf_dir.rstrip("/")
+    path = _VERSIONED_ORDERS_CACHE.get(key)
+    if path is None:
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="lakeshack_time_travel_"), "orders_vt"
+        )
+        vt = VersionedTable(spark, path)
+        base = load_table(spark, key, "orders").select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        )
+        vt.create(base.repartition(4, "o_custkey"))
+        vt.delete_where("o_orderstatus = 'F' AND o_custkey % 10 = 3")
+        vt.append(vt.read(1).filter(F.col("o_custkey") % 100 == 7))
+        _VERSIONED_ORDERS_CACHE[key] = path
+    return path
+
+
+@register(
+    "time_travel_orders",
+    """
+    WITH v1 AS (
+      SELECT o_custkey, o_orderstatus, o_totalprice FROM orders
+    ), v2 AS (
+      SELECT * FROM v1
+      WHERE NOT (o_orderstatus = 'F' AND o_custkey % 10 = 3)
+    ), v3 AS (
+      SELECT * FROM v2
+      UNION ALL SELECT * FROM v1 WHERE o_custkey % 100 = 7
+    ), u AS (
+      SELECT 1 AS version, * FROM v1
+      UNION ALL SELECT 2, * FROM v2
+      UNION ALL SELECT 3, * FROM v3
+    )
+    SELECT CAST(version AS INTEGER) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+    FROM u GROUP BY version
+    """,
+)
+def time_travel_orders(spark, sf_dir):
+    """Time travel over a snapshot-versioned table (versioning.
+    VersionedTable — the Delta/Iceberg commit model on plain Parquet +
+    O_EXCL JSON manifests): v1 create, v2 copy-on-write delete that
+    rewrites ONLY files containing matches, v3 append that carries v2's
+    files by reference. The query reads all three versions AS OF their
+    snapshots and aggregates each; the oracle reconstructs every
+    version from the orders view with pure set logic, so one hash pin
+    proves (a) v1 is immutable under later commits, (b) the CoW delete
+    dropped exactly the matching rows and nothing else, and (c) the
+    append touched no carried file. Scale shape: a manifest lists file
+    paths (O(#files) metadata, Delta's contract), reads plan exactly
+    the listed files with no directory walk, and the delete's rewrite
+    set is bounded by one input_file_name planning pass."""
+    from lakeshack_spark.versioning import VersionedTable
+
+    vt = VersionedTable(spark, _versioned_orders_dir(spark, sf_dir))
+    cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    parts = [
+        vt.read(v)
+        .select(cents.alias("__c"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("__c").alias("sum_cents"),
+        )
+        .select(F.lit(v).cast("int").alias("version"), "n_rows", "sum_cents")
+        for v in (1, 2, 3)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# =====================================================================
 # Entry points used by __spark_entry__.py
 # =====================================================================
 
@@ -6064,6 +6153,7 @@ _DRIVER_WINDOW = [
     "synth_source_docs",
     "ks_price_by_status",
     "count_min_terms",
+    "time_travel_orders",
     # r5-era: text / packing / dedup tiers
     "vocab_encode_docs",
     "pack_token_windows_docs",

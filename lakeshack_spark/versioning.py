@@ -1,0 +1,266 @@
+"""Snapshot-versioned tables with time travel: the Delta/Iceberg commit
+model re-built on plain Parquet + JSON manifests.
+
+The reference treats datasets as immutable file sets and delegates all
+mutation to "rewrite and re-ingest" (docs/source/lakeshack.rst:120-161 —
+late data handled by immutable load-date partitions;
+lakeshack/metastore.py:480-560 — the metastore only ever *adds* file
+rows). That model loses history: once a file is rewritten the old
+version is gone. This module adds the missing lakehouse third leg next
+to ``maintenance.compact`` / ``maintenance.delete_rows``: every commit
+is a new *snapshot manifest* over immutable data files, so any past
+version stays readable (time travel) and a reader never observes a
+half-applied change.
+
+Layout (all paths relative to the table root)::
+
+    data/commit-<uuid>/part-*.parquet   immutable, written once
+    _manifests/v000001.json             {"version", "parent", "op",
+                                         "files": [...], "schema"}
+
+Commit protocol
+    Data files are written FIRST (into a fresh ``commit-<uuid>`` dir no
+    manifest references yet), then the manifest is created with
+    ``os.open(..., O_CREAT | O_EXCL)`` — the atomic commit point. Two
+    writers racing to the same version number: exactly one wins, the
+    loser raises :class:`ConcurrentCommitError` with its orphaned data
+    dir cleaned up. This is the local-FS stand-in for a log store's
+    conditional PUT (Delta's ``_delta_log`` / Iceberg's metadata swap);
+    at 100 TB the same protocol runs against DynamoDB/S3 conditional
+    writes — the data movement, which is all the cost, is identical.
+
+100 TB shape
+    - A manifest lists file paths, not row data: O(#files) driver-side
+      metadata, the same scaling contract as Delta's checkpoint.
+    - Reads plan exactly the manifest's file list — no directory
+      listing, no eventual-consistency window, and dead files from
+      aborted commits are invisible (they are simply never referenced).
+    - ``delete_where`` is copy-on-write bounded to AFFECTED files: one
+      distributed pass tags matches with ``input_file_name`` and only
+      files that actually contain matches are rewritten; everything
+      else is carried by reference into the new manifest. Composes with
+      the zone-map metastore for the candidate cut exactly like
+      ``maintenance.delete_rows``.
+    - Old versions are reclaimed by an explicit ``expire`` (vacuum)
+      retention pass, never implicitly — crash-window readers of an
+      expired version fail loudly on the missing manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lakeshack_spark.session import configure_session
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed this version first; re-read and retry."""
+
+
+def _local(path: str) -> str:
+    return path[len("file://"):] if path.startswith("file://") else path
+
+
+class VersionedTable:
+    """Snapshot-versioned Parquet table rooted at ``table_dir``."""
+
+    def __init__(self, spark: SparkSession, table_dir: str):
+        configure_session(spark)
+        self.spark = spark
+        self.table_dir = _local(table_dir.rstrip("/"))
+        if "://" in table_dir and not table_dir.startswith("file://"):
+            raise NotImplementedError(
+                "VersionedTable's O_EXCL manifest commit is local-FS; on "
+                "object storage back the manifest with a conditional-PUT "
+                "log store (Delta/Iceberg handoff)"
+            )
+        self._manifest_dir = os.path.join(self.table_dir, "_manifests")
+        self._data_dir = os.path.join(self.table_dir, "data")
+
+    # ---------------------------------------------------------- metadata
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self._manifest_dir):
+            return []
+        out = []
+        for name in os.listdir(self._manifest_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(f"no snapshots under {self.table_dir}")
+        return vs[-1]
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._manifest_dir, f"v{version:06d}.json")
+
+    def manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def log(self) -> list[dict]:
+        """Commit history, oldest first (op + file/row accounting)."""
+        return [
+            {k: m[k] for k in ("version", "parent", "op", "n_files")}
+            for m in (self.manifest(v) for v in self.versions())
+        ]
+
+    # -------------------------------------------------------------- read
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The table AS OF ``version`` (default: latest). Plans exactly
+        the manifest's file list — no directory listing."""
+        m = self.manifest(self.latest_version() if version is None else version)
+        paths = [os.path.join(self.table_dir, f) for f in m["files"]]
+        if not paths:
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(m["schema"])
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(
+            _schema_from_manifest(m)
+        ).parquet(*paths)
+
+    # ------------------------------------------------------------ commits
+
+    def create(self, df: DataFrame) -> int:
+        """Initial snapshot (v1). Fails if the table already exists."""
+        if self.versions():
+            raise FileExistsError(
+                f"{self.table_dir} already versioned; use append/delete_where"
+            )
+        files = self._write_data(df)
+        return self._commit(1, parent=0, op="create", files=files, df=df)
+
+    def append(self, df: DataFrame) -> int:
+        """New snapshot = parent's files + ``df``'s rows as new files."""
+        parent = self.latest_version()
+        m = self.manifest(parent)
+        files = m["files"] + self._write_data(df)
+        return self._commit(
+            parent + 1, parent=parent, op="append", files=files, df=df
+        )
+
+    def delete_where(self, condition) -> int:
+        """Copy-on-write delete: new snapshot without rows matching
+        ``condition`` (Column or SQL string). Only files that actually
+        contain matches are rewritten; the rest carry over by reference.
+        """
+        from pyspark.sql import functions as F
+
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        parent = self.latest_version()
+        m = self.manifest(parent)
+        current = self.read(parent)
+        # One distributed planning pass: which files hold matches?
+        # (Bounded collect — O(#files), the same contract as the
+        # manifest itself.)
+        hit_uris = {
+            r["__f"]
+            for r in current.withColumn("__f", F.input_file_name())
+            .filter(condition)
+            .select("__f")
+            .distinct()
+            .collect()
+        }
+        hit_rel = {
+            os.path.relpath(_local(u), self.table_dir) for u in hit_uris
+        }
+        carried = [f for f in m["files"] if f not in hit_rel]
+        new_files: list[str] = []
+        if hit_rel:
+            survivors = (
+                self.spark.read.schema(_schema_from_manifest(m))
+                .parquet(*[os.path.join(self.table_dir, f) for f in hit_rel])
+                .filter(~condition)
+            )
+            new_files = self._write_data(survivors)
+        return self._commit(
+            parent + 1,
+            parent=parent,
+            op="delete",
+            files=carried + new_files,
+            df=current,
+        )
+
+    def expire(self, keep_last: int) -> int:
+        """Vacuum: drop all but the newest ``keep_last`` manifests, then
+        remove data files no surviving manifest references. Returns the
+        number of data files deleted."""
+        vs = self.versions()
+        drop, keep = vs[:-keep_last], vs[-keep_last:]
+        live: set[str] = set()
+        for v in keep:
+            live.update(self.manifest(v)["files"])
+        removed = 0
+        for v in drop:
+            for f in self.manifest(v)["files"]:
+                if f not in live:
+                    path = os.path.join(self.table_dir, f)
+                    if os.path.exists(path):
+                        os.remove(path)
+                        removed += 1
+            os.remove(self._manifest_path(v))
+        return removed
+
+    # ----------------------------------------------------------- helpers
+
+    def _write_data(self, df: DataFrame) -> list[str]:
+        """Write ``df`` as immutable files under a fresh commit dir;
+        return their table-relative paths."""
+        commit = f"commit-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self._data_dir, commit)
+        df.write.mode("error").parquet(out)
+        rel = []
+        for name in sorted(os.listdir(out)):
+            if name.endswith(".parquet"):
+                rel.append(os.path.join("data", commit, name))
+        return rel
+
+    def _commit(
+        self, version: int, parent: int, op: str, files: list[str], df: DataFrame
+    ) -> int:
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "op": op,
+            "files": files,
+            "n_files": len(files),
+            "schema": json.loads(df.schema.json()),
+        }
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        path = self._manifest_path(version)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # Lost the race: our data dirs are orphans no manifest
+            # references — clean up the ones unique to this attempt.
+            for f in files:
+                full = os.path.join(self.table_dir, f)
+                d = os.path.dirname(full)
+                if os.path.basename(d).startswith("commit-") and not any(
+                    f in self.manifest(v)["files"] for v in self.versions()
+                ):
+                    shutil.rmtree(d, ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"version {version} of {self.table_dir} was committed "
+                "concurrently; re-read latest and retry"
+            ) from None
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        return version
+
+
+def _schema_from_manifest(m: dict):
+    from pyspark.sql import types as T
+
+    return T.StructType.fromJson(m["schema"])
