@@ -6174,6 +6174,184 @@ def hll_index_distinct_orders(spark, sf_dir):
 
 
 # =====================================================================
+# Format surface: JSONL / CSV round trips, schema-evolution reads
+# =====================================================================
+
+
+_FORMAT_RT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _format_roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write the source table out in ``fmt`` once per process; return
+    the directory. documents→JSONL (text fidelity), orders→CSV
+    (numeric/temporal fidelity)."""
+    from lakeshack_spark.sources.io import write_table
+
+    key = (sf_dir.rstrip("/"), fmt)
+    path = _FORMAT_RT_CACHE.get(key)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="lakeshack_fmt_"), fmt)
+        if fmt == "json":
+            df = load_table(spark, key[0], "documents")
+            write_table(df, path, fmt="json")
+        else:
+            # Temporal columns cross CSV as integer µs: the parquet
+            # flavor has shipped as NTZ and non-NTZ across rounds (the
+            # events lesson), and CSV timestamp FORMATTING splits into
+            # timestampFormat/timestampNTZFormat by flavor — integers
+            # round-trip exactly under either, with no formatter coupling.
+            df = load_table(spark, key[0], "orders").select(
+                "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                    "o_date_us"
+                ),
+            )
+            write_table(df, path, fmt="csv")
+        _FORMAT_RT_CACHE[key] = path
+    return path
+
+
+@register(
+    "jsonl_roundtrip_docs",
+    """
+    SELECT doc_id, md5(text) AS text_md5,
+           CAST(length(text) AS INTEGER) AS n_chars, source
+    FROM documents
+    """,
+)
+def jsonl_roundtrip_docs(spark, sf_dir):
+    """JSON-lines sink → schema-explicit source round trip
+    (sources.io.write_table/read_table): every document row crosses the
+    text format and comes back byte-identical — the per-row md5 pins
+    fidelity through JSON's escaping of newlines/quotes/unicode, the
+    oracle reads the original parquet. Schema-explicit read: no
+    inference pass over the JSON (inference is a full extra scan — the
+    io layer's documented rule). The format surface matters because
+    real corpus drops arrive as JSONL far more often than parquet; this
+    gate proves ingestion loses nothing."""
+    from lakeshack_spark.sources.io import read_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _format_roundtrip_dir(spark, sf_dir, "json")
+    back = read_table(spark, path, fmt="json", schema=docs.schema)
+    return back.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.length("text").cast("int").alias("n_chars"),
+        "source",
+    )
+
+
+@register(
+    "csv_roundtrip_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+           CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS max_date_us
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def csv_roundtrip_orders(spark, sf_dir):
+    """CSV sink → schema-explicit source round trip for the numeric/
+    temporal column mix: doubles survive via Java's shortest-round-trip
+    rendering; the order date crosses as integer µs (CSV timestamp
+    formatting forks by NTZ-ness of the parquet flavor, which has
+    changed between driver generations — the integer domain is exact
+    under both). Aggregates per status over the read-back rows must
+    match the oracle on the ORIGINAL parquet cell-for-cell: counts,
+    key cardinality, exact cents sums, max order date in µs."""
+    from pyspark.sql import types as T
+
+    from lakeshack_spark.sources.io import read_table
+
+    path = _format_roundtrip_dir(spark, sf_dir, "csv")
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+            T.StructField("o_date_us", T.LongType()),
+        ]
+    )
+    back = read_table(spark, path, fmt="csv", schema=schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_keys"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias(
+            "sum_cents"
+        ),
+        F.max("o_date_us").cast("long").alias("max_date_us"),
+    )
+
+
+_SCHEMA_EVO_CACHE: dict[str, str] = {}
+
+
+def _schema_evolution_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two parquet epochs under one root with EVOLVED schemas: epoch 1
+    (even order keys) lacks o_orderstatus, epoch 2 (odd keys) carries
+    it — the additive-column migration every long-lived lake hits."""
+    key = sf_dir.rstrip("/")
+    path = _SCHEMA_EVO_CACHE.get(key)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="lakeshack_evo_"), "orders")
+        orders = load_table(spark, key, "orders")
+        orders.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ).write.parquet(os.path.join(path, "epoch=1"))
+        orders.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+        ).write.parquet(os.path.join(path, "epoch=2"))
+        _SCHEMA_EVO_CACHE[key] = path
+    return path
+
+
+@register(
+    "schema_evolution_orders",
+    """
+    WITH unioned AS (
+      SELECT o_orderkey, CAST(NULL AS VARCHAR) AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT COALESCE(o_orderstatus, '<pre-migration>') AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+    FROM unioned GROUP BY 1
+    """,
+)
+def schema_evolution_orders(spark, sf_dir):
+    """Schema-evolution read: one lake, two parquet epochs whose schemas
+    differ by an added column; ``mergeSchema`` unifies them and the
+    missing column surfaces as NULL for pre-migration rows — pinned
+    against an oracle that rebuilds the union with explicit NULLs. At
+    100 TB this is how additive migrations ship: no rewrite of old
+    files, the reader reconciles (footer-schema union is per-file
+    metadata work; Catalyst still prunes columns/filters as usual)."""
+    back = spark.read.option("mergeSchema", "true").parquet(
+        _schema_evolution_dir(spark, sf_dir)
+    )
+    return (
+        back.select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<pre-migration>")).alias(
+                "status"
+            ),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("__c"),
+        )
+        .groupBy("status")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("__c").alias("sum_cents"),
+        )
+    )
+
+
+# =====================================================================
 # Entry points used by __spark_entry__.py
 # =====================================================================
 
@@ -6242,6 +6420,8 @@ _DRIVER_WINDOW = [
     "count_min_terms",
     "time_travel_orders",
     "hll_index_distinct_orders",
+    "jsonl_roundtrip_docs",
+    "schema_evolution_orders",
     # r5-era: text / packing / dedup tiers
     "vocab_encode_docs",
     "pack_token_windows_docs",
