@@ -66,3 +66,72 @@ def gap_fill(
         F.last("__v", ignorenulls=True).over(w).alias("value"),
         F.col("__v").isNull().alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------
+# Continuous aggregates: materialized bucket rollups that merge upward
+# ---------------------------------------------------------------------
+
+
+def bucket_rollup(
+    events: DataFrame,
+    bucket_width: int,
+    time_col: str = "ts",
+    group_cols: tuple[str, ...] = (),
+    value_col: str = "value",
+    scale: int = 8,
+) -> DataFrame:
+    """The finest layer of a continuous aggregate (TimescaleDB's
+    "continuous aggregate" / warehouse rollup-table pattern): per
+    (bucket, groups) row count + SCALED-INTEGER value sum, where
+    ``bucket = time_col div bucket_width`` in the time column's integer
+    domain (ns for the canonical events ``ts``).
+
+    The sum is kept as the ``functions.deterministic`` integer partial —
+    NOT divided back to double — precisely so coarser layers merge by
+    exact integer addition (:func:`rollup_merge`) and finalize once.
+    A cascade hourly→daily→monthly is then bit-identical to aggregating
+    the raw stream at any layer, which is what makes serving queries
+    from the materialization safe. Scale shape: one groupBy with
+    map-side combine; the materialized layer is O(buckets × groups),
+    data-size-independent, and refreshing a late bucket is an O(batch)
+    upsert (see diff.incremental_agg_maintain for the delta path).
+    """
+    return (
+        events.withColumn("bucket", F.expr(f"{time_col} div {bucket_width}"))
+        .groupBy("bucket", *group_cols)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(
+                F.expr(f"CAST(ROUND(({value_col}) * 1e{scale}) AS BIGINT)")
+            ).alias("sum_scaled"),
+        )
+    )
+
+
+def rollup_merge(
+    layer: DataFrame,
+    factor: int,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """A coarser continuous-aggregate layer from a finer one — merges
+    the finer buckets' partials (exact integer addition; counts and
+    scaled sums are both associative) WITHOUT re-reading raw data. A
+    daily layer from hourly costs O(hourly rows), not O(events)."""
+    return (
+        layer.withColumn("bucket", F.expr(f"bucket div {factor}"))
+        .groupBy("bucket", *group_cols)
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_scaled").alias("sum_scaled"),
+        )
+    )
+
+
+def rollup_finalize(layer: DataFrame, scale: int = 8) -> DataFrame:
+    """Serve a layer: one division converts the exact integer partial to
+    the double the direct aggregate would have produced."""
+    return layer.withColumn(
+        "sum_value",
+        F.expr(f"CAST(sum_scaled AS DOUBLE) / 1e{scale}"),
+    ).drop("sum_scaled")

@@ -6352,6 +6352,66 @@ def schema_evolution_orders(spark, sf_dir):
 
 
 # =====================================================================
+# Continuous aggregate: daily served from a materialized hourly layer
+# =====================================================================
+
+
+_ROLLUP_CACHE: dict[str, str] = {}
+
+
+def _hourly_rollup_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialized hourly continuous-aggregate layer over events
+    (timeseries.bucket_rollup at 1 h in the nanos domain), built once
+    per process."""
+    from lakeshack_spark.operators.timeseries import bucket_rollup
+
+    key = sf_dir.rstrip("/")
+    path = _ROLLUP_CACHE.get(key)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="lakeshack_rollup_"), "hourly")
+        ev = load_table(spark, key, "events")
+        bucket_rollup(
+            ev, 3_600_000_000_000, time_col="ts",
+            group_cols=("event_type",), value_col="value", scale=8,
+        ).write.parquet(path)
+        _ROLLUP_CACHE[key] = path
+    return path
+
+
+@register(
+    "rollup_cascade_events",
+    f"""
+    SELECT epoch_ns(ts) // 86400000000000 AS bucket,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {oracle_dsum('value', 8)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def rollup_cascade_events(spark, sf_dir):
+    """Continuous-aggregate cascade (timeseries.bucket_rollup /
+    rollup_merge / rollup_finalize — the TimescaleDB rollup pattern):
+    the DAILY answer is served by merging the MATERIALIZED hourly
+    layer's partials — the raw events are never re-read — while the
+    oracle aggregates the raw stream directly. The hash match proves
+    layer mergeability is exact: counts and the deterministic
+    scaled-integer sums add associatively, and the single finalize
+    division reproduces the direct double bit-for-bit. Scale shape:
+    the hourly layer is O(hours × event types) rows regardless of
+    event volume, so the daily rollup costs metadata-scale work; late
+    data refreshes one bucket via the IVM delta path instead of a
+    recompute."""
+    from lakeshack_spark.operators.timeseries import rollup_finalize, rollup_merge
+
+    hourly = spark.read.parquet(_hourly_rollup_dir(spark, sf_dir))
+    daily = rollup_merge(hourly, 24, group_cols=("event_type",))
+    return rollup_finalize(daily, scale=8).select(
+        "bucket", "event_type", "n", "sum_value"
+    )
+
+
+# =====================================================================
 # Entry points used by __spark_entry__.py
 # =====================================================================
 
@@ -6422,6 +6482,7 @@ _DRIVER_WINDOW = [
     "hll_index_distinct_orders",
     "jsonl_roundtrip_docs",
     "schema_evolution_orders",
+    "rollup_cascade_events",
     # r5-era: text / packing / dedup tiers
     "vocab_encode_docs",
     "pack_token_windows_docs",

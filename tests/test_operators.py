@@ -2396,3 +2396,41 @@ def test_bpe_encode_matches_python_reference(spark):
             doc_id,
             text,
         )
+
+
+# ---------------------------------------------------------------- rollups
+
+
+def test_rollup_cascade_equals_direct(spark):
+    """Merging materialized finer buckets must reproduce the direct
+    coarse aggregate bit-for-bit (counts + scaled-int sums associative,
+    one finalize division) — including at a non-divisor factor."""
+    from pyspark.sql import Row
+
+    from lakeshack_spark.operators.timeseries import (
+        bucket_rollup,
+        rollup_finalize,
+        rollup_merge,
+    )
+
+    rows = [
+        Row(ts=i * 977 + (i % 7) * 13, grp=f"g{i % 3}", value=(i * 0.37) % 11)
+        for i in range(500)
+    ]
+    ev = spark.createDataFrame(rows)
+    fine = bucket_rollup(
+        ev, 100, time_col="ts", group_cols=("grp",), value_col="value"
+    )
+    for factor in (10, 7):  # 7 does not divide the coarse width evenly
+        cascade = rollup_finalize(
+            rollup_merge(fine, factor, group_cols=("grp",))
+        )
+        direct = rollup_finalize(
+            bucket_rollup(
+                ev, 100 * factor, time_col="ts",
+                group_cols=("grp",), value_col="value",
+            )
+        )
+        a = {(r.bucket, r.grp): (r.n, r.sum_value) for r in cascade.collect()}
+        b = {(r.bucket, r.grp): (r.n, r.sum_value) for r in direct.collect()}
+        assert a == b
