@@ -190,3 +190,110 @@ def epoch_shuffle(
         df = df.withColumn("shuffle_key", h)
         return df.orderBy(F.col("shuffle_key").asc(), F.col(key_col).asc())
     return df.orderBy(h.asc(), F.col(key_col).asc())
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    label: str = "wss",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size sampling by
+    systematic (stochastic-universal) selection — the weighted
+    counterpart of :func:`deterministic_sample`, e.g. "draw 10k
+    documents proportional to token count" for mixture construction.
+
+    The items are laid on a weight line in md5-shuffled order
+    (``md5(label:key)``, ties by key — the same portable hash as every
+    split here, so the draw is engine- and partitioning-independent),
+    and ``n`` pointers are placed at the odd multiples of ``W/(2n)``.
+    An item's multiplicity is the number of pointers inside its weight
+    interval — EXACT integer arithmetic throughout (the pointer-count
+    below ``x`` is ``clamp(ceil((2nx - W)/(2W)), 0, n)``, evaluated
+    with positive-operand integer division only), so the sample is
+    bit-reproducible and oracle-checkable. Items with ``w > W/n`` can
+    be drawn more than once (classic SUS); all others at most once.
+    Multiplicities always sum to exactly ``n``.
+
+    100 TB shape: the order is RangePartitioning on the hash (no global
+    row_number — the one-partition window killer); the prefix sum is
+    the classic two-pass (per-partition totals collected — O(#tasks) —
+    then a map-side running sum), the same machinery as
+    ``packing.pack_token_windows``. Everything else is map-only.
+    Overflow guard: requires ``2·n·W < 2^63`` (raises otherwise).
+
+    Returns ``df``'s columns + ``multiplicity`` for drawn rows only.
+    """
+    from pyspark.sql import types as T
+
+    from lakeshack_spark.operators.dedup import _h64
+
+    if n <= 0:
+        raise ValueError("n must be positive")
+    spark = df.sparkSession
+    if n_partitions is None:
+        n_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+    h = _h64(
+        F.concat(F.lit(label), F.lit(":"), F.col(key_col).cast("string"))
+    )
+    base = (
+        df.withColumn("__w", F.col(weight_col).cast("long"))
+        .withColumn("__h", h)
+        .repartitionByRange(n_partitions, F.col("__h"), F.col(key_col))
+        .sortWithinPartitions("__h", key_col)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    # Pass 1: per-partition totals (also materializes the persisted
+    # partitioning so pass 2 sees identical partition ids).
+    totals = {
+        r["__pid"]: int(r["t"] or 0)
+        for r in base.groupBy("__pid").agg(F.sum("__w").alias("t")).collect()
+    }
+    offs: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offs[pid] = acc
+        acc += totals[pid]
+    total_w = acc
+    if total_w <= 0:
+        return df.limit(0).withColumn("multiplicity", F.lit(0).cast("long"))
+    if 2 * n * total_w >= 2**63:
+        raise ValueError(
+            f"2*n*W = {2 * n * total_w} overflows int64; reduce n or "
+            "rescale the weights"
+        )
+    boffs = spark.sparkContext.broadcast(offs)
+    out_schema = T.StructType(
+        base.schema.fields + [T.StructField("__s", T.LongType())]
+    )
+
+    def cum(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = boffs.value.get(int(pdf["__pid"].iloc[0]), 0)
+            starts = pdf["__w"].cumsum() - pdf["__w"] + run
+            run += int(pdf["__w"].sum())
+            yield pdf.assign(__s=starts.astype("int64"))
+
+    staged = base.mapInPandas(cum, out_schema)
+    below = (
+        "LEAST(CAST({n} AS BIGINT), CASE WHEN 2*{n}*({x}) <= {W} THEN 0 "
+        "ELSE (2*{n}*({x}) - {W} + 2*{W} - 1) DIV (2*{W}) END)"
+    )
+    mult = F.expr(
+        below.format(n=n, W=total_w, x="__s + __w")
+        + " - "
+        + below.format(n=n, W=total_w, x="__s")
+    ).cast("long")
+    return (
+        staged.withColumn("multiplicity", mult)
+        .filter(F.col("multiplicity") > 0)
+        .drop("__w", "__h", "__pid", "__s")
+    )

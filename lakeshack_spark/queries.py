@@ -6412,6 +6412,62 @@ def rollup_cascade_events(spark, sf_dir):
 
 
 # =====================================================================
+# Weighted sampling: exact systematic PPS draw
+# =====================================================================
+
+
+@register(
+    "weighted_sample_docs",
+    f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+             {_H64_SQL.format(x="'wss:' || CAST(doc_id AS VARCHAR)")} AS hk
+      FROM documents
+    ), p AS (
+      SELECT doc_id, weight,
+             COALESCE(SUM(weight) OVER (ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s0,
+             SUM(weight) OVER () AS tw
+      FROM w
+    ), m AS (
+      SELECT doc_id, weight,
+             LEAST(CAST(100 AS BIGINT),
+               CASE WHEN 2*100*(s0 + weight) <= tw THEN 0
+                    ELSE (2*100*(s0 + weight) - tw + 2*tw - 1) // (2*tw) END)
+           - LEAST(CAST(100 AS BIGINT),
+               CASE WHEN 2*100*s0 <= tw THEN 0
+                    ELSE (2*100*s0 - tw + 2*tw - 1) // (2*tw) END)
+             AS multiplicity
+      FROM p
+    )
+    SELECT doc_id, weight, CAST(multiplicity AS BIGINT) AS multiplicity
+    FROM m WHERE multiplicity > 0
+    """,
+)
+def weighted_sample_docs(spark, sf_dir):
+    """Probability-proportional-to-size document draw (sampling.
+    weighted_systematic_sample): 100 pointers through the md5-shuffled
+    token-count weight line — the mixture-construction primitive
+    ("sample documents proportional to length"). Exact integer pointer
+    counting makes the draw bit-reproducible, so the oracle replays the
+    identical systematic selection with a window prefix sum while the
+    Spark side uses the two-pass distributed prefix sum (no global
+    row_number, no one-partition window — the packing machinery).
+    Multiplicities sum to exactly 100 by construction; the hash pin
+    covers membership, weights, and multiplicities together."""
+    from lakeshack_spark.operators.sampling import weighted_systematic_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("weight"),
+    )
+    return weighted_systematic_sample(
+        docs, key_col="doc_id", weight_col="weight", n=100
+    ).select("doc_id", "weight", "multiplicity")
+
+
+# =====================================================================
 # Entry points used by __spark_entry__.py
 # =====================================================================
 
@@ -6483,6 +6539,7 @@ _DRIVER_WINDOW = [
     "jsonl_roundtrip_docs",
     "schema_evolution_orders",
     "rollup_cascade_events",
+    "weighted_sample_docs",
     # r5-era: text / packing / dedup tiers
     "vocab_encode_docs",
     "pack_token_windows_docs",

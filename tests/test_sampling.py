@@ -150,3 +150,71 @@ def test_epoch_shuffle_is_reproducible_permutation(spark, docs):
         for r in sampling.epoch_shuffle(docs, "doc_id", 1, with_key=True).collect()
     ]
     assert keys == sorted(keys)
+
+
+# ------------------------------------------------- weighted systematic
+
+
+def test_weighted_sample_multiplicities_sum_to_n(spark):
+    from pyspark.sql import Row
+
+    from lakeshack_spark.operators.sampling import weighted_systematic_sample
+
+    df = spark.createDataFrame(
+        [Row(k=i, w=(i % 13) + 1) for i in range(400)]
+    )
+    for n in (1, 7, 100, 1000):
+        out = weighted_systematic_sample(df, "k", "w", n)
+        rows = out.collect()
+        assert sum(r["multiplicity"] for r in rows) == n
+        # Without replacement whenever no weight exceeds W/n.
+        total = 400 * 7  # mean weight 7
+        if max((i % 13) + 1 for i in range(400)) <= total / n:
+            assert all(r["multiplicity"] == 1 for r in rows)
+
+
+def test_weighted_sample_partitioning_invariant(spark):
+    from pyspark.sql import Row
+
+    from lakeshack_spark.operators.sampling import weighted_systematic_sample
+
+    df = spark.createDataFrame([Row(k=i, w=(i * 7) % 29 + 1) for i in range(300)])
+    a = {
+        (r["k"], r["multiplicity"])
+        for r in weighted_systematic_sample(df, "k", "w", 50, n_partitions=2).collect()
+    }
+    b = {
+        (r["k"], r["multiplicity"])
+        for r in weighted_systematic_sample(
+            df.repartition(13), "k", "w", 50, n_partitions=11
+        ).collect()
+    }
+    assert a == b
+
+
+def test_weighted_sample_heavy_item_multiplicity(spark):
+    """An item holding half the total weight must be drawn ~n/2 times
+    (systematic guarantee: floor(n*w/W) <= mult <= ceil(n*w/W))."""
+    from pyspark.sql import Row
+
+    from lakeshack_spark.operators.sampling import weighted_systematic_sample
+
+    rows = [Row(k=i, w=1) for i in range(100)] + [Row(k=999, w=100)]
+    df = spark.createDataFrame(rows)
+    out = {r["k"]: r["multiplicity"] for r in
+           weighted_systematic_sample(df, "k", "w", 20).collect()}
+    assert out[999] in (10, 11)  # 20 * 100/200 = 10
+    assert sum(out.values()) == 20
+
+
+def test_weighted_sample_overflow_guard(spark):
+    from pyspark.sql import Row
+
+    from lakeshack_spark.operators.sampling import weighted_systematic_sample
+
+    df = spark.createDataFrame([Row(k=1, w=2**61)])
+    try:
+        weighted_systematic_sample(df, "k", "w", 4)
+        raise AssertionError("expected overflow ValueError")
+    except ValueError as e:
+        assert "overflows" in str(e)
