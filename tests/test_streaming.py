@@ -832,3 +832,68 @@ def test_stream_maintain_agg_view_matches_recompute(spark, tmp_path_factory):
     )
     replayed = {r.g: (r.n, r.sum_v) for r in replay.collect()}
     assert replayed == got
+
+
+def test_streaming_hourly_rollup_matches_batch_layer(spark, tmp_path_factory):
+    """Composition pin: a continuous-aggregate hourly layer MAINTAINED BY
+    the streaming IVM (insert-only CDC) equals the batch
+    timeseries.bucket_rollup of the same events — so the rollup cascade
+    (rollup_cascade_events gate) can be kept fresh by the stream instead
+    of recomputed. Scaled-integer sums make the equality exact."""
+    import os
+    import time
+
+    from lakeshack_spark.operators.timeseries import bucket_rollup
+    from lakeshack_spark.streaming import ivm
+
+    batch = load_table(spark, SF, "events")
+    changes = batch.select(
+        F.col("event_id").alias("k"),
+        F.expr("ts div 3600000000000").alias("bucket"),
+        "event_type",
+        F.expr("CAST(ROUND(value * 1e8) AS BIGINT)").alias("scaled"),
+        F.lit(False).alias("is_delete"),
+        F.lit(False).alias("had_prior"),
+        F.lit(None).cast("long").alias("old_bucket"),
+        F.lit(None).cast("string").alias("old_event_type"),
+        F.lit(None).cast("long").alias("old_scaled"),
+    )
+    landing = tmp_path_factory.mktemp("rollup_landing")
+    for i, pred in enumerate(["k % 2 = 0", "k % 2 = 1"]):
+        changes.filter(F.expr(pred)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / f"slice{i}"))
+        t = time.time() - 300 + i * 10
+        for root, _, files in os.walk(str(landing / f"slice{i}")):
+            for f in files:
+                os.utime(os.path.join(root, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{landing}/*")
+    )
+    view_dir = str(tmp_path_factory.mktemp("rollup_view"))
+    q = ivm.stream_maintain_agg_view(
+        spark,
+        stream,
+        view_dir,
+        group_cols=["bucket", "event_type"],
+        sum_cols={"sum_scaled": "scaled"},
+        key_cols=["k"],
+        checkpoint_dir=str(tmp_path_factory.mktemp("rollup_ckpt")),
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.bucket, r.event_type): (r.n, r.sum_scaled)
+        for r in ivm.read_agg_view(spark, view_dir).collect()
+    }
+    want = {
+        (r.bucket, r.event_type): (r.n, r.sum_scaled)
+        for r in bucket_rollup(
+            batch, 3_600_000_000_000, time_col="ts",
+            group_cols=("event_type",), value_col="value", scale=8,
+        ).collect()
+    }
+    assert got == want
