@@ -447,3 +447,37 @@ def test_drift_chi2_broadcasts_corpus_profile(spark):
         plan[:2000]
     )
     assert plans.has_partial_aggregation(df)
+
+
+def test_hll_estimate_scans_only_the_sidecar(spark):
+    """The distinct-count rollup must be answered from METADATA: every
+    file the plan scans lives under the sketch sidecar — the orders
+    lake's data files never appear (that is the entire point of keeping
+    mergeable sketches)."""
+    from lakeshack_spark.queries import _hll_orders_index
+    from lakeshack_spark.sketchindex import DistinctSketchIndex
+
+    lake, store = _hll_orders_index(spark, SF)
+    est = DistinctSketchIndex(
+        spark, store, "o_custkey", group_col="o_orderstatus"
+    ).estimates()
+    s = est._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in s.splitlines() if "FileScan" in l or "Scan parquet" in l]
+    assert scan_lines, s
+    for l in scan_lines:
+        assert "_lakeshack_hll" in l, l
+
+
+def test_time_travel_read_plans_manifest_files_only(spark):
+    """Reading v1 after later commits must plan exactly v1's manifest
+    file list — none of the files later commits added."""
+    from lakeshack_spark.queries import _versioned_orders_dir
+    from lakeshack_spark.versioning import VersionedTable
+
+    vt = VersionedTable(spark, _versioned_orders_dir(spark, SF))
+    m1 = set(vt.manifest(1)["files"])
+    m3 = set(vt.manifest(3)["files"])
+    assert m3 - m1  # later commits really added files
+    s = vt.read(1)._jdf.queryExecution().executedPlan().toString()
+    for extra in m3 - m1:
+        assert extra.split("/")[-1] not in s
