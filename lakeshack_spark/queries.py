@@ -6467,6 +6467,52 @@ def weighted_sample_docs(spark, sf_dir):
     ).select("doc_id", "weight", "multiplicity")
 
 
+_VDIFF_FP = (
+    "md5("
+    + " || '|' || ".join(
+        f"(CAST(length(CAST({c} AS VARCHAR)) AS VARCHAR) || ':' "
+        f"|| CAST({c} AS VARCHAR))"
+        for c in ("o_custkey", "o_orderstatus")
+    )
+    + ")"
+)
+
+
+@register(
+    "version_diff_orders",
+    f"""
+    SELECT o_orderkey,
+           'removed' AS status,
+           {_VDIFF_FP} AS old_fp,
+           CAST(NULL AS VARCHAR) AS new_fp
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_custkey % 10 = 3
+    """,
+)
+def version_diff_orders(spark, sf_dir):
+    """Composition: snapshot time travel × keyed table diff = the CDC of
+    a commit, recovered after the fact. ``table_diff(read(v1),
+    read(v2))`` over the versioned orders table must return EXACTLY the
+    copy-on-write delete's rows as 'removed' — nothing added, nothing
+    changed, every fingerprint intact — which the oracle states directly
+    as the delete predicate over the orders view. This is the audit
+    primitive a lakehouse owes its operators: any commit's row-level
+    effect is reconstructible from adjacent snapshots without having
+    logged it. Scale shape: both sides reduce map-side to (key, md5
+    fingerprint) before one full-outer join — only keys and 32-hex
+    strings cross the shuffle."""
+    from lakeshack_spark.operators.diff import table_diff
+    from lakeshack_spark.versioning import VersionedTable
+
+    vt = VersionedTable(spark, _versioned_orders_dir(spark, sf_dir))
+    return table_diff(
+        vt.read(1),
+        vt.read(2),
+        key_cols=["o_orderkey"],
+        compare_cols=["o_custkey", "o_orderstatus"],
+    )
+
+
 # =====================================================================
 # Entry points used by __spark_entry__.py
 # =====================================================================
@@ -6540,6 +6586,7 @@ _DRIVER_WINDOW = [
     "schema_evolution_orders",
     "rollup_cascade_events",
     "weighted_sample_docs",
+    "version_diff_orders",
     # r5-era: text / packing / dedup tiers
     "vocab_encode_docs",
     "pack_token_windows_docs",
