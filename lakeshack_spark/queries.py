@@ -6535,21 +6535,16 @@ _DRIVER_WINDOW = [
     "scan_filter_project",
     "in_list_filter",
     "topk_orders",
-    "set_ops_nations",
-    "scalar_subquery_above_avg",
     # r5-era: ANN quantization tier
     "pq_codes_embeddings",
     "pq_adc_topk_embeddings",
     "srp_near_dup_planted",
-    "cosine_topk_pandas_udf",
     "ivfpq_codes_embeddings",
     "kmeans_update_quantized",
     "semdedup_embeddings",
     "ivf_assign_cells",
     # r5-era: graph / sketch / frequent
-    "simhash_near_pairs",
     "dedup_cluster_labels",
-    "sketch_distinct_and_quantiles",
     "heavy_hitter_terms",
     # r5-era: relational long tail
     "fuzzy_join_part_names",
@@ -6600,6 +6595,14 @@ _DRIVER_WINDOW = [
     "unigram_lm_quality_docs",
     "term_drift_by_source",
     "mask_pii_audit",
+    # displaced from the first 50 (each carries prior driver-side green
+    # from rounds 1-5 — see CORRECTNESS_r0x): the slots go to tiers the
+    # driver has never hashed
+    "set_ops_nations",
+    "scalar_subquery_above_avg",
+    "cosine_topk_pandas_udf",
+    "simhash_near_pairs",
+    "sketch_distinct_and_quantiles",
     # core query shapes (joins/aggs/windows) retained in the window
     "q1_pricing_summary",
     "q3_shipping_priority",
