@@ -6023,7 +6023,14 @@ def _versioned_orders_dir(spark: SparkSession, sf_dir: str) -> str:
         base = load_table(spark, key, "orders").select(
             "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
         )
-        vt.create(base.repartition(4, "o_custkey"))
+        # Range-clustered on the cluster column so the snapshot-pruned
+        # AS-OF lookup (snapshot_pruned_query) has selective zone maps;
+        # the aggregate gates are layout-independent.
+        vt.create(
+            base.repartitionByRange(4, "o_custkey").sortWithinPartitions(
+                "o_custkey"
+            )
+        )
         vt.delete_where("o_orderstatus = 'F' AND o_custkey % 10 = 3")
         vt.append(vt.read(1).filter(F.col("o_custkey") % 100 == 7))
         _VERSIONED_ORDERS_CACHE[key] = path
@@ -6467,6 +6474,71 @@ def weighted_sample_docs(spark, sf_dir):
     ).select("doc_id", "weight", "multiplicity")
 
 
+_VT_SHACK_CACHE: dict[str, tuple] = {}
+
+
+def _versioned_orders_shack(spark: SparkSession, sf_dir: str):
+    """(VersionedTable, Lakeshack) over the snapshot table's immutable
+    data files: ONE zone-map store serves every version (stats are
+    per-file; version membership is the manifest's job)."""
+    from lakeshack_spark.versioning import VersionedTable
+
+    key = sf_dir.rstrip("/")
+    cached = _VT_SHACK_CACHE.get(key)
+    if cached is None:
+        path = _versioned_orders_dir(spark, key)
+        vt = VersionedTable(spark, path)
+        shack = Lakeshack(
+            spark,
+            os.path.join(path, "data"),
+            cluster_column="o_custkey",
+            optional_columns=["o_totalprice"],
+            store_path=os.path.join(path, "_lakeshack_stats"),
+        )
+        shack.update_metastore()
+        cached = (vt, shack)
+        _VT_SHACK_CACHE[key] = cached
+    return cached
+
+
+@register(
+    "time_travel_pruned_lookup",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_custkey IN (11, 47, 102, 999) AND o_totalprice >= 50000
+    )
+    SELECT 1 AS version, * FROM base
+    UNION ALL
+    SELECT 2, * FROM base
+    WHERE NOT (o_orderstatus = 'F' AND o_custkey % 10 = 3)
+    """,
+)
+def time_travel_pruned_lookup(spark, sf_dir):
+    """The reference's point-lookup semantics AS OF a snapshot
+    (versioning.snapshot_pruned_query): IN-list ∧ range clause over the
+    range-clustered versioned orders table, planned as candidate_files
+    ∩ manifest(version) — one zone-map store over the immutable data
+    files serves every version, and the intersection hides both
+    later-commit files and aborted-commit orphans. Run at v1 and v2:
+    the deleted decile's rows appear in v1's answer and not v2's, which
+    the oracle states directly. Pruning selectivity is unit-pinned
+    (the AS-OF scan plans fewer files than the store holds)."""
+    vt, shack = _versioned_orders_shack(spark, sf_dir)
+    from lakeshack_spark.versioning import snapshot_pruned_query
+
+    parts = [
+        snapshot_pruned_query(
+            vt, shack, v, [11, 47, 102, 999], [("o_totalprice", ">=", 50000.0)]
+        ).select(
+            F.lit(v).cast("int").alias("version"),
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        )
+        for v in (1, 2)
+    ]
+    return parts[0].unionByName(parts[1])
+
+
 _VDIFF_FP = (
     "md5("
     + " || '|' || ".join(
@@ -6533,7 +6605,6 @@ _DRIVER_WINDOW = [
     "shack_pruned_lookup",
     "bloom_index_point_lookup",
     "scan_filter_project",
-    "in_list_filter",
     "topk_orders",
     # r5-era: ANN quantization tier
     "pq_codes_embeddings",
@@ -6582,6 +6653,7 @@ _DRIVER_WINDOW = [
     "rollup_cascade_events",
     "weighted_sample_docs",
     "version_diff_orders",
+    "time_travel_pruned_lookup",
     # r5-era: text / packing / dedup tiers
     "vocab_encode_docs",
     "pack_token_windows_docs",
@@ -6600,6 +6672,7 @@ _DRIVER_WINDOW = [
     # driver has never hashed
     "set_ops_nations",
     "scalar_subquery_above_avg",
+    "in_list_filter",
     "cosine_topk_pandas_udf",
     "simhash_near_pairs",
     "sketch_distinct_and_quantiles",

@@ -264,3 +264,49 @@ def _schema_from_manifest(m: dict):
     from pyspark.sql import types as T
 
     return T.StructType.fromJson(m["schema"])
+
+
+def snapshot_pruned_query(
+    vt: VersionedTable,
+    shack,
+    version: int,
+    cluster_column_values,
+    optional_where_clauses=(),
+    columns=None,
+) -> DataFrame:
+    """Zone-map-pruned point lookup AS OF a snapshot: the reference's
+    query semantics (IN-list ∧ AND-ed clauses ∧ projection,
+    engine.Lakeshack.query) composed with time travel.
+
+    Data files are immutable, so ONE stats store over ``<table>/data``
+    serves every version — pruning and versioning compose by set
+    intersection: scan exactly ``candidate_files ∩ manifest(version)``.
+    Orphans from aborted commits may carry stats rows; the manifest
+    intersection makes them invisible, and pruning false-positives stay
+    harmless because the exact predicate is re-applied (the reference's
+    own contract, README.rst:12-19). At 100 TB both sides of the
+    intersection are metadata: the prune is a stats-table filter, the
+    manifest a file list — no data touched until the final scan of the
+    (typically single-file) survivor set."""
+    from lakeshack_spark.engine import build_predicate
+
+    if not isinstance(cluster_column_values, (list, tuple)):
+        cluster_column_values = [cluster_column_values]
+    m = vt.manifest(version)
+    members = {os.path.join(vt.table_dir, f) for f in m["files"]}
+    candidates = shack.candidate_files(
+        cluster_column_values, optional_where_clauses
+    )
+    chosen = sorted(set(candidates) & members)
+    if chosen:
+        df = vt.spark.read.schema(_schema_from_manifest(m)).parquet(*chosen)
+    else:
+        df = vt.spark.createDataFrame([], _schema_from_manifest(m))
+    df = df.filter(
+        build_predicate(
+            shack.cluster_column, cluster_column_values, optional_where_clauses
+        )
+    )
+    if columns is not None:
+        df = df.select(*columns)
+    return df

@@ -99,3 +99,31 @@ def test_read_empty_snapshot_keeps_schema(spark, tmp_path):
     empty = vt.read(2)
     assert empty.count() == 0
     assert empty.schema == vt.read(1).schema
+
+
+def test_snapshot_pruned_query_selective_and_exact(spark):
+    """AS-OF pruned lookup: plans candidate ∩ manifest (fewer files than
+    the store holds), and equals the unpruned filter on the same
+    version — pruning is pure I/O avoidance, never a semantic."""
+    from tests.conftest import SF_SMOKE
+    from lakeshack_spark.queries import _versioned_orders_shack
+    from lakeshack_spark.versioning import snapshot_pruned_query
+
+    vt, shack = _versioned_orders_shack(spark, SF_SMOKE)
+    values = [11, 47, 102, 999]
+    clauses = [("o_totalprice", ">=", 50000.0)]
+    # The store indexes every commit's files (all versions); membership
+    # in a given version is the manifest intersection's job.
+    candidates = shack.candidate_files(values, clauses)
+    got = snapshot_pruned_query(vt, shack, 1, values, clauses)
+    want = vt.read(1).filter(
+        F.col("o_custkey").isin(values) & (F.col("o_totalprice") >= 50000.0)
+    )
+    a = sorted((r.o_orderkey, r.o_custkey) for r in got.collect())
+    b = sorted((r.o_orderkey, r.o_custkey) for r in want.collect())
+    assert a == b and a
+    # Selectivity: the range-clustered layout must let the zone map drop
+    # at least one of v1's four files for this 4-key IN-list.
+    members = {f.split("/")[-1] for f in vt.manifest(1)["files"]}
+    chosen = {c.split("/")[-1] for c in candidates} & members
+    assert len(chosen) < len(members), (chosen, members)
