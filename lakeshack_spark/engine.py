@@ -41,16 +41,12 @@ from lakeshack_spark.session import configure_session
 logger = logging.getLogger(__name__)
 
 
-def build_predicate(
-    cluster_column: str,
-    cluster_values: Sequence[Any],
+def build_clause_predicate(
     optional_where_clauses: Sequence[tuple[str, str, Any]] = (),
 ):
-    """IN-list ∧ AND-ed comparison clauses as one Column expression
-    (reference builds the same as a pyarrow.dataset.Expression,
-    lakeshack/lakeshack.py:531-545). Unknown operator → ValueError
-    (lakeshack/lakeshack.py:543-545)."""
-    pred = F.col(cluster_column).isin(list(cluster_values))
+    """AND-ed comparison clauses as one Column expression. Unknown
+    operator → ValueError (lakeshack/lakeshack.py:543-545)."""
+    pred = F.lit(True)
     for col, op, value in optional_where_clauses:
         c, lit = F.col(col), F.lit(value)
         if op == ">=":
@@ -67,6 +63,19 @@ def build_predicate(
             raise ValueError(f"unsupported operator {op!r}; use one of {PRUNE_OPS}")
         pred = pred & clause
     return pred
+
+
+def build_predicate(
+    cluster_column: str,
+    cluster_values: Sequence[Any],
+    optional_where_clauses: Sequence[tuple[str, str, Any]] = (),
+):
+    """IN-list ∧ AND-ed comparison clauses as one Column expression
+    (reference builds the same as a pyarrow.dataset.Expression,
+    lakeshack/lakeshack.py:531-545)."""
+    return F.col(cluster_column).isin(list(cluster_values)) & build_clause_predicate(
+        optional_where_clauses
+    )
 
 
 class Lakeshack:
@@ -249,6 +258,91 @@ class Lakeshack:
             columns=columns,
             n_records_max=n_records_max,
         )
+
+    def query_agg(
+        self,
+        optional_where_clauses: Sequence[tuple[str, str, Any]] = (),
+        min_max_columns: Sequence[str] = (),
+        count_columns: Sequence[str] = (),
+    ) -> DataFrame:
+        """Metadata-served aggregation: ``COUNT(*)`` plus per-column
+        ``MIN``/``MAX`` (``min_max_columns``) and non-NULL ``COUNT``
+        (``count_columns``) under the AND-ed ``optional_where_clauses``,
+        as a one-row DataFrame with columns ``row_count``,
+        ``min_<col>``/``max_<col>`` and ``cnt_<col>``.
+
+        The metastore classifies every file against the predicate
+        (:meth:`FileStatsMetastore.plan_agg`): files wholly inside it are
+        answered from their footer stats with ZERO data I/O; only the
+        O(1)-per-range *boundary* files are scanned (with the exact
+        predicate). Semantics match the equivalent SQL aggregate exactly
+        — footer min/max ignore NULLs like SQL MIN/MAX, COUNT(*) counts
+        rows, COUNT(col) counts non-NULLs, and interior classification
+        requires provably NULL-free clause columns, so rows a NULL clause
+        value would fail out of the predicate are never miscounted.
+
+        At 100 TB: a cluster-range rollup reads 0–2 files no matter how
+        many thousands the range spans — the Delta/Iceberg
+        "answer-from-manifest" capability on this engine's stats store.
+        The reference has no counterpart (its queries always scan
+        candidates); this extends its metastore design to aggregates.
+        """
+        t0 = time.monotonic()
+        contrib, boundary = self.metastore.plan_agg(
+            optional_where_clauses, min_max_columns, count_columns
+        )
+        min_max_columns = list(dict.fromkeys(min_max_columns))
+        count_columns = list(dict.fromkeys(count_columns))
+        status = {
+            k: contrib[k]
+            for k in (
+                "n_files_total",
+                "n_files_interior",
+                "n_files_boundary",
+                "n_files_excluded",
+            )
+        }
+        status["plan_sec"] = round(time.monotonic() - t0, 6)
+        self.last_query_status = status
+        logger.info(
+            "query_agg: %(n_files_interior)d interior / "
+            "%(n_files_boundary)d boundary / %(n_files_excluded)d excluded "
+            "of %(n_files_total)d files",
+            status,
+        )
+        field_types = {f.name: f.dataType for f in self.schema.fields}
+        out_fields = [T.StructField("row_count", T.LongType(), False)]
+        for c in min_max_columns:
+            out_fields.append(T.StructField(f"min_{c}", field_types[c], True))
+            out_fields.append(T.StructField(f"max_{c}", field_types[c], True))
+        for c in count_columns:
+            out_fields.append(T.StructField(f"cnt_{c}", T.LongType(), False))
+        out_schema = T.StructType(out_fields)
+        interior_vals: list[Any] = [contrib["row_count"]]
+        for c in min_max_columns:
+            interior_vals.extend([contrib["min"][c], contrib["max"][c]])
+        interior_vals.extend(contrib["cnt"][c] for c in count_columns)
+        base = self.spark.createDataFrame([tuple(interior_vals)], out_schema)
+        if not boundary:
+            return base
+        scan = (
+            self.spark.read.schema(self.schema)
+            .parquet(*boundary)
+            .filter(build_clause_predicate(optional_where_clauses))
+        )
+        scan_aggs = [F.count(F.lit(1)).cast("long").alias("row_count")]
+        for c in min_max_columns:
+            scan_aggs.append(F.min(c).alias(f"min_{c}"))
+            scan_aggs.append(F.max(c).alias(f"max_{c}"))
+        for c in count_columns:
+            scan_aggs.append(F.count(c).cast("long").alias(f"cnt_{c}"))
+        merge_aggs = [F.sum("row_count").cast("long").alias("row_count")]
+        for c in min_max_columns:
+            merge_aggs.append(F.min(f"min_{c}").alias(f"min_{c}"))
+            merge_aggs.append(F.max(f"max_{c}").alias(f"max_{c}"))
+        for c in count_columns:
+            merge_aggs.append(F.sum(f"cnt_{c}").cast("long").alias(f"cnt_{c}"))
+        return base.unionByName(scan.agg(*scan_aggs)).agg(*merge_aggs)
 
     def status(self) -> dict[str, Any]:
         """I/O telemetry for the most recent query: files total/candidate/

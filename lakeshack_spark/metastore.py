@@ -111,6 +111,13 @@ def _to_py_stat(value: Any) -> Any:
     return value
 
 
+def _plain_py(value: Any) -> Any:
+    """pyarrow ``.as_py()`` returns pandas Timestamps when pandas is
+    importable; normalize to stdlib datetimes (Spark literal rows and
+    plain comparisons both want those)."""
+    return value.to_pydatetime() if hasattr(value, "to_pydatetime") else value
+
+
 def _strip_arrow_tz(table):
     """Vectorized twin of :func:`_to_py_stat` for a whole Arrow table:
     tz-aware timestamp columns become naive (the stored instants are
@@ -159,7 +166,8 @@ def _footer_stats_for_files(
     filepaths: Iterable[str], columns: Sequence[str]
 ) -> Iterator[dict[str, Any]]:
     """Executor-side: read Parquet *footers* only and emit one stats row per
-    file: ``{filepath, num_rows, file_bytes, {col}_min, {col}_max, ...}``.
+    file: ``{filepath, num_rows, file_bytes, {col}_min, {col}_max,
+    {col}_nulls, ...}``.
 
     Seeds from row group 0 then folds min/max across all row groups, like
     ``Metastore._get_min_max`` (lakeshack/metastore.py:307-337). Columns with
@@ -212,18 +220,39 @@ def _footer_stats_for_files(
         }
         for col in columns:
             cmin = cmax = None
+            have_min_max = True
+            nulls: int | None = 0
             idx = name_to_idx.get(col)
-            if idx is not None:
+            if idx is None:
+                have_min_max = False
+                nulls = None
+            else:
                 for rg in range(md.num_row_groups):
-                    stats = md.row_group(rg).column(idx).statistics
-                    if stats is None or not stats.has_min_max:
-                        cmin = cmax = None
-                        break
-                    lo, hi = _to_py_stat(stats.min), _to_py_stat(stats.max)
-                    cmin = lo if cmin is None or lo < cmin else cmin
-                    cmax = hi if cmax is None or hi > cmax else cmax
-            row[f"{col}_min"] = cmin
-            row[f"{col}_max"] = cmax
+                    rg_meta = md.row_group(rg)
+                    stats = rg_meta.column(idx).statistics
+                    # min/max and null_count availability are INDEPENDENT
+                    # (an all-NULL row group has a null_count but no
+                    # min/max), so each folds under its own flag. A row
+                    # group PROVABLY all-NULL (null_count == its rows)
+                    # contributes nothing to min/max and does not poison
+                    # the fold.
+                    if stats is not None and stats.has_min_max:
+                        lo, hi = _to_py_stat(stats.min), _to_py_stat(stats.max)
+                        cmin = lo if cmin is None or lo < cmin else cmin
+                        cmax = hi if cmax is None or hi > cmax else cmax
+                    elif not (
+                        stats is not None
+                        and stats.has_null_count
+                        and stats.null_count == rg_meta.num_rows
+                    ):
+                        have_min_max = False
+                    if stats is None or not stats.has_null_count:
+                        nulls = None
+                    elif nulls is not None:
+                        nulls += stats.null_count
+            row[f"{col}_min"] = cmin if have_min_max else None
+            row[f"{col}_max"] = cmax if have_min_max else None
+            row[f"{col}_nulls"] = nulls
         yield row
 
 
@@ -269,12 +298,26 @@ def list_parquet_files(
     swaps pyarrow.fs implementations the same way,
     lakeshack/metastore.py:206-231.)
 
-    ``skip_side_dirs`` excludes a co-located ``_lakeshack_stats`` store from
-    *data* listings; pass False when listing the stats store itself.
+    ``skip_side_dirs`` excludes co-located metadata sidecars from *data*
+    listings — the ``_lakeshack_stats`` store plus ANY ``_``/``.``-prefixed
+    directory component BELOW the listed root (the Spark/Hive hidden-dir
+    convention, which the ``_lakeshack_hll``/``_lakeshack_kll``/
+    ``_lakeshack_bloom`` sidecars and write-staging dirs all follow;
+    without this an incremental sidecar ``update(lake)`` after the FIRST
+    build would try to index the sidecar's own parquet). Pass False when
+    listing a store itself — the root directory's own name is never the
+    reason to skip.
     """
 
     def keep(name: str) -> bool:
         return name.endswith(".parquet") and not name.startswith((".", "_"))
+
+    def hidden_below_root(rel_dir: str) -> bool:
+        return any(
+            part.startswith((".", "_"))
+            for part in rel_dir.replace("\\", "/").split("/")
+            if part not in ("", ".")
+        )
 
     if _is_remote(path):
         if spark is None:
@@ -285,6 +328,7 @@ def list_parquet_files(
         fs = hpath.getFileSystem(jsc.hadoopConfiguration())
         if not fs.exists(hpath):
             return []
+        root_str = fs.makeQualified(hpath).toString().rstrip("/")
         found: list[str] = []
         it = fs.listFiles(hpath, True)  # recursive
         while it.hasNext():
@@ -292,6 +336,10 @@ def list_parquet_files(
             p = status.getPath()
             full = p.toString()
             if skip_side_dirs and "_lakeshack_stats" in full:
+                continue
+            parent = p.getParent().toString()
+            rel = parent[len(root_str):] if parent.startswith(root_str) else ""
+            if skip_side_dirs and hidden_below_root(rel):
                 continue
             if keep(p.getName()):
                 found.append(full)
@@ -303,6 +351,8 @@ def list_parquet_files(
     found = []
     for root, _dirs, files in os.walk(path):
         if skip_side_dirs and "_lakeshack_stats" in root:
+            continue
+        if skip_side_dirs and hidden_below_root(os.path.relpath(root, path)):
             continue
         for name in sorted(files):
             if keep(name):
@@ -375,6 +425,12 @@ class FileStatsMetastore:
             stat_type = _spark_stat_type(field_types[col])
             fields.append(T.StructField(f"{col}_min", stat_type, True))
             fields.append(T.StructField(f"{col}_max", stat_type, True))
+            # NULL-count per tracked column (Delta/Iceberg track the same
+            # nullCount): NULL means UNKNOWN (footer had no null_count).
+            # Enables metadata-only aggregation (plan_agg: a file is
+            # "interior" to a predicate only if its clause columns are
+            # provably NULL-free) — min/max alone can never prove that.
+            fields.append(T.StructField(f"{col}_nulls", T.LongType(), True))
         self.stats_schema = T.StructType(fields)
         self.backend = backend or make_backend(spark, store_path)
         self.backend.bind(self.stats_schema)
@@ -404,11 +460,20 @@ class FileStatsMetastore:
         problems.extend(
             f"unexpected column {name!r}" for name in got if name not in expected
         )
-        if problems == ["missing column 'file_bytes'"]:
-            # Store written before byte telemetry existed: additive,
-            # derivable-from-the-files upgrade — backfill in place rather
-            # than failing reconnect (any REAL mismatch still raises).
-            self._migrate_add_file_bytes()
+        # Additive, derivable-from-the-files upgrades backfill in place
+        # rather than failing reconnect (any REAL mismatch still raises):
+        # `file_bytes` (pre-byte-telemetry stores) and `{col}_nulls`
+        # (pre-null-count stores) are both recoverable from the indexed
+        # files themselves.
+        nulls_cols = {f"{c}_nulls" for c in self.tracked_columns}
+        migratable = {"missing column 'file_bytes'"} | {
+            f"missing column {c!r}" for c in nulls_cols
+        }
+        if problems and set(problems) <= migratable:
+            if "missing column 'file_bytes'" in problems:
+                self._migrate_add_file_bytes()
+            if set(problems) & {f"missing column {c!r}" for c in nulls_cols}:
+                self._migrate_add_null_counts()
             return
         if problems:
             raise ValueError(
@@ -438,6 +503,46 @@ class FileStatsMetastore:
         filled = old.withColumn(
             "file_bytes", F.coalesce(F.col("file_bytes"), _sizes("filepath"))
         ).select(*[f.name for f in self.stats_schema.fields])
+        self.backend.rewrite(filled)
+
+    def _migrate_add_null_counts(self) -> None:
+        """One-time in-place upgrade of a pre-``{col}_nulls`` store:
+        re-read the indexed files' footers (executor fan-out, the same
+        path ingest uses — footers are immutable, so the refreshed
+        min/max agree with the stored ones) and fill the null-count
+        columns. Files that have become unreadable keep NULL (= unknown)
+        counts — conservative: such files are never classified interior
+        by ``plan_agg`` and always fall back to the scan."""
+        logger.warning(
+            "stats store at %s predates null-count stats; backfilling "
+            "from the indexed files' footers",
+            self.store_path,
+        )
+        old = self.backend.read_df().dropDuplicates(["filepath"])
+        files = [r["filepath"] for r in old.select("filepath").collect()]
+        names = [f.name for f in self.stats_schema.fields]
+        nulls_cols = [f"{c}_nulls" for c in self.tracked_columns]
+        if files:
+            sc = self.spark.sparkContext
+            n_slices = min(len(files), max(sc.defaultParallelism, 1))
+            tracked = list(self.tracked_columns)
+            schema = self.stats_schema
+            rows_rdd = sc.parallelize(files, n_slices).mapPartitions(
+                lambda part: (
+                    Row(**{f.name: r.get(f.name) for f in schema.fields})
+                    for r in _footer_stats_for_files(part, tracked)
+                )
+            )
+            fresh = self.spark.createDataFrame(rows_rdd, schema).select(
+                "filepath", *nulls_cols
+            )
+            filled = (
+                old.drop(*nulls_cols)
+                .join(fresh, "filepath", "left")
+                .select(*names)
+            )
+        else:
+            filled = old.select(*names)
         self.backend.rewrite(filled)
 
     # ------------------------------------------------------------- ingest
@@ -943,3 +1048,313 @@ class FileStatsMetastore:
             "n_rows_candidate": rows_cand,
             "bytes_candidate": bytes_cand,
         }
+
+    # -------------------------------------------- metadata-only aggregation
+
+    def _validate_agg_columns(
+        self,
+        min_max_columns: Sequence[str],
+        count_columns: Sequence[str],
+    ) -> None:
+        field_types = {f.name: f.dataType for f in self.data_schema.fields}
+        for col in (*min_max_columns, *count_columns):
+            if col not in self.tracked_columns:
+                raise ValueError(
+                    f"aggregation column {col!r} is not tracked by this "
+                    f"metastore (tracked: {self.tracked_columns}); only "
+                    "tracked columns have footer stats to serve from"
+                )
+        for col in min_max_columns:
+            if isinstance(field_types[col], (T.StringType, T.BinaryType)):
+                # The Parquet spec allows WRITERS to truncate min/max of
+                # variable-length values (is_{min,max}_value_exact flags
+                # the footer does not surface through pyarrow). Inexact
+                # bounds are fine for PRUNING (the scan re-filters) but
+                # would be a silently wrong ANSWER here.
+                raise ValueError(
+                    f"min/max of {col!r} cannot be served from footer "
+                    "stats: variable-length min/max may be truncated by "
+                    "the writer; use count_columns or scan"
+                )
+
+    def plan_agg(
+        self,
+        clauses: Sequence[tuple[str, str, Any]] = (),
+        min_max_columns: Sequence[str] = (),
+        count_columns: Sequence[str] = (),
+    ) -> tuple[dict[str, Any], list[str]]:
+        """Plan a metadata-served aggregation: classify every indexed file
+        against the AND-ed ``clauses`` as
+
+        - **excluded** — the zone map proves no row matches (the prune
+          truth table, :meth:`_clause_prune_filter`);
+        - **interior** — the zone map proves EVERY row matches: each
+          clause column's ``[min, max]`` lies wholly inside the clause
+          AND is provably NULL-free (``{col}_nulls == 0`` — rows with a
+          NULL clause value fail a comparison predicate, so an unknown
+          or positive null count forfeits interior status);
+        - **boundary** — everything else: must be scanned with the exact
+          predicate.
+
+        Returns ``(contrib, boundary_files)`` where ``contrib`` carries
+        the interior files' contribution straight from the stats store —
+        ``row_count`` (Σ num_rows), per-column ``min``/``max`` (footer
+        min/max ignore NULLs, exactly like SQL MIN/MAX) and non-NULL
+        ``cnt`` (Σ num_rows − nulls) — plus file-classification counters.
+        An interior file additionally needs serveable stats for every
+        requested aggregation column (non-NULL min/max, or a null count
+        proving the file all-NULL; known null count for ``cnt``);
+        otherwise it demotes to boundary.
+
+        At 100 TB this is the COUNT/MIN/MAX analogue of file pruning: a
+        range predicate on the cluster column touches O(boundary) ≈ 1–2
+        files whatever the lake size — the interior of the range is
+        answered from the metadata-sized stats store with zero data I/O.
+        Driver-vectorized on the Arrow fast path; one distributed
+        aggregate past ``DRIVER_PRUNE_MAX_FILES``.
+        """
+        clauses = [(c, op, _to_py_stat(v)) for c, op, v in clauses]
+        for _col, op, _value in clauses:
+            if op not in PRUNE_OPS:
+                raise ValueError(
+                    f"unsupported operator {op!r}; use one of {PRUNE_OPS}"
+                )
+        self._validate_agg_columns(min_max_columns, count_columns)
+        min_max_columns = list(dict.fromkeys(min_max_columns))
+        count_columns = list(dict.fromkeys(count_columns))
+        empty_contrib = {
+            "n_files_total": 0,
+            "n_files_interior": 0,
+            "n_files_boundary": 0,
+            "n_files_excluded": 0,
+            "row_count": 0,
+            "cnt": {c: 0 for c in count_columns},
+            "min": {c: None for c in min_max_columns},
+            "max": {c: None for c in min_max_columns},
+        }
+        if not self._exists():
+            return empty_contrib, []
+        table = self.backend.read_arrow(self.DRIVER_PRUNE_MAX_FILES)
+        if table is None:
+            return self._plan_agg_distributed(
+                clauses, min_max_columns, count_columns, empty_contrib
+            )
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        table = _strip_arrow_tz(table)
+        paths = table.column("filepath").to_pylist()
+        seen: set[str] = set()
+        first = [
+            i for i, p in enumerate(paths) if not (p in seen or seen.add(p))
+        ]
+        if len(first) < len(paths):
+            table = table.take(pa.array(first))
+            paths = table.column("filepath").to_pylist()
+        n = table.num_rows
+        if n == 0:
+            return empty_contrib, []
+
+        def np_bool(arr) -> "np.ndarray":
+            return np.asarray(arr.to_numpy(zero_copy_only=False), dtype=bool)
+
+        survive = np.ones(n, dtype=bool)
+        full = np.ones(n, dtype=bool)
+        for col, op, value in clauses:
+            if col not in self.tracked_columns:
+                # Untracked clause column: cannot prove anything — every
+                # file survives (the scan filters exactly) and none is
+                # interior.
+                full &= False
+                continue
+            lo = table.column(f"{col}_min")
+            hi = table.column(f"{col}_max")
+            nulls = table.column(f"{col}_nulls")
+            sv = pa.scalar(value)
+            if op == ">=":
+                keep_c, full_c = pc.greater_equal(hi, sv), pc.greater_equal(lo, sv)
+            elif op == ">":
+                keep_c, full_c = pc.greater(hi, sv), pc.greater(lo, sv)
+            elif op == "<=":
+                keep_c, full_c = pc.less_equal(lo, sv), pc.less_equal(hi, sv)
+            elif op == "<":
+                keep_c, full_c = pc.less(lo, sv), pc.less(hi, sv)
+            else:  # "=", "=="
+                keep_c = pc.and_kleene(
+                    pc.less_equal(lo, sv), pc.greater_equal(hi, sv)
+                )
+                full_c = pc.and_kleene(pc.equal(lo, sv), pc.equal(hi, sv))
+            survive &= np_bool(
+                pc.or_kleene(
+                    pc.or_kleene(pc.is_null(lo), pc.is_null(hi)), keep_c
+                )
+            )
+            # NULL stats / unknown null count → NOT interior (conservative
+            # direction is the opposite of pruning's).
+            full &= np_bool(pc.fill_null(full_c, False))
+            full &= np_bool(pc.fill_null(pc.equal(nulls, pa.scalar(0)), False))
+
+        num_rows_col = table.column("num_rows")
+        serveable = np.ones(n, dtype=bool)
+        for col in min_max_columns:
+            mn = table.column(f"{col}_min")
+            mx = table.column(f"{col}_max")
+            nl = table.column(f"{col}_nulls")
+            ok = pc.or_kleene(
+                pc.and_kleene(
+                    pc.invert(pc.is_null(mn)), pc.invert(pc.is_null(mx))
+                ),
+                pc.equal(nl, num_rows_col),  # provably all-NULL: serves as "no contribution"
+            )
+            serveable &= np_bool(pc.fill_null(ok, False))
+        for col in count_columns:
+            serveable &= np_bool(pc.invert(pc.is_null(table.column(f"{col}_nulls"))))
+
+        interior = survive & full & serveable
+        boundary_mask = survive & ~interior
+        idx = pa.array(np.nonzero(interior)[0])
+        boundary = sorted(
+            table.column("filepath").take(pa.array(np.nonzero(boundary_mask)[0])).to_pylist()
+        )
+        contrib = dict(empty_contrib)
+        contrib.update(
+            n_files_total=n,
+            n_files_interior=int(interior.sum()),
+            n_files_boundary=len(boundary),
+            n_files_excluded=int((~survive).sum()),
+            row_count=int(pc.sum(num_rows_col.take(idx)).as_py() or 0),
+            cnt={
+                c: int(
+                    pc.sum(
+                        pc.subtract(
+                            num_rows_col, table.column(f"{c}_nulls")
+                        ).take(idx)
+                    ).as_py()
+                    or 0
+                )
+                for c in count_columns
+            },
+            # .as_py() yields pandas Timestamps when pandas is installed;
+            # downstream builds Spark literal rows, which want datetimes.
+            min={
+                c: _plain_py(pc.min(table.column(f"{c}_min").take(idx)).as_py())
+                for c in min_max_columns
+            },
+            max={
+                c: _plain_py(pc.max(table.column(f"{c}_max").take(idx)).as_py())
+                for c in min_max_columns
+            },
+        )
+        return contrib, boundary
+
+    def _plan_agg_distributed(
+        self,
+        clauses: Sequence[tuple[str, str, Any]],
+        min_max_columns: Sequence[str],
+        count_columns: Sequence[str],
+        empty_contrib: dict[str, Any],
+    ) -> tuple[dict[str, Any], list[str]]:
+        """Past-``DRIVER_PRUNE_MAX_FILES`` twin of the Arrow fast path:
+        the same classification as Column expressions over ``stats_df()``
+        — ONE metadata-sized aggregate for the interior contribution plus
+        one bounded collect of the boundary file list (the scan needs
+        that list driver-side regardless, exactly like ``prune``)."""
+        df = self.stats_df()
+        survive = self._clause_prune_filter(clauses)
+        full = F.lit(True)
+        for col, op, value in clauses:
+            if col not in self.tracked_columns:
+                full = F.lit(False)
+                continue
+            lo, hi = F.col(f"{col}_min"), F.col(f"{col}_max")
+            lit = F.lit(value)
+            if op == ">=":
+                full_c = lo >= lit
+            elif op == ">":
+                full_c = lo > lit
+            elif op == "<=":
+                full_c = hi <= lit
+            elif op == "<":
+                full_c = hi < lit
+            else:  # "=", "=="
+                full_c = (lo == lit) & (hi == lit)
+            full = (
+                full
+                & F.coalesce(full_c, F.lit(False))
+                & F.coalesce(F.col(f"{col}_nulls") == 0, F.lit(False))
+            )
+        serveable = F.lit(True)
+        for col in min_max_columns:
+            serveable = serveable & F.coalesce(
+                (
+                    F.col(f"{col}_min").isNotNull()
+                    & F.col(f"{col}_max").isNotNull()
+                )
+                | (F.col(f"{col}_nulls") == F.col("num_rows")),
+                F.lit(False),
+            )
+        for col in count_columns:
+            serveable = serveable & F.col(f"{col}_nulls").isNotNull()
+        flagged = df.select(
+            "*",
+            survive.alias("__survive"),
+            (survive & full & serveable).alias("__interior"),
+        ).persist()
+        try:
+            aggs = [
+                F.count(F.lit(1)).alias("__total"),
+                F.sum(F.when(F.col("__interior"), 1).otherwise(0)).alias(
+                    "__n_interior"
+                ),
+                F.sum(F.when(~F.col("__survive"), 1).otherwise(0)).alias(
+                    "__n_excluded"
+                ),
+                F.sum(
+                    F.when(F.col("__interior"), F.col("num_rows")).otherwise(0)
+                ).alias("__rows"),
+            ]
+            for c in min_max_columns:
+                aggs.append(
+                    F.min(
+                        F.when(F.col("__interior"), F.col(f"{c}_min"))
+                    ).alias(f"__min_{c}")
+                )
+                aggs.append(
+                    F.max(
+                        F.when(F.col("__interior"), F.col(f"{c}_max"))
+                    ).alias(f"__max_{c}")
+                )
+            for c in count_columns:
+                aggs.append(
+                    F.sum(
+                        F.when(
+                            F.col("__interior"),
+                            F.col("num_rows") - F.col(f"{c}_nulls"),
+                        ).otherwise(0)
+                    ).alias(f"__cnt_{c}")
+                )
+            row = flagged.agg(*aggs).collect()[0]
+            boundary = sorted(
+                r["filepath"]
+                for r in flagged.filter(
+                    F.col("__survive") & ~F.col("__interior")
+                )
+                .select("filepath")
+                .collect()
+            )
+        finally:
+            flagged.unpersist()
+        contrib = dict(empty_contrib)
+        contrib.update(
+            n_files_total=row["__total"] or 0,
+            n_files_interior=row["__n_interior"] or 0,
+            n_files_boundary=len(boundary),
+            n_files_excluded=row["__n_excluded"] or 0,
+            row_count=row["__rows"] or 0,
+            cnt={c: row[f"__cnt_{c}"] or 0 for c in count_columns},
+            min={c: row[f"__min_{c}"] for c in min_max_columns},
+            max={c: row[f"__max_{c}"] for c in min_max_columns},
+        )
+        return contrib, boundary

@@ -751,3 +751,208 @@ def test_fractional_clause_value_on_integer_column_does_not_overprune(
     kept = ms.prune(list(range(10)), [("x", "<", 10.5)])
     assert any("a.parquet" in p for p in kept), kept
     assert interval_keeps("<", 10, 20, 10.5)
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only aggregation (plan_agg / Lakeshack.query_agg)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nulls_lake(spark, tmp_path_factory):
+    """Five k-clustered files with NULLs planted exactly where the
+    interior/boundary classification must notice them:
+
+    - a.parquet  k 0..9    no NULLs anywhere
+    - b.parquet  k 10..19  two NULL k rows (clause column!)
+    - c.parquet  k 20..29  v entirely NULL
+    - d.parquet  k 30..39  three NULL v rows
+    - e.parquet  k 40..49  no NULLs
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path_factory.mktemp("nulls_lake")
+    spec = {
+        "a": (range(0, 10), [], []),
+        "b": (range(10, 20), [3, 7], []),
+        "c": (range(20, 30), [], list(range(10))),
+        "d": (range(30, 40), [], [1, 4, 8]),
+        "e": (range(40, 50), [], []),
+    }
+    for name, (ks, null_k_at, null_v_at) in spec.items():
+        ks = list(ks)
+        k = [None if i in null_k_at else v for i, v in enumerate(ks)]
+        v = [None if i in null_v_at else 100 + x for i, x in enumerate(ks)]
+        w = [f"s{x:02d}" for x in ks]
+        u = [x * 2 for x in ks]
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(k, pa.int64()),
+                    "v": pa.array(v, pa.int64()),
+                    "w": pa.array(w, pa.string()),
+                    "u": pa.array(u, pa.int64()),
+                }
+            ),
+            str(root / f"{name}.parquet"),
+        )
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def agg_shack(spark, nulls_lake, tmp_path_factory):
+    from lakeshack_spark.engine import Lakeshack
+
+    store = str(tmp_path_factory.mktemp("agg_stats"))
+    shack = Lakeshack(
+        spark, nulls_lake, "k", ["v", "w"], store_path=store
+    )
+    assert shack.update_metastore() == 5
+    return shack
+
+
+def _scan_agg(spark, nulls_lake, pred_sql):
+    df = spark.read.parquet(nulls_lake)
+    if pred_sql:
+        df = df.filter(pred_sql)
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("row_count"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.count("v").cast("long").alias("cnt_v"),
+        F.count("w").cast("long").alias("cnt_w"),
+    ).collect()[0].asDict()
+
+
+AGG_KW = dict(min_max_columns=["k", "v"], count_columns=["v", "w"])
+
+
+@pytest.mark.parametrize(
+    "clauses,pred_sql",
+    [
+        ([("k", ">=", 5), ("k", "<=", 44)], "k >= 5 and k <= 44"),
+        ([], None),
+        ([("k", ">", 9), ("k", "<", 40)], "k > 9 and k < 40"),
+        ([("k", "=", 25)], "k = 25"),
+        ([("k", ">", 1000)], "k > 1000"),
+        ([("v", ">=", 110), ("v", "<", 145)], "v >= 110 and v < 145"),
+        ([("u", ">=", 20)], "u >= 20"),  # untracked clause column
+    ],
+)
+def test_query_agg_matches_full_scan(spark, nulls_lake, agg_shack, clauses, pred_sql):
+    got = agg_shack.query_agg(clauses, **AGG_KW).collect()[0].asDict()
+    want = _scan_agg(spark, nulls_lake, pred_sql)
+    assert got == want, (clauses, got, want)
+
+
+def test_classification_details(agg_shack, nulls_lake):
+    ms = agg_shack.metastore
+    contrib, boundary = ms.plan_agg([("k", ">=", 5), ("k", "<=", 44)], **AGG_KW)
+    names = sorted(b.rsplit("/", 1)[-1] for b in boundary)
+    # a/e straddle the range ends; b has NULL k rows (unknown to the
+    # range predicate) so despite k 10..19 lying wholly inside it MUST
+    # demote to boundary — counting its 10 rows would overcount the 2
+    # NULL-k rows the predicate rejects.
+    assert names == ["a.parquet", "b.parquet", "e.parquet"]
+    assert contrib["n_files_interior"] == 2  # c, d
+    assert contrib["n_files_excluded"] == 0
+    assert contrib["row_count"] == 20
+    # c is all-NULL in v: serves min/max v as "no contribution"
+    assert contrib["cnt"]["v"] == 7  # d has 3 NULL v
+    assert contrib["min"]["v"] == 130 and contrib["max"]["v"] == 139
+    assert contrib["min"]["k"] == 20 and contrib["max"]["k"] == 39
+    # empty clause set: every NULL-free-stats file is interior
+    contrib2, boundary2 = ms.plan_agg([], **AGG_KW)
+    assert boundary2 == [] and contrib2["n_files_interior"] == 5
+    assert contrib2["row_count"] == 50
+    # everything excluded
+    contrib3, boundary3 = ms.plan_agg([("k", ">", 1000)], **AGG_KW)
+    assert boundary3 == [] and contrib3["n_files_excluded"] == 5
+    assert contrib3["row_count"] == 0 and contrib3["min"]["k"] is None
+
+
+def test_plan_agg_distributed_parity(agg_shack):
+    from lakeshack_spark import metastore as ms_mod
+
+    ms = agg_shack.metastore
+    cases = [
+        [("k", ">=", 5), ("k", "<=", 44)],
+        [],
+        [("k", "=", 25)],
+        [("v", ">=", 110), ("v", "<", 145)],
+        [("u", ">=", 20)],
+        [("k", ">", 1000)],
+    ]
+    fast = [ms.plan_agg(c, **AGG_KW) for c in cases]
+    old = ms.DRIVER_PRUNE_MAX_FILES
+    ms_mod.FileStatsMetastore.DRIVER_PRUNE_MAX_FILES = 0
+    try:
+        slow = [ms.plan_agg(c, **AGG_KW) for c in cases]
+    finally:
+        ms_mod.FileStatsMetastore.DRIVER_PRUNE_MAX_FILES = old
+    assert fast == slow
+
+
+def test_query_agg_scans_only_boundary_files(agg_shack):
+    clauses = [("k", ">=", 5), ("k", "<=", 44)]
+    res = agg_shack.query_agg(clauses, **AGG_KW)
+    scanned = {f.rsplit("/", 1)[-1] for f in res.inputFiles()}
+    assert scanned == {"a.parquet", "b.parquet", "e.parquet"}
+    st = agg_shack.status()
+    assert st["n_files_interior"] == 2 and st["n_files_boundary"] == 3
+
+
+def test_agg_column_validation(agg_shack):
+    ms = agg_shack.metastore
+    with pytest.raises(ValueError, match="not tracked"):
+        ms.plan_agg([], min_max_columns=["u"])
+    with pytest.raises(ValueError, match="truncated"):
+        ms.plan_agg([], min_max_columns=["w"])  # string min/max refused
+    with pytest.raises(ValueError, match="unsupported operator"):
+        ms.plan_agg([("k", "!=", 3)])
+    # string COUNT is fine (needs only null counts)
+    contrib, _ = ms.plan_agg([], count_columns=["w"])
+    assert contrib["cnt"]["w"] == 50
+
+
+def test_null_count_store_migration(spark, nulls_lake, tmp_path_factory):
+    """A store written WITHOUT the {col}_nulls columns (pre-r6 layout)
+    must migrate in place on reconnect: counts backfilled from the
+    files' footers, min/max untouched, and plan_agg immediately
+    correct."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import glob as _glob
+
+    from lakeshack_spark.engine import Lakeshack
+
+    store = str(tmp_path_factory.mktemp("mig_stats"))
+    shack = Lakeshack(spark, nulls_lake, "k", ["v"], store_path=store)
+    assert shack.update_metastore() == 5
+    expected = {
+        r["filepath"]: (r["k_nulls"], r["v_nulls"])
+        for r in shack.metastore.stats_df().collect()
+    }
+    assert expected and all(kn == 0 for kn, _ in expected.values()) is False
+    # Rebuild the store WITHOUT the nulls columns in a fresh directory
+    # (simulating the pre-r6 layout). Two traps make the naive in-place
+    # strip a no-op: Spark-written parquet embeds the ORIGINAL schema as
+    # `org.apache.spark.sql.parquet.row.metadata` footer metadata, which
+    # schema inference trusts over the physical columns (so the metadata
+    # must be dropped too), and the rewritten file must not sit next to
+    # stale Hadoop .crc sidecars. A real pre-r6 store has neither issue.
+    store2 = str(tmp_path_factory.mktemp("mig_stats_legacy"))
+    for i, f in enumerate(_glob.glob(f"{store}/*.parquet")):
+        t = pq.read_table(f)
+        t = t.drop_columns([c for c in t.column_names if c.endswith("_nulls")])
+        t = t.replace_schema_metadata(None)
+        pq.write_table(t, f"{store2}/legacy-{i}.parquet")
+    shack2 = Lakeshack(spark, nulls_lake, "k", ["v"], store_path=store2)
+    got = {
+        r["filepath"]: (r["k_nulls"], r["v_nulls"])
+        for r in shack2.metastore.stats_df().collect()
+    }
+    assert got == expected

@@ -127,8 +127,10 @@ def main() -> None:
         F.lit(4096).cast("long").alias("file_bytes"),
         (F.col("id") * 1000).alias("k_min"),
         (F.col("id") * 1000 + 999).alias("k_max"),
+        F.lit(0).cast("long").alias("k_nulls"),
         F.lit(None).cast("timestamp").alias("ts_min"),
         F.lit(None).cast("timestamp").alias("ts_max"),
+        F.lit(None).cast("long").alias("ts_nulls"),
     )
     ms.backend.append(syn_rows, n_syn)
     for n_vals in (1, 10, 1000):
@@ -163,8 +165,10 @@ def main() -> None:
         F.lit(4096).cast("long").alias("file_bytes"),
         (F.col("id") * 1000).alias("k_min"),
         (F.col("id") * 1000 + 999).alias("k_max"),
+        F.lit(0).cast("long").alias("k_nulls"),
         F.lit(None).cast("timestamp").alias("ts_min"),
         F.lit(None).cast("timestamp").alias("ts_max"),
+        F.lit(None).cast("long").alias("ts_nulls"),
     )
     ms_big.backend.append(big_rows, n_big)
     for n_vals in (3, 1000):
