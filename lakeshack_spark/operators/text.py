@@ -526,6 +526,98 @@ def unigram_lm_score(
     )
 
 
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_counts: DataFrame | None = None,
+    variant: str = "log",
+) -> DataFrame:
+    """Bigram language-model scoring — the order-2 step toward the KenLM
+    perplexity filter CCNet runs (Wenzek et al. 2020): score each
+    document by how probable its ADJACENT TOKEN PAIRS are under a
+    reference bigram distribution. Context sensitivity is what the
+    unigram filter lacks: "the the the" is full of common tokens but
+    improbable bigrams.
+
+    Output: ``(id_col, n_bigrams, score)`` — one row per document with
+    ≥2 tokens (a 0/1-token doc has no bigrams and drops; callers wanting
+    them keep ``unigram_lm_score``). ``variant`` as in
+    :func:`unigram_lm_score`: ``"log"`` is the production mean negative
+    log-probability (libm — unit-tested, not hash-gated); ``"rational"``
+    is the mean corpus bigram probability ``Σ n(bᵢ) / (T·n)`` — integer
+    sums then ONE division, the bit-reproducible gate form.
+
+    ``lm_counts`` ``(w1, w2, n_b)`` optionally supplies an external
+    reference model with add-one smoothing over its observed-bigram
+    vocabulary; when omitted the corpus is its own model (every bigram
+    seen).
+
+    Scale shape: the bigram array is built once per row (two guarded
+    slices zipped — no index sequence that could go negative on short
+    docs), the model is a bigram-vocabulary-sized relation joined on the
+    (w1, w2) key, then one document-keyed aggregation — the exact
+    unigram topology, one shuffle per stage.
+    """
+    if variant not in ("log", "rational"):
+        raise ValueError(f"variant must be 'log' or 'rational', got {variant!r}")
+    w = words_col(text_col)
+    n1 = F.greatest(F.size(w) - 1, F.lit(0))  # slice length, never negative
+    bigrams = F.zip_with(
+        F.slice(w, 1, n1),
+        F.slice(w, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = df.select(
+        F.col(id_col), F.explode(bigrams).alias("__bg")
+    ).select(
+        id_col,
+        F.col("__bg")["w1"].alias("w1"),
+        F.col("__bg")["w2"].alias("w2"),
+    )
+    if lm_counts is None:
+        counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_b"))
+        smooth = 0
+    else:
+        counts = (
+            lm_counts.select(
+                "w1", "w2", F.col("n_b").cast("long").alias("n_b")
+            )
+            .groupBy("w1", "w2")
+            .agg(F.sum("n_b").alias("n_b"))
+        )
+        smooth = 1
+    totals = counts.agg(F.sum("n_b").alias("__T"), F.count("*").alias("__V"))
+    joined = (
+        pairs.join(counts, ["w1", "w2"], "left")
+        .na.fill({"n_b": 0})
+        .crossJoin(F.broadcast(totals))
+    )
+    denom_total = F.col("__T") + F.lit(smooth) * F.col("__V")
+    if variant == "rational":
+        per_doc = joined.groupBy(id_col).agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.col("n_b") + F.lit(smooth)).alias("__s"),
+            F.max(denom_total).alias("__d"),
+        )
+        score = F.col("__s").cast("double") / (
+            F.col("__d") * F.col("n_bigrams")
+        ).cast("double")
+    else:
+        neg_log = -F.log(
+            (F.col("n_b") + F.lit(smooth)).cast("double")
+            / denom_total.cast("double")
+        )
+        per_doc = joined.groupBy(id_col).agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(neg_log).alias("__s"),
+        )
+        score = F.col("__s") / F.col("n_bigrams").cast("double")
+    return per_doc.select(
+        F.col(id_col), F.col("n_bigrams"), score.alias("score")
+    )
+
+
 def chunk_tokens(
     df: DataFrame,
     window: int = 256,

@@ -161,6 +161,93 @@ def test_unigram_lm_external_model_smoothing(spark, docs_df):
         text.unigram_lm_score(docs_df, variant="nope")
 
 
+# ------------------------------------------------------ bigram LM score
+
+
+def _bigram_counts():
+    toks = {i: t.split(" ") for i, t in DOCS}
+    bgs = {i: list(zip(w, w[1:])) for i, w in toks.items()}
+    counts: dict[tuple, int] = {}
+    for pairs in bgs.values():
+        for b in pairs:
+            counts[b] = counts.get(b, 0) + 1
+    return bgs, counts
+
+
+def test_bigram_lm_log_matches_python_and_drops_short_docs(spark, docs_df):
+    import math
+
+    from lakeshack_spark.operators import text
+
+    out = {
+        r.doc_id: (r.n_bigrams, r.score)
+        for r in text.bigram_lm_score(docs_df, variant="log").collect()
+    }
+    bgs, counts = _bigram_counts()
+    total = sum(counts.values())
+    assert 4 not in out  # 1-token doc has no bigrams
+    for i, pairs in bgs.items():
+        if not pairs:
+            continue
+        want = sum(-math.log(counts[b] / total) for b in pairs) / len(pairs)
+        assert out[i][0] == len(pairs)
+        assert out[i][1] == pytest.approx(want, rel=1e-12)
+    # "spark spark spark": common token, repeated bigram — the CONTEXT
+    # signal: its bigram score differs from what unigram commonness says
+    assert out[2][0] == 3
+
+
+def test_bigram_lm_rational_exact(spark, docs_df):
+    from lakeshack_spark.operators import text
+
+    out = {
+        r.doc_id: r.score
+        for r in text.bigram_lm_score(docs_df, variant="rational").collect()
+    }
+    bgs, counts = _bigram_counts()
+    total = sum(counts.values())
+    for i, pairs in bgs.items():
+        if not pairs:
+            continue
+        s = sum(counts[b] for b in pairs)
+        assert out[i] == s / (total * len(pairs))  # one int division, exact
+
+
+def test_bigram_lm_external_model_smoothing(spark, docs_df):
+    import math
+
+    from lakeshack_spark.operators import text
+
+    lm = spark.createDataFrame(
+        [("spark", "merge", 3), ("merge", "window", 1)],
+        "w1 string, w2 string, n_b long",
+    )
+    # T=4, V=2 → seen p=(n_b+1)/6, unseen p=1/6
+    out = {
+        r.doc_id: r.score
+        for r in text.bigram_lm_score(
+            docs_df, lm_counts=lm, variant="log"
+        ).collect()
+    }
+    # doc 0 bigrams: (spark,merge) (merge,window) (window,spark)
+    want = (-math.log(4 / 6) - math.log(2 / 6) - math.log(1 / 6)) / 3
+    assert out[0] == pytest.approx(want, rel=1e-12)
+    with pytest.raises(ValueError):
+        text.bigram_lm_score(docs_df, variant="nope")
+
+
+def test_bigram_lm_empty_and_single_token_safe(spark):
+    """0- and 1-token docs must not error (the guarded-slice rule: no
+    negative slice length, no out-of-range index) — they just drop."""
+    from lakeshack_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "solo"), (2, "a b")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_bigrams for r in text.bigram_lm_score(df).collect()}
+    assert out == {2: 1}
+
+
 # ----------------------------------------------- persisted postings index
 
 
