@@ -1708,3 +1708,133 @@ def ivf_index_probe(
         )
     )
     return _topk_per_query(scored, k)
+
+
+def dot_i(a: Column, b: Column) -> Column:
+    """Sequential-fold EXACT int64 dot product of two integer-code
+    arrays (int8-quantized embeddings: |x|≤127, so dim 64 dots stay
+    ~1e6 — integer arithmetic, no float accumulation order to worry
+    about)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def mmr_rerank(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 16,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998) over int8-quantized embeddings: per query, greedily
+    select k documents maximizing ``λ·rel(q,d) − (1−λ)·max_{s∈S}
+    sim(d,s)`` — the standard RAG/search re-rank that trades relevance
+    against redundancy (pure top-k returns k near-duplicates when the
+    corpus has them).
+
+    ENTIRELY INTEGER arithmetic: relevance and pairwise similarity are
+    exact int64 dot products of quantized codes, λ = lam_num/lam_den is
+    rational, and the per-step objective ships scaled by lam_den as
+    ``mmr_num = lam_num·rel − (lam_den−lam_num)·maxsim`` — so the greedy
+    trajectory (argmax per round, ties to the smaller doc id) is exactly
+    reproducible in any engine, which is what lets a SQL oracle replay
+    the selection round-for-round. A float MMR could never hash-gate:
+    its trajectory forks on ulp differences at every argmax.
+
+    Two stages, the two-stage-top-k discipline: (1) a distributed
+    relevance pass shortlists ``shortlist`` candidates per query
+    (row_number window here — bounded query sets; route giant corpora
+    through ``cosine_topk``/IVF first, this is the RE-rank); (2) the
+    greedy selection runs per-query-group via ``applyInPandas`` — each
+    group holds ≤ ``shortlist`` rows, selection is O(shortlist·k) int
+    ops, and queries parallelize across the cluster. The iterative
+    argmax is inherently sequential in k (tiny); nothing iterates over
+    the corpus.
+
+    Inputs: ``docs``/``queries`` both carry ``(id_col, codes_col)``
+    (see :func:`quantize_embeddings`). A doc whose id equals the query
+    id is excluded (self-match). Returns ``(query_id, rank, doc_id,
+    rel, mmr_num)``, rank 1-based in selection order.
+    """
+    if not (0 < lam_num < lam_den):
+        raise ValueError("need 0 < lam_num < lam_den")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(codes_col).alias("__qc")
+    )
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(codes_col).alias("__dc")
+    )
+    rel = (
+        d.join(F.broadcast(q), F.col("doc_id") != F.col("query_id"))
+        .withColumn("rel", dot_i(F.col("__qc"), F.col("__dc")))
+        .select("query_id", "doc_id", "rel", "__dc")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    short = rel.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= shortlist
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("rank", T.IntegerType(), False),
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("rel", T.LongType(), False),
+            T.StructField("mmr_num", T.LongType(), False),
+        ]
+    )
+    mu = lam_den - lam_num
+
+    def _greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        qid = int(pdf["query_id"].iloc[0])
+        cand = [
+            (int(doc), int(r), np.asarray(codes, dtype=np.int64))
+            for doc, r, codes in zip(pdf["doc_id"], pdf["rel"], pdf["dc"])
+        ]
+        cand.sort(key=lambda c: (-c[1], c[0]))
+        selected: list[tuple[int, int, int]] = []  # (doc, rel, mmr_num)
+        sel_codes: list = []
+        chosen: set[int] = set()
+        for _round in range(min(k, len(cand))):
+            best = None
+            for doc, r, codes in cand:
+                if doc in chosen:
+                    continue
+                maxsim = (
+                    max(int(codes @ s) for s in sel_codes) if sel_codes else 0
+                )
+                score = lam_num * r - mu * maxsim
+                key = (-score, doc)
+                if best is None or key < best[0]:
+                    best = (key, doc, r, score, codes)
+            _key, doc, r, score, codes = best
+            selected.append((doc, r, score))
+            sel_codes.append(codes)
+            chosen.add(doc)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "rank": range(1, len(selected) + 1),
+                "doc_id": [s[0] for s in selected],
+                "rel": [s[1] for s in selected],
+                "mmr_num": [s[2] for s in selected],
+            }
+        )
+
+    return (
+        short.select("query_id", "doc_id", "rel", F.col("__dc").alias("dc"))
+        .groupBy("query_id")
+        .applyInPandas(_greedy, out_schema)
+    )

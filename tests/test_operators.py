@@ -2434,3 +2434,109 @@ def test_rollup_cascade_equals_direct(spark):
         a = {(r.bucket, r.grp): (r.n, r.sum_value) for r in cascade.collect()}
         b = {(r.bucket, r.grp): (r.n, r.sum_value) for r in direct.collect()}
         assert a == b
+
+
+# ------------------------------------------------------------- MMR re-rank
+
+
+class TestMMRRerank:
+    def _df(self, spark, rows):
+        from pyspark.sql import Row
+
+        return spark.createDataFrame(
+            [Row(vec_id=i, codes=c) for i, c in rows]
+        )
+
+    def test_diversification_skips_near_duplicate(self, spark):
+        """Docs 1 and 2 are identical and most relevant; pure top-2 would
+        return both, MMR must interleave the diverse doc 3."""
+        from lakeshack_spark.operators import similarity
+
+        q = self._df(spark, [(100, [10, 0, 0])])
+        docs = self._df(
+            spark,
+            [(1, [9, 0, 0]), (2, [9, 0, 0]), (3, [5, 5, 0]), (4, [0, 1, 0])],
+        )
+        out = similarity.mmr_rerank(docs, q, k=3, shortlist=4).collect()
+        picked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+        # rank1: doc 1 (rel 90, tie with 2 → smaller id)
+        # rank2: doc2 score 7*90-3*81=387 vs doc3 7*50-3*45=215 → doc 2?
+        # 387 > 215: lambda=0.7 favors relevance here; verify exact math
+        assert picked[0] == 1
+        r = {x["doc_id"]: x for x in out}
+        assert r[1]["mmr_num"] == 7 * 90
+        if 2 in r and r[2]["rank"] == 2:
+            assert r[2]["mmr_num"] == 7 * 90 - 3 * 81
+        # with a sharper diversity weight the duplicate must lose:
+        # after doc1, doc2 scores 1·90−9·81=−639, doc3 1·50−9·45=−355,
+        # doc4 (orthogonal) 1·0−9·0=0 → picks 4 then 3; the duplicate
+        # doc2 comes dead last
+        out2 = similarity.mmr_rerank(
+            docs, q, k=3, shortlist=4, lam_num=1, lam_den=10
+        ).collect()
+        picked2 = [x["doc_id"] for x in sorted(out2, key=lambda r: r["rank"])]
+        assert picked2 == [1, 4, 3]
+
+    def test_matches_python_reference(self, spark):
+        import hashlib
+
+        from lakeshack_spark.operators import similarity
+
+        def h(i, j):
+            return (
+                int.from_bytes(
+                    hashlib.md5(f"{i}:{j}".encode()).digest()[:2], "big"
+                )
+                % 21
+                - 10
+            )
+
+        docs = [(i, [h(i, j) for j in range(8)]) for i in range(30)]
+        qs = [(100 + i, [h(100 + i, j) for j in range(8)]) for i in range(3)]
+        out = similarity.mmr_rerank(
+            self._df(spark, docs), self._df(spark, qs), k=4, shortlist=6
+        ).collect()
+        got = {
+            (r["query_id"], r["rank"]): (r["doc_id"], r["rel"], r["mmr_num"])
+            for r in out
+        }
+
+        def dot(a, b):
+            return sum(x * y for x, y in zip(a, b))
+
+        want = {}
+        for qid, qc in qs:
+            rel = sorted(
+                ((dot(qc, dc), d) for d, dc in docs),
+                key=lambda t: (-t[0], t[1]),
+            )[:6]
+            sel = []
+            cand = [(d, r) for r, d in rel]
+            codes = dict(docs)
+            for rank in range(1, 5):
+                best = None
+                for d, r in cand:
+                    if d in [s[0] for s in sel]:
+                        continue
+                    ms = max(
+                        (dot(codes[d], codes[s[0]]) for s in sel), default=0
+                    )
+                    score = 7 * r - 3 * ms
+                    key = (-score, d)
+                    if best is None or key < best[0]:
+                        best = (key, d, r, score)
+                sel.append((best[1], best[2], best[3]))
+                want[(qid, rank)] = (best[1], best[2], best[3])
+        assert got == want
+
+    def test_k_exceeds_candidates_and_validation(self, spark):
+        import pytest as _pytest
+
+        from lakeshack_spark.operators import similarity
+
+        q = self._df(spark, [(9, [1, 1])])
+        docs = self._df(spark, [(1, [1, 0]), (2, [0, 1])])
+        out = similarity.mmr_rerank(docs, q, k=10, shortlist=5).collect()
+        assert len(out) == 2
+        with _pytest.raises(ValueError):
+            similarity.mmr_rerank(docs, q, lam_num=10, lam_den=10)
