@@ -110,6 +110,72 @@ def shack_pruned_lookup(spark, sf_dir):
     )
 
 
+_CLUSTERED_SHACK_CACHE: dict[str, Lakeshack] = {}
+
+
+def _clustered_orders_shack(spark: SparkSession, sf_dir: str) -> Lakeshack:
+    """Lakeshack over a 10-file o_custkey-clustered copy of orders (the
+    testdata table ships as ONE file per sf, which makes every file
+    trivially boundary): the multi-file layout is what metadata-only
+    aggregation classifies against. Values identical to ``orders``."""
+    from lakeshack_spark.writer import cluster_write
+
+    key = sf_dir.rstrip("/")
+    shack = _CLUSTERED_SHACK_CACHE.get(key)
+    if shack is not None and shack.spark is spark:
+        return shack
+    lake = tempfile.mkdtemp(prefix="lakeshack_agg_lake_")
+    orders = load_table(spark, sf_dir, "orders")
+    cluster_write(orders, os.path.join(lake, "data"), "o_custkey", n_files=10)
+    shack = Lakeshack(
+        spark,
+        os.path.join(lake, "data"),
+        cluster_column="o_custkey",
+        optional_columns=["o_orderdate"],
+        store_path=os.path.join(lake, "stats"),
+    )
+    shack.update_metastore()
+    _CLUSTERED_SHACK_CACHE[key] = shack
+    return shack
+
+
+@register(
+    "metadata_agg_orders",
+    """
+    WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders)
+    SELECT COUNT(*) AS row_count,
+           MIN(o_custkey) AS min_o_custkey,
+           MAX(o_custkey) AS max_o_custkey,
+           MIN(o_orderdate) AS min_o_orderdate,
+           MAX(o_orderdate) AS max_o_orderdate,
+           COUNT(o_orderdate) AS cnt_o_orderdate
+    FROM orders, m
+    WHERE o_custkey >= m.mx // 5 AND o_custkey <= (m.mx * 4) // 5
+    """,
+)
+def metadata_agg_orders(spark, sf_dir):
+    """Metadata-only aggregation (``Lakeshack.query_agg``): COUNT/MIN/MAX
+    over a cluster-column range served from footer stats for every file
+    wholly inside the range — only the 1-2 boundary files are scanned,
+    whatever the lake size. The range endpoints derive from the data
+    (MAX(o_custkey)·{1,4}//5, exact int arithmetic) so the classification
+    splits interior/boundary at every sf. The reference always scans its
+    candidates (lakeshack/lakeshack.py:476-579); this extends its zone-map
+    metastore to answer aggregates from metadata, Delta/Iceberg
+    "answer-from-manifest" style."""
+    shack = _clustered_orders_shack(spark, sf_dir)
+    mx = (
+        shack.metastore.stats_df()
+        .agg(F.max("o_custkey_max").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    return shack.query_agg(
+        [("o_custkey", ">=", mx // 5), ("o_custkey", "<=", (mx * 4) // 5)],
+        min_max_columns=["o_custkey", "o_orderdate"],
+        count_columns=["o_orderdate"],
+    )
+
+
 _BLOOM_IDX_CACHE: dict[str, object] = {}
 
 
@@ -3629,6 +3695,42 @@ def unigram_lm_quality_docs(spark, sf_dir):
 
 
 @register(
+    "bigram_lm_quality_docs",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), pairs AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM t, UNNEST(range(1, len(w))) AS u(i)
+    ), counts AS (
+      SELECT w1, w2, COUNT(*) AS n_b FROM pairs GROUP BY w1, w2
+    ), tot AS (
+      SELECT SUM(n_b) AS t FROM counts
+    )
+    SELECT p.doc_id, COUNT(*) AS n_bigrams,
+           CAST(SUM(c.n_b) AS DOUBLE)
+             / CAST(tot.t * COUNT(*) AS DOUBLE) AS score
+    FROM pairs p JOIN counts c USING (w1, w2), tot
+    GROUP BY p.doc_id, tot.t
+    """,
+)
+def bigram_lm_quality_docs(spark, sf_dir):
+    """Bigram LM scoring (operators.text.bigram_lm_score) — the order-2
+    step toward CCNet's KenLM perplexity filter (Wenzek et al. 2020) —
+    under the hash gate via the ``rational`` variant: mean corpus bigram
+    probability, all-integer sums then ONE int→double division. The
+    hash pins adjacent-pair extraction (two guarded slices zipped — no
+    index sequence to run negative on 1-token docs, the F.sequence
+    trap), the bigram model build, the (w1, w2)-keyed model join, and
+    the per-document aggregation. Context sensitivity the unigram
+    filter lacks: repeated-common-token junk has probable tokens but
+    improbable pairs. Production mean-neg-logprob variant shares every
+    stage but the final arithmetic, unit-tested vs pure Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_lm_score(docs, variant="rational")
+
+
+@register(
     "chunk_tokens_docs",
     """
     WITH t AS (
@@ -6127,6 +6229,58 @@ def _hll_orders_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 
 @register(
+    "kll_index_quantiles_orders",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS ok_n,
+           TRUE AS ok_p10, TRUE AS ok_p25, TRUE AS ok_p50,
+           TRUE AS ok_p75, TRUE AS ok_p90
+    FROM orders
+    """,
+)
+def kll_index_quantiles_orders(spark, sf_dir):
+    """Quantile estimates answered from the per-file KLL sketch sidecar
+    (sketchindex.QuantileSketchIndex) — the fourth classic of the
+    file-metadata index tier (zone maps: ranges, Bloom: membership, HLL:
+    cardinality, KLL: quantiles). The 8-file orders lake carries one
+    KB-sized KllLongsSketch per file over o_custkey; the query MERGES
+    the 8 sketch rows (Datasketches KLL union — associative/commutative,
+    so any file slice merges without re-sorting data) and reads
+    estimated p10/p25/p50/p75/p90. Bounds-as-booleans contract: the
+    verification scan computes each estimate's EXACT normalized rank and
+    flags |rank − p| ≤ 0.02 (KLL's bound at k=800 is ≈1%; measured
+    ≤0.6% at shipped SFs), and ok_n pins the sidecar's footer-count
+    reconciliation. Scale shape: the estimate path is O(#files) sketch
+    rows — never a full sort and never the single-reducer exact
+    Percentile buffer (operators/order_stats.py documents that killer);
+    the scan here exists only to PROVE the accuracy claim."""
+    from lakeshack_spark.sketchindex import QuantileSketchIndex
+
+    lake, _hll_store = _hll_orders_index(spark, sf_dir)
+    idx = QuantileSketchIndex(
+        spark, os.path.join(lake, "_lakeshack_kll", "o_custkey"), "o_custkey"
+    )
+    idx.update(lake)
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9]
+    est = idx.quantiles(ps).collect()[0].asDict()
+    orders = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    aggs = [
+        n.cast("long").alias("n_rows"),
+        (n.cast("long") == F.lit(est["n_rows"])).alias("ok_n"),
+    ]
+    for lab, p in zip(["p10", "p25", "p50", "p75", "p90"], ps):
+        v = est[f"q_{str(p).replace('.', '_')}"]
+        rank = F.sum(F.when(F.col("o_custkey") <= F.lit(v), 1).otherwise(0))
+        aggs.append(
+            (
+                F.abs(rank / n - F.lit(float(p))) <= F.lit(0.02)
+            ).alias(f"ok_{lab}")
+        )
+    return orders.agg(*aggs)
+
+
+@register(
     "hll_index_distinct_orders",
     """
     SELECT o_orderstatus,
@@ -6191,7 +6345,8 @@ _FORMAT_RT_CACHE: dict[tuple[str, str], str] = {}
 def _format_roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Write the source table out in ``fmt`` once per process; return
     the directory. documents→JSONL (text fidelity), orders→CSV
-    (numeric/temporal fidelity)."""
+    (numeric/temporal fidelity), lineitem→ORC (native columnar
+    type-faithful)."""
     from lakeshack_spark.sources.io import write_table
 
     key = (sf_dir.rstrip("/"), fmt)
@@ -6201,6 +6356,9 @@ def _format_roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         if fmt == "json":
             df = load_table(spark, key[0], "documents")
             write_table(df, path, fmt="json")
+        elif fmt == "orc":
+            df = load_table(spark, key[0], "lineitem")
+            write_table(df, path, fmt="orc")
         else:
             # Temporal columns cross CSV as integer µs: the parquet
             # flavor has shipped as NTZ and non-NTZ across rounds (the
@@ -6216,6 +6374,194 @@ def _format_roundtrip_dir(spark: SparkSession, sf_dir: str, fmt: str) -> str:
             write_table(df, path, fmt="csv")
         _FORMAT_RT_CACHE[key] = path
     return path
+
+
+def _mmr_oracle_sql(k: int = 5, shortlist: int = 16, n_q: int = 4) -> str:
+    """The MMR greedy trajectory unrolled: one MATERIALIZED CTE per
+    round (DuckDB 1.0 inlines plain CTEs — each round references its
+    predecessor several times, the 3^rounds blowup trap), integer
+    arithmetic identical to the Spark side's."""
+    head = f"""
+    WITH c AS MATERIALIZED (
+      SELECT vec_id,
+        CASE WHEN amax > 0 THEN list_transform(v, x ->
+               CAST(greatest(-127, least(127, floor(x * 127 / amax))) AS BIGINT))
+             ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+      FROM (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS amax
+        FROM embeddings)
+    ), qs AS MATERIALIZED (
+      SELECT vec_id AS query_id, codes AS qc FROM c ORDER BY vec_id LIMIT {n_q}
+    ), short AS MATERIALIZED (
+      SELECT query_id, doc_id, rel, dc FROM (
+        SELECT query_id, doc_id, rel, dc,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, doc_id) AS rn
+        FROM (
+          SELECT q.query_id, d.vec_id AS doc_id, d.codes AS dc,
+                 CAST(list_sum(list_transform(generate_series(1, len(q.qc)),
+                      i -> q.qc[i] * d.codes[i])) AS BIGINT) AS rel
+          FROM qs q JOIN c d ON d.vec_id <> q.query_id))
+      WHERE rn <= {shortlist}
+    ), sim AS MATERIALIZED (
+      SELECT a.query_id, a.doc_id AS d1, b.doc_id AS d2,
+             CAST(list_sum(list_transform(generate_series(1, len(a.dc)),
+                  i -> a.dc[i] * b.dc[i])) AS BIGINT) AS s
+      FROM short a JOIN short b ON a.query_id = b.query_id
+    ), r1 AS MATERIALIZED (
+      SELECT query_id, doc_id, rel, 7 * rel AS mmr_num, 1 AS rnk FROM (
+        SELECT query_id, doc_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY 7 * rel DESC, doc_id) AS p
+        FROM short) WHERE p = 1
+    ), sel1 AS MATERIALIZED (SELECT * FROM r1)"""
+    rounds = []
+    for r in range(2, k + 1):
+        rounds.append(f""", r{r} AS MATERIALIZED (
+      SELECT query_id, doc_id, rel, mmr_num, {r} AS rnk FROM (
+        SELECT t.*, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY mmr_num DESC, doc_id) AS p
+        FROM (
+          SELECT s.query_id, s.doc_id, s.rel,
+                 7 * s.rel - 3 * MAX(m.s) AS mmr_num
+          FROM short s
+          JOIN sim m ON m.query_id = s.query_id AND m.d1 = s.doc_id
+          JOIN sel{r-1} sel ON sel.query_id = m.query_id
+                           AND sel.doc_id = m.d2
+          LEFT JOIN sel{r-1} x ON x.query_id = s.query_id
+                              AND x.doc_id = s.doc_id
+          WHERE x.doc_id IS NULL
+          GROUP BY s.query_id, s.doc_id, s.rel) t) WHERE p = 1
+    ), sel{r} AS MATERIALIZED (
+      SELECT * FROM sel{r-1} UNION ALL SELECT * FROM r{r})""")
+    tail = f"""
+    SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, rel, mmr_num
+    FROM sel{k}"""
+    return head + "".join(rounds) + tail
+
+
+@register("mmr_rerank_embeddings", _mmr_oracle_sql())
+def mmr_rerank_embeddings(spark, sf_dir):
+    """Maximal Marginal Relevance diversified top-k
+    (similarity.mmr_rerank, Carbonell & Goldstein 1998) over
+    int8-quantized embeddings — the RAG/search re-rank that trades
+    relevance against redundancy. Entirely integer arithmetic (exact
+    int64 code dot products, λ=7/10 as a scaled rational objective
+    7·rel − 3·maxsim, ties to smaller doc id), so the greedy SELECTION
+    TRAJECTORY itself is engine-reproducible and the oracle replays all
+    5 rounds in MATERIALIZED CTEs — a float MMR forks on ulps at every
+    argmax and could never hash-gate. Composition pin: quantization →
+    shortlist (relevance window over the bounded query set) →
+    per-query greedy via applyInPandas, queries parallel across the
+    cluster, nothing iterates over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_embeddings(emb).select("vec_id", "codes")
+    queries = q.orderBy("vec_id").limit(4)
+    return similarity.mmr_rerank(q, queries, k=5, shortlist=16)
+
+
+@register(
+    "corr_lineitem_qty_tax",
+    """
+    WITH b AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_tax * 10000) AS BIGINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(y*y) AS BIGINT) AS syy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy
+      FROM b GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           n AS n_rows,
+           n*sxy - sx*sy AS cov_num,
+           n*sxx - sx*sx AS varx_num,
+           n*syy - sy*sy AS vary_num,
+           CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+             (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+             / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+           END AS corr2,
+           CASE WHEN (n*sxx - sx*sx) > 0 THEN
+             CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+           END AS slope
+    FROM s
+    """,
+)
+def corr_lineitem_qty_tax(spark, sf_dir):
+    """Grouped exact covariance / correlation² / OLS slope
+    (operators.stats.grouped_linear_stats): quantity vs tax basis points
+    per returnflag. The five raw moments accumulate in exact int64
+    (order-independent — F.corr/covar_pop float moments could never
+    cross a value-hash gate), the integer numerators n·Σxy−ΣxΣy etc.
+    ship exact, and corr²/slope are fixed chains of single IEEE ops on
+    int64→double conversions — bit-reproducible against the ANSI oracle
+    (which casts each HUGEINT sum through BIGINT first: a two-limb
+    HUGEINT→DOUBLE can double-round). One hash aggregate with map-side
+    partial combine; corr² not corr because sqrt is libm (signed_corr is
+    the unit-tested production path)."""
+    from lakeshack_spark.operators import stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.grouped_linear_stats(
+        li,
+        F.round(F.col("l_quantity")),
+        F.round(F.col("l_tax") * 10000),
+        by="l_returnflag",
+    )
+
+
+@register(
+    "orc_roundtrip_lineitem",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
+           CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_status,
+           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
+           SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS sum_disc_bp,
+           CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS max_ship_us
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def orc_roundtrip_lineitem(spark, sf_dir):
+    """ORC sink → schema-explicit source round trip (sources.io) for the
+    engine's third columnar-format leg: lineitem's int64/int32/double/
+    string/timestamp mix crosses Spark's native ORC writer and comes
+    back cell-identical — aggregates per returnflag over the read-back
+    rows must match the oracle on the ORIGINAL parquet (counts, key and
+    status cardinalities, exact cents/basis-point sums, max ship date in
+    µs — the temporal compare stays in the integer-µs domain, the
+    generation-proof discipline from the events lesson). ORC matters at
+    100 TB because warehouse estates are mixed: the same pruned,
+    pushdown scan pipeline must ingest a neighbor system's ORC drops
+    without a bespoke path."""
+    from lakeshack_spark.sources.io import read_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    path = _format_roundtrip_dir(spark, sf_dir, "orc")
+    back = read_table(spark, path, fmt="orc", schema=li.schema)
+    return back.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("long").alias("n_keys"),
+        F.countDistinct("l_linestatus").cast("long").alias("n_status"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "sum_cents"
+        ),
+        F.sum(F.round(F.col("l_discount") * 10000).cast("long")).alias(
+            "sum_disc_bp"
+        ),
+        F.max(F.unix_micros(F.col("l_shipdate").cast("timestamp"))).cast(
+            "long"
+        ).alias("max_ship_us"),
+    )
 
 
 @register(
@@ -6604,6 +6950,7 @@ _DRIVER_WINDOW = [
     # lakeshack core surface (O1-O9)
     "shack_pruned_lookup",
     "bloom_index_point_lookup",
+    "metadata_agg_orders",
     "scan_filter_project",
     "topk_orders",
     # r5-era: ANN quantization tier
@@ -6613,6 +6960,7 @@ _DRIVER_WINDOW = [
     "ivfpq_codes_embeddings",
     "kmeans_update_quantized",
     "semdedup_embeddings",
+    "mmr_rerank_embeddings",
     "ivf_assign_cells",
     # r5-era: graph / sketch / frequent
     "dedup_cluster_labels",
@@ -6645,10 +6993,13 @@ _DRIVER_WINDOW = [
     "drift_chi2_docs",
     "synth_source_docs",
     "ks_price_by_status",
+    "corr_lineitem_qty_tax",
     "count_min_terms",
     "time_travel_orders",
     "hll_index_distinct_orders",
+    "kll_index_quantiles_orders",
     "jsonl_roundtrip_docs",
+    "orc_roundtrip_lineitem",
     "schema_evolution_orders",
     "rollup_cascade_events",
     "weighted_sample_docs",
@@ -6664,7 +7015,7 @@ _DRIVER_WINDOW = [
     "winnow_fingerprint_stats",
     "tfidf_top_terms_docs",
     "bm25_search_docs",
-    "unigram_lm_quality_docs",
+    "bigram_lm_quality_docs",
     "term_drift_by_source",
     "mask_pii_audit",
     # displaced from the first 50 (each carries prior driver-side green
