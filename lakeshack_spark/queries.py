@@ -6228,6 +6228,130 @@ def _hll_orders_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return cached
 
 
+_THETA_IDX_CACHE: dict[str, tuple] = {}
+
+
+def _theta_orders_index(spark: SparkSession, sf_dir: str):
+    """(index, split_us): orders reduced to (o_custkey, half) with half
+    split at the µs midpoint of the order-date span, clustered into 8
+    files by o_custkey, with a per-(file, half) theta sidecar over
+    o_custkey — built once per process."""
+    from lakeshack_spark.sketchindex import ThetaSketchIndex
+    from lakeshack_spark.writer import cluster_write
+
+    key = sf_dir.rstrip("/")
+    cached = _THETA_IDX_CACHE.get(key)
+    if cached is None:
+        orders = load_table(spark, key, "orders")
+        us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        row = orders.agg(
+            F.min(us).alias("mn"), F.max(us).alias("mx")
+        ).collect()[0]
+        split_us = (row["mn"] + row["mx"]) // 2
+        root = tempfile.mkdtemp(prefix="lakeshack_theta_index_")
+        lake = os.path.join(root, "orders_lake")
+        store = os.path.join(lake, "_lakeshack_theta", "o_custkey")
+        halves = orders.select(
+            "o_custkey",
+            F.when(us < F.lit(split_us), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("half"),
+        )
+        cluster_write(halves, lake, "o_custkey", n_files=8)
+        idx = ThetaSketchIndex(spark, store, "o_custkey", group_col="half")
+        idx.update(lake)
+        cached = (idx, split_us)
+        _THETA_IDX_CACHE[key] = cached
+    return cached
+
+
+@register(
+    "theta_index_overlap_orders",
+    """
+    WITH s AS (
+      SELECT (MIN(epoch_us(o_orderdate)) + MAX(epoch_us(o_orderdate))) // 2
+             AS sp FROM orders
+    ), h AS (
+      SELECT o_custkey,
+             CASE WHEN epoch_us(o_orderdate) < s.sp THEN 0 ELSE 1 END AS half
+      FROM orders, s
+    ), k AS (
+      SELECT o_custkey,
+             MAX(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS in_early,
+             MAX(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS in_late
+      FROM h GROUP BY o_custkey
+    )
+    SELECT CAST(SUM(in_early) AS BIGINT) AS exact_early,
+           CAST(SUM(in_late) AS BIGINT) AS exact_late,
+           CAST(SUM(in_early * in_late) AS BIGINT) AS exact_both,
+           CAST(COUNT(*) AS BIGINT) AS exact_union,
+           TRUE AS ok_early, TRUE AS ok_late, TRUE AS ok_union,
+           TRUE AS ok_inter, TRUE AS ok_diff
+    FROM k
+    """,
+)
+def theta_index_overlap_orders(spark, sf_dir):
+    """Distinct-count SET ALGEBRA from the per-file theta-sketch sidecar
+    (sketchindex.ThetaSketchIndex): repeat customers — distinct custkeys
+    active in BOTH halves of the order-date span — estimated by sketch
+    INTERSECTION, plus union and difference, reading only KB-sized
+    sidecar rows. This is the question HLL union cannot answer
+    (inclusion–exclusion over HLL compounds error; theta intersects the
+    retained-hash samples directly). Bounds-as-booleans contract: one
+    exact per-custkey pass computes early/late/both/union ground truth
+    on both engines; the Spark side additionally flags every sketch
+    estimate within ε (5% sides/union, 10% intersection/difference —
+    measured ≤3% at shipped SFs). The date split derives from the data
+    (µs midpoint, exact int arithmetic) so the halves move with the
+    generated span at every sf."""
+    idx, split_us = _theta_orders_index(spark, sf_dir)
+    est = idx.overlap({"group": "0"}, {"group": "1"}).collect()[0]
+    orders = load_table(spark, sf_dir, "orders")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    h = orders.select(
+        "o_custkey",
+        F.when(us < F.lit(split_us), F.lit(0)).otherwise(F.lit(1)).alias(
+            "half"
+        ),
+    )
+    k = h.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("half") == 0, 1).otherwise(0)).alias("in_early"),
+        F.max(F.when(F.col("half") == 1, 1).otherwise(0)).alias("in_late"),
+    )
+
+    def ok(est_v, exact_col, eps):
+        return (
+            F.abs(F.lit(float(est_v)) - exact_col.cast("double"))
+            <= F.lit(eps) * exact_col.cast("double")
+        )
+
+    agg = k.agg(
+        F.sum("in_early").cast("long").alias("exact_early"),
+        F.sum("in_late").cast("long").alias("exact_late"),
+        F.sum(F.col("in_early") * F.col("in_late"))
+        .cast("long")
+        .alias("exact_both"),
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+    )
+    return agg.select(
+        "exact_early",
+        "exact_late",
+        "exact_both",
+        "exact_union",
+        ok(est["est_left"], F.col("exact_early"), 0.05).alias("ok_early"),
+        ok(est["est_right"], F.col("exact_late"), 0.05).alias("ok_late"),
+        ok(est["est_union"], F.col("exact_union"), 0.05).alias("ok_union"),
+        ok(est["est_intersection"], F.col("exact_both"), 0.10).alias(
+            "ok_inter"
+        ),
+        ok(
+            est["est_difference"],
+            F.col("exact_early") - F.col("exact_both"),
+            0.10,
+        ).alias("ok_diff"),
+    )
+
+
 @register(
     "kll_index_quantiles_orders",
     """
@@ -6998,6 +7122,7 @@ _DRIVER_WINDOW = [
     "time_travel_orders",
     "hll_index_distinct_orders",
     "kll_index_quantiles_orders",
+    "theta_index_overlap_orders",
     "jsonl_roundtrip_docs",
     "orc_roundtrip_lineitem",
     "schema_evolution_orders",

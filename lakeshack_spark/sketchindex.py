@@ -422,3 +422,179 @@ class QuantileSketchIndex:
             for i, v in enumerate(values)
         ]
         return merged.select("grp", "n_files", "n_rows", *cols)
+
+
+# --------------------------------------------------------------------------
+# Theta sketches — distinct-count SET ALGEBRA over file slices
+# --------------------------------------------------------------------------
+
+
+class ThetaSketchIndex:
+    """A per-file (optionally per-group) Datasketches THETA sketch
+    sidecar for one column — the set-algebra member of the metadata
+    index tier. HLL union answers "how many distinct over this slice";
+    theta additionally supports INTERSECTION and DIFFERENCE, so
+    overlap questions — repeat customers across periods, documents
+    present in two crawls, keys shared by two partitions — are answered
+    from KB-sized sketches with no data rescan and no distinct-join.
+
+    Why not HLL: inclusion–exclusion over HLL unions compounds error
+    catastrophically for small intersections; theta intersection
+    operates on the retained-hash samples directly (Dasgupta et al.,
+    the KMV/theta framework) with bounded relative error. Build/update
+    discipline is identical to :class:`DistinctSketchIndex`
+    (incremental, idempotent, uniform lg_k validated on reconnect).
+
+    ``overlap(left, right)`` merges each side's per-file sketches and
+    returns union/intersection/difference estimates; sides select by
+    file list and/or group value, so "slice A vs slice B" covers both
+    physical (files) and logical (group) splits.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_path: str,
+        column: str,
+        group_col: str | None = None,
+        lg_nom_entries: int = 12,
+    ) -> None:
+        self.spark = spark
+        self.store_path = store_path
+        self.column = column
+        self.group_col = group_col
+        self.lg_nom_entries = lg_nom_entries
+
+    _exists = DistinctSketchIndex._exists
+    _store = DistinctSketchIndex._store
+
+    def _store_meta(self) -> tuple[int, set[str]] | None:
+        if not self._exists():
+            return None
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(self.store_path, format="parquet").to_table(
+            columns=["filepath", "column", "group_col", "lg_nom_entries"]
+        )
+        if t.num_rows == 0:
+            return None
+        lgs = pc.unique(t.column("lg_nom_entries")).to_pylist()
+        cols = pc.unique(t.column("column")).to_pylist()
+        grps = pc.unique(t.column("group_col")).to_pylist()
+        if len(lgs) != 1 or cols != [self.column] or grps != [self.group_col or ""]:
+            raise ValueError(
+                f"theta index at {self.store_path!r} is inconsistent: "
+                f"lg_nom_entries={lgs}, columns={cols}, group_cols={grps}"
+            )
+        return lgs[0], set(pc.unique(t.column("filepath")).to_pylist())
+
+    def update(self, parquet_file_or_dir: str | Sequence[str]) -> int:
+        """Idempotent incremental build, one theta sketch per
+        (file, group); only unseen files are sketched."""
+        roots = (
+            [parquet_file_or_dir]
+            if isinstance(parquet_file_or_dir, str)
+            else list(parquet_file_or_dir)
+        )
+        files = [f for p in roots for f in list_parquet_files(p, self.spark)]
+        meta = self._store_meta()
+        lg_k = self.lg_nom_entries if meta is None else meta[0]
+        seen = set() if meta is None else meta[1]
+        new_files = sorted(set(files) - seen)
+        if not new_files:
+            return 0
+        keys = [
+            F.regexp_replace(F.input_file_name(), "^file://", "").alias(
+                "filepath"
+            )
+        ]
+        if self.group_col is not None:
+            keys.append(F.col(self.group_col).alias("grp"))
+        sketches = (
+            self.spark.read.parquet(*new_files)
+            .select(*keys, F.col(self.column).alias("__v"))
+            .filter(F.col("__v").isNotNull())
+            .groupBy("filepath", *(["grp"] if self.group_col else []))
+            .agg(
+                F.theta_sketch_agg("__v", F.lit(lg_k)).alias("sketch"),
+                F.count("*").cast("long").alias("n_rows"),
+            )
+        )
+        if self.group_col is None:
+            sketches = sketches.withColumn("grp", F.lit(None).cast("string"))
+        out = sketches.select(
+            "filepath",
+            F.lit(self.column).alias("column"),
+            F.lit(self.group_col or "").alias("group_col"),
+            F.lit(lg_k).cast("int").alias("lg_nom_entries"),
+            F.col("grp").cast("string").alias("grp"),
+            "n_rows",
+            "sketch",
+        )
+        out.write.mode("append").parquet(self.store_path)
+        logger.info(
+            "theta-sketched %d new files at lg_nom_entries=%d",
+            len(new_files),
+            lg_k,
+        )
+        return len(new_files)
+
+    def _side_sketch(
+        self,
+        files: Sequence[str] | None = None,
+        group: str | None = None,
+    ):
+        """One merged sketch (binary) for a slice selected by file list
+        and/or group value — O(#selected sketch rows), sidecar only."""
+        meta = self._store_meta()
+        if meta is None:
+            raise ValueError(f"theta index at {self.store_path!r} is empty")
+        lg_k = meta[0]
+        st = self._store()
+        if files is not None:
+            st = st.filter(F.col("filepath").isin(list(files)))
+        if group is not None:
+            st = st.filter(F.col("grp") == group)
+        return st.agg(
+            F.theta_union_agg("sketch", F.lit(lg_k)).alias("s")
+        )
+
+    def estimate(
+        self,
+        files: Sequence[str] | None = None,
+        group: str | None = None,
+    ) -> int:
+        row = self._side_sketch(files, group).select(
+            F.theta_sketch_estimate("s").alias("e")
+        ).collect()[0]
+        return int(row["e"]) if row["e"] is not None else 0
+
+    def overlap(
+        self,
+        left: dict | None = None,
+        right: dict | None = None,
+    ) -> DataFrame:
+        """Set-algebra estimates between two slices (each a dict with
+        optional ``files``/``group`` selectors): one row —
+        ``(est_left, est_right, est_union, est_intersection,
+        est_difference)`` where difference = left \\ right. Reads only
+        the sidecar; the two merged sketches cross-join (1×1 rows)."""
+        left = left or {}
+        right = right or {}
+        a = self._side_sketch(**left).select(F.col("s").alias("__a"))
+        b = self._side_sketch(**right).select(F.col("s").alias("__b"))
+        both = a.crossJoin(b)
+        return both.select(
+            F.theta_sketch_estimate("__a").alias("est_left"),
+            F.theta_sketch_estimate("__b").alias("est_right"),
+            F.theta_sketch_estimate(F.theta_union("__a", "__b")).alias(
+                "est_union"
+            ),
+            F.theta_sketch_estimate(
+                F.theta_intersection("__a", "__b")
+            ).alias("est_intersection"),
+            F.theta_sketch_estimate(F.theta_difference("__a", "__b")).alias(
+                "est_difference"
+            ),
+        )

@@ -3,6 +3,8 @@ merge-don't-recount, group rollups, store validation."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import Row, functions as F
 
@@ -210,3 +212,64 @@ def test_list_parquet_files_skips_hidden_subdirs_not_root(spark, tmp_path):
     assert got == {"a.parquet", "year=2024/b.parquet"}
     rooted = list_parquet_files(str(lake / "_lakeshack_kll"))
     assert [f.rsplit("/", 1)[-1] for f in rooted] == ["s.parquet"]
+
+
+# ---------------------------------------------------------------------------
+# Theta sketch index (set algebra)
+# ---------------------------------------------------------------------------
+
+
+class TestThetaSketchIndex:
+    def test_overlap_estimates_and_idempotent(self, spark, tmp_path):
+        from lakeshack_spark.sketchindex import ThetaSketchIndex
+
+        lake = str(tmp_path / "lake")
+        # group a: keys 0..2999, group b: keys 2000..4999 → overlap 1000
+        df = spark.range(3000).select(
+            F.col("id").alias("k"), F.lit("a").alias("g")
+        ).unionByName(
+            spark.range(2000, 5000).select(
+                F.col("id").alias("k"), F.lit("b").alias("g")
+            )
+        )
+        df.repartition(4, "k").write.parquet(lake)
+        idx = ThetaSketchIndex(spark, str(tmp_path / "theta"), "k", group_col="g")
+        assert idx.update(lake) == 4
+        assert idx.update(lake) == 0
+        row = idx.overlap({"group": "a"}, {"group": "b"}).collect()[0]
+        assert abs(row["est_left"] - 3000) / 3000 < 0.05
+        assert abs(row["est_right"] - 3000) / 3000 < 0.05
+        assert abs(row["est_union"] - 5000) / 5000 < 0.05
+        assert abs(row["est_intersection"] - 1000) / 1000 < 0.10
+        assert abs(row["est_difference"] - 2000) / 2000 < 0.10
+
+    def test_file_slice_sides_and_estimate(self, spark, tmp_path):
+        import glob as _glob
+
+        from lakeshack_spark.sketchindex import ThetaSketchIndex
+
+        lake = str(tmp_path / "lake")
+        # two disjoint file populations written separately
+        spark.range(1000).select(F.col("id").alias("k")).coalesce(1).write.parquet(lake)
+        spark.range(500, 1500).select(F.col("id").alias("k")).coalesce(1).write.mode(
+            "append"
+        ).parquet(lake)
+        idx = ThetaSketchIndex(spark, str(tmp_path / "theta"), "k")
+        assert idx.update(lake) == 2
+        files = sorted(_glob.glob(f"{lake}/*.parquet"), key=os.path.getmtime)
+        a, b = [files[0]], [files[1]]
+        row = idx.overlap({"files": a}, {"files": b}).collect()[0]
+        assert abs(row["est_intersection"] - 500) / 500 < 0.10
+        assert abs(idx.estimate() - 1500) / 1500 < 0.05
+
+    def test_store_validation(self, spark, tmp_path):
+        from lakeshack_spark.sketchindex import ThetaSketchIndex
+
+        lake = str(tmp_path / "lake")
+        spark.range(100).select(F.col("id").alias("k")).coalesce(1).write.parquet(lake)
+        store = str(tmp_path / "theta")
+        ThetaSketchIndex(spark, store, "k").update(lake)
+        with pytest.raises(ValueError, match="inconsistent"):
+            ThetaSketchIndex(spark, store, "other").update(lake)
+        with pytest.raises(ValueError, match="empty"):
+            ThetaSketchIndex(spark, str(tmp_path / "nope"), "k").estimate()
