@@ -32,7 +32,7 @@ from typing import Any, Sequence
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from lakeshack_spark.metastore import (
-    PRUNE_OPS,
+    ALL_CLAUSE_OPS,
     FileStatsMetastore,
     list_parquet_files,
 )
@@ -59,8 +59,14 @@ def build_clause_predicate(
             clause = c < lit
         elif op == "<=":
             clause = c <= lit
+        elif op == "is_null":
+            clause = c.isNull()
+        elif op == "is_not_null":
+            clause = c.isNotNull()
         else:
-            raise ValueError(f"unsupported operator {op!r}; use one of {PRUNE_OPS}")
+            raise ValueError(
+                f"unsupported operator {op!r}; use one of {ALL_CLAUSE_OPS}"
+            )
         pred = pred & clause
     return pred
 

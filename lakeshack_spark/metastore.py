@@ -41,6 +41,15 @@ logger = logging.getLogger(__name__)
 #: (truth table from lakeshack/metastore.py:453-467).
 PRUNE_OPS = (">=", ">", "=", "==", "<", "<=")
 
+#: Nullness clauses prune on the per-column NULL-count stats instead of
+#: the [min, max] interval: `IS NOT NULL` skips provably all-NULL files,
+#: `IS NULL` skips provably NULL-free files (extension beyond the
+#: reference's operator set — its metastore has no null counts). The
+#: clause value slot is ignored (pass None).
+NULLNESS_OPS = ("is_null", "is_not_null")
+
+ALL_CLAUSE_OPS = PRUNE_OPS + NULLNESS_OPS
+
 
 def _arrow_tz_map(schema: Any) -> dict[str, str]:
     """Column → IANA zone for tz-aware timestamp columns of a pyarrow
@@ -272,6 +281,18 @@ def interval_keeps(op: str, lo: Any, hi: Any, value: Any) -> bool:
     if op == "<":
         return lo < value
     return lo <= value <= hi  # "=", "=="
+
+
+def nullness_keeps(op: str, nulls: Any, num_rows: Any) -> bool:
+    """The survival predicate for a nullness clause against one file's
+    null-count stat — the pure core the vectorized paths mirror. An
+    UNKNOWN null count (None) always keeps the file (best-effort
+    pruning; the scan re-applies the exact predicate)."""
+    if nulls is None:
+        return True
+    if op == "is_not_null":
+        return num_rows is None or nulls < num_rows
+    return nulls > 0  # "is_null"
 
 
 def _is_remote(path: str) -> bool:
@@ -726,11 +747,22 @@ class FileStatsMetastore:
         """
         pred = F.lit(True)
         for col, op, value in clauses:
-            if op not in PRUNE_OPS:
-                raise ValueError(f"unsupported operator {op!r}; use one of {PRUNE_OPS}")
-            lo, hi = F.col(f"{col}_min"), F.col(f"{col}_max")
+            if op not in ALL_CLAUSE_OPS:
+                raise ValueError(
+                    f"unsupported operator {op!r}; use one of {ALL_CLAUSE_OPS}"
+                )
             if col not in self.tracked_columns:
                 continue  # untracked column: cannot prune, scan still filters
+            if op in NULLNESS_OPS:
+                nl = F.col(f"{col}_nulls")
+                if op == "is_not_null":
+                    keep_n = nl < F.col("num_rows")
+                else:
+                    keep_n = nl > 0
+                # UNKNOWN null count keeps the file (nullness_keeps)
+                pred = pred & (nl.isNull() | keep_n)
+                continue
+            lo, hi = F.col(f"{col}_min"), F.col(f"{col}_max")
             lit = F.lit(value)
             if op == ">=":
                 keep = hi >= lit
@@ -778,9 +810,9 @@ class FileStatsMetastore:
         values = [_to_py_stat(v) for v in values]
         clauses = [(c, op, _to_py_stat(v)) for c, op, v in clauses]
         for _col, op, _value in clauses:
-            if op not in PRUNE_OPS:
+            if op not in ALL_CLAUSE_OPS:
                 raise ValueError(
-                    f"unsupported operator {op!r}; use one of {PRUNE_OPS}"
+                    f"unsupported operator {op!r}; use one of {ALL_CLAUSE_OPS}"
                 )
 
         table = self.backend.read_arrow(self.DRIVER_PRUNE_MAX_FILES)
@@ -801,6 +833,18 @@ class FileStatsMetastore:
         for col, op, value in clauses:
             if col not in self.tracked_columns:
                 continue  # untracked column: cannot prune, scan still filters
+            if op in NULLNESS_OPS:
+                # pre-null-count stores (or synthetic stats tables) have
+                # no {col}_nulls column: unknown → keep, like NULL stats
+                if f"{col}_nulls" not in table.column_names:
+                    continue
+                nl = table.column(f"{col}_nulls")
+                if op == "is_not_null":
+                    cond_n = pc.less(nl, table.column("num_rows"))
+                else:
+                    cond_n = pc.greater(nl, pa.scalar(0))
+                keep &= np_mask(pc.or_kleene(pc.is_null(nl), cond_n))
+                continue
             lo, hi = table.column(f"{col}_min"), table.column(f"{col}_max")
             # pa.scalar WITHOUT a forced type: casting 10.5 to an int64
             # stat column would TRUNCATE to 10 and silently over-prune
@@ -1115,9 +1159,9 @@ class FileStatsMetastore:
         """
         clauses = [(c, op, _to_py_stat(v)) for c, op, v in clauses]
         for _col, op, _value in clauses:
-            if op not in PRUNE_OPS:
+            if op not in ALL_CLAUSE_OPS:
                 raise ValueError(
-                    f"unsupported operator {op!r}; use one of {PRUNE_OPS}"
+                    f"unsupported operator {op!r}; use one of {ALL_CLAUSE_OPS}"
                 )
         self._validate_agg_columns(min_max_columns, count_columns)
         min_max_columns = list(dict.fromkeys(min_max_columns))
@@ -1162,6 +1206,7 @@ class FileStatsMetastore:
 
         survive = np.ones(n, dtype=bool)
         full = np.ones(n, dtype=bool)
+        num_rows_col = table.column("num_rows")
         for col, op, value in clauses:
             if col not in self.tracked_columns:
                 # Untracked clause column: cannot prove anything — every
@@ -1169,9 +1214,21 @@ class FileStatsMetastore:
                 # interior.
                 full &= False
                 continue
+            nulls = table.column(f"{col}_nulls")
+            if op in NULLNESS_OPS:
+                if op == "is_not_null":
+                    keep_n = pc.less(nulls, num_rows_col)
+                    full_n = pc.equal(nulls, pa.scalar(0))
+                else:
+                    keep_n = pc.greater(nulls, pa.scalar(0))
+                    full_n = pc.equal(nulls, num_rows_col)
+                survive &= np_bool(
+                    pc.or_kleene(pc.is_null(nulls), keep_n)
+                )
+                full &= np_bool(pc.fill_null(full_n, False))
+                continue
             lo = table.column(f"{col}_min")
             hi = table.column(f"{col}_max")
-            nulls = table.column(f"{col}_nulls")
             sv = pa.scalar(value)
             if op == ">=":
                 keep_c, full_c = pc.greater_equal(hi, sv), pc.greater_equal(lo, sv)
@@ -1196,7 +1253,6 @@ class FileStatsMetastore:
             full &= np_bool(pc.fill_null(full_c, False))
             full &= np_bool(pc.fill_null(pc.equal(nulls, pa.scalar(0)), False))
 
-        num_rows_col = table.column("num_rows")
         serveable = np.ones(n, dtype=bool)
         for col in min_max_columns:
             mn = table.column(f"{col}_min")
@@ -1267,6 +1323,13 @@ class FileStatsMetastore:
         for col, op, value in clauses:
             if col not in self.tracked_columns:
                 full = F.lit(False)
+                continue
+            if op in NULLNESS_OPS:
+                nl = F.col(f"{col}_nulls")
+                full_n = (
+                    (nl == 0) if op == "is_not_null" else (nl == F.col("num_rows"))
+                )
+                full = full & F.coalesce(full_n, F.lit(False))
                 continue
             lo, hi = F.col(f"{col}_min"), F.col(f"{col}_max")
             lit = F.lit(value)

@@ -6228,6 +6228,82 @@ def _hll_orders_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return cached
 
 
+_NULLNESS_SHACK_CACHE: dict[str, Lakeshack] = {}
+
+
+def _nullness_docs_shack(spark: SparkSession, sf_dir: str) -> Lakeshack:
+    """Documents with text NULLed below doc_id < max//3 (correlated with
+    the doc_id clustering, so whole files are provably all-NULL /
+    NULL-free), 8 files, stats tracking text + source — the fixture for
+    null-count pruning."""
+    from lakeshack_spark.writer import cluster_write
+
+    key = sf_dir.rstrip("/")
+    shack = _NULLNESS_SHACK_CACHE.get(key)
+    if shack is not None and shack.spark is spark:
+        return shack
+    docs = load_table(spark, key, "documents")
+    cut = docs.agg((F.max("doc_id") / 3).cast("long").alias("c")).collect()[0][
+        "c"
+    ]
+    nulled = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") < cut, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    lake = tempfile.mkdtemp(prefix="lakeshack_nullness_lake_")
+    cluster_write(nulled, os.path.join(lake, "data"), "doc_id", n_files=8)
+    shack = Lakeshack(
+        spark,
+        os.path.join(lake, "data"),
+        cluster_column="doc_id",
+        optional_columns=["text", "source"],
+        store_path=os.path.join(lake, "stats"),
+    )
+    shack.update_metastore()
+    _NULLNESS_SHACK_CACHE[key] = shack
+    return shack
+
+
+@register(
+    "nullness_pruned_agg_docs",
+    """
+    WITH m AS (SELECT MAX(doc_id) // 3 AS cut FROM documents),
+    d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < m.cut THEN NULL ELSE text END AS text,
+             source
+      FROM documents, m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS row_count,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           CAST(COUNT(text) AS BIGINT) AS cnt_text,
+           CAST(COUNT(source) AS BIGINT) AS cnt_source
+    FROM d WHERE text IS NOT NULL
+    """,
+)
+def nullness_pruned_agg_docs(spark, sf_dir):
+    """IS NOT NULL pruning + metadata-only aggregation on the null-count
+    stats: documents whose text was NULLed below doc_id < max//3
+    (correlated with the clustering) — the all-NULL files are EXCLUDED
+    by the nullness truth table, the NULL-free files are interior
+    (COUNT/MIN/MAX served from footer stats), and only the straddling
+    file is scanned. `IS [NOT] NULL` clauses are an extension beyond
+    the reference's operator set (its metastore has no null counts);
+    the scan re-applies the exact predicate so pruning stays
+    best-effort-safe. Driver + distributed classification twins
+    parity-pinned in tests."""
+    shack = _nullness_docs_shack(spark, sf_dir)
+    return shack.query_agg(
+        [("text", "is_not_null", None)],
+        min_max_columns=["doc_id"],
+        count_columns=["text", "source"],
+    )
+
+
 _THETA_IDX_CACHE: dict[str, tuple] = {}
 
 
@@ -7075,6 +7151,7 @@ _DRIVER_WINDOW = [
     "shack_pruned_lookup",
     "bloom_index_point_lookup",
     "metadata_agg_orders",
+    "nullness_pruned_agg_docs",
     "scan_filter_project",
     "topk_orders",
     # r5-era: ANN quantization tier

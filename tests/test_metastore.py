@@ -840,6 +840,12 @@ AGG_KW = dict(min_max_columns=["k", "v"], count_columns=["v", "w"])
         ([("k", ">", 1000)], "k > 1000"),
         ([("v", ">=", 110), ("v", "<", 145)], "v >= 110 and v < 145"),
         ([("u", ">=", 20)], "u >= 20"),  # untracked clause column
+        ([("v", "is_not_null", None)], "v is not null"),
+        ([("v", "is_null", None)], "v is null"),
+        (
+            [("v", "is_not_null", None), ("k", ">=", 22)],
+            "v is not null and k >= 22",
+        ),
     ],
 )
 def test_query_agg_matches_full_scan(spark, nulls_lake, agg_shack, clauses, pred_sql):
@@ -885,6 +891,8 @@ def test_plan_agg_distributed_parity(agg_shack):
         [("v", ">=", 110), ("v", "<", 145)],
         [("u", ">=", 20)],
         [("k", ">", 1000)],
+        [("v", "is_not_null", None)],
+        [("v", "is_null", None), ("k", ">=", 22)],
     ]
     fast = [ms.plan_agg(c, **AGG_KW) for c in cases]
     old = ms.DRIVER_PRUNE_MAX_FILES
@@ -956,3 +964,49 @@ def test_null_count_store_migration(spark, nulls_lake, tmp_path_factory):
         for r in shack2.metastore.stats_df().collect()
     }
     assert got == expected
+
+
+def test_nullness_pruning_classification(spark, nulls_lake, agg_shack):
+    """IS [NOT] NULL clauses prune on the null-count stats: all-NULL-v
+    file c is EXCLUDED by is_not_null (and fully interior to is_null);
+    null-free files excluded by is_null; partial-null d is boundary for
+    both."""
+    ms = agg_shack.metastore
+    contrib, boundary = ms.plan_agg([("v", "is_not_null", None)])
+    names = sorted(b.rsplit("/", 1)[-1] for b in boundary)
+    assert contrib["n_files_excluded"] == 1  # c: provably all-NULL v
+    assert names == ["d.parquet"]  # 3 of 10 v NULL: must scan
+    assert contrib["n_files_interior"] == 3  # a, b, e: v NULL-free
+    assert contrib["row_count"] == 30
+    contrib2, boundary2 = ms.plan_agg([("v", "is_null", None)])
+    assert contrib2["n_files_excluded"] == 3  # a, b, e: provably NULL-free
+    assert sorted(b.rsplit("/", 1)[-1] for b in boundary2) == ["d.parquet"]
+    assert contrib2["n_files_interior"] == 1 and contrib2["row_count"] == 10
+    # engine scan path applies the exact predicate too
+    files = ms.prune_files(list(range(0, 50)), [("v", "is_not_null", None)])
+    assert sorted(f.rsplit("/", 1)[-1] for f in files) == [
+        "a.parquet", "b.parquet", "d.parquet", "e.parquet",
+    ]
+    got = agg_shack.query(
+        list(range(0, 50)), [("v", "is_not_null", None)], columns=["k", "v"]
+    )
+    # 50 rows − 10 all-null-v (c) − 3 partial v NULLs (d) − 2 NULL-k rows
+    # in b that fail the cluster IN-list
+    assert got.count() == 35
+    with pytest.raises(ValueError, match="unsupported operator"):
+        ms.prune_files([1], [("v", "not a thing", None)])
+
+
+def test_nullness_keeps_reference_properties():
+    """Pure-core truth table incl. the unknown-count conservative row."""
+    from lakeshack_spark.metastore import nullness_keeps
+
+    for nulls, num_rows, keep_nn, keep_n in [
+        (None, 10, True, True),   # unknown: keep for both
+        (0, 10, True, False),     # NULL-free: is_null prunable
+        (10, 10, False, True),    # all-NULL: is_not_null prunable
+        (3, 10, True, True),      # mixed: keep for both
+        (0, 0, False, False),     # empty file: no row satisfies anything
+    ]:
+        assert nullness_keeps("is_not_null", nulls, num_rows) is keep_nn
+        assert nullness_keeps("is_null", nulls, num_rows) is keep_n
