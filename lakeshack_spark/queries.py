@@ -6228,6 +6228,123 @@ def _hll_orders_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return cached
 
 
+_VMERGE_CACHE: dict[str, tuple] = {}
+
+
+def _versioned_merge_fixture(spark: SparkSession, sf_dir: str):
+    """(VersionedTable, max_orderkey): v1 = orders (key, status, cents)
+    clustered into 8 files; v2 = one MERGE commit applying a CDC batch
+    derived from the data — keys %10==3 update (status 'U', cents+1),
+    %10==7 delete-flagged, %10==5 insert under fresh keys max+1+k."""
+    from lakeshack_spark.versioning import VersionedTable
+
+    key = sf_dir.rstrip("/")
+    cached = _VMERGE_CACHE.get(key)
+    if cached is not None and cached[0].spark is spark:
+        return cached
+    orders = load_table(spark, key, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    maxk = base.agg(F.max("k")).collect()[0][0]
+    table_dir = os.path.join(
+        tempfile.mkdtemp(prefix="lakeshack_vmerge_"), "orders_v"
+    )
+    vt = VersionedTable(spark, table_dir)
+    vt.create(base.repartitionByRange(8, "k").sortWithinPartitions("k"))
+    updates = base.filter(F.col("k") % 10 == 3).select(
+        "k",
+        F.lit("U").alias("status"),
+        (F.col("cents") + 1).alias("cents"),
+        F.lit(False).alias("is_delete"),
+    )
+    deletes = base.filter(F.col("k") % 10 == 7).select(
+        "k", "status", "cents", F.lit(True).alias("is_delete")
+    )
+    inserts = base.filter(F.col("k") % 10 == 5).select(
+        (F.col("k") + F.lit(maxk) + 1).alias("k"),
+        F.lit("I").alias("status"),
+        "cents",
+        F.lit(False).alias("is_delete"),
+    )
+    vt.merge(
+        updates.unionByName(deletes).unionByName(inserts),
+        ["k"],
+        delete_col="is_delete",
+    )
+    cached = (vt, maxk)
+    _VMERGE_CACHE[key] = cached
+    return cached
+
+
+@register(
+    "versioned_merge_orders",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), m AS (
+      SELECT COUNT(*) AS n, SUM(cents) AS s,
+             SUM(CASE WHEN k % 10 = 3 THEN 1 ELSE 0 END) AS n_upd,
+             SUM(CASE WHEN k % 10 = 7 THEN 1 ELSE 0 END) AS n_del,
+             SUM(CASE WHEN k % 10 = 7 THEN cents ELSE 0 END) AS s_del,
+             SUM(CASE WHEN k % 10 = 5 THEN 1 ELSE 0 END) AS n_ins,
+             SUM(CASE WHEN k % 10 = 5 THEN cents ELSE 0 END) AS s_ins
+      FROM b
+    )
+    SELECT CAST(n AS BIGINT) AS n_v1,
+           CAST(n - n_del + n_ins AS BIGINT) AS n_v2,
+           CAST(s - s_del + n_upd + s_ins AS BIGINT) AS sum_cents_v2,
+           CAST(n_upd AS BIGINT) AS n_updated,
+           CAST(n_ins AS BIGINT) AS n_inserted,
+           CAST(0 AS BIGINT) AS n_deleted_remaining
+    FROM m
+    """,
+)
+def versioned_merge_orders(spark, sf_dir):
+    """Copy-on-write MERGE INTO a versioned table (VersionedTable.merge
+    = diff.merge_upsert under the manifest commit): one CDC batch
+    updates/%10==3, delete-flags/%10==7, and inserts fresh keys (max+1
+    offset — the planted-id discipline), rewriting ONLY the files whose
+    key ranges the batch touches; every other file carries over by
+    reference (pinned in tests). The hash pins v2's row count, exact
+    cents total, update/insert/tombstone effects, AND v1's immutability
+    (n_v1 read AFTER the merge committed). The oracle states the same
+    quantities in pure set logic over orders — Spark never materializes
+    that form; it reads the two manifests."""
+    vt, maxk = _versioned_merge_fixture(spark, sf_dir)
+    v1, v2 = vt.read(1), vt.read(2)
+    a = v1.agg(F.count(F.lit(1)).cast("long").alias("n_v1"))
+    b = v2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_v2"),
+        F.sum("cents").cast("long").alias("sum_cents_v2"),
+        F.sum(F.when(F.col("status") == "U", 1).otherwise(0))
+        .cast("long")
+        .alias("n_updated"),
+        F.sum(F.when(F.col("k") > maxk, 1).otherwise(0))
+        .cast("long")
+        .alias("n_inserted"),
+        F.sum(
+            F.when((F.col("k") % 10 == 7) & (F.col("k") <= maxk), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_deleted_remaining"),
+    )
+    return a.crossJoin(b).select(
+        "n_v1",
+        "n_v2",
+        "sum_cents_v2",
+        "n_updated",
+        "n_inserted",
+        "n_deleted_remaining",
+    )
+
+
 _NULLNESS_SHACK_CACHE: dict[str, Lakeshack] = {}
 
 
@@ -7206,6 +7323,7 @@ _DRIVER_WINDOW = [
     "rollup_cascade_events",
     "weighted_sample_docs",
     "version_diff_orders",
+    "versioned_merge_orders",
     "time_travel_pruned_lookup",
     # r5-era: text / packing / dedup tiers
     "vocab_encode_docs",

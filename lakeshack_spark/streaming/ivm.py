@@ -139,3 +139,66 @@ def stream_maintain_agg_view(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_merge_versioned(
+    changes_stream: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    update_cols: list[str] | None = None,
+    delete_col: str | None = None,
+    insert: bool = True,
+    checkpoint_dir: str | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming CDC apply INTO a :class:`~lakeshack_spark.versioning.
+    VersionedTable` — the Delta-streaming-sink shape: every micro-batch
+    becomes one MERGE commit (matched update / flagged delete /
+    not-matched insert), so the table's version log IS the stream's
+    batch history and any version remains time-travel readable.
+
+    Exactly-once without a transactional sink: each commit records its
+    ``batch_id`` in the manifest ``meta``; a crash-replayed batch finds
+    its id already committed and SKIPS — the same read-your-own-marker
+    discipline as ``stream_maintain_agg_view``'s versioned snapshots,
+    here attached to the table's own atomic O_EXCL commit point. The
+    table must be ``create``d before the stream starts (the initial
+    snapshot is a batch decision, not a stream side effect).
+
+    Each batch is pre-reduced to latest-per-key? NO — deliberately not:
+    merge_upsert requires unique keys per batch and raising on
+    duplicates is the correct CDC contract (a feed with multiple
+    updates per key per batch must state its own ordering; silently
+    picking one would corrupt the table). Scale: per batch one key-semi
+    planning pass + rewrite of only the files containing batch keys.
+    """
+    from lakeshack_spark.versioning import VersionedTable
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        vt = VersionedTable(batch_df.sparkSession, table_dir)
+        if not vt.versions():
+            raise ValueError(
+                f"versioned table {table_dir!r} must be created before "
+                "streaming merges (no initial snapshot to merge into)"
+            )
+        if any(
+            m.get("meta", {}).get("batch_id") == batch_id for m in vt.log()
+        ):
+            return  # crash-replayed batch: already committed, skip
+        vt.merge(
+            batch_df,
+            key_cols,
+            update_cols=update_cols,
+            delete_col=delete_col,
+            insert=insert,
+            meta={"batch_id": batch_id},
+        )
+
+    writer = changes_stream.writeStream.foreachBatch(commit_batch)
+    if checkpoint_dir is not None:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

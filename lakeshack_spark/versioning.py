@@ -107,9 +107,13 @@ class VersionedTable:
             return json.load(fh)
 
     def log(self) -> list[dict]:
-        """Commit history, oldest first (op + file/row accounting)."""
+        """Commit history, oldest first (op + file/row accounting +
+        commit metadata such as a streaming batch id)."""
         return [
-            {k: m[k] for k in ("version", "parent", "op", "n_files")}
+            {
+                **{k: m[k] for k in ("version", "parent", "op", "n_files")},
+                "meta": m.get("meta", {}),
+            }
             for m in (self.manifest(v) for v in self.versions())
         ]
 
@@ -192,6 +196,81 @@ class VersionedTable:
             df=current,
         )
 
+    def merge(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        update_cols: list[str] | None = None,
+        delete_col: str | None = None,
+        insert: bool = True,
+        meta: dict | None = None,
+    ) -> int:
+        """Copy-on-write MERGE INTO (Delta/Iceberg semantics via
+        operators.diff.merge_upsert): one planning pass finds the files
+        that contain any source key (null-safe semi probe — bounded
+        collect, O(#files) like the manifest); only those files rewrite
+        through the merge, every other file carries over BY REFERENCE,
+        and not-matched inserts land in the rewrite set. With a
+        clustered key a small CDC batch rewrites O(batch) files out of
+        thousands — the update-path twin of ``delete_where``.
+
+        ``meta`` is recorded on the manifest (e.g. a streaming batch id
+        for exactly-once replay detection). Source keys must be unique
+        (merge_upsert's contract — pre-aggregate CDC feeds to
+        latest-per-key first).
+        """
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        from lakeshack_spark.operators.diff import merge_upsert
+
+        parent = self.latest_version()
+        m = self.manifest(parent)
+        current = self.read(parent)
+        keys = source.select(*key_cols).distinct()
+        cond = reduce(
+            lambda a, b: a & b,
+            [current[k].eqNullSafe(keys[k]) for k in key_cols],
+        )
+        hit_uris = {
+            r["__f"]
+            for r in current.withColumn("__f", F.input_file_name())
+            .join(keys, cond, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        }
+        hit_rel = {
+            os.path.relpath(_local(u), self.table_dir) for u in hit_uris
+        }
+        carried = [f for f in m["files"] if f not in hit_rel]
+        if hit_rel:
+            hit_rows = self.spark.read.schema(
+                _schema_from_manifest(m)
+            ).parquet(*[os.path.join(self.table_dir, f) for f in hit_rel])
+        else:
+            hit_rows = self.spark.createDataFrame(
+                [], _schema_from_manifest(m)
+            )
+        merged = merge_upsert(
+            hit_rows,
+            source,
+            key_cols,
+            update_cols=update_cols,
+            delete_col=delete_col,
+            insert=insert,
+        )
+        new_files = self._write_data(merged)
+        return self._commit(
+            parent + 1,
+            parent=parent,
+            op="merge",
+            files=carried + new_files,
+            df=current,
+            meta=meta,
+        )
+
     def expire(self, keep_last: int) -> int:
         """Vacuum: drop all but the newest ``keep_last`` manifests, then
         remove data files no surviving manifest references. Returns the
@@ -227,7 +306,13 @@ class VersionedTable:
         return rel
 
     def _commit(
-        self, version: int, parent: int, op: str, files: list[str], df: DataFrame
+        self,
+        version: int,
+        parent: int,
+        op: str,
+        files: list[str],
+        df: DataFrame,
+        meta: dict | None = None,
     ) -> int:
         manifest = {
             "version": version,
@@ -236,6 +321,7 @@ class VersionedTable:
             "files": files,
             "n_files": len(files),
             "schema": json.loads(df.schema.json()),
+            "meta": meta or {},
         }
         os.makedirs(self._manifest_dir, exist_ok=True)
         path = self._manifest_path(version)

@@ -127,3 +127,100 @@ def test_snapshot_pruned_query_selective_and_exact(spark):
     members = {f.split("/")[-1] for f in vt.manifest(1)["files"]}
     chosen = {c.split("/")[-1] for c in candidates} & members
     assert len(chosen) < len(members), (chosen, members)
+
+
+# ---------------------------------------------------------------------------
+# MERGE commits + streaming CDC apply
+# ---------------------------------------------------------------------------
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    from lakeshack_spark.operators.diff import merge_upsert
+
+    base = spark.range(800).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.create(base.repartitionByRange(8, "k").sortWithinPartitions("k"))
+    m1 = vt.manifest(1)
+    assert m1["n_files"] == 8
+    cdc = spark.createDataFrame(
+        [(5, 999, False), (6, 998, False), (7, 0, True), (2000, 42, False)],
+        "k long, v long, is_delete boolean",
+    )
+    assert vt.merge(cdc, ["k"], delete_col="is_delete") == 2
+    m2 = vt.manifest(2)
+    carried = set(m1["files"]) & set(m2["files"])
+    # keys 5/6/7 live in ONE of the 8 range files: 7 carry by reference
+    assert len(carried) == 7, (len(carried), m2["n_files"])
+    got = {(r.k, r.v) for r in vt.read(2).collect()}
+    want = {
+        (r.k, r.v)
+        for r in merge_upsert(base, cdc, ["k"], delete_col="is_delete").collect()
+    }
+    assert got == want
+    # v1 still intact (time travel across the merge)
+    assert vt.read(1).count() == 800
+    assert m2["op"] == "merge" and m2["meta"] == {}
+
+
+def test_stream_merge_versioned_exactly_once(spark, tmp_path_factory):
+    """Streaming CDC apply into a VersionedTable: three micro-batches →
+    three merge commits; the final snapshot equals the sequential batch
+    merges; a REPLAY stream (fresh checkpoint, same batch ids) finds its
+    batch_id markers in the manifests and commits nothing."""
+    import os as _os
+    import time as _time
+
+    from lakeshack_spark.streaming.ivm import stream_merge_versioned
+
+    table_dir = str(tmp_path_factory.mktemp("vmerge") / "t")
+    vt = VersionedTable(spark, table_dir)
+    vt.create(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "k long, v long"
+        ).coalesce(1)
+    )
+    schema = "k long, v long, is_delete boolean"
+    batches = [
+        [(1, 11, False), (4, 40, False)],   # update k1, insert k4
+        [(2, 0, True), (3, 33, False)],     # delete k2, update k3
+        [(5, 50, False), (4, 44, False)],   # insert k5, update k4
+    ]
+    landing = tmp_path_factory.mktemp("vmerge_landing")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(landing / f"slice{i}"))
+        t = _time.time() - 300 + i * 10
+        for root, _, files in _os.walk(str(landing / f"slice{i}")):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (t, t))
+
+    def start(ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{landing}/*")
+        )
+        return stream_merge_versioned(
+            stream,
+            table_dir,
+            ["k"],
+            delete_col="is_delete",
+            checkpoint_dir=str(tmp_path_factory.mktemp(ckpt)),
+        )
+
+    start("ck1").awaitTermination(300)
+    assert vt.versions() == [1, 2, 3, 4]
+    got = {(r.k, r.v) for r in vt.read().collect()}
+    assert got == {(1, 11), (3, 33), (4, 44), (5, 50)}
+    ids = [vt.manifest(v)["meta"].get("batch_id") for v in (2, 3, 4)]
+    assert ids == [0, 1, 2]
+    # replay: a fresh checkpoint re-delivers batch ids 0..2 over the same
+    # files — every one finds its marker and skips
+    start("ck2").awaitTermination(300)
+    assert vt.versions() == [1, 2, 3, 4]
+    assert {(r.k, r.v) for r in vt.read().collect()} == got
+    # every intermediate version stays time-travel readable
+    assert vt.read(2).count() == 4  # +k4, k1 updated
