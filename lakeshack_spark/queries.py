@@ -6345,6 +6345,101 @@ def versioned_merge_orders(spark, sf_dir):
     )
 
 
+_WAP_CACHE: dict[str, object] = {}
+
+
+def _wap_fixture(spark: SparkSession, sf_dir: str):
+    """WAP flow on a versioned orders table: stage a clean batch and a
+    poisoned batch (NULL keys, negative cents), audit both with the
+    one-scan expectation suite, abort the poisoned one, publish the
+    clean one. Returns the VersionedTable."""
+    from lakeshack_spark.operators.quality import check_expectations, expect
+    from lakeshack_spark.versioning import VersionedTable
+
+    key = sf_dir.rstrip("/")
+    cached = _WAP_CACHE.get(key)
+    if cached is not None and cached.spark is spark:
+        return cached
+    orders = load_table(spark, key, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    maxk = base.agg(F.max("k")).collect()[0][0]
+    vt = VersionedTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakeshack_wap_"), "t")
+    )
+    vt.create(base.repartitionByRange(4, "k").sortWithinPartitions("k"))
+    good = base.filter(F.col("k") % 10 == 2).select(
+        (F.col("k") + F.lit(maxk) + 1).alias("k"), "cents"
+    )
+    bad = base.filter(F.col("k") % 10 == 4).select(
+        F.when(F.col("k") % 20 == 4, F.lit(None).cast("long"))
+        .otherwise(F.col("k") + F.lit(2 * maxk) + 2)
+        .alias("k"),
+        (-F.col("cents")).alias("cents"),
+    )
+    vt.stage_append(good, "batch-good")
+    vt.stage_append(bad, "batch-bad")
+    suite = [expect.not_null("k"), expect.non_negative("cents")]
+    verdicts = {
+        wap: all(
+            r["passed"]
+            for r in check_expectations(vt.read_staged(wap), suite).collect()
+        )
+        for wap in ("batch-good", "batch-bad")
+    }
+    assert verdicts == {"batch-good": True, "batch-bad": False}, verdicts
+    vt.abort("batch-bad")
+    vt.publish("batch-good")
+    _WAP_CACHE[key] = vt
+    return vt
+
+
+@register(
+    "wap_publish_orders",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), g AS (
+      SELECT COUNT(*) AS n_good, SUM(cents) AS s_good
+      FROM b WHERE k % 10 = 2
+    )
+    SELECT CAST((SELECT COUNT(*) FROM b) + n_good AS BIGINT) AS n_final,
+           CAST((SELECT SUM(cents) FROM b) + s_good AS BIGINT)
+             AS sum_cents_final,
+           CAST(2 AS BIGINT) AS n_versions,
+           CAST(0 AS BIGINT) AS n_staged_left,
+           CAST(0 AS BIGINT) AS n_bad_rows
+    FROM g
+    """,
+)
+def wap_publish_orders(spark, sf_dir):
+    """Write-Audit-Publish (the Iceberg WAP pattern) on the versioned
+    table: two appends staged invisibly, audited by the one-scan
+    expectation suite (operators.quality) against the WOULD-BE table,
+    the poisoned batch (NULL keys / negative cents) ABORTED, the clean
+    one PUBLISHED by reference. The hash pins that the final table
+    contains exactly base + clean batch (row count + exact cents), that
+    no staged manifest leaks, that exactly two versions exist, and that
+    none of the poisoned rows ever became visible — the audit gate
+    actually gated. Publish is idempotent on its wap_id (crash between
+    commit and cleanup replays safely; pinned in tests)."""
+    vt = _wap_fixture(spark, sf_dir)
+    final = vt.read()
+    return final.agg(
+        F.count(F.lit(1)).cast("long").alias("n_final"),
+        F.sum("cents").cast("long").alias("sum_cents_final"),
+        F.lit(len(vt.versions())).cast("long").alias("n_versions"),
+        F.lit(len(vt.staged_ids())).cast("long").alias("n_staged_left"),
+        F.sum(
+            (F.col("k").isNull() | (F.col("cents") < 0)).cast("long")
+        ).alias("n_bad_rows"),
+    )
+
+
 _NULLNESS_SHACK_CACHE: dict[str, Lakeshack] = {}
 
 
@@ -7324,6 +7419,7 @@ _DRIVER_WINDOW = [
     "weighted_sample_docs",
     "version_diff_orders",
     "versioned_merge_orders",
+    "wap_publish_orders",
     "time_travel_pruned_lookup",
     # r5-era: text / packing / dedup tiers
     "vocab_encode_docs",

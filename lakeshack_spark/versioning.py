@@ -271,6 +271,114 @@ class VersionedTable:
             meta=meta,
         )
 
+    # --------------------------------------------- write-audit-publish
+
+    def _staged_path(self, wap_id: str) -> str:
+        if not wap_id or "/" in wap_id or wap_id.startswith("."):
+            raise ValueError(f"invalid wap_id {wap_id!r}")
+        return os.path.join(self._manifest_dir, f"staged-{wap_id}.json")
+
+    def staged_ids(self) -> list[str]:
+        if not os.path.isdir(self._manifest_dir):
+            return []
+        return sorted(
+            n[len("staged-"):-len(".json")]
+            for n in os.listdir(self._manifest_dir)
+            if n.startswith("staged-") and n.endswith(".json")
+        )
+
+    def stage_append(self, df: DataFrame, wap_id: str) -> None:
+        """Write-Audit-Publish, step 1 (the Iceberg WAP pattern): write
+        ``df``'s rows as immutable files and a ``staged-<wap_id>``
+        manifest that NO read path sees — ``read()``, ``versions()``,
+        time travel and concurrent writers are all oblivious until
+        ``publish``. The staged manifest is created O_EXCL, so a wap_id
+        names exactly one payload. Audit with
+        :meth:`read_staged` (+ e.g. ``operators.quality
+        .check_expectations``), then :meth:`publish` or :meth:`abort`.
+        """
+        if not self.versions():
+            raise FileExistsError(
+                f"{self.table_dir} has no initial snapshot; create() first"
+            )
+        files = self._write_data(df)
+        manifest = {
+            "wap_id": wap_id,
+            "op": "append",
+            "files": files,
+            "schema": json.loads(df.schema.json()),
+        }
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        try:
+            fd = os.open(
+                self._staged_path(wap_id), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            for f in files:
+                d = os.path.dirname(os.path.join(self.table_dir, f))
+                shutil.rmtree(d, ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"wap_id {wap_id!r} already staged on {self.table_dir}"
+            ) from None
+        with os.fdopen(fd, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+
+    def read_staged(self, wap_id: str) -> DataFrame:
+        """What the table WOULD be if ``wap_id`` published now: the
+        latest snapshot plus the staged rows — the audit surface."""
+        with open(self._staged_path(wap_id)) as fh:
+            staged = json.load(fh)
+        m = self.manifest(self.latest_version())
+        paths = [
+            os.path.join(self.table_dir, f)
+            for f in m["files"] + staged["files"]
+        ]
+        return self.spark.read.schema(_schema_from_manifest(m)).parquet(*paths)
+
+    def publish(self, wap_id: str) -> int:
+        """WAP step 3a: fold the staged files into a new version (append
+        by reference — the staged data never rewrites) with the wap_id
+        recorded in the manifest meta. IDEMPOTENT: replaying a publish
+        whose commit already landed (crash between commit and staged-
+        manifest cleanup) finds the wap_id marker, finishes the cleanup
+        and returns the existing version."""
+        for v in self.versions():
+            m = self.manifest(v)
+            if m.get("meta", {}).get("wap_id") == wap_id:
+                staged_path = self._staged_path(wap_id)
+                if os.path.exists(staged_path):
+                    os.remove(staged_path)
+                return v
+        with open(self._staged_path(wap_id)) as fh:
+            staged = json.load(fh)
+        from pyspark.sql import types as T
+
+        schema_df = self.spark.createDataFrame(
+            [], T.StructType.fromJson(staged["schema"])
+        )
+        parent = self.latest_version()
+        version = self._commit(
+            parent + 1,
+            parent=parent,
+            op="append",
+            files=self.manifest(parent)["files"] + staged["files"],
+            df=schema_df,
+            meta={"wap_id": wap_id},
+        )
+        os.remove(self._staged_path(wap_id))
+        return version
+
+    def abort(self, wap_id: str) -> None:
+        """WAP step 3b: drop the staged manifest and the data files only
+        it references (they live in their own commit dirs, so no
+        published version can be touched)."""
+        with open(self._staged_path(wap_id)) as fh:
+            staged = json.load(fh)
+        os.remove(self._staged_path(wap_id))
+        for f in staged["files"]:
+            d = os.path.dirname(os.path.join(self.table_dir, f))
+            shutil.rmtree(d, ignore_errors=True)
+
     def expire(self, keep_last: int) -> int:
         """Vacuum: drop all but the newest ``keep_last`` manifests, then
         remove data files no surviving manifest references. Returns the

@@ -224,3 +224,49 @@ def test_stream_merge_versioned_exactly_once(spark, tmp_path_factory):
     assert {(r.k, r.v) for r in vt.read().collect()} == got
     # every intermediate version stays time-travel readable
     assert vt.read(2).count() == 4  # +k4, k1 updated
+
+
+def test_wap_stage_audit_publish_abort(spark, tmp_path):
+    """Write-Audit-Publish: staged appends are invisible to every read
+    path until published; abort removes the staged payload; publish is
+    idempotent on its wap_id (the crash-between-commit-and-cleanup
+    replay)."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    with pytest.raises(FileExistsError):
+        vt.stage_append(
+            spark.createDataFrame([(1, 1)], "k long, v long"), "w0"
+        )
+    vt.create(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"))
+    vt.stage_append(
+        spark.createDataFrame([(3, 30), (4, 40)], "k long, v long"), "w1"
+    )
+    vt.stage_append(
+        spark.createDataFrame([(9, -1)], "k long, v long"), "w2"
+    )
+    # invisible until published
+    assert vt.versions() == [1] and vt.read().count() == 2
+    assert vt.staged_ids() == ["w1", "w2"]
+    # the audit surface is the would-be table
+    assert vt.read_staged("w1").count() == 4
+    # duplicate wap_id rejected, its orphan data cleaned
+    from lakeshack_spark.versioning import ConcurrentCommitError
+
+    n_dirs = len(os.listdir(str(tmp_path / "t" / "data")))
+    with pytest.raises(ConcurrentCommitError):
+        vt.stage_append(
+            spark.createDataFrame([(5, 50)], "k long, v long"), "w1"
+        )
+    assert len(os.listdir(str(tmp_path / "t" / "data"))) == n_dirs
+    # abort drops the staged manifest AND its data dirs
+    vt.abort("w2")
+    assert vt.staged_ids() == ["w1"]
+    assert len(os.listdir(str(tmp_path / "t" / "data"))) == n_dirs - 1
+    v = vt.publish("w1")
+    assert v == 2 and vt.read().count() == 4
+    assert vt.manifest(2)["meta"] == {"wap_id": "w1"}
+    assert vt.staged_ids() == []
+    # replayed publish: finds the marker, returns the same version
+    assert vt.publish("w1") == 2
+    assert vt.versions() == [1, 2]
+    # staged data published BY REFERENCE: v2 carries v1's file + staged
+    assert set(vt.manifest(1)["files"]) < set(vt.manifest(2)["files"])
