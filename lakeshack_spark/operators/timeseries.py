@@ -68,6 +68,77 @@ def gap_fill(
     )
 
 
+def interpolate_fill(
+    observations: DataFrame,
+    key_col: str,
+    step_col: str,
+    value_col: str,
+    start: int,
+    end: int,
+) -> DataFrame:
+    """Dense per-key grid over ``[start, end]`` with LINEAR interpolation
+    between the surrounding observations — :func:`gap_fill`'s
+    step-function sibling for quantities that trend between samples
+    (sensor readings, balances, rates).
+
+    For a gap step ``t`` between observations ``(t0, v0)`` and
+    ``(t1, v1)``: ``value = (v0·(t1−t) + v1·(t−t0)) / (t1−t0)`` —
+    integer inputs make the numerator/denominator exact int64 and the
+    single division a correctly-rounded IEEE op, so the interpolated
+    doubles are bit-reproducible cross-engine (the repo's one-division
+    recipe). Leading/trailing gaps (no observation on one side) stay
+    NULL — linear interpolation with one anchor would be extrapolation.
+    Observation rows return their value exactly via a direct cast, not
+    the division. Same range-exclusion and uniqueness contract as
+    :func:`gap_fill`; one spine join + two windows, no driver round
+    trip.
+    """
+    if start > end:
+        raise ValueError(f"interpolate_fill: start ({start}) > end ({end})")
+    keys = observations.select(F.col(key_col).alias("__k")).distinct()
+    spine = keys.select(
+        "__k",
+        F.explode(F.sequence(F.lit(start), F.lit(end))).alias("__t"),
+    )
+    obs = observations.select(
+        F.col(key_col).alias("__k"),
+        F.col(step_col).alias("__t"),
+        F.col(value_col).alias("__v"),
+    ).filter((F.col("__t") >= start) & (F.col("__t") <= end))
+    joined = spine.join(obs, ["__k", "__t"], "left")
+    w_prev = (
+        Window.partitionBy("__k")
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("__k")
+        .orderBy("__t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    has = F.col("__v").isNotNull()
+    t = F.col("__t").cast("long")
+    t0 = F.last(F.when(has, t), ignorenulls=True).over(w_prev)
+    v0 = F.last("__v", ignorenulls=True).over(w_prev).cast("long")
+    t1 = F.first(F.when(has, t), ignorenulls=True).over(w_next)
+    v1 = F.first("__v", ignorenulls=True).over(w_next).cast("long")
+    interp = (
+        (v0 * (t1 - t) + v1 * (t - t0)).cast("double")
+        / (t1 - t0).cast("double")
+    )
+    value = (
+        F.when(has, F.col("__v").cast("double"))
+        .when(t0.isNotNull() & t1.isNotNull(), interp)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return joined.select(
+        F.col("__k").alias(key_col),
+        F.col("__t").alias(step_col),
+        value.alias("value"),
+        (~has).alias("is_gap"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Continuous aggregates: materialized bucket rollups that merge upward
 # ---------------------------------------------------------------------

@@ -2772,6 +2772,77 @@ def gap_fill_daily_spend(spark, sf_dir):
 
 
 @register(
+    "interpolate_daily_spend",
+    """
+    WITH obs AS (
+      SELECT o_custkey AS k, epoch_us(o_orderdate) // 86400000000 AS t,
+             CAST(SUM(CAST(ROUND(o_totalprice * 1e2) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM orders
+      WHERE o_custkey < 30
+      GROUP BY o_custkey, epoch_us(o_orderdate) // 86400000000
+    ), spine AS (
+      SELECT k, unnest(range(9500, 9561)) AS t
+      FROM (SELECT DISTINCT k FROM obs)
+    ), g AS (
+      SELECT s.k, s.t, o.v
+      FROM spine s LEFT JOIN (SELECT * FROM obs WHERE t BETWEEN 9500 AND 9560) o
+        ON s.k = o.k AND s.t = o.t
+    ), anchored AS (
+      SELECT k, t, v,
+        last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+          PARTITION BY k ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t0,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY k ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+        first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER (
+          PARTITION BY k ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS t1,
+        first_value(v IGNORE NULLS) OVER (
+          PARTITION BY k ORDER BY t
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1
+      FROM g
+    )
+    SELECT k AS o_custkey, CAST(t AS BIGINT) AS day,
+           CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                WHEN t0 IS NOT NULL AND t1 IS NOT NULL THEN
+                  CAST(v0 * (t1 - t) + v1 * (t - t0) AS DOUBLE)
+                  / CAST(t1 - t0 AS DOUBLE)
+           END AS value,
+           (v IS NULL) AS is_gap
+    FROM anchored
+    """,
+)
+def interpolate_daily_spend(spark, sf_dir):
+    """Linear-interpolation resample (operators.timeseries
+    .interpolate_fill) — gap_fill's step-function sibling for trending
+    quantities: per-customer daily spend on the same 61-day spine, gap
+    steps valued ``(v0·(t1−t)+v1·(t−t0))/(t1−t0)`` between their
+    surrounding observations. Integer cents/days make the numerators
+    exact int64 and the single division a correctly-rounded IEEE op, so
+    even the interpolated DOUBLES hash-match the oracle bit-for-bit;
+    leading/trailing gaps stay NULL (one anchor would be
+    extrapolation), observation rows return exactly. One spine join +
+    two windows."""
+    from lakeshack_spark.operators.timeseries import interpolate_fill
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 30)
+    obs = (
+        o.select(
+            "o_custkey",
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+            ).alias("day"),
+            F.expr("CAST(ROUND(o_totalprice * 1e2) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("o_custkey", "day")
+        .agg(F.sum("cents").alias("daily_cents"))
+    )
+    return interpolate_fill(obs, "o_custkey", "day", "daily_cents", 9500, 9560)
+
+
+@register(
     "fuzzy_join_part_names",
     """
     WITH l AS (
@@ -7381,6 +7452,7 @@ _DRIVER_WINDOW = [
     # r5-era: relational long tail
     "fuzzy_join_part_names",
     "gap_fill_daily_spend",
+    "interpolate_daily_spend",
     "table_diff_orders",
     "scd2_merge_customer_segments",
     "null_semantics_suite",

@@ -2540,3 +2540,41 @@ class TestMMRRerank:
         assert len(out) == 2
         with _pytest.raises(ValueError):
             similarity.mmr_rerank(docs, q, lam_num=10, lam_den=10)
+
+
+def test_interpolate_fill_semantics(spark):
+    """Linear interpolation: gap values exactly on the line between
+    anchors; observation rows exact; leading/trailing gaps NULL."""
+    from pyspark.sql import Row
+
+    from lakeshack_spark.operators.timeseries import interpolate_fill
+
+    obs = spark.createDataFrame(
+        [
+            Row(k="a", t=11, v=10),
+            Row(k="a", t=14, v=40),   # gap 12,13 -> 20, 30
+            Row(k="a", t=16, v=41),   # gap 15 -> 40.5 (exact half)
+            Row(k="b", t=12, v=7),    # t=10,11 leading; 13.. trailing
+            Row(k="c", t=99, v=1),    # outside window: key vanishes? no:
+        ],                             # keys come from observations —
+        # c's only obs is out of range, so its spine rows are all NULL
+    )
+    out = {
+        (r.k, r.t): (r.value, r.is_gap)
+        for r in interpolate_fill(obs, "k", "t", "v", 10, 16).collect()
+    }
+    assert out[("a", 11)] == (10.0, False)
+    assert out[("a", 12)] == (20.0, True)
+    assert out[("a", 13)] == (30.0, True)
+    assert out[("a", 14)] == (40.0, False)
+    assert out[("a", 15)] == (40.5, True)   # exact half, bit-stable
+    assert out[("a", 16)] == (41.0, False)
+    assert out[("a", 10)] == (None, True)   # leading: no left anchor
+    assert out[("b", 12)] == (7.0, False)
+    assert out[("b", 10)] == (None, True) and out[("b", 15)] == (None, True)
+    # out-of-range observation feeds neither grid values nor anchors
+    assert all(out[("c", t)] == (None, True) for t in range(10, 17))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="start"):
+        interpolate_fill(obs, "k", "t", "v", 5, 4)
