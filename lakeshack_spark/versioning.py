@@ -271,6 +271,41 @@ class VersionedTable:
             meta=meta,
         )
 
+    def compact(self, small_bytes: int = 32 * 1024 * 1024) -> int:
+        """Small-file maintenance commit: fold every data file under
+        ``small_bytes`` into right-sized replacements, carrying larger
+        files BY REFERENCE — the OPTIMIZE/bin-pack half of the
+        Delta/Iceberg maintenance pair (z-ordering lives in
+        operators.zorder for plain lakes). Streaming merge commits and
+        per-batch appends accrete small files; without folding, every
+        read's task count grows with commit HISTORY instead of data
+        size. Older versions keep reading the original files until
+        ``expire`` reclaims them — compaction is just another snapshot.
+        Returns the new version (or the current one when fewer than two
+        small files exist — a no-op must not burn a version)."""
+        parent = self.latest_version()
+        m = self.manifest(parent)
+        sizes = {
+            f: os.path.getsize(os.path.join(self.table_dir, f))
+            for f in m["files"]
+        }
+        small = [f for f in m["files"] if sizes[f] < small_bytes]
+        if len(small) <= 1:
+            return parent
+        carried = [f for f in m["files"] if f not in set(small)]
+        rows = self.spark.read.schema(_schema_from_manifest(m)).parquet(
+            *[os.path.join(self.table_dir, f) for f in small]
+        )
+        n_out = max(1, sum(sizes[f] for f in small) // small_bytes + 1)
+        new_files = self._write_data(rows.coalesce(n_out))
+        return self._commit(
+            parent + 1,
+            parent=parent,
+            op="compact",
+            files=carried + new_files,
+            df=rows,
+        )
+
     # --------------------------------------------- write-audit-publish
 
     def _staged_path(self, wap_id: str) -> str:

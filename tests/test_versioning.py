@@ -270,3 +270,33 @@ def test_wap_stage_audit_publish_abort(spark, tmp_path):
     assert vt.versions() == [1, 2]
     # staged data published BY REFERENCE: v2 carries v1's file + staged
     assert set(vt.manifest(1)["files"]) < set(vt.manifest(2)["files"])
+
+
+def test_compact_folds_small_files_and_preserves_history(spark, tmp_path):
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.create(
+        spark.createDataFrame([(i, i * 2) for i in range(10)], "k long, v long")
+        .coalesce(1)
+    )
+    for b in range(4):  # per-batch appends accrete small files
+        vt.append(
+            spark.createDataFrame(
+                [(100 + b * 10 + i, i) for i in range(5)], "k long, v long"
+            ).coalesce(1)
+        )
+    n_before = vt.manifest(vt.latest_version())["n_files"]
+    assert n_before == 5
+    before = {(r.k, r.v) for r in vt.read().collect()}
+    v = vt.compact()
+    assert v == 6
+    m = vt.manifest(v)
+    assert m["op"] == "compact" and m["n_files"] == 1
+    assert {(r.k, r.v) for r in vt.read().collect()} == before
+    # history intact: every pre-compaction version still reads
+    assert [vt.read(i).count() for i in range(1, 6)] == [10, 15, 20, 25, 30]
+    # a second compact is a no-op that does NOT burn a version
+    assert vt.compact() == v and vt.versions()[-1] == v
+    # vacuum after compaction reclaims exactly the folded originals
+    removed = vt.expire(keep_last=1)
+    assert removed == 5
+    assert {(r.k, r.v) for r in vt.read().collect()} == before
