@@ -7439,10 +7439,10 @@ _DRIVER_WINDOW = [
     "topk_orders",
     # r5-era: ANN quantization tier
     "pq_codes_embeddings",
-    "pq_adc_topk_embeddings",
+    "minhash_drop_set_docs",
     "srp_near_dup_planted",
     "ivfpq_codes_embeddings",
-    "kmeans_update_quantized",
+    "vocab_encode_docs",
     "semdedup_embeddings",
     "mmr_rerank_embeddings",
     "ivf_assign_cells",
@@ -7451,8 +7451,8 @@ _DRIVER_WINDOW = [
     "heavy_hitter_terms",
     # r5-era: relational long tail
     "fuzzy_join_part_names",
-    "gap_fill_daily_spend",
     "interpolate_daily_spend",
+    "versioned_merge_orders",
     "table_diff_orders",
     "scd2_merge_customer_segments",
     "null_semantics_suite",
@@ -7475,7 +7475,7 @@ _DRIVER_WINDOW = [
     "hashed_linear_quality_docs",
     "entity_resolution_parts",
     "ktruss_cosuppliers",
-    "drift_chi2_docs",
+    "wap_publish_orders",
     "synth_source_docs",
     "ks_price_by_status",
     "corr_lineitem_qty_tax",
@@ -7484,19 +7484,14 @@ _DRIVER_WINDOW = [
     "hll_index_distinct_orders",
     "kll_index_quantiles_orders",
     "theta_index_overlap_orders",
-    "jsonl_roundtrip_docs",
     "orc_roundtrip_lineitem",
+    "pack_token_windows_docs",
     "schema_evolution_orders",
     "rollup_cascade_events",
     "weighted_sample_docs",
     "version_diff_orders",
-    "versioned_merge_orders",
-    "wap_publish_orders",
     "time_travel_pruned_lookup",
     # r5-era: text / packing / dedup tiers
-    "vocab_encode_docs",
-    "pack_token_windows_docs",
-    "minhash_drop_set_docs",
     "incremental_dedup_new_docs",
     "benchmark_decontamination",
     "repeated_passages_docs",
