@@ -71,11 +71,17 @@ def _orders_shack(spark: SparkSession, sf_dir: str) -> Lakeshack:
     if shack is not None and shack.spark is not spark:
         shack = None  # caller runs a different session; rebind (store is reused)
     if shack is None:
+        # The cache path carries the STATS-SCHEMA FORMAT TAG: the store
+        # layout gained per-column null counts this round, and an older
+        # code snapshot (the bench replay harness runs one) strictly
+        # validates on reconnect — sharing one dir across code
+        # generations made the r5 replay reject the r6-format store.
+        # Each format owns its own dir; stale dirs are just rebuilt.
         store = os.path.join(
             tempfile.gettempdir(),
             "lakeshack_stats_cache",
             key.strip("/").replace("/", "_"),
-            "orders",
+            "orders-nullstats",
         )
         shack = Lakeshack(
             spark,
