@@ -6422,6 +6422,82 @@ def versioned_merge_orders(spark, sf_dir):
     )
 
 
+_MOR_CACHE: dict[str, object] = {}
+
+
+def _mor_fixture(spark: SparkSession, sf_dir: str):
+    """Versioned orders (k, cents) in 8 files; v2 = MERGE-ON-READ delete
+    of k%10==7 — a KB deletion vector, zero data files rewritten."""
+    from lakeshack_spark.versioning import VersionedTable
+
+    key = sf_dir.rstrip("/")
+    cached = _MOR_CACHE.get(key)
+    if cached is not None and cached.spark is spark:
+        return cached
+    orders = load_table(spark, key, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    vt = VersionedTable(
+        spark, os.path.join(tempfile.mkdtemp(prefix="lakeshack_mor_"), "t")
+    )
+    vt.create(base.repartitionByRange(8, "k").sortWithinPartitions("k"))
+    vt.delete_where_mor("k % 10 = 7")
+    _MOR_CACHE[key] = vt
+    return vt
+
+
+@register(
+    "mor_delete_orders",
+    """
+    WITH b AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_v1,
+           CAST(SUM(CASE WHEN k % 10 <> 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v2,
+           CAST(SUM(CASE WHEN k % 10 <> 7 THEN cents ELSE 0 END) AS BIGINT)
+             AS sum_cents_v2,
+           CAST(0 AS BIGINT) AS n_deleted_remaining,
+           TRUE AS zero_rewrite
+    FROM b
+    """,
+)
+def mor_delete_orders(spark, sf_dir):
+    """MERGE-ON-READ delete via deletion vectors
+    (VersionedTable.delete_where_mor): the delete commits a KB-sized
+    (file, row position) sidecar instead of rewriting any data file —
+    reads subtract it with one broadcast anti-join against
+    _metadata.row_index. The hash pins v2's exact row count and cents
+    total, that no tombstoned key survives, that v1 still reads intact,
+    AND the zero-rewrite witness: v2's data file list is byte-identical
+    to v1's. The other half of the delete trade-off next to the CoW
+    delete_where (write O(matches) now, pay an anti-join per read until
+    apply_dvs materializes); at 100 TB this is the wide-table/small-
+    delete/GDPR-stream shape where CoW rewrite amplification dominates."""
+    vt = _mor_fixture(spark, sf_dir)
+    same_files = vt.manifest(2)["files"] == vt.manifest(1)["files"]
+    v1, v2 = vt.read(1), vt.read(2)
+    a = v1.agg(F.count(F.lit(1)).cast("long").alias("n_v1"))
+    b = v2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_v2"),
+        F.sum("cents").cast("long").alias("sum_cents_v2"),
+        F.sum(F.when(F.col("k") % 10 == 7, 1).otherwise(0))
+        .cast("long")
+        .alias("n_deleted_remaining"),
+    )
+    return a.crossJoin(b).select(
+        "n_v1",
+        "n_v2",
+        "sum_cents_v2",
+        "n_deleted_remaining",
+        F.lit(bool(same_files)).alias("zero_rewrite"),
+    )
+
+
 _WAP_CACHE: dict[str, object] = {}
 
 

@@ -121,17 +121,71 @@ class VersionedTable:
 
     def read(self, version: int | None = None) -> DataFrame:
         """The table AS OF ``version`` (default: latest). Plans exactly
-        the manifest's file list — no directory listing."""
+        the manifest's file list — no directory listing. Snapshots with
+        DELETION VECTORS (merge-on-read deletes) subtract the tombstoned
+        (file, row position) pairs with one anti-join against the
+        KB-sized DV sidecar; DV-free snapshots read the bare scan."""
         m = self.manifest(self.latest_version() if version is None else version)
+        return self._read_manifest_like(m)
+
+    def _read_manifest_like(self, m: dict) -> DataFrame:
         paths = [os.path.join(self.table_dir, f) for f in m["files"]]
         if not paths:
             from pyspark.sql import types as T
 
             schema = T.StructType.fromJson(m["schema"])
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(
-            _schema_from_manifest(m)
-        ).parquet(*paths)
+        if not m.get("dvs"):
+            return self.spark.read.schema(
+                _schema_from_manifest(m)
+            ).parquet(*paths)
+        schema = _schema_from_manifest(m)
+        return self._scan_with_pos(m).select(*[f.name for f in schema.fields])
+
+    def _scan_with_pos(self, m: dict) -> DataFrame:
+        """DV-aware scan of a manifest's files carrying the physical row
+        identity (``__dv_file`` = table-relative path, ``__dv_pos`` =
+        parquet row index via ``_metadata.row_index``, SPARK-37980).
+        Rows already tombstoned by the manifest's deletion vectors are
+        subtracted with one broadcast anti-join — the DV writer and the
+        reader derive the file key with the SAME expression
+        (:meth:`_rel_file_col`), so the keys match exactly."""
+        from pyspark.sql import functions as F
+
+        paths = [os.path.join(self.table_dir, f) for f in m["files"]]
+        df = self.spark.read.schema(_schema_from_manifest(m)).parquet(*paths)
+        keyed = df.select(
+            "*",
+            self._rel_file_col().alias("__dv_file"),
+            F.col("_metadata.row_index").alias("__dv_pos"),
+        )
+        dvs = m.get("dvs", [])
+        if dvs:
+            dv = self.spark.read.parquet(
+                *[os.path.join(self.table_dir, d) for d in dvs]
+            )
+            keyed = keyed.join(
+                F.broadcast(
+                    dv.withColumnRenamed("file", "__dv_file")
+                    .withColumnRenamed("pos", "__dv_pos")
+                ),
+                ["__dv_file", "__dv_pos"],
+                "left_anti",
+            )
+        return keyed
+
+    def _rel_file_col(self):
+        """Table-relative path of the file a row came from, derived from
+        the reader's ``_metadata.file_path`` — the one shared spelling
+        the DV writer and the DV-aware reader both use."""
+        from pyspark.sql import functions as F
+
+        abs_col = F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/*", "/"
+        )
+        return F.substring(
+            abs_col, len(self.table_dir.rstrip("/")) + 2, 1_000_000
+        )
 
     # ------------------------------------------------------------ commits
 
@@ -150,7 +204,12 @@ class VersionedTable:
         m = self.manifest(parent)
         files = m["files"] + self._write_data(df)
         return self._commit(
-            parent + 1, parent=parent, op="append", files=files, df=df
+            parent + 1,
+            parent=parent,
+            op="append",
+            files=files,
+            df=df,
+            dvs=m.get("dvs", []),
         )
 
     def delete_where(self, condition) -> int:
@@ -163,6 +222,11 @@ class VersionedTable:
         if isinstance(condition, str):
             condition = F.expr(condition)
         parent = self.latest_version()
+        if self.manifest(parent).get("dvs"):
+            # a DV-bearing snapshot must materialize first: the survivor
+            # rewrite below reads raw files and would resurrect
+            # tombstoned rows
+            parent = self.apply_dvs()
         m = self.manifest(parent)
         current = self.read(parent)
         # One distributed planning pass: which files hold matches?
@@ -226,6 +290,8 @@ class VersionedTable:
         from lakeshack_spark.operators.diff import merge_upsert
 
         parent = self.latest_version()
+        if self.manifest(parent).get("dvs"):
+            parent = self.apply_dvs()  # hit files are read raw below
         m = self.manifest(parent)
         current = self.read(parent)
         keys = source.select(*key_cols).distinct()
@@ -271,6 +337,85 @@ class VersionedTable:
             meta=meta,
         )
 
+    def delete_where_mor(self, condition) -> int:
+        """MERGE-ON-READ delete (Delta/Iceberg deletion vectors): instead
+        of rewriting the files that contain matches (``delete_where``'s
+        copy-on-write), commit a KB-sized DELETION VECTOR — the (file,
+        row position) pairs of the matching rows — and leave every data
+        file untouched. Reads subtract the DV with one broadcast
+        anti-join. The write costs O(matches) instead of O(rewritten
+        bytes): the right half of the delete trade-off for wide tables /
+        small deletes / frequent deletes, with ``apply_dvs`` as the
+        deferred CoW catch-up. Deletes stack (a second MoR delete
+        appends its DV; already-tombstoned rows never re-match because
+        the planning scan is DV-aware)."""
+        from pyspark.sql import functions as F
+
+        if isinstance(condition, str):
+            condition = F.expr(condition)
+        parent = self.latest_version()
+        m = self.manifest(parent)
+        dv_rows = (
+            self._scan_with_pos(m)
+            .filter(condition)
+            .select(F.col("__dv_file").alias("file"), F.col("__dv_pos").alias("pos"))
+        )
+        new_dvs = self._write_dv(dv_rows)
+        return self._commit(
+            parent + 1,
+            parent=parent,
+            op="delete_mor",
+            files=m["files"],
+            df=self.spark.createDataFrame([], _schema_from_manifest(m)),
+            dvs=m.get("dvs", []) + new_dvs,
+        )
+
+    def apply_dvs(self) -> int:
+        """Materialize the current snapshot's deletion vectors (Delta's
+        REORG PURGE): rewrite ONLY the files the DVs actually tombstone
+        rows in, carry every clean file by reference, and commit a
+        DV-free snapshot. Returns the current version unchanged when no
+        DVs exist."""
+        from pyspark.sql import functions as F
+
+        parent = self.latest_version()
+        m = self.manifest(parent)
+        dvs = m.get("dvs", [])
+        if not dvs:
+            return parent
+        dv = self.spark.read.parquet(
+            *[os.path.join(self.table_dir, d) for d in dvs]
+        )
+        affected = {r["file"] for r in dv.select("file").distinct().collect()}
+        affected &= set(m["files"])
+        carried = [f for f in m["files"] if f not in affected]
+        new_files: list[str] = []
+        if affected:
+            sub = dict(m)
+            sub["files"] = sorted(affected)
+            survivors = self._read_manifest_like(sub)
+            new_files = self._write_data(survivors)
+        return self._commit(
+            parent + 1,
+            parent=parent,
+            op="purge",
+            files=carried + new_files,
+            df=self.spark.createDataFrame([], _schema_from_manifest(m)),
+            dvs=[],
+        )
+
+    def _write_dv(self, df: DataFrame) -> list[str]:
+        """Write deletion-vector rows as immutable files under a fresh
+        ``data/dv-*`` dir; return their table-relative paths."""
+        dv_dir = f"dv-{uuid.uuid4().hex[:12]}"
+        out = os.path.join(self._data_dir, dv_dir)
+        df.coalesce(1).write.mode("error").parquet(out)
+        return [
+            os.path.join("data", dv_dir, n)
+            for n in sorted(os.listdir(out))
+            if n.endswith(".parquet")
+        ]
+
     def compact(self, small_bytes: int = 32 * 1024 * 1024) -> int:
         """Small-file maintenance commit: fold every data file under
         ``small_bytes`` into right-sized replacements, carrying larger
@@ -284,6 +429,8 @@ class VersionedTable:
         Returns the new version (or the current one when fewer than two
         small files exist — a no-op must not burn a version)."""
         parent = self.latest_version()
+        if self.manifest(parent).get("dvs"):
+            parent = self.apply_dvs()  # small files are read raw below
         m = self.manifest(parent)
         sizes = {
             f: os.path.getsize(os.path.join(self.table_dir, f))
@@ -399,6 +546,7 @@ class VersionedTable:
             files=self.manifest(parent)["files"] + staged["files"],
             df=schema_df,
             meta={"wap_id": wap_id},
+            dvs=self.manifest(parent).get("dvs", []),
         )
         os.remove(self._staged_path(wap_id))
         return version
@@ -422,10 +570,13 @@ class VersionedTable:
         drop, keep = vs[:-keep_last], vs[-keep_last:]
         live: set[str] = set()
         for v in keep:
-            live.update(self.manifest(v)["files"])
+            mk = self.manifest(v)
+            live.update(mk["files"])
+            live.update(mk.get("dvs", []))
         removed = 0
         for v in drop:
-            for f in self.manifest(v)["files"]:
+            md = self.manifest(v)
+            for f in md["files"] + md.get("dvs", []):
                 if f not in live:
                     path = os.path.join(self.table_dir, f)
                     if os.path.exists(path):
@@ -456,6 +607,7 @@ class VersionedTable:
         files: list[str],
         df: DataFrame,
         meta: dict | None = None,
+        dvs: list[str] | None = None,
     ) -> int:
         manifest = {
             "version": version,
@@ -465,6 +617,7 @@ class VersionedTable:
             "n_files": len(files),
             "schema": json.loads(df.schema.json()),
             "meta": meta or {},
+            "dvs": dvs or [],
         }
         os.makedirs(self._manifest_dir, exist_ok=True)
         path = self._manifest_path(version)

@@ -300,3 +300,64 @@ def test_compact_folds_small_files_and_preserves_history(spark, tmp_path):
     removed = vt.expire(keep_last=1)
     assert removed == 5
     assert {(r.k, r.v) for r in vt.read().collect()} == before
+
+
+def test_mor_delete_deletion_vectors(spark, tmp_path):
+    """Merge-on-read delete: a KB deletion vector, zero files rewritten;
+    deletes stack; purge (apply_dvs) rewrites only tombstone-bearing
+    files; CoW ops on a DV snapshot auto-materialize first; vacuum
+    reclaims DV files."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.create(
+        spark.range(100)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "k")
+    )
+    v2 = vt.delete_where_mor("k % 10 = 3")
+    m2 = vt.manifest(v2)
+    assert m2["op"] == "delete_mor" and len(m2["dvs"]) == 1
+    assert m2["files"] == vt.manifest(1)["files"]  # ZERO rewrite
+    assert vt.read(v2).count() == 90 and vt.read(1).count() == 100
+    # stacking: second MoR delete appends its DV, tombstoned rows never
+    # re-match (the planning scan is DV-aware)
+    v3 = vt.delete_where_mor("k % 10 = 4 or k % 10 = 3")
+    m3 = vt.manifest(v3)
+    assert len(m3["dvs"]) == 2 and m3["files"] == m2["files"]
+    assert vt.read(v3).count() == 80
+    dv2 = spark.read.parquet(str(tmp_path / "t" / m3["dvs"][1]))
+    assert dv2.count() == 10  # only the NEW tombstones, not re-deletes
+    # append on a DV snapshot carries the DVs (old files untouched)
+    v4 = vt.append(spark.createDataFrame([(200, 1)], "k long, v long"))
+    assert vt.manifest(v4)["dvs"] == m3["dvs"]
+    assert vt.read(v4).count() == 81
+    # purge: rewrite ONLY tombstone-bearing files; clean files carry
+    v5 = vt.apply_dvs()
+    m5 = vt.manifest(v5)
+    assert m5["op"] == "purge" and m5["dvs"] == []
+    dv_all = spark.read.parquet(
+        *[str(tmp_path / "t" / d) for d in m3["dvs"]]
+    )
+    affected = {r["file"] for r in dv_all.select("file").distinct().collect()}
+    carried = set(vt.manifest(v4)["files"]) - affected
+    assert carried <= set(m5["files"])  # clean files carry by reference
+    assert not (affected & set(m5["files"]))  # tombstoned ones rewrote
+    got = sorted(r.k for r in vt.read(v5).collect())
+    assert len(got) == 81 and all(
+        k % 10 not in (3, 4) for k in got if k < 200
+    )
+    # apply_dvs on a clean snapshot is a no-op version-wise
+    assert vt.apply_dvs() == v5
+    # CoW delete on a DV snapshot materializes first (no resurrection)
+    vt.delete_where_mor("k = 0")
+    vt.delete_where("k >= 150")
+    assert sorted(r.k for r in vt.read().collect()) == [
+        k for k in range(1, 100) if k % 10 not in (3, 4)
+    ]
+    # vacuum reclaims DV files of expired versions
+    import glob as _glob
+
+    n_dv_files = len(_glob.glob(str(tmp_path / "t" / "data" / "dv-*" / "*.parquet")))
+    assert n_dv_files >= 3
+    vt.expire(keep_last=1)
+    left = _glob.glob(str(tmp_path / "t" / "data" / "dv-*" / "*.parquet"))
+    assert left == [], left
