@@ -7558,6 +7558,7 @@ _DRIVER_WINDOW = [
     "entity_resolution_parts",
     "ktruss_cosuppliers",
     "wap_publish_orders",
+    "mor_delete_orders",
     "synth_source_docs",
     "ks_price_by_status",
     "corr_lineitem_qty_tax",
