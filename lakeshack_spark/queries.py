@@ -6498,6 +6498,54 @@ def mor_delete_orders(spark, sf_dir):
     )
 
 
+@register(
+    "manifest_counts_orders",
+    """
+    WITH b AS (SELECT o_orderkey AS k FROM orders),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN k % 10 = 7 THEN 1 ELSE 0 END) AS n_del,
+             SUM(CASE WHEN k % 10 = 5 THEN 1 ELSE 0 END) AS n_ins
+      FROM b
+    )
+    SELECT CAST(n AS BIGINT) AS n_v1,
+           CAST(n - n_del AS BIGINT) AS n_v2,
+           CAST(n - n_del + n_ins AS BIGINT) AS n_v3
+    FROM m
+    """,
+)
+def manifest_counts_orders(spark, sf_dir):
+    """COUNT(*) AS OF every version answered from MANIFESTS ALONE
+    (VersionedTable.count_rows): Σ per-file footer counts − Σ
+    deletion-vector tombstones — zero data I/O, zero Spark jobs, the
+    versioned twin of plan_agg's interior path (Delta answers the same
+    from its checkpoint's numRecords). Three versions: create,
+    merge-on-read delete (tombstone counts SUBTRACT from the sum — the
+    DV file's own footer count), append (carried files reuse the
+    parent's entries, only new files read a footer). The oracle states
+    the three counts in set logic over orders; Spark's side is three
+    manifest sums."""
+    from lakeshack_spark.versioning import VersionedTable  # noqa: F401
+
+    vt = _mor_fixture(spark, sf_dir)
+    if vt.latest_version() == 2:  # extend the shared fixture once
+        orders = load_table(spark, sf_dir, "orders")
+        base = orders.select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        maxk = base.agg(F.max("k")).collect()[0][0]
+        vt.append(
+            base.filter(F.col("k") % 10 == 5).select(
+                (F.col("k") + F.lit(maxk) + 1).alias("k"), "cents"
+            )
+        )
+    counts = [vt.count_rows(v) for v in (1, 2, 3)]
+    return spark.createDataFrame(
+        [tuple(counts)], "n_v1 long, n_v2 long, n_v3 long"
+    )
+
+
 _WAP_CACHE: dict[str, object] = {}
 
 

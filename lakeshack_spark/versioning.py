@@ -404,6 +404,31 @@ class VersionedTable:
             dvs=[],
         )
 
+    @staticmethod
+    def _footer_rows_abs(path: str) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+
+    def _footer_rows(self, rel: str) -> int:
+        return self._footer_rows_abs(os.path.join(self.table_dir, rel))
+
+    def count_rows(self, version: int | None = None) -> int:
+        """``COUNT(*) AS OF version`` answered from the MANIFEST alone —
+        Σ per-file footer counts minus Σ deletion-vector tombstones,
+        zero data I/O and zero Spark jobs (the versioned twin of the
+        metastore's ``plan_agg`` interior path). Manifests written
+        before row counts existed fall back to a scan count."""
+        m = self.manifest(
+            self.latest_version() if version is None else version
+        )
+        fr, dr = m.get("file_rows"), m.get("dv_rows")
+        if fr is None or set(fr) != set(m["files"]) or (
+            m.get("dvs") and (dr is None or set(dr) != set(m["dvs"]))
+        ):
+            return self._read_manifest_like(m).count()
+        return sum(fr.values()) - sum((dr or {}).values())
+
     def _write_dv(self, df: DataFrame) -> list[str]:
         """Write deletion-vector rows as immutable files under a fresh
         ``data/dv-*`` dir; return their table-relative paths."""
@@ -609,6 +634,24 @@ class VersionedTable:
         meta: dict | None = None,
         dvs: list[str] | None = None,
     ) -> int:
+        # Per-file footer row counts (Delta's numRecords): carried files
+        # reuse the parent's entry, only NEW files read their (local)
+        # footer — O(new files) driver work, and COUNT(*) AS OF any
+        # version becomes a manifest sum (count_rows). DV files get the
+        # same treatment: a DV file's row count IS its tombstone count.
+        parent_rows = (
+            self.manifest(parent).get("file_rows", {}) if parent else {}
+        )
+        parent_dv_rows = (
+            self.manifest(parent).get("dv_rows", {}) if parent else {}
+        )
+        file_rows = {
+            f: parent_rows.get(f, self._footer_rows(f)) for f in files
+        }
+        dv_rows = {
+            d: parent_dv_rows.get(d, self._footer_rows(d))
+            for d in (dvs or [])
+        }
         manifest = {
             "version": version,
             "parent": parent,
@@ -618,6 +661,8 @@ class VersionedTable:
             "schema": json.loads(df.schema.json()),
             "meta": meta or {},
             "dvs": dvs or [],
+            "file_rows": file_rows,
+            "dv_rows": dv_rows,
         }
         os.makedirs(self._manifest_dir, exist_ok=True)
         path = self._manifest_path(version)

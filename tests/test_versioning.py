@@ -361,3 +361,26 @@ def test_mor_delete_deletion_vectors(spark, tmp_path):
     vt.expire(keep_last=1)
     left = _glob.glob(str(tmp_path / "t" / "data" / "dv-*" / "*.parquet"))
     assert left == [], left
+
+
+def test_count_rows_manifest_only_and_fallback(spark, tmp_path):
+    """COUNT(*) AS OF from manifest sums: footer counts minus DV
+    tombstones; pre-row-count manifests fall back to a scan."""
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.create(
+        spark.range(60)
+        .select(F.col("id").alias("k"))
+        .repartitionByRange(3, "k")
+    )
+    vt.delete_where_mor("k % 3 = 0")
+    vt.append(spark.createDataFrame([(100,), (101,)], "k long"))
+    assert [vt.count_rows(v) for v in (1, 2, 3)] == [60, 40, 42]
+    # every count agrees with the (DV-aware) scan
+    for v in (1, 2, 3):
+        assert vt.count_rows(v) == vt.read(v).count()
+    # legacy manifest without file_rows: fallback to scan count
+    p = vt._manifest_path(3)
+    m = json.load(open(p))
+    m.pop("file_rows"), m.pop("dv_rows")
+    json.dump(m, open(p, "w"))
+    assert vt.count_rows(3) == 42
