@@ -270,6 +270,7 @@ class Lakeshack:
         optional_where_clauses: Sequence[tuple[str, str, Any]] = (),
         min_max_columns: Sequence[str] = (),
         count_columns: Sequence[str] = (),
+        files: Sequence[str] | None = None,
     ) -> DataFrame:
         """Metadata-served aggregation: ``COUNT(*)`` plus per-column
         ``MIN``/``MAX`` (``min_max_columns``) and non-NULL ``COUNT``
@@ -287,6 +288,10 @@ class Lakeshack:
         requires provably NULL-free clause columns, so rows a NULL clause
         value would fail out of the predicate are never miscounted.
 
+        ``files`` restricts the aggregation to a file subset (e.g. a
+        snapshot manifest's list — versioning.snapshot_agg): files the
+        store has not indexed are conservatively scanned.
+
         At 100 TB: a cluster-range rollup reads 0–2 files no matter how
         many thousands the range spans — the Delta/Iceberg
         "answer-from-manifest" capability on this engine's stats store.
@@ -295,7 +300,7 @@ class Lakeshack:
         """
         t0 = time.monotonic()
         contrib, boundary = self.metastore.plan_agg(
-            optional_where_clauses, min_max_columns, count_columns
+            optional_where_clauses, min_max_columns, count_columns, files
         )
         min_max_columns = list(dict.fromkeys(min_max_columns))
         count_columns = list(dict.fromkeys(count_columns))

@@ -1126,6 +1126,7 @@ class FileStatsMetastore:
         clauses: Sequence[tuple[str, str, Any]] = (),
         min_max_columns: Sequence[str] = (),
         count_columns: Sequence[str] = (),
+        files: Sequence[str] | None = None,
     ) -> tuple[dict[str, Any], list[str]]:
         """Plan a metadata-served aggregation: classify every indexed file
         against the AND-ed ``clauses`` as
@@ -1176,12 +1177,19 @@ class FileStatsMetastore:
             "min": {c: None for c in min_max_columns},
             "max": {c: None for c in min_max_columns},
         }
+        subset = None if files is None else sorted(set(files))
         if not self._exists():
+            # files the store has never indexed are conservatively
+            # boundary: the scan computes them exactly
+            if subset:
+                out = dict(empty_contrib)
+                out["n_files_boundary"] = len(subset)
+                return out, subset
             return empty_contrib, []
         table = self.backend.read_arrow(self.DRIVER_PRUNE_MAX_FILES)
         if table is None:
             return self._plan_agg_distributed(
-                clauses, min_max_columns, count_columns, empty_contrib
+                clauses, min_max_columns, count_columns, empty_contrib, subset
             )
 
         import numpy as np
@@ -1197,9 +1205,18 @@ class FileStatsMetastore:
         if len(first) < len(paths):
             table = table.take(pa.array(first))
             paths = table.column("filepath").to_pylist()
+        missing: list[str] = []
+        if subset is not None:
+            fset = set(subset)
+            sel = [i for i, p in enumerate(paths) if p in fset]
+            missing = sorted(fset - set(paths))  # unindexed: boundary
+            table = table.take(pa.array(sel))
+            paths = table.column("filepath").to_pylist()
         n = table.num_rows
         if n == 0:
-            return empty_contrib, []
+            out = dict(empty_contrib)
+            out["n_files_boundary"] = len(missing)
+            return out, missing
 
         def np_bool(arr) -> "np.ndarray":
             return np.asarray(arr.to_numpy(zero_copy_only=False), dtype=bool)
@@ -1272,7 +1289,10 @@ class FileStatsMetastore:
         boundary_mask = survive & ~interior
         idx = pa.array(np.nonzero(interior)[0])
         boundary = sorted(
-            table.column("filepath").take(pa.array(np.nonzero(boundary_mask)[0])).to_pylist()
+            table.column("filepath")
+            .take(pa.array(np.nonzero(boundary_mask)[0]))
+            .to_pylist()
+            + missing
         )
         contrib = dict(empty_contrib)
         contrib.update(
@@ -1311,6 +1331,7 @@ class FileStatsMetastore:
         min_max_columns: Sequence[str],
         count_columns: Sequence[str],
         empty_contrib: dict[str, Any],
+        subset: list[str] | None = None,
     ) -> tuple[dict[str, Any], list[str]]:
         """Past-``DRIVER_PRUNE_MAX_FILES`` twin of the Arrow fast path:
         the same classification as Column expressions over ``stats_df()``
@@ -1318,6 +1339,13 @@ class FileStatsMetastore:
         one bounded collect of the boundary file list (the scan needs
         that list driver-side regardless, exactly like ``prune``)."""
         df = self.stats_df()
+        missing: list[str] = []
+        if subset is not None:
+            df = df.filter(F.col("filepath").isin(subset))
+            present = {
+                r["filepath"] for r in df.select("filepath").collect()
+            }
+            missing = sorted(set(subset) - present)  # unindexed: boundary
         survive = self._clause_prune_filter(clauses)
         full = F.lit(True)
         for col, op, value in clauses:
@@ -1400,12 +1428,15 @@ class FileStatsMetastore:
                 )
             row = flagged.agg(*aggs).collect()[0]
             boundary = sorted(
-                r["filepath"]
-                for r in flagged.filter(
-                    F.col("__survive") & ~F.col("__interior")
-                )
-                .select("filepath")
-                .collect()
+                [
+                    r["filepath"]
+                    for r in flagged.filter(
+                        F.col("__survive") & ~F.col("__interior")
+                    )
+                    .select("filepath")
+                    .collect()
+                ]
+                + missing
             )
         finally:
             flagged.unpersist()

@@ -7461,6 +7461,61 @@ def _versioned_orders_shack(spark: SparkSession, sf_dir: str):
 
 
 @register(
+    "snapshot_agg_orders",
+    """
+    WITH m AS (SELECT (MAX(o_custkey) * 3) // 4 AS hi FROM orders),
+    v1 AS (
+      SELECT o_custkey, o_orderstatus, o_totalprice FROM orders
+    ), v2 AS (
+      SELECT * FROM v1
+      WHERE NOT (o_orderstatus = 'F' AND o_custkey % 10 = 3)
+    ), u AS (
+      SELECT 1 AS version, * FROM v1
+      UNION ALL SELECT 2, * FROM v2
+    )
+    SELECT CAST(version AS INTEGER) AS version,
+           CAST(COUNT(*) AS BIGINT) AS row_count,
+           MIN(o_custkey) AS min_o_custkey,
+           MAX(o_custkey) AS max_o_custkey,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS cnt_o_totalprice
+    FROM u, m WHERE o_custkey <= m.hi
+    GROUP BY version
+    """,
+)
+def snapshot_agg_orders(spark, sf_dir):
+    """Metadata-only aggregation AS OF a snapshot
+    (versioning.snapshot_agg = plan_agg ∩ manifest): COUNT/MIN/MAX over
+    a cluster-range clause, at v1 AND v2 of the versioned orders table,
+    from ONE per-file stats store serving every version — membership is
+    the manifest intersection's job, so each version classifies only
+    its own files (files the store never indexed conservatively scan;
+    unit-pinned). The range endpoint derives from the data (3·max//4,
+    exact ints) so interior/boundary splits at every sf; snapshots
+    carrying deletion vectors are refused (footer stats cannot subtract
+    tombstones). The oracle reconstructs both versions in set logic."""
+    from lakeshack_spark.versioning import snapshot_agg
+
+    vt, shack = _versioned_orders_shack(spark, sf_dir)
+    hi = (
+        shack.metastore.stats_df()
+        .agg(((F.max("o_custkey_max") * 3) / 4).cast("long").alias("hi"))
+        .collect()[0]["hi"]
+    )
+    parts = [
+        snapshot_agg(
+            vt,
+            shack,
+            v,
+            [("o_custkey", "<=", hi)],
+            min_max_columns=["o_custkey"],
+            count_columns=["o_totalprice"],
+        ).select(F.lit(v).cast("int").alias("version"), "*")
+        for v in (1, 2)
+    ]
+    return parts[0].unionByName(parts[1])
+
+
+@register(
     "time_travel_pruned_lookup",
     """
     WITH base AS (

@@ -432,7 +432,9 @@ class VersionedTable:
     def _write_dv(self, df: DataFrame) -> list[str]:
         """Write deletion-vector rows as immutable files under a fresh
         ``data/dv-*`` dir; return their table-relative paths."""
-        dv_dir = f"dv-{uuid.uuid4().hex[:12]}"
+        # "_"-prefixed so a metastore/data listing over <table>/data never
+        # mistakes a DV sidecar for a data file (the hidden-subdir rule)
+        dv_dir = f"_dv-{uuid.uuid4().hex[:12]}"
         out = os.path.join(self._data_dir, dv_dir)
         df.coalesce(1).write.mode("error").parquet(out)
         return [
@@ -737,3 +739,35 @@ def snapshot_pruned_query(
     if columns is not None:
         df = df.select(*columns)
     return df
+
+
+def snapshot_agg(
+    vt: VersionedTable,
+    shack,
+    version: int,
+    optional_where_clauses=(),
+    min_max_columns=(),
+    count_columns=(),
+) -> DataFrame:
+    """Metadata-only COUNT/MIN/MAX AS OF a snapshot: ``Lakeshack
+    .query_agg`` restricted to ``manifest(version)``'s file list — the
+    aggregation twin of :func:`snapshot_pruned_query`, composing the
+    zone-map classification (interior files answered from footer stats,
+    boundary files scanned) with time travel over the SAME immutable
+    per-file stats store that serves every version. Snapshots carrying
+    deletion vectors must ``apply_dvs`` first: footer stats cannot see
+    tombstones, so a metadata answer would overcount."""
+    m = vt.manifest(version)
+    if m.get("dvs"):
+        raise ValueError(
+            f"version {version} carries deletion vectors; footer stats "
+            "cannot subtract tombstones — run apply_dvs() first or "
+            "aggregate over vt.read(version)"
+        )
+    members = [os.path.join(vt.table_dir, f) for f in m["files"]]
+    return shack.query_agg(
+        optional_where_clauses,
+        min_max_columns=min_max_columns,
+        count_columns=count_columns,
+        files=members,
+    )

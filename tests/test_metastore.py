@@ -1010,3 +1010,73 @@ def test_nullness_keeps_reference_properties():
     ]:
         assert nullness_keeps("is_not_null", nulls, num_rows) is keep_nn
         assert nullness_keeps("is_null", nulls, num_rows) is keep_n
+
+
+def test_plan_agg_file_subset_and_unindexed(spark, nulls_lake, agg_shack):
+    """The files= subset restricts classification to a snapshot's file
+    list; subset members the store never indexed are conservatively
+    boundary; driver and distributed paths agree."""
+    import glob as _glob
+
+    from lakeshack_spark import metastore as ms_mod
+
+    ms = agg_shack.metastore
+    all_files = sorted(_glob.glob(f"{nulls_lake}/*.parquet"))
+    subset = [f for f in all_files if f.rsplit("/", 1)[-1] in
+              ("a.parquet", "c.parquet", "e.parquet")]
+    contrib, boundary = ms.plan_agg(
+        [("k", ">=", 5)], min_max_columns=["k"], files=subset
+    )
+    # a boundary (straddles 5), c+e interior; b/d invisible to the subset
+    assert [b.rsplit("/", 1)[-1] for b in boundary] == ["a.parquet"]
+    assert contrib["n_files_interior"] == 2
+    assert contrib["row_count"] == 20
+    assert contrib["min"]["k"] == 20 and contrib["max"]["k"] == 49
+    # unindexed path in the subset → boundary, never silently dropped
+    ghost = f"{nulls_lake}/never_indexed.parquet"
+    contrib2, boundary2 = ms.plan_agg(
+        [("k", ">=", 5)], min_max_columns=["k"], files=subset + [ghost]
+    )
+    assert ghost in boundary2 and contrib2 == {
+        **contrib, "n_files_boundary": 2,
+    }
+    # distributed twin
+    old = ms.DRIVER_PRUNE_MAX_FILES
+    ms_mod.FileStatsMetastore.DRIVER_PRUNE_MAX_FILES = 0
+    try:
+        slow = ms.plan_agg(
+            [("k", ">=", 5)], min_max_columns=["k"], files=subset + [ghost]
+        )
+    finally:
+        ms_mod.FileStatsMetastore.DRIVER_PRUNE_MAX_FILES = old
+    assert slow == (contrib2, boundary2)
+
+
+def test_snapshot_agg_refuses_deletion_vectors(spark, tmp_path):
+    from lakeshack_spark.engine import Lakeshack
+    from lakeshack_spark.versioning import VersionedTable, snapshot_agg
+
+    vt = VersionedTable(spark, str(tmp_path / "t"))
+    vt.create(
+        spark.range(40)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+        .repartitionByRange(2, "k")
+    )
+    shack = Lakeshack(
+        spark,
+        str(tmp_path / "t" / "data"),
+        "k",
+        ["v"],
+        store_path=str(tmp_path / "stats"),
+    )
+    shack.update_metastore()
+    got = snapshot_agg(
+        vt, shack, 1, [("k", ">=", 10)], min_max_columns=["k"],
+        count_columns=["v"],
+    ).collect()[0]
+    assert (got["row_count"], got["min_k"], got["max_k"], got["cnt_v"]) == (
+        30, 10, 39, 30,
+    )
+    vt.delete_where_mor("k = 0")
+    with pytest.raises(ValueError, match="deletion vectors"):
+        snapshot_agg(vt, shack, 2, [("k", ">=", 10)])

@@ -356,10 +356,10 @@ def test_mor_delete_deletion_vectors(spark, tmp_path):
     # vacuum reclaims DV files of expired versions
     import glob as _glob
 
-    n_dv_files = len(_glob.glob(str(tmp_path / "t" / "data" / "dv-*" / "*.parquet")))
+    n_dv_files = len(_glob.glob(str(tmp_path / "t" / "data" / "_dv-*" / "*.parquet")))
     assert n_dv_files >= 3
     vt.expire(keep_last=1)
-    left = _glob.glob(str(tmp_path / "t" / "data" / "dv-*" / "*.parquet"))
+    left = _glob.glob(str(tmp_path / "t" / "data" / "_dv-*" / "*.parquet"))
     assert left == [], left
 
 
