@@ -97,6 +97,58 @@ def main() -> None:
     )
     assert removed == len(before) - carried  # == the rewritten originals
     assert vt.read(v_del).count() == rows * n - n_del  # survivor still exact
+
+    # ---- MERGE commits: per-commit cost bounded by the batch's key span,
+    # not by history or table size -------------------------------------
+    from pyspark.sql import functions as F
+
+    base_v = vt.latest_version()
+    n_keys = vt.count_rows(base_v)
+    lat = []
+    for i in range(10):
+        cdc = spark.createDataFrame(
+            [(int(k), -1, -1, False) for k in range(i * 7, i * 7 + 5)],
+            "k long, grp long, val long, is_delete boolean",
+        )
+        t = time.time()
+        vt.merge(cdc, ["k"], delete_col="is_delete")
+        lat.append(time.time() - t)
+    print(
+        f"10 merge commits (5-key batches): first={lat[0]:.1f}s "
+        f"last={lat[-1]:.1f}s median={sorted(lat)[5]:.1f}s "
+        f"(flat => cost is O(touched files), not O(history))"
+    )
+    assert sorted(lat)[5] < 3 * lat[0] + 2  # flat within noise
+
+    # ---- MoR delete vs CoW delete: the write-cost trade ---------------
+    before_files = set(vt.manifest(vt.latest_version())["files"])
+    t = time.time()
+    v_mor = vt.delete_where_mor("k % 97 = 13")
+    mor_s = time.time() - t
+    assert set(vt.manifest(v_mor)["files"]) == before_files  # ZERO rewrite
+    n_after_mor = vt.read(v_mor).count()
+    t = time.time()
+    v_purge = vt.apply_dvs()
+    purge_s = time.time() - t
+    assert vt.read(v_purge).count() == n_after_mor
+    print(
+        f"MoR delete committed in {mor_s:.1f}s with 0 files rewritten; "
+        f"deferred purge materialized in {purge_s:.1f}s "
+        f"(count via manifests: {vt.count_rows(v_purge)})"
+    )
+    assert vt.count_rows(v_purge) == n_after_mor  # manifest sum == scan
+
+    # ---- WAP: staged appends invisible while audited -------------------
+    vt.stage_append(
+        spark.createDataFrame(
+            [(10**9, 1, 1)], "k long, grp long, val long"
+        ),
+        "stress-wap",
+    )
+    assert vt.count_rows(vt.latest_version()) == n_after_mor  # invisible
+    vt.publish("stress-wap")
+    assert vt.count_rows(vt.latest_version()) == n_after_mor + 1
+    print("WAP stage/publish: staged rows invisible until publish: OK")
     spark.stop()
 
 
