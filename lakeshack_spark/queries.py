@@ -6894,6 +6894,57 @@ def kll_index_quantiles_orders(spark, sf_dir):
 
 
 @register(
+    "kll_grouped_quantiles_orders",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def kll_grouped_quantiles_orders(spark, sf_dir):
+    """GROUPED quantile rollups from the per-(file, group) KLL sidecar:
+    one sketch per (file, o_orderstatus) over o_custkey, merged
+    per-group across files — the materialized-rollup pattern for
+    percentiles (per-group medians across a lake without per-group
+    sorts). Bounds-as-booleans per group: each estimated p25/p50/p75's
+    EXACT within-group rank must sit within ±2% of its target (KLL
+    k=800 bound ≈1%), plus per-group footer-count reconciliation. The
+    global twin is kll_index_quantiles_orders; this pins the group_col
+    path the class carries."""
+    from lakeshack_spark.sketchindex import QuantileSketchIndex
+
+    lake, _hll_store = _hll_orders_index(spark, sf_dir)
+    idx = QuantileSketchIndex(
+        spark,
+        os.path.join(lake, "_lakeshack_kll_grp", "o_custkey"),
+        "o_custkey",
+        group_col="o_orderstatus",
+    )
+    idx.update(lake)
+    ps = [0.25, 0.5, 0.75]
+    est = {r["grp"]: r.asDict() for r in idx.quantiles(ps).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    aggs = [n.cast("long").alias("n_rows")]
+    for lab, p in zip(["p25", "p50", "p75"], ps):
+        v_map = {g: est[g][f"q_{str(p).replace('.', '_')}"] for g in est}
+        v_col = F.coalesce(
+            *[
+                F.when(F.col("o_orderstatus") == g, F.lit(v))
+                for g, v in sorted(v_map.items())
+            ]
+        )
+        rank = F.sum(F.when(F.col("o_custkey") <= v_col, 1).otherwise(0))
+        aggs.append(
+            (F.abs(rank / n - F.lit(float(p))) <= F.lit(0.02)).alias(
+                f"ok_{lab}"
+            )
+        )
+    return orders.groupBy("o_orderstatus").agg(*aggs)
+
+
+@register(
     "hll_index_distinct_orders",
     """
     SELECT o_orderstatus,
