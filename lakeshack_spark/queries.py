@@ -3852,7 +3852,8 @@ def chunk_tokens_docs(spark, sf_dir):
     ), tot AS (
       SELECT SUM(n_in_corpus) AS t FROM n_t
     )
-    SELECT g.source, g.term, g.n_in_group, n_t.n_in_corpus,
+    SELECT g.source, g.term, g.n_in_group,
+           CAST(n_t.n_in_corpus AS BIGINT) AS n_in_corpus,
            CAST(g.n_in_group * tot.t AS DOUBLE)
              / CAST(t_g.tg * n_t.n_in_corpus AS DOUBLE) AS lift
     FROM n_gt g
@@ -6234,7 +6235,8 @@ def _versioned_orders_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     SELECT CAST(version AS INTEGER) AS version,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
     FROM u GROUP BY version
     """,
 )
@@ -7189,8 +7191,10 @@ def corr_lineitem_qty_tax(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
            CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS n_status,
-           SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_cents,
-           SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS sum_disc_bp,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT)
+             AS sum_disc_bp,
            CAST(MAX(epoch_us(l_shipdate)) AS BIGINT) AS max_ship_us
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -7265,7 +7269,8 @@ def jsonl_roundtrip_docs(spark, sf_dir):
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
            CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS max_date_us
     FROM orders GROUP BY o_orderstatus
     """,
@@ -7338,7 +7343,8 @@ def _schema_evolution_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     SELECT COALESCE(o_orderstatus, '<pre-migration>') AS status,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
-           SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_cents
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
     FROM unioned GROUP BY 1
     """,
 )

@@ -1,0 +1,174 @@
+"""Driver-canonicalizer contract sweep over every registered oracle.
+
+The driver compares each ``queries()`` entry against its ``oracle_sql()``
+twin with an order-insensitive, *dtype-sensitive* value hash of the two
+pandas frames. Four hard-won parity rules are encoded in the corpus
+(CLAUDE.md / VERDICT_r6 #1):
+
+1. scalar output columns only (array/struct/map cells crash the hash),
+2. identical column names on both sides,
+3. integer-vs-float dtype-class agreement — DuckDB types ``SUM(BIGINT)``
+   as HUGEINT, which ``.df()`` materializes as float64, silently skewing
+   against a Spark int64 column even when every cell is equal (this is
+   exactly how ``time_travel_orders`` / ``orc_roundtrip_lineitem`` /
+   ``schema_evolution_orders`` went hash-red in round 6 — fix is
+   ``CAST(SUM(...) AS BIGINT)`` on the oracle side),
+4. no raw temporal outputs from events (µs-vs-ns physical types rotate
+   between driver rounds).
+
+This test catches rule 2–3 violations at authoring time by running ONLY
+the cheap halves: every oracle executes on DuckDB at sf0.001 (fast), and
+the Spark side contributes its analyzed *schema* (plan-only — no Spark
+action fires for plain entries; entries whose builders eagerly
+materialize indexes/stores do so against sf0.001 with their own cached
+fixtures). Value parity itself is tools/selfcheck.py's job.
+"""
+
+from __future__ import annotations
+
+import warnings
+
+import duckdb
+import pytest
+
+from pyspark.sql import types as T
+
+from tests.conftest import SF_SMOKE
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOATING = (T.FloatType, T.DoubleType)
+
+
+def _spark_class(dt) -> str:
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, _INTEGRAL):
+        return "int"
+    if isinstance(dt, _FLOATING):
+        return "float"
+    return "other"
+
+
+def _pandas_class(dtype) -> str:
+    from pandas.api import types as pt
+
+    if pt.is_bool_dtype(dtype):
+        return "bool"
+    if pt.is_integer_dtype(dtype):
+        return "int"
+    if pt.is_float_dtype(dtype):
+        return "float"
+    return "other"
+
+
+def _contract_problems(name, schema, odf) -> list[str]:
+    """Name + dtype-class mismatches for one (Spark schema, oracle frame)."""
+    problems: list[str] = []
+    spark_types = {f.name: f.dataType for f in schema.fields}
+    if sorted(spark_types) != sorted(odf.columns):
+        return [
+            f"{name}: column names differ: spark={sorted(spark_types)} "
+            f"oracle={sorted(odf.columns)}"
+        ]
+    for col, dt in spark_types.items():
+        if isinstance(dt, (T.ArrayType, T.StructType, T.MapType)):
+            problems.append(
+                f"{name}.{col}: complex Spark output type {dt.simpleString()} "
+                "(driver canonicalizer rejects array/struct/map cells)"
+            )
+            continue
+        sc, oc = _spark_class(dt), _pandas_class(odf[col].dtype)
+        if sc == oc:
+            continue
+        if sc == "int" and oc == "float" and odf[col].isna().any():
+            continue  # nullable integral — Spark toPandas floats too
+        if oc == "other" and odf[col].isna().all():
+            continue  # all-NULL oracle column materializes as object
+        problems.append(
+            f"{name}.{col}: dtype-class skew spark={dt.simpleString()}({sc}) "
+            f"oracle={odf[col].dtype}({oc}) — cast the oracle "
+            "(e.g. CAST(SUM(...) AS BIGINT)); driver hash is dtype-sensitive"
+        )
+    return problems
+
+
+@pytest.fixture(scope="module")
+def entry_mod():
+    import __spark_entry__ as entrymod
+
+    return entrymod
+
+
+@pytest.fixture(scope="module")
+def duck(entry_mod):
+    from lakeshack_spark.sources.catalog import TABLE_NAMES
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def test_every_oracle_matches_spark_schema_contract(spark, entry_mod, duck):
+    """One sweep, all entries: names equal, no complex Spark columns, and
+    per-column dtype-class agreement between the oracle's pandas frame and
+    the Spark schema (int-vs-float skew allowed only when the oracle
+    column actually carries NULLs — pandas cannot hold NA in int64, so a
+    nullable integral column legitimately surfaces as float64 on BOTH
+    sides).
+
+    Runs the 164 entries on a thread pool: most builders are plan-only,
+    but a dozen eagerly materialize sf0.001 indexes/stores (2–8 s each) —
+    serial wall time is ~170 s, pooled well under 60 s. Spark is
+    thread-safe for concurrent jobs; DuckDB gets one cursor per task.
+    Session confs that builders toggle (graph.py scopes AQE off around
+    localCheckpoint) are snapshotted and restored so races — benign for a
+    schema-only sweep — never leak into later plan-pin tests."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs), "oracle without a queries() twin"
+
+    guarded_confs = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+
+    def run_one(item):
+        name, sql = item
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                frame = qs[name](spark, SF_SMOKE)
+                odf = duck.cursor().execute(sql).fetchdf()
+        except Exception as exc:  # surface builder/oracle breakage per-entry
+            return [f"{name}: execution error: {exc!r:.200}"]
+        return _contract_problems(name, frame.schema, odf)
+
+    try:
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(run_one, sorted(oracles.items())))
+    finally:
+        for k, v in guarded_confs.items():
+            spark.conf.set(k, v)
+
+    problems = [p for group in results for p in group]
+    assert not problems, "\n".join(problems)
+
+
+def test_known_hugeint_regression_shape(duck):
+    """Pin the DuckDB behavior this contract exists for: a bare
+    SUM(BIGINT) comes back float64, the CAST-wrapped form int64."""
+    bare = duck.cursor().execute("SELECT SUM(CAST(1 AS BIGINT)) AS s").fetchdf()
+    cast = duck.cursor().execute(
+        "SELECT CAST(SUM(CAST(1 AS BIGINT)) AS BIGINT) AS s"
+    ).fetchdf()
+    assert _pandas_class(bare["s"].dtype) == "float"
+    assert _pandas_class(cast["s"].dtype) == "int"

@@ -45,6 +45,27 @@ def complex_columns(schema) -> list[str]:
     ]
 
 
+def dtype_class(dtype) -> str:
+    """Coarse dtype class used by the driver-mirror strictness check.
+
+    The driver's order-insensitive value-hash is dtype-sensitive: a
+    DuckDB ``SUM(BIGINT)`` comes back HUGEINT → pandas float64 while the
+    Spark twin is int64, and even though every cell compares equal the
+    driver hashes them differently (VERDICT_r6 #1: time_travel /
+    orc_roundtrip / schema_evolution went red on exactly this). Classes
+    are {bool, int, float, other} — temporal/string/decimal all map to
+    "other" since the known driver-hash skew is numeric-kind only."""
+    from pandas.api import types as pt
+
+    if pt.is_bool_dtype(dtype):
+        return "bool"
+    if pt.is_integer_dtype(dtype):
+        return "int"
+    if pt.is_float_dtype(dtype):
+        return "float"
+    return "other"
+
+
 def cells_equal(a, b) -> bool:
     if a is None and b is None:
         return True
@@ -69,6 +90,16 @@ def frames_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
     if len(a) != len(b):
         return False, f"row counts differ: {len(a)} vs {len(b)}"
     ca, cb = canon(a), canon(b)
+    if len(ca):
+        for col in ca.columns:
+            da, db = dtype_class(ca[col].dtype), dtype_class(cb[col].dtype)
+            if da != db and not (ca[col].isna().all() and cb[col].isna().all()):
+                return False, (
+                    f"col {col}: dtype-class skew spark={ca[col].dtype}({da}) "
+                    f"oracle={cb[col].dtype}({db}) — driver value-hash is "
+                    "dtype-sensitive (cast the oracle aggregate, e.g. "
+                    "CAST(SUM(...) AS BIGINT))"
+                )
     for col in ca.columns:
         va, vb = ca[col].tolist(), cb[col].tolist()
         for i, (x, y) in enumerate(zip(va, vb)):
