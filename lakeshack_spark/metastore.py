@@ -172,7 +172,9 @@ def _file_size(filepath: str) -> int | None:
 
 
 def _footer_stats_for_files(
-    filepaths: Iterable[str], columns: Sequence[str]
+    filepaths: Iterable[str],
+    columns: Sequence[str],
+    filesystem: Any = None,
 ) -> Iterator[dict[str, Any]]:
     """Executor-side: read Parquet *footers* only and emit one stats row per
     file: ``{filepath, num_rows, file_bytes, {col}_min, {col}_max,
@@ -187,6 +189,12 @@ def _footer_stats_for_files(
     so per-query byte telemetry is a column sum over the store instead of
     one filesystem stat per candidate file per query. Filesystem objects
     are resolved once per scheme per partition, not per file.
+
+    An explicit ``filesystem`` (reference ``Metastore._get_min_max``'s
+    third argument, lakeshack/metastore.py:280-301) bypasses URI-scheme
+    resolution entirely: paths are opened verbatim against it. pyarrow
+    filesystems pickle with their configuration, so the same object the
+    caller built (credentials, endpoint, region) is what executors use.
     """
     import pyarrow.fs as pafs  # local imports: run on executors
     import pyarrow.parquet as pq
@@ -194,6 +202,9 @@ def _footer_stats_for_files(
     fs_cache: dict[tuple[str, str], Any] = {}
 
     def open_with_size(path: str):
+        if filesystem is not None:
+            handle = filesystem.open_input_file(path)
+            return pq.ParquetFile(handle), handle.size()
         p = _arrow_path(path)
         scheme = p.split("://", 1)[0] if "://" in p else ""
         rel = p.split("://", 1)[1] if scheme else p
@@ -308,6 +319,7 @@ def list_parquet_files(
     path: str,
     spark: SparkSession | None = None,
     skip_side_dirs: bool = True,
+    filesystem: Any = None,
 ) -> list[str]:
     """Recursive Parquet file discovery (reference ``_gather_metadata``,
     lakeshack/metastore.py:341-412). Accepts a single file or a directory;
@@ -318,6 +330,13 @@ def list_parquet_files(
     runs against object storage — pass ``spark`` for those. (The reference
     swaps pyarrow.fs implementations the same way,
     lakeshack/metastore.py:206-231.)
+
+    An explicit ``filesystem`` (any ``pyarrow.fs.FileSystem`` — S3,
+    SubTree, GCS) takes precedence over URI-scheme resolution and walks
+    via ``FileSelector(recursive=True)`` exactly like the reference
+    (lakeshack/metastore.py:368-376); ``path`` is then interpreted in
+    that filesystem's own terms (e.g. ``bucket/prefix`` for S3 — no
+    scheme).
 
     ``skip_side_dirs`` excludes co-located metadata sidecars from *data*
     listings — the ``_lakeshack_stats`` store plus ANY ``_``/``.``-prefixed
@@ -339,6 +358,31 @@ def list_parquet_files(
             for part in rel_dir.replace("\\", "/").split("/")
             if part not in ("", ".")
         )
+
+    if filesystem is not None:
+        import pyarrow.fs as pafs
+
+        root_info = filesystem.get_file_info(path)
+        if root_info.type == pafs.FileType.File:
+            return [path]
+        if root_info.type == pafs.FileType.NotFound:
+            return []
+        root = path.rstrip("/")
+        found = []
+        selector = pafs.FileSelector(root, recursive=True)
+        for info in filesystem.get_file_info(selector):
+            if info.type != pafs.FileType.File:
+                continue
+            full = info.path
+            if skip_side_dirs and "_lakeshack_stats" in full:
+                continue
+            parent = full.rsplit("/", 1)[0] if "/" in full else ""
+            rel = parent[len(root):] if parent.startswith(root) else ""
+            if skip_side_dirs and hidden_below_root(rel):
+                continue
+            if keep(full.rsplit("/", 1)[-1]):
+                found.append(full)
+        return sorted(found)
 
     if _is_remote(path):
         if spark is None:
@@ -615,27 +659,34 @@ class FileStatsMetastore:
         Returns the number of newly ingested files. Replaces the reference's
         ThreadPool + read-then-insert (lakeshack/metastore.py:206-276) with
         an executor fan-out and a left-anti join, so concurrent/incremental
-        updates stay metadata-only at any file count. ``filesystem`` and
-        ``n_workers`` are accepted for reference signature compatibility
-        (lakeshack/metastore.py:206-211); ``n_workers`` is ignored (the
-        executor fan-out replaces the thread pool) and a non-None
-        ``filesystem`` warns loudly — filesystems resolve from the path's
-        URI scheme here, so credentials/endpoints carried on a passed
-        object do NOT apply and must be ambient (env/instance profile).
+        updates stay metadata-only at any file count. ``n_workers`` is
+        accepted for reference signature compatibility
+        (lakeshack/metastore.py:206-211) and ignored — the executor
+        fan-out replaces the thread pool, sized by cluster parallelism.
+
+        ``filesystem`` is the reference's explicit
+        ``pyarrow.fs.FileSystem`` (lakeshack/metastore.py:209, default
+        LocalFileSystem; the docs' S3 walkthrough passes
+        ``fs.S3FileSystem(region=...)``, lakeshack/metastore.py:65-75).
+        When given, discovery runs through ``FileSelector`` on that object
+        and footer reads open paths against it verbatim — paths are in the
+        filesystem's own terms (``bucket/key``, no scheme), and the object
+        is PICKLED to executors, so credentials/endpoint/region carried on
+        it apply there (pyarrow filesystems serialize their config). When
+        None, filesystems resolve per path URI scheme with a
+        (scheme, bucket)-keyed cache and credentials must be ambient.
         """
         del n_workers
-        if filesystem is not None:
-            logger.warning(
-                "update(filesystem=...) is ignored: filesystems resolve "
-                "from the URI scheme; credentials carried on the passed "
-                "object do not apply — configure them ambiently"
-            )
         roots = (
             [parquet_file_or_dir]
             if isinstance(parquet_file_or_dir, str)
             else list(parquet_file_or_dir)
         )
-        files = [f for p in roots for f in list_parquet_files(p, self.spark)]
+        files = [
+            f
+            for p in roots
+            for f in list_parquet_files(p, self.spark, filesystem=filesystem)
+        ]
         self._reconcile_deleted(roots, set(files))
         if not files:
             return 0
@@ -643,10 +694,11 @@ class FileStatsMetastore:
         n_slices = min(len(files), max(sc.defaultParallelism, 1))
         tracked = list(self.tracked_columns)
         schema = self.stats_schema
+        fs = filesystem
         rows_rdd = sc.parallelize(files, n_slices).mapPartitions(
             lambda part: (
                 Row(**{f.name: r.get(f.name) for f in schema.fields})
-                for r in _footer_stats_for_files(part, tracked)
+                for r in _footer_stats_for_files(part, tracked, filesystem=fs)
             )
         )
         new_stats = self.spark.createDataFrame(rows_rdd, schema).persist()
