@@ -7662,104 +7662,82 @@ def version_diff_orders(spark, sf_dir):
 
 
 #: The driver's correctness gate hashes only the FIRST 50 ``queries()``
-#: entries, and through round 5 those were the round-1/2 stalwarts — the
-#: newest operator families (PQ / IVF-PQ, fuzzy join, gap fill, connected
-#: components, heavy hitters, table diff, vocab encode, packing, sketches)
-#: had selfcheck evidence but no *driver-side* evidence (VERDICT_r5 item 2).
-#: This list pins the window to a curated mix: every r4/r5-era family gets a
-#: representative up front, interleaved with the lakeshack-core operators
-#: (scan/prune/IN-list/top-k/SQL) the reference itself exercises. Every
-#: registered entry not named here follows in registration order, so the
-#: full corpus is unchanged — only the order rotates.
+#: entries; the list rotates per round so every registered entry
+#: accumulates driver-side hash evidence, not just selfcheck evidence
+#: (VERDICT_r5 item 2, VERDICT_r6 item 5). Round-7 rotation: after r1–r6,
+#: exactly 50 of the 164 entries had NEVER been driver-hashed — this
+#: window is 45 of those plus two core-op anchors (hashed every round by
+#: design) and the three oracles that went hash-red in r6 on the DuckDB
+#: HUGEINT→float64 dtype skew, now fixed and needing driver-side green
+#: proof (they were never hashed before r6, so re-listing them breaks no
+#: rotation rule). The five deferred never-hashed entries
+#: (q2/q8/q9/q20/q21 — plain spark.sql TPC-H shapes with direct SQL
+#: oracles, the lowest-risk class) lead the r8 rotation. Every registered
+#: entry not named here follows in registration order, so the full corpus
+#: is unchanged — only the order rotates.
 _DRIVER_WINDOW = [
-    # lakeshack core surface (O1-O9)
+    # core-op anchors (intentionally hashed every round: O1/O3/O6 scan +
+    # zone-map prune are the reference's essence)
     "shack_pruned_lookup",
-    "bloom_index_point_lookup",
-    "metadata_agg_orders",
-    "nullness_pruned_agg_docs",
     "scan_filter_project",
-    "topk_orders",
-    # r5-era: ANN quantization tier
-    "pq_codes_embeddings",
-    "minhash_drop_set_docs",
-    "srp_near_dup_planted",
-    "ivfpq_codes_embeddings",
-    "vocab_encode_docs",
-    "semdedup_embeddings",
-    "mmr_rerank_embeddings",
-    "ivf_assign_cells",
-    # r5-era: graph / sketch / frequent
-    "dedup_cluster_labels",
-    "heavy_hitter_terms",
-    # r5-era: relational long tail
-    "fuzzy_join_part_names",
-    "interpolate_daily_spend",
-    "versioned_merge_orders",
-    "table_diff_orders",
-    "scd2_merge_customer_segments",
-    "null_semantics_suite",
-    "pagerank_trade_network",
-    "bpe_pair_counts_docs",
-    "stratified_take_docs",
-    "interval_join_click_purchase",
-    "range_join_user_windows",
-    "merge_upsert_orders",
-    "udtf_ngram_stats",
-    # r6: real multimodal decode (payload -> pixels -> features)
-    "multimodal_ppm_features",
-    # r6-continued: new families (k-core, IVM, persisted text index,
-    # hashed linear classifier) — surfaced in the driver's first 50;
-    # the four core shapes they displace past position 50 all carry
-    # driver-side green from rounds 1-5.
-    "kcore_cosuppliers",
-    "incremental_view_orders",
-    "inverted_index_search_docs",
-    "hashed_linear_quality_docs",
-    "entity_resolution_parts",
-    "ktruss_cosuppliers",
-    "wap_publish_orders",
-    "mor_delete_orders",
-    "synth_source_docs",
-    "ks_price_by_status",
-    "corr_lineitem_qty_tax",
-    "count_min_terms",
+    # r6 hash-red trio, oracle dtype fixed this round — re-prove
     "time_travel_orders",
-    "hll_index_distinct_orders",
-    "kll_index_quantiles_orders",
-    "theta_index_overlap_orders",
     "orc_roundtrip_lineitem",
-    "pack_token_windows_docs",
     "schema_evolution_orders",
-    "rollup_cascade_events",
-    "weighted_sample_docs",
-    "version_diff_orders",
+    # never-driver-hashed: format surface + versioning family-mates
+    # (VERDICT_r6 item 5's explicit list)
+    "csv_roundtrip_orders",
+    "jsonl_roundtrip_docs",
+    "snapshot_agg_orders",
+    "manifest_counts_orders",
     "time_travel_pruned_lookup",
-    # r5-era: text / packing / dedup tiers
+    "version_diff_orders",
+    "kll_grouped_quantiles_orders",
+    # never-driver-hashed: TPC-H breadth (remainder leads r8)
+    "q4_order_priority_checking",
+    "q11_important_part_values",
+    "q12_priority_shipping_split",
+    "q22_idle_rich_customers",
+    # never-driver-hashed: relational long tail
+    "grouped_ols_slope_customers",
+    "right_outer_order_lineitems",
+    "unpivot_order_measures",
+    "string_agg_region_nations",
+    "gap_fill_daily_spend",
+    "funnel_signup_click_purchase",
+    "grouped_percentiles_orders",
+    # never-driver-hashed: dedup / fingerprint tier
+    "ngram_containment_docs",
     "incremental_dedup_new_docs",
-    "benchmark_decontamination",
-    "repeated_passages_docs",
     "winnow_fingerprint_stats",
+    "repeated_passages_docs",
+    "repetition_stats_docs",
+    "benchmark_decontamination",
+    # never-driver-hashed: retrieval / text-quality tier
     "tfidf_top_terms_docs",
+    "boolean_search_docs",
     "bm25_search_docs",
+    "unigram_lm_quality_docs",
     "bigram_lm_quality_docs",
     "term_drift_by_source",
     "mask_pii_audit",
-    # displaced from the first 50 (each carries prior driver-side green
-    # from rounds 1-5 — see CORRECTNESS_r0x): the slots go to tiers the
-    # driver has never hashed
-    "set_ops_nations",
-    "scalar_subquery_above_avg",
-    "in_list_filter",
-    "cosine_topk_pandas_udf",
-    "simhash_near_pairs",
-    "sketch_distinct_and_quantiles",
-    # core query shapes (joins/aggs/windows) retained in the window
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q18_large_orders",
-    "quantile_bins_orders",
-    "asof_join_events_orders",
-    "window_top2_per_customer",
+    "drift_chi2_docs",
+    "chunk_tokens_docs",
+    # never-driver-hashed: ANN / embedding tier
+    "ivf_index_probe_topk",
+    "quantized_embedding_stats",
+    "kmeans_update_quantized",
+    "jl_projection_embeddings",
+    "pq_adc_topk_embeddings",
+    "ivfpq_search_embeddings",
+    # never-driver-hashed: sampling / packing tier
+    "hash_split_counts",
+    "mixture_sample_counts",
+    "epoch_shuffle_prefix_docs",
+    "weighted_sample_docs",
+    # never-driver-hashed: graph + multimodal
+    "triangle_census_cosuppliers",
+    "multimodal_wav_features",
 ]
 
 
