@@ -244,6 +244,44 @@ def main() -> None:
     )
     assert found == n_planted, f"SRP planted recall {found}/{n_planted}"
 
+    # Skewed-key salted-join point (VERDICT_r6 item 8): a worst-case key
+    # distribution — 30% of all lineitem rows remapped onto ONE orderkey —
+    # joined to orders through operators.skew.salted_join, which splits
+    # the hot key across salt buckets instead of serializing it into one
+    # straggler task. Deterministic remap (modulo arithmetic, no RNG);
+    # the planted hot key is the table's own minimum orderkey so it always
+    # exists on the right side, and the inner-join row count must equal
+    # |lineitem| exactly (every remapped key still matches) — keeping the
+    # timing honest about doing the full join.
+    from lakeshack_spark.operators.skew import salted_join
+    from lakeshack_spark.sources.catalog import load_table as _lt
+
+    li = _lt(spark, sf_dir, "lineitem")
+    orders_t = _lt(spark, sf_dir, "orders")
+    hot_key = orders_t.agg(F.min("o_orderkey")).collect()[0][0]
+    n_li = li.count()
+    skew_left = li.select(
+        F.when(F.col("l_orderkey") % 10 < 3, F.lit(hot_key))
+        .otherwise(F.col("l_orderkey"))
+        .alias("k"),
+        "l_extendedprice",
+    )
+    skew_right = orders_t.select(
+        F.col("o_orderkey").alias("k"), "o_totalprice"
+    )
+
+    def run_salted() -> float:
+        t0 = time.time()
+        salted_join(skew_left, skew_right, "k", salt_buckets=8).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.time() - t0
+
+    sj_first = run_salted()
+    sj_second = run_salted()
+    n_joined = salted_join(skew_left, skew_right, "k", salt_buckets=8).count()
+    assert n_joined == n_li, f"salted join lost rows: {n_joined}/{n_li}"
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -268,6 +306,8 @@ def main() -> None:
         "cluster_labels_steady": round(min(c_first, c_second), 3),
         "repeated_passages": round(rp_first, 3),
         "repeated_passages_steady": round(min(rp_first, rp_second), 3),
+        "salted_join_skew": round(sj_first, 3),
+        "salted_join_skew_steady": round(min(sj_first, sj_second), 3),
         "sf": sf_val,
     }
     spark.stop()
@@ -314,6 +354,7 @@ def main() -> None:
         "srp_near_dup_steady": out["srp_near_dup_steady"],
         "cluster_labels_steady": out["cluster_labels_steady"],
         "repeated_passages_steady": out["repeated_passages_steady"],
+        "salted_join_skew_steady": out["salted_join_skew_steady"],
         "sf": sf_val,
     }
     line = json.dumps(compact)

@@ -20,6 +20,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=1000)
     ap.add_argument("--rows-per-file", type=int, default=1000)
+    ap.add_argument(
+        "--distributed-files",
+        type=int,
+        default=None,
+        help="store size for the distributed-prune probe (default 2.5x "
+        "the driver cutover; pass 1000000 for the million-file regime)",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -156,7 +163,9 @@ def main() -> None:
     # driver-side pass over the same store (limit raised for the check —
     # 250k stats rows are still driver-feasible, which is exactly why the
     # default cutover is conservative).
-    n_big = int(FileStatsMetastore.DRIVER_PRUNE_MAX_FILES * 2.5)
+    n_big = args.distributed_files or int(
+        FileStatsMetastore.DRIVER_PRUNE_MAX_FILES * 2.5
+    )
     big_store = tempfile.mkdtemp(prefix="stress_stats_big_")
     ms_big = FileStatsMetastore(spark, big_store, syn_schema, "k", ["ts"])
     big_rows = spark.range(n_big).select(
@@ -182,16 +191,19 @@ def main() -> None:
             f"distributed {n_big}-file prune, {n_vals}-value IN-list: "
             f"{len(dist)} files in {dt_dist:.1f}s"
         )
-        old = ms_big.DRIVER_PRUNE_MAX_FILES
-        ms_big.DRIVER_PRUNE_MAX_FILES = n_big + 1
-        try:
-            t0 = time.time()
-            drv = ms_big.prune(in_list, clauses)
-            dt_drv = time.time() - t0
-        finally:
-            ms_big.DRIVER_PRUNE_MAX_FILES = old
-        print(f"  driver-side check: {len(drv)} files in {dt_drv:.1f}s")
-        assert dist == drv, "distributed mapping diverged from driver check"
+        if n_big <= 500_000:
+            # driver-side equivalence check is itself driver-feasible
+            # only up to a few hundred k stats rows
+            old = ms_big.DRIVER_PRUNE_MAX_FILES
+            ms_big.DRIVER_PRUNE_MAX_FILES = n_big + 1
+            try:
+                t0 = time.time()
+                drv = ms_big.prune(in_list, clauses)
+                dt_drv = time.time() - t0
+            finally:
+                ms_big.DRIVER_PRUNE_MAX_FILES = old
+            print(f"  driver-side check: {len(drv)} files in {dt_drv:.1f}s")
+            assert dist == drv, "distributed mapping diverged from driver check"
         want = len([v for v in in_list if v >= 1000])
         assert len(dist) == want, (len(dist), want)
     spark.stop()
