@@ -127,9 +127,13 @@ class Lakeshack:
         #: see ``status()``.
         self.last_query_status: dict[str, Any] = {}
 
-    def update_metastore(self, path: str | None = None) -> int:
-        """Ingest (new) files' footer stats; idempotent."""
-        return self.metastore.update(path or self.data_path)
+    def update_metastore(self, path: str | None = None, filesystem: Any = None) -> int:
+        """Ingest (new) files' footer stats; idempotent. ``filesystem``
+        forwards an explicit ``pyarrow.fs.FileSystem`` (reference
+        ``Metastore.update``'s parameter, lakeshack/metastore.py:209) —
+        discovery and footer reads then run through that object with
+        paths in its own terms (``bucket/key``)."""
+        return self.metastore.update(path or self.data_path, filesystem=filesystem)
 
     def candidate_files(
         self,
