@@ -649,7 +649,16 @@ def incremental_near_dups(
     joined = cands.join(shn, "id_new").join(shc, "id_corpus")
     inter = F.size(F.array_intersect("__sh_n", "__sh_c"))
     union = F.col("__sz_n") + F.col("__sz_c") - inter
-    jac = F.when(
+    # Size branch-skip (see minhash_verified_pairs): J ≤ min/max of the
+    # set sizes, so size-refuted pairs return 0.0 without evaluating
+    # array_intersect; output is threshold-filtered, so values are
+    # identical. The 1e-9 slack only ever sends extra pairs to the exact
+    # branch.
+    size_cannot_verify = (
+        F.least("__sz_n", "__sz_c").cast("double")
+        < (F.lit(threshold) - F.lit(1e-9)) * F.greatest("__sz_n", "__sz_c")
+    )
+    jac = F.when(size_cannot_verify, F.lit(0.0)).when(
         (inter >= 0) & (union > 0), inter.cast("double") / union
     ).otherwise(F.lit(0.0))
     return (
