@@ -19,6 +19,8 @@ All hashing is md5-derived so results are engine-portable and seed-free.
 
 from __future__ import annotations
 
+import pandas as pd  # module level: pandas_udf type-hint resolution needs
+# pd in module globals under `from __future__ import annotations`
 from pyspark.sql import Column, DataFrame, functions as F
 
 from lakeshack_spark.operators.text import words_col
@@ -362,12 +364,81 @@ def minhash_verified_pairs(
 
 # -------------------------------------------------------------- simhash
 
+def _simhash_fp_arrow_udf():
+    """Arrow-batched twin of the simhash fingerprint expression below —
+    bit-identical by construction (same single-space split, same distinct
+    token set, same md5-hex[:15]→int63 hash, same ±1 per-bit fold, same
+    positive-counter mask sum; NULL text → 0 like the coalesce branch).
+
+    Why it exists — and why it is NOT the default: the expression form is
+    a nested HOF (aggregate(zip_with(...)) over the token-hash array)
+    which never enters whole-stage codegen, the regime where Arrow UDFs
+    beat built-ins 7× for text.repetition_stats. HERE the two measured
+    EQUAL (4.1 s either way for the 5000-doc sf0.1 fingerprint stage):
+    the per-token md5 dominates both paths identically, and the HOF fold
+    is a linear single pass (no O(n²) re-evaluation for repetition_stats'
+    shape to amplify). Kept as an option with parity pinned in tests so
+    the measurement is not re-litigated each round."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(63, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def fp(texts: pd.Series) -> pd.Series:
+        import numpy as np  # re-import: runs on executors
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = set(t.split(" "))
+            hs = np.fromiter(
+                (
+                    int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                    for tok in toks
+                ),
+                dtype=np.uint64,
+                count=len(toks),
+            )
+            if not len(hs):
+                continue
+            pos = ((hs[:, None] >> shifts) & np.uint64(1)).sum(
+                axis=0, dtype=np.int64
+            )
+            counters = 2 * pos - np.int64(len(hs))
+            sel = shifts[counters > 0]
+            out[i] = (np.uint64(1) << sel).sum(dtype=np.uint64).astype(np.int64)
+        return pd.Series(out)
+
+    return fp
+
+
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    impl: str = "expr",
 ) -> DataFrame:
     """Adds ``simhash``: 64-bit fingerprint — bit j is 1 iff the sum over
     distinct tokens of ±1 (sign of md5-derived bit j of the token) is
-    positive. Near-identical token sets → small hamming distance."""
+    positive. Near-identical token sets → small hamming distance.
+
+    ``impl="expr"`` (default) is the pure-expression form;
+    ``impl="arrow"`` computes the same fingerprint in an Arrow-batched
+    pandas UDF — measured EQUAL at bench scale (md5-per-token dominates
+    both), see _simhash_fp_arrow_udf. Values are bit-identical; pinned
+    by test."""
+    if impl == "arrow" and min(bits, 63) == 63:
+        return df.withColumn(
+            "simhash",
+            _simhash_fp_arrow_udf()(
+                F.col(text_col) if isinstance(text_col, str) else text_col
+            ),
+        )
     tokens = F.array_distinct(words_col(text_col))
     # NULL text → empty hash array → all-zero counters → fingerprint 0,
     # matching the pre-single-pass per-bit form (which coalesced each bit

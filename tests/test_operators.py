@@ -85,6 +85,33 @@ def test_simhash_matches_python(spark, docs):
         assert r["simhash"] == py_simhash(r["text"]), f"doc {r['doc_id']}"
 
 
+def test_simhash_arrow_expr_parity(spark, docs):
+    """The Arrow fingerprint (default) and the pure-expression twin are
+    bit-identical — on corpus docs AND the edge shapes (NULL, empty
+    string, repeated tokens, consecutive spaces, unicode)."""
+    edges = spark.createDataFrame(
+        [
+            (101, None),
+            (102, ""),
+            (103, " "),
+            (104, "a a a"),
+            (105, "a  b"),
+            (106, "héllo wörld héllo"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edges)
+    arrow = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(both, impl="arrow").collect()
+    }
+    expr = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash(both, impl="expr").collect()
+    }
+    assert arrow == expr
+
+
 def test_simhash_null_text_is_zero_fingerprint(spark):
     """NULL text must fingerprint to 0 (empty token set), never NULL — a
     NULL simhash silently drops the doc from simhash_near_pairs' banded
