@@ -7680,66 +7680,62 @@ _DRIVER_WINDOW = [
     # zone-map prune are the reference's essence)
     "shack_pruned_lookup",
     "scan_filter_project",
-    # r6 hash-red trio, oracle dtype fixed this round — re-prove
-    "time_travel_orders",
-    "orc_roundtrip_lineitem",
-    "schema_evolution_orders",
-    # never-driver-hashed: format surface + versioning family-mates
-    # (VERDICT_r6 item 5's explicit list)
-    "csv_roundtrip_orders",
-    "jsonl_roundtrip_docs",
-    "snapshot_agg_orders",
-    "manifest_counts_orders",
-    "time_travel_pruned_lookup",
-    "version_diff_orders",
-    "kll_grouped_quantiles_orders",
-    # never-driver-hashed: TPC-H breadth (remainder leads r8)
-    "q4_order_priority_checking",
-    "q11_important_part_values",
-    "q12_priority_shipping_split",
-    "q22_idle_rich_customers",
-    # never-driver-hashed: relational long tail
-    "grouped_ols_slope_customers",
-    "right_outer_order_lineitems",
-    "unpivot_order_measures",
-    "string_agg_region_nations",
-    "gap_fill_daily_spend",
-    "funnel_signup_click_purchase",
-    "grouped_percentiles_orders",
-    # never-driver-hashed: dedup / fingerprint tier
-    "ngram_containment_docs",
-    "incremental_dedup_new_docs",
-    "winnow_fingerprint_stats",
-    "repeated_passages_docs",
-    "repetition_stats_docs",
-    "benchmark_decontamination",
-    # never-driver-hashed: retrieval / text-quality tier
-    "tfidf_top_terms_docs",
-    "boolean_search_docs",
-    "bm25_search_docs",
-    "unigram_lm_quality_docs",
-    "bigram_lm_quality_docs",
-    "term_drift_by_source",
-    "mask_pii_audit",
-    "drift_chi2_docs",
-    "chunk_tokens_docs",
-    # never-driver-hashed: ANN / embedding tier
-    "ivf_index_probe_topk",
-    "quantized_embedding_stats",
-    "kmeans_update_quantized",
-    "jl_projection_embeddings",
-    "pq_adc_topk_embeddings",
-    "ivfpq_search_embeddings",
-    # never-driver-hashed: sampling / packing tier
-    "hash_split_counts",
-    "mixture_sample_counts",
-    "epoch_shuffle_prefix_docs",
-    "weighted_sample_docs",
-    # never-driver-hashed: graph + multimodal
-    "triangle_census_cosuppliers",
-    "multimodal_wav_features",
+    # never-driver-hashed (VERDICT_r7 item 1): the last five entries
+    # without a CORRECTNESS_r* proof — closing these reaches 164/164
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q20_excess_quantity_suppliers",
+    "q21_waiting_suppliers",
+    # second-hash rotation by proof age (VERDICT_r7 item 2): testdata is
+    # regenerated every round, so the stalest proofs are least trusted.
+    # r4-era proofs (the oldest still-registered names), all 17:
+    "cosine_topk_bruteforce",
+    "cosine_topk_pandas_udf",
+    "dedup_events_first",
+    "dedup_exact_docs",
+    "dedup_normalized_docs",
+    "doc_fingerprint",
+    "docs_near_deduped",
+    "embedding_near_dup",
+    "ivf_topk_full_probe",
+    "lang_id_docs",
+    "minhash_dedup_verified",
+    "ngram_jaccard_pairs",
+    "quality_score_docs",
+    "simhash_near_pairs",
+    "sketch_distinct_and_quantiles",
+    "token_stats_by_lang",
+    "top_terms",
+    # r5-era proofs (26 of 47, prioritizing VERDICT_r7's named examples
+    # and TPC-H breadth; the rest rotate in r9+):
+    "sessionize_users",
+    "retention_cohorts_events",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q7_volume_by_year",
+    "q10_returned_item_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "asof_join_events_orders",
+    "window_range_frame_orders",
+    "window_rank_suite",
+    "window_share_of_total",
+    "window_top2_per_customer",
+    "cube_orders",
+    "rollup_lineitem",
+    "grouping_sets_orders",
+    "pivot_orderstatus",
+    "salted_agg_lineitem",
+    "json_extract_events",
 ]
-
 
 def _ordered_names() -> list[str]:
     windowed = [n for n in _DRIVER_WINDOW if n in SPECS]
