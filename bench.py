@@ -38,6 +38,25 @@ HEADLINE = [
 ]
 
 
+#: Pure-Python spin work sized to ~50 ms on a quiet box. Timed at fixed
+#: points through the run (VERDICT_r7 item 4): the work is constant, so
+#: any inflation of its wall time is EXTERNAL contention (another suite
+#: on the shared box), making a contended record self-labeling —
+#: bench_detail's `contention` block carries the samples and max/min
+#: ratio. Runs between Spark jobs (the JVM is idle), so it measures the
+#: box, not the bench.
+SENTINEL_ITERS = 2_000_000
+
+
+def spin_sentinel() -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(SENTINEL_ITERS):
+        x += i & 7
+    assert x >= 0
+    return round((time.perf_counter() - t0) * 1000.0, 2)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from lakeshack_spark.session import get_spark
@@ -70,12 +89,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     steady: dict[str, float] = {}
+    sentinels: list[float] = [spin_sentinel()]
     for name in HEADLINE:
         runs = [run(name) for _ in range(3)]
         ordered = sorted(runs)
         timings[name] = round(runs[0], 3)  # chronological first run
         medians[name] = round(ordered[1], 3)
         steady[name] = round(ordered[0], 3)
+    sentinels.append(spin_sentinel())
 
     # Flagship composition, tracked separately so the headline total stays
     # comparable round-over-round: the full corpus-cleaning pipeline
@@ -100,6 +121,7 @@ def main() -> None:
     # an honest fresh run (~= first run). Expect a step change at r4.
     p_first = run_pipeline()
     p_second = run_pipeline()
+    sentinels.append(spin_sentinel())
     pipeline_sec = round(p_first, 3)
     pipeline_steady = round(min(p_first, p_second), 3)
 
@@ -132,6 +154,7 @@ def main() -> None:
 
     d_first = run_drop_set()
     d_second = run_drop_set()
+    sentinels.append(spin_sentinel())
     drop_set_sec = round(d_first, 3)
     drop_set_steady = round(min(d_first, d_second), 3)
 
@@ -194,6 +217,7 @@ def main() -> None:
 
     c_first = run_cc()
     c_second = run_cc()
+    sentinels.append(spin_sentinel())
 
     # Exact-substring tier: cross-document repeated-passage coverage
     # over the full sf documents table with planted 30-token quotes —
@@ -279,6 +303,64 @@ def main() -> None:
 
     sj_first = run_salted()
     sj_second = run_salted()
+    sentinels.append(spin_sentinel())
+
+    # Streaming throughput point (VERDICT_r7 item 7): rows/s through the
+    # versioned CDC merge sink — N micro-batches of disjoint-key updates
+    # against a VersionedTable seeded from orders, availableNow, one
+    # MERGE commit per batch. The exactly-once marker check stays ON
+    # (every version's manifest must carry its batch_id, and version
+    # count must equal 1 + N). First measurement r8 — no regression gate.
+    import shutil
+    import tempfile
+
+    from lakeshack_spark.streaming.ivm import stream_merge_versioned
+    from lakeshack_spark.versioning import VersionedTable
+
+    stream_root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        table_dir = f"{stream_root}/table"
+        vt = VersionedTable(spark, table_dir)
+        base = orders_t.select("o_orderkey", "o_totalprice", "o_orderstatus")
+        vt.create(base.repartition(8))
+        n_batches = 5
+        changes = base.select(
+            "o_orderkey",
+            (F.col("o_totalprice") * F.lit(1.01)).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+        total_changes = 0
+        for i in range(n_batches):
+            sl = changes.filter(F.col("o_orderkey") % n_batches == i)
+            total_changes += sl.count()
+            sl.coalesce(1).write.mode("overwrite").parquet(
+                f"{stream_root}/landing/slice{i}"
+            )
+        stream = (
+            spark.readStream.schema(changes.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{stream_root}/landing/*")
+        )
+        t0 = time.time()
+        stream_merge_versioned(
+            stream,
+            table_dir,
+            ["o_orderkey"],
+            update_cols=["o_totalprice"],
+            checkpoint_dir=f"{stream_root}/ckpt",
+        ).awaitTermination()
+        stream_sec = time.time() - t0
+        vers = vt.versions()
+        assert len(vers) == 1 + n_batches, f"versions {vers}"
+        batch_ids = sorted(
+            vt.manifest(v)["meta"].get("batch_id") for v in vers[1:]
+        )
+        assert batch_ids == list(range(n_batches)), batch_ids
+        stream_rows_per_sec = round(total_changes / stream_sec, 1)
+        stream_merge_sec = round(stream_sec, 3)
+    finally:
+        shutil.rmtree(stream_root, ignore_errors=True)
+    sentinels.append(spin_sentinel())
     n_joined = salted_join(skew_left, skew_right, "k", salt_buckets=8).count()
     assert n_joined == n_li, f"salted join lost rows: {n_joined}/{n_li}"
 
@@ -287,6 +369,12 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    contention = {
+        "sentinel_ms": sentinels,
+        "min_ms": min(sentinels),
+        "max_ms": max(sentinels),
+        "ratio": round(max(sentinels) / max(min(sentinels), 1e-9), 2),
+    }
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -308,6 +396,9 @@ def main() -> None:
         "repeated_passages_steady": round(min(rp_first, rp_second), 3),
         "salted_join_skew": round(sj_first, 3),
         "salted_join_skew_steady": round(min(sj_first, sj_second), 3),
+        "stream_merge_versioned_sec": stream_merge_sec,
+        "stream_merge_versioned_rows_per_sec": stream_rows_per_sec,
+        "contention": contention,
         "sf": sf_val,
     }
     spark.stop()

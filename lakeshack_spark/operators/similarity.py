@@ -956,6 +956,64 @@ def pq_encode(
 #: tests/test_operators.py.
 PQ_ADC_LITERAL_MAX_QUERIES = 64
 
+#: Above this many queries, the ADC distance tables themselves are built
+#: DISTRIBUTED (mapInPandas over the query frame) instead of in driver
+#: Python: the driver path collects the whole query set and folds
+#: O(|Q|·m·n_codes·ds) doubles on one core — fine for the FAISS-style
+#: bounded batch the docstrings contract, serial for a million-query
+#: re-ranking batch (VERDICT_r7 item 3). Both builders call the SAME
+#: per-query fold (:func:`_adc_tables` / :func:`_ivfpq_query_rows`), so
+#: the paths are bit-identical — pinned in tests/test_operators.py.
+PQ_ADC_DRIVER_TABLES_MAX_QUERIES = 4096
+
+
+def _distributed_adc_tables(
+    queries: DataFrame,
+    codebooks,
+    ds: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, __t0..__t{m-1}) built executor-side: mapInPandas over
+    the query frame, one :func:`_adc_tables` call per row — the exact
+    sequential IEEE fold of the driver path, just partitioned. Driver
+    cost is O(1) in #queries."""
+    m = len(codebooks)
+    schema = T.StructType(
+        [T.StructField("query_id", T.LongType(), False)]
+        + [
+            T.StructField(f"__t{j}", T.ArrayType(T.DoubleType()), False)
+            for j in range(m)
+        ]
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"query_id": []}
+            for j in range(m):
+                out[f"__t{j}"] = []
+            for qid, vec in zip(pdf[id_col], pdf[vec_col]):
+                tables = _adc_tables([float(x) for x in vec], codebooks, ds)
+                out["query_id"].append(int(qid))
+                for j in range(m):
+                    out[f"__t{j}"].append(tables[j])
+            yield pd.DataFrame(out)
+
+    # Spread the fold across cores regardless of input layout: a query
+    # batch often arrives as ONE file (measured: the mapInPandas ran on
+    # 1 partition and matched driver-path wall time). The |Q|-row
+    # shuffle is negligible next to the O(|Q|·m·n_codes·ds) fold work.
+    par = queries.sparkSession.sparkContext.defaultParallelism
+    return (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .repartition(max(par, 1))
+        .mapInPandas(build, schema)
+    )
+
 
 def pq_adc_topk(
     encoded: DataFrame,
@@ -965,6 +1023,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     literal_max_queries: int | None = None,
+    driver_tables_max_queries: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k search over PQ codes — the scan
     half of the PQ pipeline: each query precomputes one distance table
@@ -974,16 +1033,23 @@ def pq_adc_topk(
     corpus scale (codes are ~``32·ds/8``× smaller than fp32).
 
     ``encoded`` must carry ``code_0..code_{m-1}`` (from
-    :func:`pq_encode` — typically precomputed and stored). The query
-    side is bounded: tables are built driver-side with the same
-    sequential IEEE folds as the oracle's ``list_dot_product``. Up to
-    ``literal_max_queries`` (default :data:`PQ_ADC_LITERAL_MAX_QUERIES`)
-    they are folded into ONE literal array of per-query structs (single
-    parsed expression) exploded per candidate row; ABOVE the threshold
-    the identical tables ship as a tiny broadcast DataFrame cross-joined
-    to the codes scan instead — same per-row arithmetic, but plan size
-    stays O(1) in #queries (the large-query-set path VERDICT_r5 asked
-    for; the two paths are pinned row-identical in tests). Either way
+    :func:`pq_encode` — typically precomputed and stored). Tables use
+    the same sequential IEEE folds as the oracle's ``list_dot_product``.
+    Three tiers by query count: up to ``literal_max_queries`` (default
+    :data:`PQ_ADC_LITERAL_MAX_QUERIES`) the driver-built tables are
+    folded into ONE literal array of per-query structs (single parsed
+    expression) exploded per candidate row; above that, the identical
+    tables ship as a tiny broadcast DataFrame cross-joined to the codes
+    scan — same per-row arithmetic, plan size O(1) in #queries
+    (VERDICT_r5); above ``driver_tables_max_queries`` (default
+    :data:`PQ_ADC_DRIVER_TABLES_MAX_QUERIES`) the tables are ALSO built
+    executor-side (:func:`_distributed_adc_tables` — same fold, one
+    mapInPandas over the query frame), so driver cost is O(1) in
+    #queries too (VERDICT_r7 item 3; all three paths pinned
+    row-identical in tests). The broadcast itself bounds this operator
+    at ~millions of queries (|Q|·m·n_codes doubles must fit an executor)
+    — past that, re-ranking should go through :func:`ivfpq_search`'s
+    cell-keyed join, not an all-pairs ADC. Either way
     scoring is map-side (no shuffle before the two-stage top-k), so scan
     parallelism never collapses to #queries. Distances use the expanded
     identity ``x·x − 2.0·x·c + c·c`` summed in fixed subspace order —
@@ -996,27 +1062,38 @@ def pq_adc_topk(
     """
     m = len(codebooks)
     ds = len(codebooks[0][0][1])
-    qrows = (
-        queries.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.col(id_col).asc())
-        .collect()
-    )
-    if not qrows:
-        raise ValueError("pq_adc_topk: empty query set")
     thresh = (
         PQ_ADC_LITERAL_MAX_QUERIES
         if literal_max_queries is None
         else literal_max_queries
     )
-    qtables = [
-        (int(r[id_col]), _adc_tables([float(x) for x in r[vec_col]], codebooks, ds))
-        for r in qrows
-    ]
+    dmax = (
+        PQ_ADC_DRIVER_TABLES_MAX_QUERIES
+        if driver_tables_max_queries is None
+        else driver_tables_max_queries
+    )
+    n_q = queries.count()
+    if n_q == 0:
+        raise ValueError("pq_adc_topk: empty query set")
     codes = encoded.select(
         F.col(id_col).alias("neighbor_id"),
         *[F.col(f"code_{j}") for j in range(m)],
     )
-    if len(qtables) <= thresh:
+    qtables = None
+    if n_q <= max(thresh, dmax):
+        qrows = (
+            queries.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.col(id_col).asc())
+            .collect()
+        )
+        qtables = [
+            (
+                int(r[id_col]),
+                _adc_tables([float(x) for x in r[vec_col]], codebooks, ds),
+            )
+            for r in qrows
+        ]
+    if qtables is not None and n_q <= thresh:
         parts = []
         for qid, tables in qtables:
             fields = [f"'qid', {qid}L"]
@@ -1038,17 +1115,24 @@ def pq_adc_topk(
             (-dist).alias("cosine"),  # _topk_per_query ranks cosine DESC
         )
     else:
-        spark = encoded.sparkSession
-        schema = T.StructType(
-            [T.StructField("query_id", T.LongType(), False)]
-            + [
-                T.StructField(f"__t{j}", T.ArrayType(T.DoubleType()), False)
-                for j in range(m)
-            ]
-        )
-        tables_df = spark.createDataFrame(
-            [(qid, *tables) for qid, tables in qtables], schema
-        )
+        if qtables is not None:
+            spark = encoded.sparkSession
+            schema = T.StructType(
+                [T.StructField("query_id", T.LongType(), False)]
+                + [
+                    T.StructField(
+                        f"__t{j}", T.ArrayType(T.DoubleType()), False
+                    )
+                    for j in range(m)
+                ]
+            )
+            tables_df = spark.createDataFrame(
+                [(qid, *tables) for qid, tables in qtables], schema
+            )
+        else:
+            tables_df = _distributed_adc_tables(
+                queries, codebooks, ds, id_col, vec_col
+            )
         joined = codes.crossJoin(F.broadcast(tables_df))
         dist = F.element_at(F.col("__t0"), F.col("code_0") + 1)
         for j in range(1, m):
@@ -1231,6 +1315,35 @@ def _adc_tables(x: list, codebooks, ds: int) -> list:
             tbl.append(xx - 2.0 * xc + cc)
         tables.append(tbl)
     return tables
+
+
+def _ivfpq_query_rows(
+    qid: int, qv: list, entries, codebooks, ds: int, nprobe: int
+) -> list:
+    """One query's (query_id, cell, __t0..__t{m-1}) probe rows — the
+    cosine cell probe (same metric ivf_assign stored candidates under;
+    descending, tie → smaller cid) followed by residual
+    :func:`_adc_tables` per probed cell. The ONE implementation shared
+    by ivfpq_search's driver and distributed builders, so the two paths
+    are bit-identical by construction."""
+    import math
+
+    qn = math.sqrt(sum(a * a for a in qv))
+    cell_d = []
+    for cid, cv, cn in entries:
+        dot = 0.0
+        for a, b in zip(qv, cv):
+            dot += a * b
+        sim = dot / (qn * cn) if qn > 0 and cn > 0 else 0.0
+        cell_d.append((-sim, cid))
+    cell_d.sort()
+    rows = []
+    for _d, cid in cell_d[:nprobe]:
+        cv = next(c for i, c, _n in entries if i == cid)
+        resid = [a - b for a, b in zip(qv, cv)]
+        tables = _adc_tables(resid, codebooks, ds)
+        rows.append((int(qid), int(cid), *tables))
+    return rows
 
 
 def pq_search(
@@ -1468,6 +1581,7 @@ def ivfpq_search(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid",
+    driver_tables_max_queries: int | None = None,
 ) -> DataFrame:
     """IVF-PQ ADC search: each query probes its ``nprobe`` nearest cells
     (by squared L2 to the centroid) and scores ONLY candidates stored in
@@ -1475,46 +1589,30 @@ def ivfpq_search(
     table for cell c is built from the query's residual ``q − centroid_c``
     with the same expanded-identity arithmetic as :func:`pq_adc_topk`.
 
-    Physical shape: the tables form a small driver-built DataFrame
-    (#queries × nprobe rows) broadcast-joined to ``encoded`` on ``cell``
-    — the join IS the cell pruning (candidates outside probed cells
-    never produce a row), then 4 lookups + 3 adds and the two-stage
-    top-k. Scan cost drops ~nprobe/C like :func:`ivf_topk`, and the
-    scan side still never touches a float vector. Total distance is the
-    cell term folded into the tables (||q−c||² decomposes into residual
-    space), ties break to the smaller neighbor id."""
-    import math
-
+    Physical shape: the tables form a small DataFrame (#queries ×
+    nprobe rows) broadcast-joined to ``encoded`` on ``cell`` — the join
+    IS the cell pruning (candidates outside probed cells never produce
+    a row), then 4 lookups + 3 adds and the two-stage top-k. Up to
+    ``driver_tables_max_queries`` (default
+    :data:`PQ_ADC_DRIVER_TABLES_MAX_QUERIES`) the tables are built
+    driver-side; above it, executor-side via mapInPandas over the query
+    frame — both builders call :func:`_ivfpq_query_rows`, so the paths
+    are bit-identical (VERDICT_r7 item 3; parity-pinned in tests). Scan
+    cost drops ~nprobe/C like :func:`ivf_topk`, and the scan side still
+    never touches a float vector. Total distance is the cell term
+    folded into the tables (||q−c||² decomposes into residual space),
+    ties break to the smaller neighbor id."""
     entries = _centroid_entries(centroids, centroid_id_col, centroid_vec_col)
     m = len(codebooks)
     ds = len(codebooks[0][0][1])
-    qrows = (
-        queries.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.col(id_col).asc())
-        .collect()
+    dmax = (
+        PQ_ADC_DRIVER_TABLES_MAX_QUERIES
+        if driver_tables_max_queries is None
+        else driver_tables_max_queries
     )
-    if not qrows:
+    n_q = queries.count()
+    if n_q == 0:
         raise ValueError("ivfpq_search: empty query set")
-    table_rows = []
-    for r in qrows:
-        qv = [float(x) for x in r[vec_col]]
-        qn = math.sqrt(sum(a * a for a in qv))
-        # probe by COSINE (descending, tie → smaller cid) — the SAME
-        # metric ivf_assign stored candidates under; probing by L2 here
-        # would skip cells that cosine assignment actually filled
-        cell_d = []
-        for cid, cv, cn in entries:
-            dot = 0.0
-            for a, b in zip(qv, cv):
-                dot += a * b
-            sim = dot / (qn * cn) if qn > 0 and cn > 0 else 0.0
-            cell_d.append((-sim, cid))
-        cell_d.sort()
-        for _d, cid in cell_d[:nprobe]:
-            cv = next(c for i, c, _n in entries if i == cid)
-            resid = [a - b for a, b in zip(qv, cv)]
-            tables = _adc_tables(resid, codebooks, ds)
-            table_rows.append((int(r[id_col]), int(cid), *tables))
     spark = encoded.sparkSession
     schema = T.StructType(
         [
@@ -1526,7 +1624,48 @@ def ivfpq_search(
             for j in range(m)
         ]
     )
-    tables_df = spark.createDataFrame(table_rows, schema)
+    if n_q <= dmax:
+        qrows = (
+            queries.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.col(id_col).asc())
+            .collect()
+        )
+        table_rows = []
+        for r in qrows:
+            qv = [float(x) for x in r[vec_col]]
+            table_rows.extend(
+                _ivfpq_query_rows(
+                    r[id_col], qv, entries, codebooks, ds, nprobe
+                )
+            )
+        tables_df = spark.createDataFrame(table_rows, schema)
+    else:
+
+        def build(batches):
+            import pandas as pd
+
+            cols = ["query_id", "cell"] + [f"__t{j}" for j in range(m)]
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                rows = []
+                for qid, vec in zip(pdf[id_col], pdf[vec_col]):
+                    qv = [float(x) for x in vec]
+                    rows.extend(
+                        _ivfpq_query_rows(
+                            qid, qv, entries, codebooks, ds, nprobe
+                        )
+                    )
+                yield pd.DataFrame(rows, columns=cols)
+
+        # same single-file-input hazard as _distributed_adc_tables:
+        # spread the probe + fold work across cores
+        par = queries.sparkSession.sparkContext.defaultParallelism
+        tables_df = (
+            queries.select(F.col(id_col), F.col(vec_col))
+            .repartition(max(par, 1))
+            .mapInPandas(build, schema)
+        )
 
     joined = encoded.join(F.broadcast(tables_df), "cell")
     dist = F.element_at(F.col("__t0"), F.col("code_0") + 1)

@@ -1413,6 +1413,76 @@ def test_pq_adc_literal_and_join_paths_identical(spark):
     assert "named_struct" not in plan
 
 
+def test_pq_adc_distributed_tables_path_identical(spark):
+    """The distributed-table-build switchover (VERDICT_r7 item 3):
+    forcing executor-side table construction (driver_tables_max_queries
+    =0) returns EXACTLY the literal and driver-broadcast paths' rows —
+    bit-identical adc_dist, since the mapInPandas builder calls the
+    same _adc_tables fold per row. Three-way pin."""
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = sim.pq_codebooks(emb, m=4, n_codes=8)
+    enc = sim.pq_encode(emb, books)
+    q = emb.filter("vec_id < 6")
+    lit_rows = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adc_dist)
+        for r in sim.pq_adc_topk(enc, q, books, k=4).collect()
+    )
+    driver_rows = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adc_dist)
+        for r in sim.pq_adc_topk(
+            enc, q, books, k=4, literal_max_queries=0
+        ).collect()
+    )
+    dist_rows = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adc_dist)
+        for r in sim.pq_adc_topk(
+            enc,
+            q,
+            books,
+            k=4,
+            literal_max_queries=0,
+            driver_tables_max_queries=0,
+        ).collect()
+    )
+    assert lit_rows == driver_rows == dist_rows
+    assert len(dist_rows) == 6 * 4
+
+
+def test_ivfpq_search_distributed_tables_path_identical(spark):
+    """ivfpq_search's executor-side table builder (VERDICT_r7 item 3)
+    returns EXACTLY the driver path's rows — both builders call
+    _ivfpq_query_rows, so probe choice and residual tables are
+    bit-identical."""
+    from lakeshack_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = sim.sample_centroids(emb, 8)
+    books = sim.pq_codebooks(emb, m=4, n_codes=8)
+    enc = sim.ivfpq_encode(emb, cents, books)
+    q = emb.filter("vec_id < 6")
+    driver_rows = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adc_dist)
+        for r in sim.ivfpq_search(
+            enc, q, cents, books, k=4, nprobe=3
+        ).collect()
+    )
+    dist_rows = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adc_dist)
+        for r in sim.ivfpq_search(
+            enc,
+            q,
+            cents,
+            books,
+            k=4,
+            nprobe=3,
+            driver_tables_max_queries=0,
+        ).collect()
+    )
+    assert driver_rows == dist_rows and len(dist_rows) == 6 * 4
+
+
 def test_pq_train_reduces_reconstruction_error(spark):
     """Lloyd-refined codebooks must not lose to the raw seed on the
     training distribution (deterministic: no RNG anywhere)."""

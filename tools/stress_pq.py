@@ -119,6 +119,7 @@ def main():
     ap.add_argument("--queries", type=int, default=20)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--noise", type=float, default=0.3)
+    ap.add_argument("--adc-build-queries", type=int, default=10_000)
     args = ap.parse_args()
 
     import numpy as np
@@ -209,6 +210,43 @@ def main():
             f" search {time.time()-t0:.2f}s,"
             f" recall@{k} in shortlist-100 = {recall:.3f}"
         )
+    # ADC table construction at large query counts (VERDICT_r7 item 3):
+    # the driver path folds O(|Q|·m·n_codes·ds) doubles on one core; the
+    # distributed builder (mapInPandas, same fold) keeps driver cost
+    # O(1). Time both at 1k and --adc-build-queries — driver-path wall
+    # time scales ~linearly with |Q|, distributed stays near-flat.
+    nb = args.adc_build_queries
+    bpts = rng.normal(size=(nb, dim))
+    write(f"{d}/buildq.parquet", np.arange(10**7, 10**7 + nb), bpts)
+    bq = spark.read.parquet(f"{d}/buildq.parquet")
+    ds = dim // len(books)
+    for nq in (1000, nb):
+        sub = spark.read.parquet(f"{d}/buildq.parquet").filter(
+            F.col("vec_id") < 10**7 + nq
+        )
+        t0 = time.time()
+        rows = sub.select("vec_id", "embedding").collect()
+        for r in rows:
+            sim._adc_tables([float(x) for x in r.embedding], books, ds)
+        t_driver = time.time() - t0
+        t0 = time.time()
+        cnt = sim._distributed_adc_tables(
+            sub, books, ds, "vec_id", "embedding"
+        ).count()
+        t_dist = time.time() - t0
+        assert cnt == nq
+        print(
+            f"[adc-build] |Q|={nq}: driver build {t_driver:.2f}s, "
+            f"distributed build {t_dist:.2f}s"
+        )
+    t0 = time.time()
+    got = sim.ivfpq_search(
+        enc, bq, cents, books, k=5, nprobe=2, driver_tables_max_queries=0
+    ).count()
+    print(
+        f"[adc-build] ivfpq_search distributed-tables |Q|={nb}: "
+        f"{time.time()-t0:.2f}s, {got} result rows"
+    )
     enc.unpersist()
 
     sf_emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
