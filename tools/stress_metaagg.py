@@ -29,21 +29,8 @@ import time
 sys.path.insert(0, ".")
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--files", type=int, default=100_000)
-    ap.add_argument("--rows-per-file", type=int, default=1000)
-    args = ap.parse_args()
-
-    from pyspark.sql import functions as F, types as T
-
-    from lakeshack_spark.metastore import FileStatsMetastore
-    from lakeshack_spark.session import get_spark
-
-    spark = get_spark(app_name="stress_metaagg", shuffle_partitions=8)
-
-    # ---- planning-path sweep on a synthetic store (no data files) ----
-    n, rows = args.files, args.rows_per_file
+def build_store(spark, F, T, FileStatsMetastore, n, rows):
+    """Synthetic stats store for n clustered files (no data files)."""
     syn_schema = T.StructType(
         [
             T.StructField("k", T.LongType(), True),
@@ -64,7 +51,10 @@ def main() -> None:
         F.lit(None).cast("long").alias("ts_nulls"),
     )
     ms.backend.append(syn, n)
+    return ms
 
+
+def run_sweep(ms, n, rows, label):
     total_keys = n * rows
     for frac in (0.001, 0.01, 0.1, 0.5, 0.9):
         width = int(total_keys * frac)
@@ -91,12 +81,53 @@ def main() -> None:
         assert contrib["min"]["k"] == (lo_file + 1) * rows
         assert contrib["max"]["k"] == hi_file * rows - 1
         print(
-            f"range {frac:>5.1%} of keyspace: plan {dt:6.0f} ms, "
-            f"{contrib['n_files_interior']:>6} interior / "
+            f"[{label}] range {frac:>5.1%} of keyspace: plan {dt:6.0f} ms, "
+            f"{contrib['n_files_interior']:>7} interior / "
             f"{len(boundary)} boundary / "
-            f"{contrib['n_files_excluded']:>6} excluded; "
-            f"{interior_rows:>9} rows answered from metadata"
+            f"{contrib['n_files_excluded']:>7} excluded; "
+            f"{interior_rows:>10} rows answered from metadata"
         )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=100_000)
+    ap.add_argument(
+        "--distributed-files",
+        type=int,
+        default=1_000_000,
+        help="file count for the past-cutover regime (> "
+        "DRIVER_PRUNE_MAX_FILES routes plan_agg through the one "
+        "distributed aggregate); 0 skips it",
+    )
+    ap.add_argument("--rows-per-file", type=int, default=1000)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F, types as T
+
+    from lakeshack_spark.metastore import FileStatsMetastore
+    from lakeshack_spark.session import get_spark
+
+    spark = get_spark(app_name="stress_metaagg", shuffle_partitions=8)
+
+    # ---- planning-path sweep on a synthetic store (no data files) ----
+    n, rows = args.files, args.rows_per_file
+    ms = build_store(spark, F, T, FileStatsMetastore, n, rows)
+    run_sweep(ms, n, rows, f"{n // 1000}k-driver")
+
+    # ---- same sweep PAST the driver cutover (VERDICT_r7 item 6):
+    # > DRIVER_PRUNE_MAX_FILES makes backend.read_arrow defer, so
+    # plan_agg runs _plan_agg_distributed — one Spark aggregate over the
+    # store, interior/boundary classification in the plan. Same ground-
+    # truth asserts as the driver leg.
+    if args.distributed_files:
+        nd = args.distributed_files
+        assert nd > FileStatsMetastore.DRIVER_PRUNE_MAX_FILES, (
+            "--distributed-files must exceed the driver cutover "
+            f"({FileStatsMetastore.DRIVER_PRUNE_MAX_FILES})"
+        )
+        ms_d = build_store(spark, F, T, FileStatsMetastore, nd, rows)
+        run_sweep(ms_d, nd, rows, f"{nd // 1000}k-distributed")
 
     # ---- end-to-end leg on a real (small) lake ----
     from lakeshack_spark.engine import Lakeshack
