@@ -806,6 +806,248 @@ def minhash_first_candidates(banded: DataFrame, id_col: str = "doc_id") -> DataF
     )
 
 
+def _pass2_audience(banded, sh, failed_docs, id_col):
+    """Shared pass-2 scoping: the failed docs' banded rows, the buckets
+    they occupy, and the shingle-class representatives of every doc in
+    those buckets.
+
+    Class collapse: an identical shingle SET (not just identical text —
+    e.g. word-order rotations of a template under k=1) ⇒ identical
+    minhash signature, identical buckets, and identical Jaccard against
+    every doc, so the class's min id (which is provably also every
+    bucket-min it appears in) stands in exactly for the whole class:
+    (rep, b) verifies iff (any member, b) verifies, and rep < b follows
+    from rep ≤ member < b. Without this collapse a failed doc whose
+    bucket holds an m-doc duplicate cluster meets m candidates (measured
+    6.7M pairs from 4228 failures against a planted 2000-doc cluster);
+    with it, one per bucket — pass 2 scales with failures × distinct
+    shingle-classes per bucket, never cluster size.
+
+    Class key = md5 over the sorted PER-SHINGLE md5s: hex digests are
+    fixed-alphabet, so the comma join cannot collide however weird the
+    tokens are (a raw-text join with any separator is ambiguous the
+    moment a token contains it). An md5 collision merging two classes
+    is the only residual failure mode — negligible vs the constructible
+    separator ambiguity.
+
+    Reps are computed only over docs that share a bucket with a failed
+    doc — pass 2's only audience. Members of one class occupy identical
+    buckets, so if any member is in a failed bucket the class's GLOBAL
+    min is too: the restricted min equals the global min, exactly. With
+    zero failures this whole branch aggregates nothing.
+    """
+    fb = banded.join(
+        failed_docs.select(F.col("id_b").alias(id_col)), id_col, "left_semi"
+    )
+    class_key = F.md5(
+        F.concat_ws(
+            ",", F.array_sort(F.transform("__sh", F.md5))
+        ).cast("binary")
+    )
+    fb_buckets = fb.select("band", "bucket").distinct()
+    cand_docs = (
+        banded.join(fb_buckets, ["band", "bucket"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    reps = (
+        sh.join(cand_docs, id_col, "left_semi")
+        .groupBy(class_key.alias("__sk"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return fb, fb_buckets, reps
+
+
+def _drop_set_pass2_pairs(
+    banded, sh, verified, failed_docs, first, id_col, threshold
+):
+    """Pass 2, pair-join form (the r6/r7 shape, kept as the parity
+    reference for the local form): bucket-equi candidate join restricted
+    to failed docs' buckets against class reps, size-ratio prefiltered,
+    distinct, then the exact-Jaccard verify join.
+
+    Size prefilter inside the bucket join: J ≤ min(|a|,|b|)/max(|a|,|b|),
+    so pairs whose shingle-set sizes differ beyond the threshold ratio
+    can never verify — two int columns filter them BEFORE the distinct
+    shuffle and the array-bearing verify join (measured on the bench
+    corpus: 5.05M → 1.94M pass-2 pairs, verify 15.8 s → 2.9 s). The
+    1e-9 slack only ever keeps extra pairs; a filtered pair is exactly
+    a failed verification, and its id_b is already a failed doc by
+    construction, so the drop set is unchanged — still pinned equal to
+    minhash_verified_pairs' distinct id_b set.
+
+    No broadcast hint: failures are small BY CONSTRUCTION (LSH false
+    positives), but a hint would outlive that assumption on adversarial
+    data — AQE picks broadcast from the runtime size.
+    """
+    fb, _fb_buckets, reps = _pass2_audience(banded, sh, failed_docs, id_col)
+    zcol = sh.select(F.col(id_col), F.size("__sh").alias("__z"))
+    banded_reps = banded.join(reps, id_col, "left_semi").join(zcol, id_col)
+    fb_z = fb.join(zcol, id_col)
+    rest = (
+        banded_reps.alias("a")
+        .join(
+            fb_z.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.__z"), F.col("b.__z")).cast("double")
+                >= (F.lit(threshold) - F.lit(1e-9))
+                * F.greatest(F.col("a.__z"), F.col("b.__z"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+        .join(first, ["id_b", "id_a"], "left_anti")  # already tried
+    )
+    return (
+        verified(rest).filter(F.col("__j") >= threshold).select("id_b").distinct()
+    )
+
+
+def _drop_set_pass2_local(banded, sh, failed_docs, id_col, threshold):
+    """Pass 2, bucket-local prefix-filtered form (default since r8): the
+    pair-join form materializes |reps|×|failed| rows per bucket before
+    anything can refute them — a single degenerate mega-bucket (a
+    common band signature, e.g. short texts under k=1) yielded 6.19M
+    raw pairs → 1.94M distinct → verify on the bench corpus, ~7 s of
+    pure pair plumbing. This form never materializes pairs: it groups
+    the (reps ∪ failed) bucket membership by (band, bucket) and runs an
+    exact AllPairs-style prefix-filtered verify INSIDE each group
+    (applyInPandas), emitting only dropped ids.
+
+    Exactness (the pinned invariant — drop set ≡ minhash_verified_pairs'
+    distinct id_b — is preserved):
+
+    - Candidate coverage: a qualifying pair shares ≥1 bucket, and both
+      members appear in that bucket's group (candidate side collapsed to
+      class reps exactly as the pair form — `_pass2_audience`).
+    - Prefix filter (Bayardo/Chaudhuri prefix principle): order the
+      bucket's tokens by (local frequency, token); for J(a,b) ≥ t the
+      intersection is non-empty and its order-minimal token m satisfies
+      pos_a(m) ≤ |a| − ⌈t·|a|⌉ + 1 (all earlier a-tokens are outside b,
+      and |∩| ≥ t·|b| ⟹ ... ≥ ⌈t·|a|⌉ later a-tokens are shared), same
+      for b — so m lies in BOTH prefixes, and probing b's prefix against
+      an inverted index of rep prefixes cannot miss a qualifying pair.
+      Any consistent per-group order is correct; local frequency
+      ascending puts each doc's rarest tokens in its prefix, which is
+      what makes dissimilar pairs collide almost never.
+    - Verification is the exact Jaccard on the exact shingle sets
+      (arrays are distinct by construction): integer |∩| and |∪| then
+      one double division — bit-identical to the expression path.
+    - Early exit per failed doc (stop at first verified match) changes
+      nothing: the drop set is an ∃, not a pair list.
+
+    Scale: the shuffle is O(failed-bucket membership) rows (each with
+    one shingle array), never pairs; per-group work is index build +
+    near-constant probes per failed doc. The degenerate bucket that
+    cost 6.19M pairs costs |bucket| index entries. One group runs on
+    one core — but so did the SMJ join partition for that bucket in the
+    pair form; the local form does strictly less work there. Skew
+    bound: pass 2's audience is failures (LSH false positives), so
+    group count and size scale with failure rate, not corpus size.
+    """
+    import math
+
+    from pyspark.sql import types as T
+
+    fb, fb_buckets, reps = _pass2_audience(banded, sh, failed_docs, id_col)
+    rep_rows = (
+        banded.join(reps, id_col, "left_semi")
+        .join(fb_buckets, ["band", "bucket"], "left_semi")
+        .select("band", "bucket", F.col(id_col).alias("__id"),
+                F.lit(True).alias("__is_rep"))
+    )
+    fail_rows = fb.select(
+        "band", "bucket", F.col(id_col).alias("__id"),
+        F.lit(False).alias("__is_rep"),
+    )
+    member = rep_rows.unionByName(fail_rows).join(
+        sh.select(F.col(id_col).alias("__id"), "__sh"), "__id"
+    )
+
+    out_schema = T.StructType([T.StructField("id_b", T.LongType(), False)])
+
+    def bucket_verify(pdf):
+        import pandas as pd
+
+        sets: dict = {}
+        rep_ids: list = []
+        failed_ids: list = []
+        for i, rep_flag, arr in zip(
+            pdf["__id"], pdf["__is_rep"], pdf["__sh"]
+        ):
+            i = int(i)
+            if i not in sets:
+                sets[i] = set(arr)
+            if rep_flag:
+                rep_ids.append(i)
+            else:
+                failed_ids.append(i)
+        freq: dict = {}
+        for i in sets:
+            for t in sets[i]:
+                freq[t] = freq.get(t, 0) + 1
+        rank = {
+            t: r
+            for r, t in enumerate(
+                sorted(freq, key=lambda t: (freq[t], t))
+            )
+        }
+
+        def prefix(s):
+            n = len(s)
+            p = n - math.ceil(threshold * n) + 1
+            return sorted(s, key=rank.__getitem__)[:p]
+
+        inv: dict = {}
+        for a in set(rep_ids):
+            sa = sets[a]
+            if not sa:
+                continue
+            for t in prefix(sa):
+                inv.setdefault(t, []).append(a)
+        dropped = []
+        for b in set(failed_ids):
+            sb = sets[b]
+            nb = len(sb)
+            if nb == 0:
+                continue
+            tried: set = set()
+            hit = False
+            for t in prefix(sb):
+                for a in inv.get(t, ()):
+                    if a >= b or a in tried:
+                        continue
+                    tried.add(a)
+                    sa = sets[a]
+                    na = len(sa)
+                    if min(na, nb) < threshold * max(na, nb) - 1e-9:
+                        continue
+                    inter = len(sa & sb)
+                    union = na + nb - inter
+                    if union > 0 and inter / union >= threshold:
+                        hit = True
+                        break
+                if hit:
+                    break
+            if hit:
+                dropped.append(b)
+        return pd.DataFrame({"id_b": pd.Series(dropped, dtype="int64")})
+
+    return (
+        member.groupBy("band", "bucket")
+        .applyInPandas(bucket_verify, out_schema)
+        .select("id_b")
+        .distinct()
+    )
+
+
 def minhash_drop_set(
     df: DataFrame,
     text_col: str = "text",
@@ -814,6 +1056,7 @@ def minhash_drop_set(
     bands: int = 8,
     k: int = 1,
     threshold: float = 0.9,
+    pass2_impl: str = "local",
 ) -> DataFrame:
     """The near-dedup DROP SET — ids that have at least one verified
     (Jaccard ≥ threshold) near-duplicate with a SMALLER id — without
@@ -831,9 +1074,11 @@ def minhash_drop_set(
       end — no pair set is ever materialized — and one Jaccard verify per
       doc.
     - Pass 2: docs whose first candidate failed verification (LSH false
-      positives — rare by construction) fall back to the pairwise
-      candidate join RESTRICTED to those docs' buckets; any verified
-      match drops them.
+      positives — rare by construction) fall back to a bucket-local
+      prefix-filtered verify RESTRICTED to those docs' buckets
+      (``pass2_impl="local"``, the default — see
+      :func:`_drop_set_pass2_local`; ``"pairs"`` keeps the r7 candidate
+      join, parity-pinned); any verified match drops them.
 
     The result is EXACTLY the distinct ``id_b`` set of
     ``minhash_verified_pairs`` (pinned by test): pass 1's candidate is
@@ -883,89 +1128,14 @@ def minhash_drop_set(
     failed_docs = (
         v1.select("id_b").distinct().join(dropped1, "id_b", "left_anti")
     )
-    # Pass 2: candidate join only for buckets containing a failed doc —
-    # and only against SHINGLE-CLASS REPRESENTATIVES on the candidate
-    # side. An identical shingle SET (not just identical text — e.g.
-    # word-order rotations of a template under k=1) ⇒ identical minhash
-    # signature, identical buckets, and identical Jaccard against every
-    # doc, so the class's min id (which is provably also every bucket-min
-    # it appears in) stands in exactly for the whole class: (rep, b)
-    # verifies iff (any member, b) verifies, and rep < b follows from
-    # rep ≤ member < b. Without this collapse a failed doc whose bucket
-    # holds an m-doc duplicate cluster meets m candidates (measured 6.7M
-    # pairs / 28 s from 4228 failures against a planted 2000-doc cluster);
-    # with it, one per bucket — pass 2 scales with failures × distinct
-    # shingle-classes per bucket, never cluster size.
-    # No broadcast hint: failures are small BY CONSTRUCTION (LSH false
-    # positives), but a hint would outlive that assumption on adversarial
-    # data — AQE picks broadcast from the runtime size.
-    fb = banded.join(
-        failed_docs.select(F.col("id_b").alias(id_col)), id_col, "left_semi"
-    )
-    # Class key = md5 over the sorted PER-SHINGLE md5s: hex digests are
-    # fixed-alphabet, so the comma join cannot collide however weird the
-    # tokens are (a raw-text join with any separator is ambiguous the
-    # moment a token contains it). An md5 collision merging two classes
-    # is the only residual failure mode — negligible vs the constructible
-    # separator ambiguity.
-    class_key = F.md5(
-        F.concat_ws(
-            ",", F.array_sort(F.transform("__sh", F.md5))
-        ).cast("binary")
-    )
-    # Compute class reps only over docs that share a bucket with a failed
-    # doc — pass 2's only audience. Members of one class occupy identical
-    # buckets, so if any member is in a failed bucket the class's GLOBAL
-    # min is too: the restricted min equals the global min, exactly. With
-    # zero failures this whole branch aggregates nothing.
-    fb_buckets = fb.select("band", "bucket").distinct()
-    cand_docs = (
-        banded.join(fb_buckets, ["band", "bucket"], "left_semi")
-        .select(id_col)
-        .distinct()
-    )
-    reps = (
-        sh.join(cand_docs, id_col, "left_semi")
-        .groupBy(class_key.alias("__sk"))
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
-    )
-    # Size prefilter inside the bucket join: J ≤ min(|a|,|b|)/max(|a|,|b|),
-    # so pairs whose shingle-set sizes differ beyond the threshold ratio
-    # can never verify — two int columns filter them BEFORE the distinct
-    # shuffle and the array-bearing verify join (measured on the bench
-    # corpus: 5.05M → 1.94M pass-2 pairs, verify 15.8 s → 2.9 s). The
-    # 1e-9 slack only ever keeps extra pairs; a filtered pair is exactly
-    # a failed verification, and its id_b is already a failed doc by
-    # construction, so the drop set is unchanged — still pinned equal to
-    # minhash_verified_pairs' distinct id_b set. The size column reads
-    # the cached shingle frame, so no extra corpus pass.
-    zcol = sh.select(F.col(id_col), F.size("__sh").alias("__z"))
-    banded_reps = banded.join(reps, id_col, "left_semi").join(zcol, id_col)
-    fb_z = fb.join(zcol, id_col)
-    rest = (
-        banded_reps.alias("a")
-        .join(
-            fb_z.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & (
-                F.least(F.col("a.__z"), F.col("b.__z")).cast("double")
-                >= (F.lit(threshold) - F.lit(1e-9))
-                * F.greatest(F.col("a.__z"), F.col("b.__z"))
-            ),
+    if pass2_impl == "pairs":
+        dropped2 = _drop_set_pass2_pairs(
+            banded, sh, verified, failed_docs, first, id_col, threshold
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+    else:
+        dropped2 = _drop_set_pass2_local(
+            banded, sh, failed_docs, id_col, threshold
         )
-        .distinct()
-        .join(first, ["id_b", "id_a"], "left_anti")  # already tried
-    )
-    dropped2 = (
-        verified(rest).filter(F.col("__j") >= threshold).select("id_b").distinct()
-    )
     result = (
         dropped1.unionByName(dropped2)
         .distinct()

@@ -639,6 +639,23 @@ def test_minhash_drop_set_equals_pairwise_drop_set(spark, docs):
     assert got == want and len(want) > 0
 
 
+def test_minhash_drop_set_pass2_local_equals_pairs(spark, docs):
+    """The r8 bucket-local prefix-filtered pass 2 returns EXACTLY the
+    pair-join form's drop set (both under a low threshold + few hashes
+    so pass 2 actually fires: more LSH collisions, fewer pass-1
+    verifications)."""
+    kw = dict(num_hashes=8, bands=4, k=1, threshold=0.5)
+    local = {
+        r.doc_id
+        for r in dedup.minhash_drop_set(docs, pass2_impl="local", **kw).collect()
+    }
+    pairs = {
+        r.doc_id
+        for r in dedup.minhash_drop_set(docs, pass2_impl="pairs", **kw).collect()
+    }
+    assert local == pairs and len(local) > 0
+
+
 def test_contamination_matches_duckdb_oracle(spark, docs):
     """Cross-engine pin: the gram-hash semi-join must produce exactly the
     doc_id -> n_hits map a direct string-overlap computation gives (the
