@@ -639,6 +639,67 @@ def test_minhash_drop_set_equals_pairwise_drop_set(spark, docs):
     assert got == want and len(want) > 0
 
 
+def test_banded_arrow_equals_expr(spark, docs):
+    """The Arrow banding twin must be BIT-identical to the expression
+    path — same md5 base hashes, same int64 permutation mins, same
+    band-slice decimal rendering, same bucket hash — on the docs
+    fixture and on an adversarial frame (empty text, leading/trailing/
+    double spaces incl. empty tokens, unicode, duplicate tokens, NULL
+    text, fewer-than-k tokens), for both banding layouts and k=1/k=3."""
+    adversarial = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, " "),
+            (3, "a  b "),
+            (4, "héllo wörld héllo"),
+            (5, "x x x"),
+            (6, None),
+            (7, "one two three four five"),
+            (8, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    for frame in (docs, adversarial):
+        for k in (1, 3):
+            a = {
+                tuple(r)
+                for r in dedup._banded(
+                    frame, "text", "doc_id", 16, 4, k, impl="arrow"
+                ).collect()
+            }
+            e = {
+                tuple(r)
+                for r in dedup._banded(
+                    frame, "text", "doc_id", 16, 4, k, impl="expr"
+                ).collect()
+            }
+            assert a == e and len(a) > 0
+            ab = {
+                (r.doc_id, tuple(r["__bkts"]), r.band, r.bucket)
+                for r in dedup._banded_with_buckets(
+                    frame, "text", "doc_id", 16, 4, k, impl="arrow"
+                ).collect()
+            }
+            eb = {
+                (r.doc_id, tuple(r["__bkts"]), r.band, r.bucket)
+                for r in dedup._banded_with_buckets(
+                    frame, "text", "doc_id", 16, 4, k, impl="expr"
+                ).collect()
+            }
+            assert ab == eb and len(ab) > 0
+
+
+def test_banded_non_long_id_falls_back_to_expr(spark):
+    """A string id column must route to the expression form (the Arrow
+    twin requires int64 ids) and still band correctly."""
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")], "doc_id string, text string"
+    )
+    rows = dedup._banded(df, "text", "doc_id", 8, 4, 1).collect()
+    assert {r.doc_id for r in rows} == {"a", "b"}
+    assert len(rows) == 8  # 2 docs × 4 bands
+
+
 def test_minhash_drop_set_pass2_local_equals_pairs(spark, docs):
     """The r8 bucket-local prefix-filtered pass 2 returns EXACTLY the
     pair-join form's drop set (both under a low threshold + few hashes
