@@ -203,6 +203,13 @@ def _nonempty_sigs(
 #: the fallback for non-long id columns, and the parity-test twin.
 BANDED_IMPL = "arrow"
 
+#: minhash_drop_set pass-2 auto cutover: estimated raw candidate pairs
+#: (Σ per failed bucket of |bucket| × |failed in bucket|) at or above
+#: this use the bucket-local prefix-filtered form; below it the plain
+#: pair join wins on fixed stage overhead. See the dispatch comment in
+#: minhash_drop_set.
+PASS2_LOCAL_MIN_EST_PAIRS = 500_000
+
 
 def _banded_rows_arrow(
     df: DataFrame, text_col: str, id_col: str,
@@ -1209,7 +1216,7 @@ def minhash_drop_set(
     bands: int = 8,
     k: int = 1,
     threshold: float = 0.9,
-    pass2_impl: str = "local",
+    pass2_impl: str = "auto",
 ) -> DataFrame:
     """The near-dedup DROP SET — ids that have at least one verified
     (Jaccard ≥ threshold) near-duplicate with a SMALLER id — without
@@ -1281,6 +1288,41 @@ def minhash_drop_set(
     failed_docs = (
         v1.select("id_b").distinct().join(dropped1, "id_b", "left_anti")
     )
+    if pass2_impl == "auto":
+        # Pick by estimated raw candidate volume (one small aggregate
+        # over the persisted banded frame; the collect is ONE number):
+        # the local form's extra stages (audience joins + the
+        # applyInPandas exchange) cost ~3 s of fixed overhead, so below
+        # the cutover the pair join is simply cheaper (measured sf0.1:
+        # filtered 5k-doc corpus 5.4 s pairs vs 8.4 s local), while a
+        # mega-bucket corpus blows the pair form up (raw estimate 6M+:
+        # 16.6 s pairs vs 6.8 s local). The estimate uses raw bucket
+        # membership — an upper bound on the rep-collapsed pair count —
+        # so the switch errs toward the form that degrades gracefully.
+        fbx = banded.join(
+            failed_docs.select(F.col("id_b").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
+        fail_counts = fbx.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__nf")
+        )
+        cand_counts = (
+            banded.join(
+                fail_counts.select("band", "bucket"),
+                ["band", "bucket"],
+                "left_semi",
+            )
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__nc"))
+        )
+        est = (
+            cand_counts.join(fail_counts, ["band", "bucket"])
+            .agg(F.sum(F.col("__nc") * F.col("__nf")))
+            .collect()[0][0]
+            or 0
+        )
+        pass2_impl = "local" if est >= PASS2_LOCAL_MIN_EST_PAIRS else "pairs"
     if pass2_impl == "pairs":
         dropped2 = _drop_set_pass2_pairs(
             banded, sh, verified, failed_docs, first, id_col, threshold
