@@ -1020,7 +1020,7 @@ def _pass2_audience(banded, sh, failed_docs, id_col):
 
 
 def _drop_set_pass2_pairs(
-    banded, sh, verified, failed_docs, first, id_col, threshold
+    banded, sh, verified, fb, reps, first, id_col, threshold
 ):
     """Pass 2, pair-join form (the r6/r7 shape, kept as the parity
     reference for the local form): bucket-equi candidate join restricted
@@ -1040,8 +1040,11 @@ def _drop_set_pass2_pairs(
     No broadcast hint: failures are small BY CONSTRUCTION (LSH false
     positives), but a hint would outlive that assumption on adversarial
     data — AQE picks broadcast from the runtime size.
+
+    ``fb`` / ``reps`` are the (persisted) audience frames from
+    :func:`_pass2_audience`, computed once by the caller and shared with
+    the estimator and the local form.
     """
-    fb, _fb_buckets, reps = _pass2_audience(banded, sh, failed_docs, id_col)
     zcol = sh.select(F.col(id_col), F.size("__sh").alias("__z"))
     banded_reps = banded.join(reps, id_col, "left_semi").join(zcol, id_col)
     fb_z = fb.join(zcol, id_col)
@@ -1070,7 +1073,7 @@ def _drop_set_pass2_pairs(
     )
 
 
-def _drop_set_pass2_local(banded, sh, failed_docs, id_col, threshold):
+def _drop_set_pass2_local(banded, sh, fb, fb_buckets, reps, id_col, threshold):
     """Pass 2, bucket-local prefix-filtered form (default since r8): the
     pair-join form materializes |reps|×|failed| rows per bucket before
     anything can refute them — a single degenerate mega-bucket (a
@@ -1111,12 +1114,24 @@ def _drop_set_pass2_local(banded, sh, failed_docs, id_col, threshold):
     pair form; the local form does strictly less work there. Skew
     bound: pass 2's audience is failures (LSH false positives), so
     group count and size scale with failure rate, not corpus size.
+
+    Physical form: NOT groupBy().applyInPandas — per-group pandas
+    overhead is ~ms and a failure-heavy corpus has tens of thousands of
+    (band, bucket) groups (measured: 10.5k groups cost ~20 s of pure
+    group plumbing on 27k rows). Instead the membership is hash-
+    repartitioned on (band, bucket), sorted within partitions, and ONE
+    mapInPandas pass walks the key runs with carry-over across Arrow
+    batch boundaries (a bucket may straddle two batches of the same
+    partition; partitions arrive whole and in order per task, so
+    consecutive-run grouping is exact).
+
+    ``fb`` / ``fb_buckets`` / ``reps`` come precomputed (and persisted)
+    from the caller via :func:`_pass2_audience`.
     """
     import math
 
     from pyspark.sql import types as T
 
-    fb, fb_buckets, reps = _pass2_audience(banded, sh, failed_docs, id_col)
     rep_rows = (
         banded.join(reps, id_col, "left_semi")
         .join(fb_buckets, ["band", "bucket"], "left_semi")
@@ -1130,19 +1145,18 @@ def _drop_set_pass2_local(banded, sh, failed_docs, id_col, threshold):
     member = rep_rows.unionByName(fail_rows).join(
         sh.select(F.col(id_col).alias("__id"), "__sh"), "__id"
     )
+    par = banded.sparkSession.sparkContext.defaultParallelism
+    member = member.repartition(max(par, 1), "band", "bucket").sortWithinPartitions(
+        "band", "bucket"
+    )
 
     out_schema = T.StructType([T.StructField("id_b", T.LongType(), False)])
 
-    def bucket_verify(pdf):
-        import pandas as pd
-
+    def verify_group(ids, flags, shs):
         sets: dict = {}
         rep_ids: list = []
         failed_ids: list = []
-        for i, rep_flag, arr in zip(
-            pdf["__id"], pdf["__is_rep"], pdf["__sh"]
-        ):
-            i = int(i)
+        for i, rep_flag, arr in zip(ids, flags, shs):
             if i not in sets:
                 sets[i] = set(arr)
             if rep_flag:
@@ -1198,11 +1212,38 @@ def _drop_set_pass2_local(banded, sh, failed_docs, id_col, threshold):
                     break
             if hit:
                 dropped.append(b)
-        return pd.DataFrame({"id_b": pd.Series(dropped, dtype="int64")})
+        return dropped
+
+    def run_partition(batches):
+        import pandas as pd
+
+        dropped_all: list = []
+        cur_key = None
+        cur_ids: list = []
+        cur_flags: list = []
+        cur_shs: list = []
+        for pdf in batches:
+            for band, bucket, i, flag, arr in zip(
+                pdf["band"], pdf["bucket"], pdf["__id"],
+                pdf["__is_rep"], pdf["__sh"],
+            ):
+                key = (band, bucket)
+                if key != cur_key:
+                    if cur_ids:
+                        dropped_all.extend(
+                            verify_group(cur_ids, cur_flags, cur_shs)
+                        )
+                    cur_key = key
+                    cur_ids, cur_flags, cur_shs = [], [], []
+                cur_ids.append(int(i))
+                cur_flags.append(bool(flag))
+                cur_shs.append(arr)
+        if cur_ids:
+            dropped_all.extend(verify_group(cur_ids, cur_flags, cur_shs))
+        yield pd.DataFrame({"id_b": pd.Series(dropped_all, dtype="int64")})
 
     return (
-        member.groupBy("band", "bucket")
-        .applyInPandas(bucket_verify, out_schema)
+        member.mapInPandas(run_partition, out_schema)
         .select("id_b")
         .distinct()
     )
@@ -1288,36 +1329,38 @@ def minhash_drop_set(
     failed_docs = (
         v1.select("id_b").distinct().join(dropped1, "id_b", "left_anti")
     )
+    # Pass-2 audience computed ONCE and shared by the estimator and both
+    # forms; fb and reps are each consumed by several branches — eager
+    # persists per the recompute trap (both are small: failures × bands
+    # rows and one id per shingle class).
+    fb, fb_buckets, reps = _pass2_audience(banded, sh, failed_docs, id_col)
+    fb = fb.persist()
+    reps = reps.persist()
+    fb.count()
+    reps.count()
     if pass2_impl == "auto":
-        # Pick by estimated raw candidate volume (one small aggregate
-        # over the persisted banded frame; the collect is ONE number):
-        # the local form's extra stages (audience joins + the
-        # applyInPandas exchange) cost ~3 s of fixed overhead, so below
-        # the cutover the pair join is simply cheaper (measured sf0.1:
-        # filtered 5k-doc corpus 5.4 s pairs vs 8.4 s local), while a
-        # mega-bucket corpus blows the pair form up (raw estimate 6M+:
-        # 16.6 s pairs vs 6.8 s local). The estimate uses raw bucket
-        # membership — an upper bound on the rep-collapsed pair count —
-        # so the switch errs toward the form that degrades gracefully.
-        fbx = banded.join(
-            failed_docs.select(F.col("id_b").alias(id_col)),
-            id_col,
-            "left_semi",
-        )
-        fail_counts = fbx.groupBy("band", "bucket").agg(
+        # Pick by estimated REP-COLLAPSED candidate volume (one small
+        # aggregate; the collect is ONE number): the local form's extra
+        # stages cost ~3 s of fixed overhead, so below the cutover the
+        # pair join is simply cheaper (measured sf0.1: filtered 5k-doc
+        # corpus 5.4 s pairs vs 8.4 s local; look-alike adversary —
+        # 20k-cluster buckets that collapse to ONE rep — 10.6 s pairs
+        # vs 29 s local under the earlier RAW-membership estimate that
+        # mis-routed it), while a genuine mega-bucket of DISTINCT
+        # classes blows the pair form up (rep estimate 6M+: 16.6 s
+        # pairs vs 6.8 s local). Counting reps, not raw membership, is
+        # what tells those two regimes apart.
+        fail_counts = fb.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__nf")
         )
-        cand_counts = (
-            banded.join(
-                fail_counts.select("band", "bucket"),
-                ["band", "bucket"],
-                "left_semi",
-            )
+        rep_counts = (
+            banded.join(reps, id_col, "left_semi")
+            .join(fb_buckets, ["band", "bucket"], "left_semi")
             .groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("__nc"))
         )
         est = (
-            cand_counts.join(fail_counts, ["band", "bucket"])
+            rep_counts.join(fail_counts, ["band", "bucket"])
             .agg(F.sum(F.col("__nc") * F.col("__nf")))
             .collect()[0][0]
             or 0
@@ -1325,11 +1368,11 @@ def minhash_drop_set(
         pass2_impl = "local" if est >= PASS2_LOCAL_MIN_EST_PAIRS else "pairs"
     if pass2_impl == "pairs":
         dropped2 = _drop_set_pass2_pairs(
-            banded, sh, verified, failed_docs, first, id_col, threshold
+            banded, sh, verified, fb, reps, first, id_col, threshold
         )
     else:
         dropped2 = _drop_set_pass2_local(
-            banded, sh, failed_docs, id_col, threshold
+            banded, sh, fb, fb_buckets, reps, id_col, threshold
         )
     result = (
         dropped1.unionByName(dropped2)
@@ -1346,4 +1389,6 @@ def minhash_drop_set(
     banded.unpersist()
     v1.unpersist()
     sh.unpersist()
+    fb.unpersist()
+    reps.unpersist()
     return result
