@@ -700,6 +700,33 @@ def test_banded_non_long_id_falls_back_to_expr(spark):
     assert len(rows) == 8  # 2 docs × 4 bands
 
 
+def test_drop_set_local_carryover_across_arrow_batches(spark, docs):
+    """The local pass 2 walks sorted (band, bucket) runs across Arrow
+    batch boundaries; a bucket straddling two batches must still verify
+    as ONE group. Force tiny batches so nearly every group straddles,
+    and pin the result against the pair form."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "3")
+        kw = dict(num_hashes=8, bands=4, k=1, threshold=0.5)
+        local = {
+            r.doc_id
+            for r in dedup.minhash_drop_set(
+                docs, pass2_impl="local", **kw
+            ).collect()
+        }
+        pairs = {
+            r.doc_id
+            for r in dedup.minhash_drop_set(
+                docs, pass2_impl="pairs", **kw
+            ).collect()
+        }
+        assert local == pairs and len(local) > 0
+    finally:
+        spark.conf.set(key, old)
+
+
 def test_minhash_drop_set_pass2_local_equals_pairs(spark, docs):
     """The r8 bucket-local prefix-filtered pass 2 returns EXACTLY the
     pair-join form's drop set (both under a low threshold + few hashes
