@@ -650,6 +650,15 @@ def simhash_near_pairs(
     16-bit segments; by pigeonhole any pair within ``max_hamming < blocks``
     shares at least one exact segment → equi-join per segment, then exact
     hamming filter via bit_count(xor)."""
+    # The fingerprint is the expensive stage and the corpus often arrives
+    # as ONE file (measured: the whole self-join ran single-task at bench
+    # scale — fingerprint, join and distinct all serialized on one core).
+    # Spread a under-partitioned input first; a corpus that is already
+    # partitioned at cluster scale is left untouched (no gratuitous
+    # full-corpus shuffle).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     fps = simhash(df, text_col, id_col).select(id_col, "simhash")
     seg = fps.select(
         id_col,
