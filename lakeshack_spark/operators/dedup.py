@@ -325,9 +325,11 @@ def _banded_rows_arrow(
                 data["bucket"] = pd.Series(buckets, dtype="object")
             yield pd.DataFrame(data, columns=[f.name for f in fields])
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
-        build, schema
-    )
+    from lakeshack_spark.session import spread_small_input
+
+    return spread_small_input(
+        df.select(F.col(id_col), F.col(text_col))
+    ).mapInPandas(build, schema)
 
 
 def _use_arrow_banding(df: DataFrame, id_col: str, impl: str | None) -> bool:
@@ -651,14 +653,12 @@ def simhash_near_pairs(
     shares at least one exact segment → equi-join per segment, then exact
     hamming filter via bit_count(xor)."""
     # The fingerprint is the expensive stage and the corpus often arrives
-    # as ONE file (measured: the whole self-join ran single-task at bench
-    # scale — fingerprint, join and distinct all serialized on one core).
-    # Spread a under-partitioned input first; a corpus that is already
-    # partitioned at cluster scale is left untouched (no gratuitous
-    # full-corpus shuffle).
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    # as ONE single-row-group file (measured: the whole self-join ran
+    # single-task at bench scale — fingerprint, join and distinct all
+    # serialized on one core). See session.spread_small_input.
+    from lakeshack_spark.session import spread_small_input
+
+    df = spread_small_input(df)
     fps = simhash(df, text_col, id_col).select(id_col, "simhash")
     seg = fps.select(
         id_col,

@@ -89,6 +89,12 @@ def clean_corpus(
     earlier version leaked the drop-set cache with no caller-visible
     handle, one retained frame per invocation.)
     """
+    from lakeshack_spark.session import spread_small_input
+
+    # The quality trio's per-row expression trees serialize on one core
+    # when the corpus is one single-row-group file (measured ~9 s
+    # single-task at bench scale; see session.spread_small_input).
+    docs = spread_small_input(docs)
     df = text.lang_id(docs, text_col)
     df = text.quality_score(df, text_col)
     df = text.repetition_stats(df, text_col)

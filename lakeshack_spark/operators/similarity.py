@@ -572,6 +572,11 @@ def srp_near_dup_pairs(
     # join: the verify stage divides by the carried per-side norms, so a
     # vector in many candidate pairs never re-folds its norm.
     # Bit-identical to an in-pair cosine_col.
+    from lakeshack_spark.session import spread_small_input
+
+    # n_bits dot products per row serialize on one core when the table
+    # is one single-row-group file (see session.spread_small_input).
+    vectors = spread_small_input(vectors)
     sigs = srp_signature(vectors, n_bits, id_col, vec_col, dim=dim).select(
         F.col(id_col), F.col(vec_col), F.col("srp_bits")
     ).withColumn("__n", norm_d(F.col(vec_col)))

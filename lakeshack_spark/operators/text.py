@@ -764,7 +764,11 @@ def repeated_passage_stats(
     full-text column crosses a shuffle — only (id, pos, hash64).
     """
     from lakeshack_spark.operators.dedup import _h64
+    from lakeshack_spark.session import spread_small_input
 
+    # The O(total tokens) gram explode serializes on one core when the
+    # corpus is one single-row-group file (see session.spread_small_input).
+    df = spread_small_input(df)
     base = df.select(F.col(id_col).alias("doc_id"), words_col(text_col).alias("__w"))
     grams = (
         base.select("doc_id", gram_array(F.col("__w"), k).alias("__g"))

@@ -55,6 +55,28 @@ def configure_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def spread_small_input(df):
+    """Repartition an under-partitioned DataFrame to defaultParallelism.
+
+    Single-row-group parquet files defeat both 128 MB split sizing AND
+    ``spark.sql.files.minPartitionNum`` (byte-range splits can't divide a
+    row group: only the split holding the group's midpoint gets rows), so
+    a small-file table scans as ONE partition and every heavy per-row
+    operator downstream serializes on one core (measured: simhash
+    near-pairs, the quality trio, SRP banding all single-task at bench
+    scale). Heavy operators call this on their input: a corpus that is
+    already partitioned at cluster scale passes through untouched — no
+    gratuitous full-corpus shuffle — while an under-partitioned one pays
+    one small shuffle to use the whole machine. Values are unaffected
+    (pure repartition)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - exotic plans
+        return df
+    return df.repartition(par) if n < par else df
+
+
 def get_spark(
     app_name: str = "lakeshack_spark",
     master: str | None = None,
