@@ -1339,47 +1339,80 @@ def minhash_drop_set(
         v1.select("id_b").distinct().join(dropped1, "id_b", "left_anti")
     )
     # Pass-2 audience computed ONCE and shared by the estimator and both
-    # forms; fb and reps are each consumed by several branches — eager
-    # persists per the recompute trap (both are small: failures × bands
-    # rows and one id per shingle class).
+    # forms. Everything stays LAZY unless a branch actually consumes a
+    # frame more than once: an earlier cut eagerly persisted fb/reps and
+    # ran a rep-collapsed estimate up front, and those 3 extra small
+    # jobs cost a measured ~1.5-2 s on the common small-failure shape
+    # (7.0-7.5 s vs 5.6 s explicit pairs).
     fb, fb_buckets, reps = _pass2_audience(banded, sh, failed_docs, id_col)
-    fb = fb.persist()
-    reps = reps.persist()
-    fb.count()
-    reps.count()
+    extra_persists = []
     if pass2_impl == "auto":
-        # Pick by estimated REP-COLLAPSED candidate volume (one small
-        # aggregate; the collect is ONE number): the local form's extra
-        # stages cost ~3 s of fixed overhead, so below the cutover the
-        # pair join is simply cheaper (measured sf0.1: filtered 5k-doc
-        # corpus 5.4 s pairs vs 8.4 s local; look-alike adversary —
-        # 20k-cluster buckets that collapse to ONE rep — 10.6 s pairs
-        # vs 29 s local under the earlier RAW-membership estimate that
-        # mis-routed it), while a genuine mega-bucket of DISTINCT
-        # classes blows the pair form up (rep estimate 6M+: 16.6 s
-        # pairs vs 6.8 s local). Counting reps, not raw membership, is
-        # what tells those two regimes apart.
+        # Two-tier estimate, each tier ONE small aggregate whose collect
+        # is a single number:
+        #
+        # Tier 1 - RAW bucket membership (per failed bucket,
+        # |bucket| x |failed|, summed), computable without the class-rep
+        # groupBy. It upper-bounds the rep-collapsed pair count, so a
+        # small raw estimate routes straight to the pair join (measured
+        # 5.4-5.6 s vs 7-8.4 s local on the filtered 5k-doc pipeline
+        # shape) with zero extra work.
+        #
+        # Tier 2 - only when tier 1 is large: the REP-COLLAPSED count
+        # (reps per failed bucket x failed). This is what tells a
+        # 20k-member duplicate cluster that collapses to ONE rep
+        # (look-alike adversary: pairs 10.6 s vs local 29 s under a
+        # raw-only estimate that mis-routed it) apart from a genuine
+        # mega-bucket of distinct classes (rep estimate 6M+: pairs
+        # 16.6 s vs local 6.8 s). Big regimes dwarf the extra jobs.
         fail_counts = fb.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__nf")
         )
-        rep_counts = (
-            banded.join(reps, id_col, "left_semi")
-            .join(fb_buckets, ["band", "bucket"], "left_semi")
+        cand_counts = (
+            banded.join(
+                fail_counts.select("band", "bucket"),
+                ["band", "bucket"],
+                "left_semi",
+            )
             .groupBy("band", "bucket")
             .agg(F.count(F.lit(1)).alias("__nc"))
         )
-        est = (
-            rep_counts.join(fail_counts, ["band", "bucket"])
+        raw_est = (
+            cand_counts.join(fail_counts, ["band", "bucket"])
             .agg(F.sum(F.col("__nc") * F.col("__nf")))
             .collect()[0][0]
             or 0
         )
-        pass2_impl = "local" if est >= PASS2_LOCAL_MIN_EST_PAIRS else "pairs"
+        if raw_est < PASS2_LOCAL_MIN_EST_PAIRS:
+            pass2_impl = "pairs"
+        else:
+            reps = reps.persist()
+            extra_persists.append(reps)
+            rep_counts = (
+                banded.join(reps, id_col, "left_semi")
+                .join(fb_buckets, ["band", "bucket"], "left_semi")
+                .groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("__nc"))
+            )
+            est = (
+                rep_counts.join(fail_counts, ["band", "bucket"])
+                .agg(F.sum(F.col("__nc") * F.col("__nf")))
+                .collect()[0][0]
+                or 0
+            )
+            pass2_impl = (
+                "local" if est >= PASS2_LOCAL_MIN_EST_PAIRS else "pairs"
+            )
     if pass2_impl == "pairs":
         dropped2 = _drop_set_pass2_pairs(
             banded, sh, verified, fb, reps, first, id_col, threshold
         )
     else:
+        # the local form consumes fb twice (fail_rows + the fb_buckets
+        # chain) - persist per the recompute trap; reps is persisted
+        # above whenever auto reached tier 2
+        fb = fb.persist()
+        fb.count()
+        extra_persists.append(fb)
         dropped2 = _drop_set_pass2_local(
             banded, sh, fb, fb_buckets, reps, id_col, threshold
         )
@@ -1398,6 +1431,6 @@ def minhash_drop_set(
     banded.unpersist()
     v1.unpersist()
     sh.unpersist()
-    fb.unpersist()
-    reps.unpersist()
+    for frame in extra_persists:
+        frame.unpersist()
     return result
