@@ -712,7 +712,11 @@ def ngram_jaccard_pairs(
     pairs (``id_a < id_b``). ``block_col`` restricts pairs to equal blocks
     (e.g. same source) — at scale always block or feed LSH candidates, the
     unblocked version is a cross join."""
-    right = right if right is not None else left
+    from lakeshack_spark.session import spread_small_input
+
+    left = spread_small_input(left)  # shingle trees + the pair join
+    # serialize on one core for a single-row-group table
+    right = spread_small_input(right) if right is not None else left
     # Per-side shingle-set sizes (see minhash_verified_pairs): one set
     # intersection per pair, no per-pair array_union; identical values.
     cols = [
