@@ -446,6 +446,8 @@ def main() -> None:
         "cluster_labels_steady": out["cluster_labels_steady"],
         "repeated_passages_steady": out["repeated_passages_steady"],
         "salted_join_skew_steady": out["salted_join_skew_steady"],
+        "stream_merge_rows_per_sec": stream_rows_per_sec,
+        "contention_ratio": contention["ratio"],
         "sf": sf_val,
     }
     line = json.dumps(compact)
