@@ -1086,6 +1086,76 @@ def _drop_set_pass2_pairs(
     )
 
 
+def _bucket_verify_group(ids, flags, shs, threshold):
+    """One bucket's exact prefix-filtered verify (the local pass-2 core,
+    module-level so it is directly unit-testable against a brute-force
+    reference — see test_operators): returns the failed ids with at
+    least one verified (J >= threshold) smaller-id rep in this bucket.
+    Pure Python, deterministic."""
+    import math
+
+    sets: dict = {}
+    rep_ids: list = []
+    failed_ids: list = []
+    for i, rep_flag, arr in zip(ids, flags, shs):
+        if i not in sets:
+            sets[i] = set(arr)
+        if rep_flag:
+            rep_ids.append(i)
+        else:
+            failed_ids.append(i)
+    freq: dict = {}
+    for i in sets:
+        for t in sets[i]:
+            freq[t] = freq.get(t, 0) + 1
+    rank = {
+        t: r
+        for r, t in enumerate(
+            sorted(freq, key=lambda t: (freq[t], t))
+        )
+    }
+
+    def prefix(s):
+        n = len(s)
+        p = n - math.ceil(threshold * n) + 1
+        return sorted(s, key=rank.__getitem__)[:p]
+
+    inv: dict = {}
+    for a in set(rep_ids):
+        sa = sets[a]
+        if not sa:
+            continue
+        for t in prefix(sa):
+            inv.setdefault(t, []).append(a)
+    dropped = []
+    for b in set(failed_ids):
+        sb = sets[b]
+        nb = len(sb)
+        if nb == 0:
+            continue
+        tried: set = set()
+        hit = False
+        for t in prefix(sb):
+            for a in inv.get(t, ()):
+                if a >= b or a in tried:
+                    continue
+                tried.add(a)
+                sa = sets[a]
+                na = len(sa)
+                if min(na, nb) < threshold * max(na, nb) - 1e-9:
+                    continue
+                inter = len(sa & sb)
+                union = na + nb - inter
+                if union > 0 and inter / union >= threshold:
+                    hit = True
+                    break
+            if hit:
+                break
+        if hit:
+            dropped.append(b)
+    return dropped
+
+
 def _drop_set_pass2_local(banded, sh, fb, fb_buckets, reps, id_col, threshold):
     """Pass 2, bucket-local prefix-filtered form (default since r8): the
     pair-join form materializes |reps|×|failed| rows per bucket before
@@ -1165,68 +1235,6 @@ def _drop_set_pass2_local(banded, sh, fb, fb_buckets, reps, id_col, threshold):
 
     out_schema = T.StructType([T.StructField("id_b", T.LongType(), False)])
 
-    def verify_group(ids, flags, shs):
-        sets: dict = {}
-        rep_ids: list = []
-        failed_ids: list = []
-        for i, rep_flag, arr in zip(ids, flags, shs):
-            if i not in sets:
-                sets[i] = set(arr)
-            if rep_flag:
-                rep_ids.append(i)
-            else:
-                failed_ids.append(i)
-        freq: dict = {}
-        for i in sets:
-            for t in sets[i]:
-                freq[t] = freq.get(t, 0) + 1
-        rank = {
-            t: r
-            for r, t in enumerate(
-                sorted(freq, key=lambda t: (freq[t], t))
-            )
-        }
-
-        def prefix(s):
-            n = len(s)
-            p = n - math.ceil(threshold * n) + 1
-            return sorted(s, key=rank.__getitem__)[:p]
-
-        inv: dict = {}
-        for a in set(rep_ids):
-            sa = sets[a]
-            if not sa:
-                continue
-            for t in prefix(sa):
-                inv.setdefault(t, []).append(a)
-        dropped = []
-        for b in set(failed_ids):
-            sb = sets[b]
-            nb = len(sb)
-            if nb == 0:
-                continue
-            tried: set = set()
-            hit = False
-            for t in prefix(sb):
-                for a in inv.get(t, ()):
-                    if a >= b or a in tried:
-                        continue
-                    tried.add(a)
-                    sa = sets[a]
-                    na = len(sa)
-                    if min(na, nb) < threshold * max(na, nb) - 1e-9:
-                        continue
-                    inter = len(sa & sb)
-                    union = na + nb - inter
-                    if union > 0 and inter / union >= threshold:
-                        hit = True
-                        break
-                if hit:
-                    break
-            if hit:
-                dropped.append(b)
-        return dropped
-
     def run_partition(batches):
         import pandas as pd
 
@@ -1244,7 +1252,7 @@ def _drop_set_pass2_local(banded, sh, fb, fb_buckets, reps, id_col, threshold):
                 if key != cur_key:
                     if cur_ids:
                         dropped_all.extend(
-                            verify_group(cur_ids, cur_flags, cur_shs)
+                            _bucket_verify_group(cur_ids, cur_flags, cur_shs, threshold)
                         )
                     cur_key = key
                     cur_ids, cur_flags, cur_shs = [], [], []
@@ -1252,7 +1260,7 @@ def _drop_set_pass2_local(banded, sh, fb, fb_buckets, reps, id_col, threshold):
                 cur_flags.append(bool(flag))
                 cur_shs.append(arr)
         if cur_ids:
-            dropped_all.extend(verify_group(cur_ids, cur_flags, cur_shs))
+            dropped_all.extend(_bucket_verify_group(cur_ids, cur_flags, cur_shs, threshold))
         yield pd.DataFrame({"id_b": pd.Series(dropped_all, dtype="int64")})
 
     return (

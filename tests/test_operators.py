@@ -700,6 +700,49 @@ def test_banded_non_long_id_falls_back_to_expr(spark):
     assert len(rows) == 8  # 2 docs × 4 bands
 
 
+@given(
+    data=st.lists(
+        st.tuples(
+            st.booleans(),  # is_rep
+            st.sets(st.sampled_from("abcdefgh"), max_size=6),  # shingles
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.3, 0.5, 0.8, 0.9, 1.0]),
+)
+def test_bucket_verify_group_property(data, threshold):
+    """The prefix-filtered bucket verify (pure Python, no Spark) must
+    equal a brute-force all-pairs reference on arbitrary bucket
+    contents: tiny token universe ('a'..'h') forces heavy overlap,
+    duplicate sets, empties, and rep/failed role mixes."""
+    ids = list(range(len(data)))
+    flags = [d[0] for d in data]
+    shs = [sorted(d[1]) for d in data]
+    got = sorted(
+        dedup._bucket_verify_group(ids, flags, shs, threshold)
+    )
+    sets = {i: set(s) for i, s in zip(ids, shs)}
+    want = []
+    for b, fl in zip(ids, flags):
+        if fl:
+            continue  # only failed rows can be dropped
+        sb = sets[b]
+        hit = False
+        for a, fa in zip(ids, flags):
+            if not fa or a >= b:
+                continue  # candidates are smaller-id reps
+            sa = sets[a]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union > 0 and inter / union >= threshold:
+                hit = True
+                break
+        if hit:
+            want.append(b)
+    assert got == sorted(want), (data, threshold)
+
+
 def test_drop_set_local_carryover_across_arrow_batches(spark, docs):
     """The local pass 2 walks sorted (band, bucket) runs across Arrow
     batch boundaries; a bucket straddling two batches must still verify
