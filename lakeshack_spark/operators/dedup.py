@@ -1116,8 +1116,17 @@ def _bucket_verify_group(ids, flags, shs, threshold):
     }
 
     def prefix(s):
+        # Slack mirrors the size filter's: the verify accepts
+        # inter/union >= threshold in DOUBLE space, so a pair whose true
+        # Jaccard is epsilon below threshold can still verify when the
+        # quotient rounds up to the threshold double (e.g. t=0.07,
+        # |inter|=7, |union|=100). The prefix proof assumes the verify's
+        # minimum intersection, so it must use the SAME relaxed bound:
+        # ceil(t*n - 1e-9) only ever LENGTHENS the prefix (never admits
+        # a miss), and makes prefix coverage consistent with every pair
+        # the double-precision verify can accept.
         n = len(s)
-        p = n - math.ceil(threshold * n) + 1
+        p = n - math.ceil(threshold * n - 1e-9) + 1
         return sorted(s, key=rank.__getitem__)[:p]
 
     inv: dict = {}
@@ -1188,6 +1197,16 @@ def _drop_set_pass2_local(banded, sh, fb, fb_buckets, reps, id_col, threshold):
       one double division — bit-identical to the expression path.
     - Early exit per failed doc (stop at first verified match) changes
       nothing: the drop set is an ∃, not a pair list.
+    - The pair form's ``first`` left-anti ("already tried" — each failed
+      doc's pass-1 first candidate) is deliberately OMITTED here: a
+      failed doc is in pass 2 precisely because its pass-1 verify with
+      that first candidate FAILED, and the local verify is the exact
+      same integer-|∩|/|∪| double quotient, so re-probing that pair
+      can only fail again. The anti-join is a pair-form optimization
+      (it shrinks a materialized pair list), not a correctness
+      requirement; here the pair never materializes, and the retried
+      probe is one set-intersection inside a group that was shuffled
+      anyway.
 
     Scale: the shuffle is O(failed-bucket membership) rows (each with
     one shingle array), never pairs; per-group work is index build +

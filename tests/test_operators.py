@@ -743,6 +743,24 @@ def test_bucket_verify_group_property(data, threshold):
     assert got == sorted(want), (data, threshold)
 
 
+def test_bucket_verify_group_prefix_boundary():
+    """ADVICE r8 (medium): the verify accepts inter/union >= threshold in
+    DOUBLE space, so at threshold=0.07 a 7-token rep that is a subset of
+    a 100-token failed doc verifies (7/100 rounds to the 0.07 double),
+    yet the UNSLACKED prefix p = n - ceil(t*n) + 1 = 93 excludes all 7
+    shared tokens (they rank last — local frequency 2 vs 1 for the 93
+    unique tokens), silently missing the drop. The slacked prefix
+    ceil(t*n - 1e-9) admits it."""
+    shared = [f"s{i}" for i in range(7)]
+    unique = [f"u{i}" for i in range(93)]
+    ids = [0, 1]
+    flags = [True, False]  # rep, failed
+    shs = [sorted(shared), sorted(shared + unique)]
+    assert dedup._bucket_verify_group(ids, flags, shs, 0.07) == [1]
+    # sanity: the pair really does verify in double space
+    assert 7 / 100 >= 0.07
+
+
 def test_drop_set_local_carryover_across_arrow_batches(spark, docs):
     """The local pass 2 walks sorted (band, bucket) runs across Arrow
     batch boundaries; a bucket straddling two batches must still verify
