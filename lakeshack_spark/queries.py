@@ -7664,77 +7664,70 @@ def version_diff_orders(spark, sf_dir):
 #: The driver's correctness gate hashes only the FIRST 50 ``queries()``
 #: entries; the list rotates per round so every registered entry
 #: accumulates driver-side hash evidence, not just selfcheck evidence
-#: (VERDICT_r5 item 2, VERDICT_r6 item 5). Round-7 rotation: after r1–r6,
-#: exactly 50 of the 164 entries had NEVER been driver-hashed — this
-#: window is 45 of those plus two core-op anchors (hashed every round by
-#: design) and the three oracles that went hash-red in r6 on the DuckDB
-#: HUGEINT→float64 dtype skew, now fixed and needing driver-side green
-#: proof (they were never hashed before r6, so re-listing them breaks no
-#: rotation rule). The five deferred never-hashed entries
-#: (q2/q8/q9/q20/q21 — plain spark.sql TPC-H shapes with direct SQL
-#: oracles, the lowest-risk class) lead the r8 rotation. Every registered
-#: entry not named here follows in registration order, so the full corpus
-#: is unchanged — only the order rotates.
+#: (VERDICT_r5 item 2, VERDICT_r6 item 5). Cumulative driver-hash
+#: coverage reached 164/164 in r8; the rotation now refreshes the
+#: STALEST proofs each round (testdata is regenerated between rounds, so
+#: the oldest proofs are the least trusted). Round-9 rotation
+#: (VERDICT_r8 item 3): the 21 entries whose newest proof is r5-era
+#: (three regenerations old) plus the 27 alphabetically-first of the 45
+#: r6-era entries; the remaining 18 r6-era names rotate in r10. Every
+#: registered entry not named here follows in registration order, so the
+#: full corpus is unchanged — only the order rotates.
 _DRIVER_WINDOW = [
     # core-op anchors (intentionally hashed every round: O1/O3/O6 scan +
     # zone-map prune are the reference's essence)
     "shack_pruned_lookup",
     "scan_filter_project",
-    # never-driver-hashed (VERDICT_r7 item 1): the last five entries
-    # without a CORRECTNESS_r* proof — closing these reaches 164/164
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q20_excess_quantity_suppliers",
-    "q21_waiting_suppliers",
-    # second-hash rotation by proof age (VERDICT_r7 item 2): testdata is
-    # regenerated every round, so the stalest proofs are least trusted.
-    # r4-era proofs (the oldest still-registered names), all 17:
-    "cosine_topk_bruteforce",
-    "cosine_topk_pandas_udf",
-    "dedup_events_first",
-    "dedup_exact_docs",
-    "dedup_normalized_docs",
-    "doc_fingerprint",
-    "docs_near_deduped",
-    "embedding_near_dup",
-    "ivf_topk_full_probe",
-    "lang_id_docs",
-    "minhash_dedup_verified",
-    "ngram_jaccard_pairs",
-    "quality_score_docs",
-    "simhash_near_pairs",
-    "sketch_distinct_and_quantiles",
-    "token_stats_by_lang",
-    "top_terms",
-    # r5-era proofs (26 of 47, prioritizing VERDICT_r7's named examples
-    # and TPC-H breadth; the rest rotate in r9+):
-    "sessionize_users",
-    "retention_cohorts_events",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "q7_volume_by_year",
-    "q10_returned_item_revenue",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "asof_join_events_orders",
-    "window_range_frame_orders",
-    "window_rank_suite",
-    "window_share_of_total",
-    "window_top2_per_customer",
-    "cube_orders",
-    "rollup_lineitem",
-    "grouping_sets_orders",
-    "pivot_orderstatus",
-    "salted_agg_lineitem",
-    "json_extract_events",
+    # r5-era proofs (all 21 named by VERDICT_r8 item 3):
+    "agg_orders_by_status",
+    "anti_join_no_pending",
+    "array_functions_embeddings",
+    "bloom_semi_join_lineitem",
+    "case_bucket_totalprice",
+    "correlated_subquery_above_cust_avg",
+    "data_quality_orders",
+    "distinct_status_priority",
+    "events_hourly_stats",
+    "full_outer_daily_activity",
+    "in_list_filter",
+    "in_subquery_hot_parts",
+    "join_broadcast_dim",
+    "quantile_bins_orders",
+    "robust_outliers_orders",
+    "scalar_date_orders",
+    "scalar_string_part",
+    "scalar_subquery_above_avg",
+    "semi_join_big_spenders",
+    "set_ops_nations",
+    "window_running_and_lag",
+    # r6-era proofs, alphabetical first 27 of 45 (rest rotate in r10):
+    "bloom_index_point_lookup",
+    "bpe_pair_counts_docs",
+    "corr_lineitem_qty_tax",
+    "count_min_terms",
+    "dedup_cluster_labels",
+    "entity_resolution_parts",
+    "fuzzy_join_part_names",
+    "hashed_linear_quality_docs",
+    "heavy_hitter_terms",
+    "hll_index_distinct_orders",
+    "incremental_view_orders",
+    "interpolate_daily_spend",
+    "interval_join_click_purchase",
+    "inverted_index_search_docs",
+    "ivf_assign_cells",
+    "ivfpq_codes_embeddings",
+    "kcore_cosuppliers",
+    "kll_index_quantiles_orders",
+    "ks_price_by_status",
+    "ktruss_cosuppliers",
+    "merge_upsert_orders",
+    "metadata_agg_orders",
+    "minhash_drop_set_docs",
+    "mmr_rerank_embeddings",
+    "mor_delete_orders",
+    "multimodal_ppm_features",
+    "null_semantics_suite",
 ]
 
 def _ordered_names() -> list[str]:
