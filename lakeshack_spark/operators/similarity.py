@@ -28,6 +28,13 @@ from pyspark.sql import (
     types as T,
 )
 
+#: :func:`cosine_topk_pandas` collects the query batch to the driver and
+#: closes over the matrix (the standard broadcast-matrix design). That
+#: makes |Q| a driver-memory term, so it is bounded the same way as
+#: :data:`PQ_ADC_DRIVER_TABLES_MAX_QUERIES` — past this, use the IVF/PQ
+#: tiers, whose query-side work is distributed (VERDICT_r8 item 5).
+COSINE_TOPK_MAX_QUERIES = 4096
+
 
 def dot_d(a: Column, b: Column) -> Column:
     """Sequential-fold double dot product of two float arrays."""
@@ -135,12 +142,34 @@ def cosine_topk_pandas(
     sequential fold only in final-ulp rounding (so ranks match, values may
     not hash-match — verify against :func:`cosine_topk` by rank, not by
     value).
+
+    The query matrix is collected to the driver and closed over — the
+    standard broadcast-matrix design for a bounded query batch, but it
+    makes |Q| a driver-memory term, so it is guarded at
+    :data:`COSINE_TOPK_MAX_QUERIES` (one ``limit(cap+1)`` job, no
+    separate count): past the cap this raises with a pointer to the
+    scale tiers (:func:`ivf_topk` / :func:`pq_adc_topk` /
+    :func:`ivfpq_search`), whose query-side work is distributed
+    (VERDICT_r8 item 5, same class as
+    :data:`PQ_ADC_DRIVER_TABLES_MAX_QUERIES`).
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = (
+        queries.select(id_col, vec_col)
+        .limit(COSINE_TOPK_MAX_QUERIES + 1)
+        .collect()
+    )
+    if len(qrows) > COSINE_TOPK_MAX_QUERIES:
+        raise ValueError(
+            "cosine_topk_pandas: query batch exceeds "
+            f"COSINE_TOPK_MAX_QUERIES={COSINE_TOPK_MAX_QUERIES}; the "
+            "broadcast query matrix is driver/executor-memory bounded — "
+            "route large batches through ivf_topk, pq_adc_topk, or "
+            "ivfpq_search (distributed query-side work)."
+        )
     qids = np.array([r[id_col] for r in qrows])
     qmat = np.array([list(r[vec_col]) for r in qrows], dtype=np.float64)
     qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -1077,7 +1106,20 @@ def pq_adc_topk(
         if driver_tables_max_queries is None
         else driver_tables_max_queries
     )
-    n_q = queries.count()
+    # ONE job decides the routing AND supplies the rows (ADVICE r8): a
+    # separate count() re-evaluated the query frame (and could disagree
+    # with a later collect on a nondeterministic frame). limit(cap+1) on
+    # the ordered frame is a TopK — if the cap is hit the rows are
+    # discarded and the distributed builder runs; otherwise these ARE
+    # all the rows, in id order.
+    cap = max(thresh, dmax)
+    qrows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(cap + 1)
+        .collect()
+    )
+    n_q = len(qrows)
     if n_q == 0:
         raise ValueError("pq_adc_topk: empty query set")
     codes = encoded.select(
@@ -1085,12 +1127,7 @@ def pq_adc_topk(
         *[F.col(f"code_{j}") for j in range(m)],
     )
     qtables = None
-    if n_q <= max(thresh, dmax):
-        qrows = (
-            queries.select(F.col(id_col), F.col(vec_col))
-            .orderBy(F.col(id_col).asc())
-            .collect()
-        )
+    if n_q <= cap:
         qtables = [
             (
                 int(r[id_col]),
@@ -1615,7 +1652,16 @@ def ivfpq_search(
         if driver_tables_max_queries is None
         else driver_tables_max_queries
     )
-    n_q = queries.count()
+    # Routing + rows from ONE limit(dmax+1) job, mirroring pq_adc_topk
+    # (ADVICE r8): no separate count, no double evaluation, no
+    # count/collect disagreement on nondeterministic query frames.
+    qrows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col).asc())
+        .limit(dmax + 1)
+        .collect()
+    )
+    n_q = len(qrows)
     if n_q == 0:
         raise ValueError("ivfpq_search: empty query set")
     spark = encoded.sparkSession
@@ -1630,11 +1676,6 @@ def ivfpq_search(
         ]
     )
     if n_q <= dmax:
-        qrows = (
-            queries.select(F.col(id_col), F.col(vec_col))
-            .orderBy(F.col(id_col).asc())
-            .collect()
-        )
         table_rows = []
         for r in qrows:
             qv = [float(x) for x in r[vec_col]]

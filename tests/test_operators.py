@@ -258,6 +258,21 @@ def test_cosine_pandas_matches_fold_ranks(spark):
         assert abs(fold_m[kk]["cosine"] - fast_m[kk]["cosine"]) < 1e-9
 
 
+def test_cosine_pandas_query_cap_guard(spark, monkeypatch):
+    """VERDICT_r8 item 5: the collected-and-closed-over query matrix is
+    driver-memory bounded, so past COSINE_TOPK_MAX_QUERIES the operator
+    must refuse (pointing at the distributed IVF/PQ tiers) instead of
+    silently collecting an unbounded frame. At the cap it still runs."""
+    from lakeshack_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    monkeypatch.setattr(similarity, "COSINE_TOPK_MAX_QUERIES", 3)
+    with pytest.raises(ValueError, match="COSINE_TOPK_MAX_QUERIES"):
+        similarity.cosine_topk_pandas(emb, emb.filter("vec_id < 4"), k=2)
+    ok = similarity.cosine_topk_pandas(emb, emb.filter("vec_id < 3"), k=2)
+    assert ok.count() == 3 * 2
+
+
 def test_sketches_within_tolerance(spark):
     """The bounds-as-booleans contract: every within-ε flag must be TRUE
     (they are what the driver hash-checks against literal TRUEs) and the
