@@ -55,6 +55,45 @@ def configure_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: Unary logical nodes a "simple scan" chain may pass through: a freshly
+#: loaded table plus the select/filter/withColumn/alias dressing our
+#: loaders add. Anything else (Aggregate, Window, Generate, …) implies
+#: either a shuffle boundary that already re-partitions or a plan whose
+#: partition count is not the single-row-group file hazard this module
+#: guards against.
+_SIMPLE_SCAN_UNARY = frozenset(
+    {"Project", "Filter", "SubqueryAlias", "View", "GlobalLimit",
+     "LocalLimit", "Sort", "Repartition", "RepartitionByExpression"}
+)
+
+
+def _is_simple_scan(df) -> bool:
+    """True iff the ANALYZED plan is a chain of projection/filter-class
+    unary nodes over one leaf relation. Walks the analyzed plan (cheap —
+    analysis is cached on the QueryExecution and never triggers
+    optimization or physical planning), so callers can skip the
+    ``df.rdd`` partition probe — which forces a FULL physical planning
+    pass + RDD conversion — on complex trees (ADVICE r8: several hot
+    operators call :func:`spread_small_input`, making big query trees
+    pay that planning pass twice). Unknown/exotic plans conservatively
+    return True (fall through to the probe, preserving old behavior)."""
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        for _ in range(32):
+            kids = node.children()
+            n = kids.size()
+            if n == 0:
+                return True
+            if n > 1:
+                return False
+            if node.getClass().getSimpleName() not in _SIMPLE_SCAN_UNARY:
+                return False
+            node = kids.apply(0)
+        return False  # pathologically deep chain: skip the probe too
+    except Exception:  # pragma: no cover - py4j surface drift
+        return True
+
+
 def spread_small_input(df):
     """Repartition an under-partitioned DataFrame to defaultParallelism.
 
@@ -68,7 +107,16 @@ def spread_small_input(df):
     already partitioned at cluster scale passes through untouched — no
     gratuitous full-corpus shuffle — while an under-partitioned one pays
     one small shuffle to use the whole machine. Values are unaffected
-    (pure repartition)."""
+    (pure repartition).
+
+    The partition probe (``df.rdd.getNumPartitions()``) forces physical
+    planning of the whole tree, so it only runs when the analyzed plan
+    is a simple scan chain (:func:`_is_simple_scan`) — exactly the shape
+    the single-row-group hazard applies to; joins/aggregates upstream
+    mean a shuffle already set the partition count and the probe would
+    be pure planning overhead."""
+    if not _is_simple_scan(df):
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     try:
         n = df.rdd.getNumPartitions()

@@ -258,6 +258,35 @@ def test_cosine_pandas_matches_fold_ranks(spark):
         assert abs(fold_m[kk]["cosine"] - fast_m[kk]["cosine"]) < 1e-9
 
 
+def test_spread_small_input_short_circuits_complex_plans(spark):
+    """ADVICE r8: the partition probe (df.rdd) forces a full physical
+    planning pass, so spread_small_input must only probe simple scan
+    chains. Complex trees (joins/aggregates — a shuffle already set
+    their partition count) must pass through IDENTICALLY (same object:
+    no probe, no repartition); scan chains still get probed and spread."""
+    from lakeshack_spark import session as lss_session
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    chain = emb.select("vec_id").filter("vec_id >= 0").limit(100)
+    assert lss_session._is_simple_scan(chain)
+    out = lss_session.spread_small_input(chain)
+    assert out.count() == chain.count()
+    agg = emb.groupBy((F.col("vec_id") % 7).alias("g")).count()
+    assert not lss_session._is_simple_scan(agg)
+    assert lss_session.spread_small_input(agg) is agg
+    joined = emb.alias("a").join(
+        emb.select("vec_id").alias("b"), "vec_id"
+    )
+    assert not lss_session._is_simple_scan(joined)
+    assert lss_session.spread_small_input(joined) is joined
+    # the raw scan is the hazard case: single-row-group file → 1
+    # partition → must actually spread (values unaffected)
+    if emb.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        spread = lss_session.spread_small_input(emb)
+        assert spread is not emb
+        assert spread.count() == emb.count()
+
+
 def test_cosine_pandas_query_cap_guard(spark, monkeypatch):
     """VERDICT_r8 item 5: the collected-and-closed-over query matrix is
     driver-memory bounded, so past COSINE_TOPK_MAX_QUERIES the operator
