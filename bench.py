@@ -6,6 +6,19 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is materialized through the noop sink (full execution, no
 driver-side collection cost). One uncounted warm-up query absorbs JVM/
 codegen warm-up.
+
+Self-defense against the shared box (VERDICT_r8 item 1): the r8 official
+record was taken during another suite's run (sentinel ratio 1.71) and
+inverted the round-over-round sign vs the quiet-box record. Every timed
+section now runs under a contention guard — pure-Python spin sentinels
+sampled around (and, for the long headline section, inside) the section;
+if the section's worst sample exceeds SENTINEL_RATIO_MAX × the quietest
+sample seen this run, the WHOLE section re-runs (≤ SECTION_RETRIES) and
+the quietest attempt is the one recorded. A section still contended
+after retries is flagged (`contended_after_retries`), never silently
+recorded as clean. The OS page cache is equalized before the main leg
+(every parquet byte read once) so the main-vs-replay comparison can't be
+biased by the replay running second on a cache the main leg warmed.
 """
 
 from __future__ import annotations
@@ -47,14 +60,89 @@ HEADLINE = [
 #: box, not the bench.
 SENTINEL_ITERS = 2_000_000
 
+#: A section whose worst sentinel sample exceeds this multiple of the
+#: run's quietest sample is considered contended and re-run
+#: (VERDICT_r8 item 1). 1.3 splits the observed regimes: quiet-box runs
+#: sit at 1.0–1.3 (scheduler noise), contended runs at 1.5–1.7+.
+SENTINEL_RATIO_MAX = 1.3
 
-def spin_sentinel() -> float:
+#: Bounded re-runs per contended section. The quietest attempt (lowest
+#: section ratio) is the one recorded either way.
+SECTION_RETRIES = 2
+
+#: Soft regression floor for the streaming CDC-merge throughput key
+#: (VERDICT_r8 item 6; first measurements r8: 23.8k official / 28.9k
+#: quiet rows/s at sf0.1). Applies at sf0.1 only; a miss on a section
+#: still contended after retries reports "contended", not false, so the
+#: flag never blames the code for the box.
+STREAM_ROWS_PER_SEC_FLOOR = 15_000.0
+
+
+def _spin_once() -> float:
     t0 = time.perf_counter()
     x = 0
     for i in range(SENTINEL_ITERS):
         x += i & 7
     assert x >= 0
-    return round((time.perf_counter() - t0) * 1000.0, 2)
+    return (time.perf_counter() - t0) * 1000.0
+
+
+def spin_sentinel() -> float:
+    """Min of two consecutive spins: EXTERNAL contention (a concurrent
+    suite) inflates both, while a one-off scheduler hiccup or GC pause
+    inflates only one — single-spin samples ranged 1.0–1.6× on a quiet
+    box, which at SENTINEL_RATIO_MAX=1.3 caused spurious section
+    retries. Min-of-two keeps the sustained-contention signal and drops
+    the single-sample noise."""
+    return round(min(_spin_once(), _spin_once()), 2)
+
+
+def warm_page_cache(sf_dir: str) -> float:
+    """Read every parquet byte under sf_dir once so the OS page cache is
+    equally warm for the main leg and the (second-running) replay leg —
+    without this the replay's first-run numbers ride a cache the main
+    leg paid to populate (VERDICT_r8 item 1). Returns MB touched."""
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(root, fn)
+            try:
+                with open(path, "rb") as fh:
+                    while True:
+                        chunk = fh.read(1 << 22)
+                        if not chunk:
+                            break
+                        total += len(chunk)
+            except OSError:
+                continue
+    return round(total / (1 << 20), 1)
+
+
+def prewarm_python_workers(spark) -> None:
+    """One no-op mapInPandas over defaultParallelism partitions before
+    timing starts: spins up the reusable Python worker pool and imports
+    pandas/numpy inside each worker, so the first Arrow-batched operator
+    (minhash banding was paying ~2 s of this in its first run —
+    VERDICT_r8 item 2) measures the operator, not interpreter spin-up.
+    Legitimate: real clusters run warm executors."""
+
+    def _warm(batches):
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        for b in batches:
+            yield b
+
+    par = spark.sparkContext.defaultParallelism
+    (
+        spark.range(par * 4, numPartitions=par)
+        .mapInPandas(_warm, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
 
 def main() -> None:
@@ -64,6 +152,9 @@ def main() -> None:
 
     spark = get_spark(app_name="lakeshack_bench")
     qs = queries()
+
+    cache_mb = warm_page_cache(sf_dir)
+    prewarm_python_workers(spark)
 
     def run(name: str) -> float:
         t0 = time.time()
@@ -81,23 +172,76 @@ def main() -> None:
 
     _orders_shack(spark, sf_dir)
 
+    # ---- contention guard ------------------------------------------------
+    sentinels: list[float] = [spin_sentinel(), spin_sentinel()]
+    section_meta: dict[str, dict] = {}
+
+    def sample() -> float:
+        time.sleep(0.2)  # let the JVM settle (GC after a heavy section)
+        v = spin_sentinel()
+        sentinels.append(v)
+        return v
+
+    def run_guarded(name: str, fn):
+        """Run `fn` under the contention guard: sample the sentinel
+        before/after (fn may add mid-section samples via `sample`), and
+        if the MEDIAN of the section's samples exceeds
+        SENTINEL_RATIO_MAX × the run's quietest sample, re-run — up to
+        SECTION_RETRIES — keeping the QUIETEST attempt's result. Median,
+        not max: a single sample riding a post-section GC pulse (the
+        pipeline section reliably inflated its closing sample this way)
+        must not flag the section, while a concurrent suite — the real
+        hazard, sustained over minutes — inflates every sample in the
+        window and still does. The recorded record is therefore the
+        least-contended measurement available, and a section that never
+        ran quiet is flagged, not laundered."""
+        from statistics import median
+
+        attempts: list[float] = []
+        best = None
+        for _ in range(1 + SECTION_RETRIES):
+            i0 = len(sentinels)
+            sample()
+            res = fn()
+            sample()
+            mid = median(sentinels[i0:])
+            ratio = round(mid / max(min(sentinels), 1e-9), 2)
+            attempts.append(ratio)
+            if best is None or ratio < best[1]:
+                best = (res, ratio)
+            if ratio <= SENTINEL_RATIO_MAX:
+                break
+        section_meta[name] = {
+            "attempt_ratios": attempts,
+            "used_ratio": best[1],
+            "contended": best[1] > SENTINEL_RATIO_MAX,
+        }
+        return best[0]
+
+    # ---- headline section ------------------------------------------------
     # Three runs per query: the FIRST run stays the headline (comparable
     # to earlier rounds' single-shot methodology and honest about
     # per-query plan/codegen cost); the MEDIAN and MIN of all three are
     # reported so the shared box's ±30% run-to-run swings can't masquerade
     # as a regression (one outlier run no longer moves the robust number).
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    steady: dict[str, float] = {}
-    sentinels: list[float] = [spin_sentinel()]
-    for name in HEADLINE:
-        runs = [run(name) for _ in range(3)]
-        ordered = sorted(runs)
-        timings[name] = round(runs[0], 3)  # chronological first run
-        medians[name] = round(ordered[1], 3)
-        steady[name] = round(ordered[0], 3)
-    sentinels.append(spin_sentinel())
 
+    def headline_section():
+        timings: dict[str, float] = {}
+        medians: dict[str, float] = {}
+        steady: dict[str, float] = {}
+        for idx, name in enumerate(HEADLINE):
+            runs = [run(name) for _ in range(3)]
+            ordered = sorted(runs)
+            timings[name] = round(runs[0], 3)  # chronological first run
+            medians[name] = round(ordered[1], 3)
+            steady[name] = round(ordered[0], 3)
+            if idx % 4 == 3:  # mid-section samples: catch contention
+                sample()  # that starts and ends inside the section
+        return timings, medians, steady
+
+    timings, medians, steady = run_guarded("headline", headline_section)
+
+    # ---- flagship pipeline -------------------------------------------------
     # Flagship composition, tracked separately so the headline total stays
     # comparable round-over-round: the full corpus-cleaning pipeline
     # (filters -> PII mask -> exact dedup -> MinHash near-dedup).
@@ -119,18 +263,19 @@ def main() -> None:
     # sf0.1) — the leak ADVICE_r3 flagged. clean_corpus now releases its
     # intermediates and the bench releases the result, so steady measures
     # an honest fresh run (~= first run). Expect a step change at r4.
-    p_first = run_pipeline()
-    p_second = run_pipeline()
-    sentinels.append(spin_sentinel())
+    p_first, p_second = run_guarded(
+        "pipeline", lambda: (run_pipeline(), run_pipeline())
+    )
     pipeline_sec = round(p_first, 3)
     pipeline_steady = round(min(p_first, p_second), 3)
 
-    # The 100 TB-shape number: drop-set near-dedup against a corpus with a
-    # PLANTED GIANT duplicate cluster (one doc replicated 2000×). The
-    # pair-materializing form is quadratic in cluster size (2000² /2 = 2M
-    # pairs from this cluster alone); the drop set verifies O(docs×bands)
-    # candidates regardless — this entry tracks that path's wall time so a
-    # regression in the scale-critical operator is visible per round.
+    # ---- drop-set (100 TB shape) -------------------------------------------
+    # Drop-set near-dedup against a corpus with a PLANTED GIANT duplicate
+    # cluster (one doc replicated 2000×). The pair-materializing form is
+    # quadratic in cluster size (2000²/2 = 2M pairs from this cluster
+    # alone); the drop set verifies O(docs×bands) candidates regardless —
+    # this entry tracks that path's wall time so a regression in the
+    # scale-critical operator is visible per round.
     from lakeshack_spark.operators.dedup import minhash_drop_set
     from pyspark.sql import functions as F
 
@@ -152,12 +297,13 @@ def main() -> None:
         drops.unpersist()
         return time.time() - t0
 
-    d_first = run_drop_set()
-    d_second = run_drop_set()
-    sentinels.append(spin_sentinel())
+    d_first, d_second = run_guarded(
+        "drop_set", lambda: (run_drop_set(), run_drop_set())
+    )
     drop_set_sec = round(d_first, 3)
     drop_set_steady = round(min(d_first, d_second), 3)
 
+    # ---- SRP near-dup ------------------------------------------------------
     # Embedding DISCOVERY-tier number: SRP-LSH near-dup over the sf
     # embeddings with planted duplicate vectors (scaled copies — cosine
     # is scale-invariant, so each plant is an exact near-dup with cosine
@@ -193,9 +339,9 @@ def main() -> None:
         ).mode("overwrite").save()
         return time.time() - t0
 
-    s_first = run_srp()
-    s_second = run_srp()
+    s_first, s_second = run_guarded("srp", lambda: (run_srp(), run_srp()))
 
+    # ---- connected components ----------------------------------------------
     # Iterative-operator number: connected components (near-dup pairs →
     # cluster labels) over the SimHash near-pair graph of the full sf
     # documents table. Tracks the one operator whose cost is ROUNDS of
@@ -215,10 +361,9 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    c_first = run_cc()
-    c_second = run_cc()
-    sentinels.append(spin_sentinel())
+    c_first, c_second = run_guarded("cc", lambda: (run_cc(), run_cc()))
 
+    # ---- repeated passages ---------------------------------------------------
     # Exact-substring tier: cross-document repeated-passage coverage
     # over the full sf documents table with planted 30-token quotes —
     # the O(total tokens) explode + gram-key shuffle + interval-union
@@ -237,30 +382,36 @@ def main() -> None:
     n_quotes = quotes.filter(F.size(F.split("text", " ")) >= 8).count()
     quoted_docs = docs.select("doc_id", "text").unionByName(quotes)
 
-    def run_rp() -> float:
+    def rp_section():
         t0 = time.time()
         repeated_passage_stats(quoted_docs, k=8, min_docs=2).write.format(
             "noop"
         ).mode("overwrite").save()
-        return time.time() - t0
+        rp_first = time.time() - t0
+        # second timed run persists its result so the coverage assert
+        # reads it back instead of paying a third full pass (count() is a
+        # full materialization like the noop write, so the timing is
+        # comparable)
+        t0 = time.time()
+        rp_stats = repeated_passage_stats(
+            quoted_docs, k=8, min_docs=2
+        ).persist()
+        rp_stats.count()
+        rp_second = time.time() - t0
+        rp_covered = rp_stats.filter(
+            (F.col("doc_id") >= quote_offset)
+            & (F.col("n_tokens") >= 8)
+            & (F.col("dup_tokens") == F.col("n_tokens"))
+        ).count()
+        rp_stats.unpersist()
+        assert rp_covered == n_quotes, (
+            f"repeated-passage planted coverage {rp_covered}/{n_quotes}"
+        )
+        return rp_first, rp_second
 
-    rp_first = run_rp()
-    # second timed run persists its result so the coverage assert reads
-    # it back instead of paying a third full pass (count() is a full
-    # materialization like the noop write, so the timing is comparable)
-    t0 = time.time()
-    rp_stats = repeated_passage_stats(quoted_docs, k=8, min_docs=2).persist()
-    rp_stats.count()
-    rp_second = time.time() - t0
-    rp_covered = rp_stats.filter(
-        (F.col("doc_id") >= quote_offset)
-        & (F.col("n_tokens") >= 8)
-        & (F.col("dup_tokens") == F.col("n_tokens"))
-    ).count()
-    rp_stats.unpersist()
-    assert rp_covered == n_quotes, (
-        f"repeated-passage planted coverage {rp_covered}/{n_quotes}"
-    )
+    rp_first, rp_second = run_guarded("repeated_passages", rp_section)
+
+    # Untimed honesty check for the SRP section (full recall on plants).
     found = (
         srp_near_dup_pairs(planted_emb, threshold=0.95, dim=emb_dim)
         .filter(F.col("id_b") == F.col("id_a") + F.lit(plant_offset))
@@ -268,6 +419,7 @@ def main() -> None:
     )
     assert found == n_planted, f"SRP planted recall {found}/{n_planted}"
 
+    # ---- salted skew join -----------------------------------------------------
     # Skewed-key salted-join point (VERDICT_r6 item 8): a worst-case key
     # distribution — 30% of all lineitem rows remapped onto ONE orderkey —
     # joined to orders through operators.skew.salted_join, which splits
@@ -301,66 +453,74 @@ def main() -> None:
         ).mode("overwrite").save()
         return time.time() - t0
 
-    sj_first = run_salted()
-    sj_second = run_salted()
-    sentinels.append(spin_sentinel())
+    sj_first, sj_second = run_guarded(
+        "salted_join", lambda: (run_salted(), run_salted())
+    )
 
+    # ---- streaming CDC merge ----------------------------------------------------
     # Streaming throughput point (VERDICT_r7 item 7): rows/s through the
     # versioned CDC merge sink — N micro-batches of disjoint-key updates
     # against a VersionedTable seeded from orders, availableNow, one
     # MERGE commit per batch. The exactly-once marker check stays ON
     # (every version's manifest must carry its batch_id, and version
-    # count must equal 1 + N). First measurement r8 — no regression gate.
+    # count must equal 1 + N). Soft floor since r9 (VERDICT_r8 item 6).
     import shutil
     import tempfile
 
     from lakeshack_spark.streaming.ivm import stream_merge_versioned
     from lakeshack_spark.versioning import VersionedTable
 
-    stream_root = tempfile.mkdtemp(prefix="bench_stream_")
-    try:
-        table_dir = f"{stream_root}/table"
-        vt = VersionedTable(spark, table_dir)
-        base = orders_t.select("o_orderkey", "o_totalprice", "o_orderstatus")
-        vt.create(base.repartition(8))
-        n_batches = 5
-        changes = base.select(
-            "o_orderkey",
-            (F.col("o_totalprice") * F.lit(1.01)).alias("o_totalprice"),
-            "o_orderstatus",
-        )
-        total_changes = 0
-        for i in range(n_batches):
-            sl = changes.filter(F.col("o_orderkey") % n_batches == i)
-            total_changes += sl.count()
-            sl.coalesce(1).write.mode("overwrite").parquet(
-                f"{stream_root}/landing/slice{i}"
+    def stream_section():
+        stream_root = tempfile.mkdtemp(prefix="bench_stream_")
+        try:
+            table_dir = f"{stream_root}/table"
+            vt = VersionedTable(spark, table_dir)
+            base = orders_t.select(
+                "o_orderkey", "o_totalprice", "o_orderstatus"
             )
-        stream = (
-            spark.readStream.schema(changes.schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(f"{stream_root}/landing/*")
-        )
-        t0 = time.time()
-        stream_merge_versioned(
-            stream,
-            table_dir,
-            ["o_orderkey"],
-            update_cols=["o_totalprice"],
-            checkpoint_dir=f"{stream_root}/ckpt",
-        ).awaitTermination()
-        stream_sec = time.time() - t0
-        vers = vt.versions()
-        assert len(vers) == 1 + n_batches, f"versions {vers}"
-        batch_ids = sorted(
-            vt.manifest(v)["meta"].get("batch_id") for v in vers[1:]
-        )
-        assert batch_ids == list(range(n_batches)), batch_ids
-        stream_rows_per_sec = round(total_changes / stream_sec, 1)
-        stream_merge_sec = round(stream_sec, 3)
-    finally:
-        shutil.rmtree(stream_root, ignore_errors=True)
-    sentinels.append(spin_sentinel())
+            vt.create(base.repartition(8))
+            n_batches = 5
+            changes = base.select(
+                "o_orderkey",
+                (F.col("o_totalprice") * F.lit(1.01)).alias("o_totalprice"),
+                "o_orderstatus",
+            )
+            total_changes = 0
+            for i in range(n_batches):
+                sl = changes.filter(F.col("o_orderkey") % n_batches == i)
+                total_changes += sl.count()
+                sl.coalesce(1).write.mode("overwrite").parquet(
+                    f"{stream_root}/landing/slice{i}"
+                )
+            stream = (
+                spark.readStream.schema(changes.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{stream_root}/landing/*")
+            )
+            t0 = time.time()
+            stream_merge_versioned(
+                stream,
+                table_dir,
+                ["o_orderkey"],
+                update_cols=["o_totalprice"],
+                checkpoint_dir=f"{stream_root}/ckpt",
+            ).awaitTermination()
+            stream_sec = time.time() - t0
+            vers = vt.versions()
+            assert len(vers) == 1 + n_batches, f"versions {vers}"
+            batch_ids = sorted(
+                vt.manifest(v)["meta"].get("batch_id") for v in vers[1:]
+            )
+            assert batch_ids == list(range(n_batches)), batch_ids
+            return round(stream_sec, 3), round(total_changes / stream_sec, 1)
+        finally:
+            shutil.rmtree(stream_root, ignore_errors=True)
+
+    stream_merge_sec, stream_rows_per_sec = run_guarded(
+        "stream_merge", stream_section
+    )
+
+    # Untimed honesty check for the salted join (exact row preservation).
     n_joined = salted_join(skew_left, skew_right, "k", salt_buckets=8).count()
     assert n_joined == n_li, f"salted join lost rows: {n_joined}/{n_li}"
 
@@ -373,8 +533,31 @@ def main() -> None:
         "sentinel_ms": sentinels,
         "min_ms": min(sentinels),
         "max_ms": max(sentinels),
+        # raw ratio over EVERY sample, including attempts that were
+        # discarded by the retry logic — the box's honesty trail
         "ratio": round(max(sentinels) / max(min(sentinels), 1e-9), 2),
+        # ratio of the RECORDED attempts only (each section's quietest):
+        # this is the number that labels the emitted record itself
+        "used_ratio": round(
+            max(m["used_ratio"] for m in section_meta.values()), 2
+        ),
+        "sections": section_meta,
     }
+    contended_after_retries = sorted(
+        name for name, meta in section_meta.items() if meta["contended"]
+    )
+    # Streaming soft floor (sf0.1 contract): below the floor on a QUIET
+    # section is a real regression; on a still-contended section the
+    # number can't be trusted either way, so report "contended".
+    if sf_val == 0.1:
+        if stream_rows_per_sec >= STREAM_ROWS_PER_SEC_FLOOR:
+            stream_floor_ok: bool | str = True
+        elif section_meta["stream_merge"]["contended"]:
+            stream_floor_ok = "contended"
+        else:
+            stream_floor_ok = False
+    else:
+        stream_floor_ok = True  # floor calibrated at sf0.1 only
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -398,7 +581,11 @@ def main() -> None:
         "salted_join_skew_steady": round(min(sj_first, sj_second), 3),
         "stream_merge_versioned_sec": stream_merge_sec,
         "stream_merge_versioned_rows_per_sec": stream_rows_per_sec,
+        "stream_floor_ok": stream_floor_ok,
+        "stream_floor_rows_per_sec": STREAM_ROWS_PER_SEC_FLOOR,
         "contention": contention,
+        "contended_after_retries": contended_after_retries,
+        "page_cache_warm_mb": cache_mb,
         "sf": sf_val,
     }
     spark.stop()
@@ -408,8 +595,10 @@ def main() -> None:
     # data epoch): re-run the PREVIOUS round's bench.py — the driver's
     # last `round N:` snapshot commit — on TODAY's files in a throwaway
     # worktree, and carry its numbers as the `replay` block. Runs after
-    # spark.stop() so only one JVM lives at a time. SPARK_GRAFT_REPLAY=0
-    # skips it (iterating locally); failures are recorded, not fatal.
+    # spark.stop() so only one JVM lives at a time; the page-cache
+    # equalization above means it does NOT inherit a cache advantage.
+    # SPARK_GRAFT_REPLAY=0 skips it (iterating locally); failures are
+    # recorded, not fatal.
     if os.environ.get("SPARK_GRAFT_REPLAY", "1") != "0":
         try:
             from tools.bench_replay import replay
@@ -447,7 +636,10 @@ def main() -> None:
         "repeated_passages_steady": out["repeated_passages_steady"],
         "salted_join_skew_steady": out["salted_join_skew_steady"],
         "stream_merge_rows_per_sec": stream_rows_per_sec,
-        "contention_ratio": contention["ratio"],
+        "stream_floor_ok": stream_floor_ok,
+        "contention_ratio": contention["used_ratio"],
+        "contention_ratio_raw": contention["ratio"],
+        "contended_after_retries": contended_after_retries,
         "sf": sf_val,
     }
     line = json.dumps(compact)
