@@ -97,6 +97,85 @@ def spin_sentinel() -> float:
     return round(min(_spin_once(), _spin_once()), 2)
 
 
+class ContentionGuard:
+    """Per-section contention guard (VERDICT_r8 item 1), sentinel
+    injectable so the retry/flag semantics are unit-testable without a
+    90 ms spin per sample (tests/test_bench_guard.py).
+
+    ``run(name, fn)`` samples the sentinel before/after ``fn`` (fn may
+    add mid-section samples via ``self.sample``); if the MEDIAN of the
+    section's samples exceeds SENTINEL_RATIO_MAX × the run's quietest
+    sample, the section re-runs (≤ SECTION_RETRIES) and the QUIETEST
+    attempt's result is recorded. Median, not max: a single sample
+    riding a post-section GC pulse (the pipeline section reliably
+    inflated its closing sample this way) must not flag the section,
+    while a concurrent suite — the real hazard, sustained over minutes
+    — inflates every sample in the window and still does. A section
+    that never ran quiet is flagged in ``section_meta``/
+    ``contended_after_retries()``, not laundered."""
+
+    def __init__(self, sentinel_fn=spin_sentinel, settle_s: float = 0.2):
+        self._sentinel_fn = sentinel_fn
+        self._settle_s = settle_s
+        self.sentinels: list[float] = []
+        self.section_meta: dict[str, dict] = {}
+
+    def sample(self) -> float:
+        if self._settle_s:
+            time.sleep(self._settle_s)  # let the JVM settle (post-GC)
+        v = self._sentinel_fn()
+        self.sentinels.append(v)
+        return v
+
+    def run(self, name: str, fn):
+        from statistics import median
+
+        attempts: list[float] = []
+        best = None
+        for _ in range(1 + SECTION_RETRIES):
+            i0 = len(self.sentinels)
+            self.sample()
+            res = fn()
+            self.sample()
+            mid = median(self.sentinels[i0:])
+            ratio = round(mid / max(min(self.sentinels), 1e-9), 2)
+            attempts.append(ratio)
+            if best is None or ratio < best[1]:
+                best = (res, ratio)
+            if ratio <= SENTINEL_RATIO_MAX:
+                break
+        self.section_meta[name] = {
+            "attempt_ratios": attempts,
+            "used_ratio": best[1],
+            "contended": best[1] > SENTINEL_RATIO_MAX,
+        }
+        return best[0]
+
+    def contended_after_retries(self) -> list[str]:
+        return sorted(
+            n for n, m in self.section_meta.items() if m["contended"]
+        )
+
+    def used_ratio(self) -> float:
+        return round(
+            max(m["used_ratio"] for m in self.section_meta.values()), 2
+        )
+
+
+def stream_floor_status(
+    rows_per_sec: float, sf_val, contended: bool
+) -> bool | str:
+    """Soft floor verdict for the streaming key (VERDICT_r8 item 6):
+    below the floor on a QUIET section is a real regression; on a
+    still-contended section the number can't be trusted either way, so
+    report "contended". The floor is calibrated at sf0.1 only."""
+    if sf_val != 0.1:
+        return True
+    if rows_per_sec >= STREAM_ROWS_PER_SEC_FLOOR:
+        return True
+    return "contended" if contended else False
+
+
 def warm_page_cache(sf_dir: str) -> float:
     """Read every parquet byte under sf_dir once so the OS page cache is
     equally warm for the main leg and the (second-running) replay leg —
@@ -173,50 +252,13 @@ def main() -> None:
     _orders_shack(spark, sf_dir)
 
     # ---- contention guard ------------------------------------------------
-    sentinels: list[float] = [spin_sentinel(), spin_sentinel()]
-    section_meta: dict[str, dict] = {}
-
-    def sample() -> float:
-        time.sleep(0.2)  # let the JVM settle (GC after a heavy section)
-        v = spin_sentinel()
-        sentinels.append(v)
-        return v
-
-    def run_guarded(name: str, fn):
-        """Run `fn` under the contention guard: sample the sentinel
-        before/after (fn may add mid-section samples via `sample`), and
-        if the MEDIAN of the section's samples exceeds
-        SENTINEL_RATIO_MAX × the run's quietest sample, re-run — up to
-        SECTION_RETRIES — keeping the QUIETEST attempt's result. Median,
-        not max: a single sample riding a post-section GC pulse (the
-        pipeline section reliably inflated its closing sample this way)
-        must not flag the section, while a concurrent suite — the real
-        hazard, sustained over minutes — inflates every sample in the
-        window and still does. The recorded record is therefore the
-        least-contended measurement available, and a section that never
-        ran quiet is flagged, not laundered."""
-        from statistics import median
-
-        attempts: list[float] = []
-        best = None
-        for _ in range(1 + SECTION_RETRIES):
-            i0 = len(sentinels)
-            sample()
-            res = fn()
-            sample()
-            mid = median(sentinels[i0:])
-            ratio = round(mid / max(min(sentinels), 1e-9), 2)
-            attempts.append(ratio)
-            if best is None or ratio < best[1]:
-                best = (res, ratio)
-            if ratio <= SENTINEL_RATIO_MAX:
-                break
-        section_meta[name] = {
-            "attempt_ratios": attempts,
-            "used_ratio": best[1],
-            "contended": best[1] > SENTINEL_RATIO_MAX,
-        }
-        return best[0]
+    guard = ContentionGuard()
+    guard.sample()
+    guard.sample()  # two baseline samples before any timed section
+    sentinels = guard.sentinels
+    section_meta = guard.section_meta
+    sample = guard.sample
+    run_guarded = guard.run
 
     # ---- headline section ------------------------------------------------
     # Three runs per query: the FIRST run stays the headline (comparable
@@ -538,26 +580,15 @@ def main() -> None:
         "ratio": round(max(sentinels) / max(min(sentinels), 1e-9), 2),
         # ratio of the RECORDED attempts only (each section's quietest):
         # this is the number that labels the emitted record itself
-        "used_ratio": round(
-            max(m["used_ratio"] for m in section_meta.values()), 2
-        ),
+        "used_ratio": guard.used_ratio(),
         "sections": section_meta,
     }
-    contended_after_retries = sorted(
-        name for name, meta in section_meta.items() if meta["contended"]
+    contended_after_retries = guard.contended_after_retries()
+    stream_floor_ok = stream_floor_status(
+        stream_rows_per_sec,
+        sf_val,
+        section_meta["stream_merge"]["contended"],
     )
-    # Streaming soft floor (sf0.1 contract): below the floor on a QUIET
-    # section is a real regression; on a still-contended section the
-    # number can't be trusted either way, so report "contended".
-    if sf_val == 0.1:
-        if stream_rows_per_sec >= STREAM_ROWS_PER_SEC_FLOOR:
-            stream_floor_ok: bool | str = True
-        elif section_meta["stream_merge"]["contended"]:
-            stream_floor_ok = "contended"
-        else:
-            stream_floor_ok = False
-    else:
-        stream_floor_ok = True  # floor calibrated at sf0.1 only
     out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),

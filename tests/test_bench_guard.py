@@ -1,0 +1,112 @@
+"""Pins for bench.py's contention-guard scoreboard logic (VERDICT_r8
+item 1): the official BENCH record is the round's scoreboard, so the
+retry / quietest-attempt / flag semantics are load-bearing and must not
+drift. Pure Python — the sentinel is injected, no Spark, no spinning."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench
+
+
+def make_guard(samples):
+    """Guard fed a scripted sentinel sequence (consumed in order)."""
+    it = iter(samples)
+    return bench.ContentionGuard(sentinel_fn=lambda: next(it), settle_s=0)
+
+
+def test_quiet_section_runs_once():
+    g = make_guard([100.0, 101.0, 102.0, 103.0])
+    calls = []
+    out = g.run("s", lambda: calls.append(1) or "res")
+    assert out == "res" and len(calls) == 1
+    meta = g.section_meta["s"]
+    assert meta["contended"] is False
+    assert len(meta["attempt_ratios"]) == 1
+    assert g.contended_after_retries() == []
+
+
+def test_contended_section_retries_and_keeps_quietest():
+    # baseline 100; attempt 1 samples (150, 160) → median 155, ratio
+    # 1.55 → retry; attempt 2 samples (105, 107) → quiet → stop.
+    g = make_guard([100.0, 150.0, 160.0, 105.0, 107.0])
+    g.sample()  # baseline, as main() takes before any section
+    results = iter(["contended_result", "quiet_result"])
+    out = g.run("s", lambda: next(results))
+    assert out == "quiet_result"
+    meta = g.section_meta["s"]
+    assert meta["attempt_ratios"] == [1.55, 1.06]
+    assert meta["used_ratio"] == 1.06
+    assert meta["contended"] is False
+
+
+def test_never_quiet_section_is_flagged_not_laundered():
+    # All three attempts contended; the LEAST contended one is recorded
+    # and the section lands in contended_after_retries.
+    g = make_guard([100.0, 150.0, 150.0, 140.0, 140.0, 160.0, 160.0])
+    g.sample()  # quiet baseline
+    results = iter(["a", "b", "c"])
+    out = g.run("s", lambda: next(results))
+    assert out == "b"  # attempt 2, ratio 1.4, was the quietest
+    meta = g.section_meta["s"]
+    assert len(meta["attempt_ratios"]) == 1 + bench.SECTION_RETRIES
+    assert meta["used_ratio"] == 1.4
+    assert meta["contended"] is True
+    assert g.contended_after_retries() == ["s"]
+
+
+def test_single_gc_pulse_does_not_flag_section():
+    # Median semantics: one inflated closing sample (post-section GC —
+    # the pipeline section reliably did this) must not trigger a retry
+    # when the rest of the section's window is quiet.
+    g = make_guard([100.0, 101.0, 102.0, 180.0])
+    g.sample()  # baseline
+    calls = []
+
+    def fn():
+        calls.append(1)
+        g.sample()  # quiet mid-section sample; closing sample rides GC
+        return None
+
+    g.run("s", fn)
+    assert len(calls) == 1
+    assert g.section_meta["s"]["contended"] is False
+
+
+def test_mid_section_samples_participate():
+    # fn adds a mid-section sample (the headline section does); a
+    # sustained-contention window (all three samples high) must retry.
+    seq = [100.0, 150.0, 155.0, 150.0, 101.0, 100.0, 102.0]
+    g = make_guard(seq)
+    n = {"i": 0}
+
+    def fn():
+        n["i"] += 1
+        g.sample()  # mid-section
+        return n["i"]
+
+    out = g.run("s", fn)
+    assert out == 2  # second (quiet) attempt recorded
+    assert g.section_meta["s"]["attempt_ratios"][0] >= 1.5
+
+
+def test_used_ratio_is_max_over_sections():
+    g = make_guard([100.0, 100.0, 110.0, 100.0, 125.0, 120.0])
+    g.run("a", lambda: None)
+    g.run("b", lambda: None)
+    assert g.used_ratio() == max(
+        m["used_ratio"] for m in g.section_meta.values()
+    )
+
+
+def test_stream_floor_status():
+    floor = bench.STREAM_ROWS_PER_SEC_FLOOR
+    assert bench.stream_floor_status(floor + 1, 0.1, False) is True
+    assert bench.stream_floor_status(floor - 1, 0.1, False) is False
+    assert bench.stream_floor_status(floor - 1, 0.1, True) == "contended"
+    # floor only calibrated at sf0.1
+    assert bench.stream_floor_status(1.0, 0.01, False) is True
