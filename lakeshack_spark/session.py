@@ -68,28 +68,41 @@ _SIMPLE_SCAN_UNARY = frozenset(
 
 
 def _is_simple_scan(df) -> bool:
-    """True iff the ANALYZED plan is a chain of projection/filter-class
-    unary nodes over one leaf relation. Walks the analyzed plan (cheap —
+    """True iff the ANALYZED plan is projection/filter-class unary nodes
+    and Unions over leaf relations. Walks the analyzed plan (cheap —
     analysis is cached on the QueryExecution and never triggers
     optimization or physical planning), so callers can skip the
     ``df.rdd`` partition probe — which forces a FULL physical planning
     pass + RDD conversion — on complex trees (ADVICE r8: several hot
     operators call :func:`spread_small_input`, making big query trees
-    pay that planning pass twice). Unknown/exotic plans conservatively
-    return True (fall through to the probe, preserving old behavior)."""
+    pay that planning pass twice). Union is explicitly ALLOWED: it
+    introduces no shuffle, so a union of single-row-group scans stays
+    under-partitioned — exactly the hazard this guard exists for
+    (measured: the bench's planted-rows unions lost their spread and
+    srp/repeated-passages serialized when unions were rejected).
+    Unknown/exotic plans conservatively return True (fall through to
+    the probe, preserving old behavior)."""
     try:
-        node = df._jdf.queryExecution().analyzed()
-        for _ in range(32):
+        stack = [df._jdf.queryExecution().analyzed()]
+        budget = 64
+        while stack:
+            budget -= 1
+            if budget < 0:  # pathologically wide/deep: skip the probe
+                return False
+            node = stack.pop()
             kids = node.children()
             n = kids.size()
             if n == 0:
-                return True
-            if n > 1:
+                continue
+            name = node.getClass().getSimpleName()
+            if n == 1 and name in _SIMPLE_SCAN_UNARY:
+                stack.append(kids.apply(0))
+            elif name == "Union":
+                for i in range(n):
+                    stack.append(kids.apply(i))
+            else:
                 return False
-            if node.getClass().getSimpleName() not in _SIMPLE_SCAN_UNARY:
-                return False
-            node = kids.apply(0)
-        return False  # pathologically deep chain: skip the probe too
+        return True
     except Exception:  # pragma: no cover - py4j surface drift
         return True
 

@@ -279,6 +279,16 @@ def test_spread_small_input_short_circuits_complex_plans(spark):
     )
     assert not lss_session._is_simple_scan(joined)
     assert lss_session.spread_small_input(joined) is joined
+    # Union introduces NO shuffle — a union of single-row-group scans is
+    # still the hazard shape and MUST stay probed/spread (the bench's
+    # planted-rows unions serialized when Union was rejected here).
+    unioned = emb.unionByName(emb.filter("vec_id < 10"))
+    assert lss_session._is_simple_scan(unioned)
+    # union over a shuffle-bearing branch is not simple
+    mixed = emb.select("vec_id").unionByName(
+        emb.groupBy().count().select(F.col("count").alias("vec_id"))
+    )
+    assert not lss_session._is_simple_scan(mixed)
     # the raw scan is the hazard case: single-row-group file → 1
     # partition → must actually spread (values unaffected)
     if emb.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
