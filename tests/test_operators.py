@@ -797,6 +797,40 @@ def test_bucket_verify_group_property(data, threshold):
     assert got == sorted(want), (data, threshold)
 
 
+def test_bucket_verify_group_prefix_boundary_sweep():
+    """Deterministic sweep over the advisor-enumerated boundary classes:
+    every (threshold, union size) where the true Jaccard
+    (⌈t·n⌉−1)/n sits BELOW t yet rounds up to the t double — i.e. the
+    verify accepts a pair whose intersection is one below the prefix
+    proof's integer minimum. For each such class, build the minimal
+    witness (rep = the shared tokens, failed doc = shared + unique
+    filler, shared tokens ranked last by local frequency) and require
+    the slacked prefix to catch the drop. The hypothesis property test
+    cannot reach these (its sets are ≤6 tokens)."""
+    import math
+
+    cases = 0
+    for n in (20, 25, 40, 50, 75, 100, 125, 200):
+        for t in (0.07, 0.11, 0.13, 0.14, 0.21, 0.28, 0.56, 0.9):
+            # One below the integer minimum the unslacked prefix proof
+            # assumed; the witness is a boundary case exactly when the
+            # double-space verify still accepts inter/n >= t.
+            inter = math.ceil(t * n) - 1
+            if inter < 1 or not (inter / n >= t):
+                continue
+            shared = [f"s{i}" for i in range(inter)]
+            unique = [f"u{i}" for i in range(n - inter)]
+            got = dedup._bucket_verify_group(
+                [0, 1],
+                [True, False],  # rep (= shared subset), failed doc
+                [sorted(shared), sorted(shared + unique)],
+                t,
+            )
+            assert got == [1], (t, n, inter)
+            cases += 1
+    assert cases >= 3  # the sweep actually exercised boundary classes
+
+
 def test_bucket_verify_group_prefix_boundary():
     """ADVICE r8 (medium): the verify accepts inter/union >= threshold in
     DOUBLE space, so at threshold=0.07 a 7-token rep that is a subset of
