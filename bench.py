@@ -114,9 +114,16 @@ class ContentionGuard:
     that never ran quiet is flagged in ``section_meta``/
     ``contended_after_retries()``, not laundered."""
 
+    #: Run-wide cap on EXTRA attempts: a box contended for the whole run
+    #: would otherwise triple every section's cost (8 sections × 2
+    #: retries) and risk the driver's bench timeout — past the budget,
+    #: sections run once and rely on the finalize() re-label.
+    MAX_TOTAL_RETRIES = 5
+
     def __init__(self, sentinel_fn=spin_sentinel, settle_s: float = 0.2):
         self._sentinel_fn = sentinel_fn
         self._settle_s = settle_s
+        self._retries_spent = 0
         self.sentinels: list[float] = []
         self.section_meta: dict[str, dict] = {}
 
@@ -132,7 +139,7 @@ class ContentionGuard:
 
         attempts: list[float] = []
         best = None
-        for _ in range(1 + SECTION_RETRIES):
+        for attempt in range(1 + SECTION_RETRIES):
             i0 = len(self.sentinels)
             self.sample()
             res = fn()
@@ -141,15 +148,36 @@ class ContentionGuard:
             ratio = round(mid / max(min(self.sentinels), 1e-9), 2)
             attempts.append(ratio)
             if best is None or ratio < best[1]:
-                best = (res, ratio)
+                best = (res, ratio, mid)
             if ratio <= SENTINEL_RATIO_MAX:
                 break
+            if attempt == SECTION_RETRIES:
+                break  # per-section attempts exhausted
+            if self._retries_spent >= self.MAX_TOTAL_RETRIES:
+                break  # run-wide budget exhausted: record best, flagged
+            self._retries_spent += 1  # one unit per EXTRA attempt taken
         self.section_meta[name] = {
             "attempt_ratios": attempts,
             "used_ratio": best[1],
+            "used_median_ms": round(best[2], 2),
             "contended": best[1] > SENTINEL_RATIO_MAX,
         }
         return best[0]
+
+    def finalize(self) -> None:
+        """Re-label every section against the FINAL run-wide quietest
+        sample. The retry decision uses the quietest sample seen SO FAR
+        — if the run STARTS contended, early sections compare against an
+        inflated baseline, pass at ratio ≈ 1, and would be recorded as
+        quiet even though a later (quiet) sample proves they were not.
+        Retries can't be taken retroactively, but the honesty flag can:
+        recompute each recorded attempt's median against the final
+        minimum and re-flag. Idempotent."""
+        floor = max(min(self.sentinels), 1e-9)
+        for meta in self.section_meta.values():
+            ratio = round(meta["used_median_ms"] / floor, 2)
+            meta["used_ratio"] = ratio
+            meta["contended"] = ratio > SENTINEL_RATIO_MAX
 
     def contended_after_retries(self) -> list[str]:
         return sorted(
@@ -571,6 +599,7 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    guard.finalize()  # re-label sections against the final quietest sample
     contention = {
         "sentinel_ms": sentinels,
         "min_ms": min(sentinels),

@@ -103,6 +103,42 @@ def test_used_ratio_is_max_over_sections():
     )
 
 
+def test_retry_budget_caps_runaway_retries():
+    # A box contended for the whole run must not triple every section:
+    # past MAX_TOTAL_RETRIES extra attempts, sections run once (flagged).
+    n_sections = 8
+    # every sample contended (150 vs baseline 100)
+    g = make_guard([100.0] + [150.0] * 200)
+    g.sample()  # quiet baseline
+    calls = {"n": 0}
+
+    def fn():
+        calls["n"] += 1
+
+    for i in range(n_sections):
+        g.run(f"s{i}", fn)
+    # attempts = sections + capped extra retries, not sections × 3
+    assert calls["n"] == n_sections + bench.ContentionGuard.MAX_TOTAL_RETRIES
+    assert len(g.contended_after_retries()) == n_sections
+
+
+def test_finalize_relabels_early_contended_sections():
+    # The run STARTS contended: section 'a' compares against an inflated
+    # baseline (ratio ≈ 1, passes). A later quiet sample proves the box
+    # was contended during 'a' — finalize() must re-flag it.
+    g = make_guard([150.0, 151.0, 152.0, 100.0, 101.0, 102.0])
+    g.sample()  # contended baseline
+    g.run("a", lambda: None)  # samples 151, 152 → ratio ~1.0, passes
+    g.run("b", lambda: None)  # quiet 100, 101 → 'a' was contended
+    assert g.section_meta["a"]["contended"] is False  # pre-finalize
+    g.finalize()
+    assert g.section_meta["a"]["contended"] is True
+    assert g.section_meta["b"]["contended"] is False
+    assert g.contended_after_retries() == ["a"]
+    g.finalize()  # idempotent
+    assert g.contended_after_retries() == ["a"]
+
+
 def test_stream_floor_status():
     floor = bench.STREAM_ROWS_PER_SEC_FLOOR
     assert bench.stream_floor_status(floor + 1, 0.1, False) is True
