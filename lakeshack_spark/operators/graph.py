@@ -107,9 +107,11 @@ def connected_components(
     Rounds: O(log diameter) ≤ ``max_rounds`` (raises if not converged —
     a real 100 TB run sets this to ~2·log2(V) and alerts, rather than
     silently emitting half-merged clusters). Convergence is detected by
-    an exact changed-label count per round; each round's result is
-    eagerly checkpointed so the next round's plan starts from
-    materialized data.
+    an any-label-changed existence probe (``limit(1)``) over the
+    checkpointed round result, with the previous label carried through
+    the propagate aggregation — no per-round |V|⋈|V| comparison join;
+    each round's result is eagerly checkpointed so the next round's
+    plan starts from materialized data.
     """
     edges = _symmetrized_edges(pairs, id_a, id_b)
 
@@ -132,16 +134,24 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     for _ in range(max_rounds):
-        # propagate: min label over self ∪ neighbors
-        neighbor_msgs = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "label")
+        # propagate: min label over self ∪ neighbors. The node's OWN
+        # previous label rides along as ``old`` (neighbor messages
+        # contribute null; max over one non-null + nulls recovers it),
+        # so convergence detection below is a join-free aggregate over
+        # the already-checkpointed round result — the old form joined
+        # jumped⋈labels per round, re-shuffling |V| twice purely to
+        # count changes (measured ~0.4 s/round of the local fixed cost;
+        # at cluster scale two |V| exchanges per round for free).
+        neighbor_msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"),
+            "label",
+            F.lit(None).cast("long").alias("old"),
         )
         propagated = (
-            labels.select("node", "label")
+            labels.select("node", "label", F.col("label").alias("old"))
             .union(neighbor_msgs)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
         )
         # jump: label <- label's label (pointer halving)
         lookup = propagated.select(
@@ -152,15 +162,14 @@ def connected_components(
             .select(
                 "node",
                 F.coalesce(F.col("l_label"), F.col("label")).alias("label"),
+                "old",
             )
             .localCheckpoint(eager=True)
         )
         changed = (
-            jumped.join(labels.withColumnRenamed("label", "old"), "node")
-            .filter(F.col("label") != F.col("old"))
-            .count()
+            jumped.filter(F.col("label") != F.col("old")).limit(1).count()
         )
-        labels = jumped
+        labels = jumped.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("cluster_id"))
     raise RuntimeError(
