@@ -143,14 +143,23 @@ def test_every_oracle_matches_spark_schema_contract(spark, entry_mod, duck):
 
     def run_one(item):
         name, sql = item
-        try:
-            with warnings.catch_warnings():
-                warnings.simplefilter("ignore")
-                frame = qs[name](spark, SF_SMOKE)
-                odf = duck.cursor().execute(sql).fetchdf()
-        except Exception as exc:  # surface builder/oracle breakage per-entry
-            return [f"{name}: execution error: {exc!r:.200}"]
-        return _contract_problems(name, frame.schema, odf)
+        # One bounded retry on EXCEPTIONS only: 164 builders on a thread
+        # pool over one shared SparkSession occasionally hit a transient
+        # race (observed once in a full-suite run on a loaded box; the
+        # same entry passes in isolation and on re-run). A real breakage
+        # is deterministic and fails both attempts; contract VIOLATIONS
+        # are returned values, never retried.
+        last_exc = None
+        for _ in range(2):
+            try:
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    frame = qs[name](spark, SF_SMOKE)
+                    odf = duck.cursor().execute(sql).fetchdf()
+                return _contract_problems(name, frame.schema, odf)
+            except Exception as exc:  # surface breakage per-entry
+                last_exc = exc
+        return [f"{name}: execution error (twice): {last_exc!r:.200}"]
 
     try:
         with ThreadPoolExecutor(max_workers=8) as pool:
