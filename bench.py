@@ -663,7 +663,11 @@ def main() -> None:
         try:
             from tools.bench_replay import replay
 
-            out["replay"] = replay(timeout=900)
+            # 1400s, not 900: the replayed bench (r9+) carries the
+            # contention guard — on a contended box its sections retry
+            # (bounded) and the replay leg slows exactly when the
+            # comparison matters most; a timeout would drop it.
+            out["replay"] = replay(timeout=1400)
         except Exception as exc:  # the replay must never sink the bench
             out["replay"] = {"error": str(exc)[:2000]}
 
