@@ -203,17 +203,18 @@ def _nonempty_sigs(
 #: the fallback for non-long id columns, and the parity-test twin.
 BANDED_IMPL = "arrow"
 
-#: minhash_drop_set pass-2 auto cutover: estimated raw candidate pairs
-#: (Σ per failed bucket of |bucket| × |failed in bucket|) at or above
-#: this use the bucket-local prefix-filtered form; below it the plain
-#: pair join wins on fixed stage overhead. See the dispatch comment in
-#: minhash_drop_set.
+#: minhash_drop_set pass-2 auto cutover: estimated signature-collapsed
+#: candidate pairs (Σ per failed bucket of distinct signatures ×
+#: |failed in bucket|) at or above this use the bucket-local
+#: prefix-filtered form; below it the plain pair join wins on fixed
+#: stage overhead. See the dispatch comment in minhash_drop_set.
 PASS2_LOCAL_MIN_EST_PAIRS = 500_000
 
 
 def _banded_rows_arrow(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int, bands: int, k: int, with_buckets: bool,
+    with_sig_key: bool = False,
 ) -> DataFrame:
     """Arrow twin of :func:`_banded` / :func:`_banded_with_buckets`:
     tokenize (single-space split, exactly ``F.split(text, " ")``
@@ -226,9 +227,17 @@ def _banded_rows_arrow(
     docs with fewer than k tokens drop, matching the n_shingles > 0
     filter. Requires a long-typed id column (the dispatchers fall back
     to the expression form otherwise). Bit-identical to the expression
-    path — pinned by tests/test_operators.py parity tests."""
+    path — pinned by tests/test_operators.py parity tests.
+
+    ``with_sig_key`` (non-bucket layout only) adds ``__sigkey``: the
+    md5→first-15-hex-digits long (= ``_h64``) of the comma-joined
+    decimal rendering of the FULL signature — a per-doc signature
+    identity used by :func:`minhash_drop_set`'s pass-2 routing estimate
+    (identical shingle sets ⇒ identical signatures ⇒ identical key)."""
     from pyspark.sql import types as T
 
+    if with_sig_key and with_buckets:
+        raise ValueError("with_sig_key is only supported without buckets")
     params = _permutation_params(num_hashes)
     rpb = num_hashes // bands
     M = _MERSENNE31
@@ -242,6 +251,11 @@ def _banded_rows_arrow(
     else:
         fields = [
             T.StructField(id_col, T.LongType()),
+            *(
+                [T.StructField("__sigkey", T.LongType(), False)]
+                if with_sig_key
+                else []
+            ),
             T.StructField("band", T.IntegerType(), False),
             T.StructField("bucket", T.StringType(), False),
         ]
@@ -260,6 +274,7 @@ def _banded_rows_arrow(
             bandl: list = []
             buckets: list = []
             bkts_col: list = []
+            sigkeys: list = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 if not isinstance(text, str):
                     continue  # NULL text: expression path drops it too
@@ -309,18 +324,33 @@ def _banded_rows_arrow(
                         buckets.append(bk[b])
                         bkts_col.append(bk)
                 else:
+                    if with_sig_key:
+                        # same rendering as the band slices (comma-joined
+                        # decimal), over the FULL signature, through _h64
+                        sk = int(
+                            hashlib.md5(
+                                ",".join(
+                                    str(int(v)) for v in sig
+                                ).encode("utf-8")
+                            ).hexdigest()[:15],
+                            16,
+                        )
                     for b in range(bands):
                         ids.append(did)
                         bandl.append(b)
                         buckets.append(
                             hashlib.md5(svals[b].encode("utf-8")).hexdigest()
                         )
+                        if with_sig_key:
+                            sigkeys.append(sk)
             data = {id_col: pd.Series(ids, dtype="int64")}
             if with_buckets:
                 data["__bkts"] = pd.Series(bkts_col, dtype="object")
                 data["band"] = pd.Series(bandl, dtype="int32")
                 data["bucket"] = pd.Series(buckets, dtype="int64")
             else:
+                if with_sig_key:
+                    data["__sigkey"] = pd.Series(sigkeys, dtype="int64")
                 data["band"] = pd.Series(bandl, dtype="int32")
                 data["bucket"] = pd.Series(buckets, dtype="object")
             yield pd.DataFrame(data, columns=[f.name for f in fields])
@@ -345,19 +375,34 @@ def _banded(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int, bands: int, k: int,
     impl: str | None = None,
+    with_sig_key: bool = False,
 ) -> DataFrame:
     """(id, band, bucket) rows: each doc explodes to ``bands`` rows keyed
     by the md5 of that band's signature slice. Dispatches to the Arrow
     twin by default (:data:`BANDED_IMPL`); ``impl="expr"`` forces the
-    expression form (always used for non-long id columns)."""
+    expression form (always used for non-long id columns).
+    ``with_sig_key`` adds a per-doc ``__sigkey`` long (``_h64`` of the
+    comma-joined full signature — see :func:`_banded_rows_arrow`)."""
     if _use_arrow_banding(df, id_col, impl):
         return _banded_rows_arrow(
-            df, text_col, id_col, num_hashes, bands, k, with_buckets=False
+            df, text_col, id_col, num_hashes, bands, k,
+            with_buckets=False, with_sig_key=with_sig_key,
         )
     sigs = _nonempty_sigs(df, text_col, id_col, num_hashes, k)
     band_vals = _band_value_exprs(num_hashes, bands)
+    head = [F.col(id_col)]
+    out_cols = [id_col]
+    if with_sig_key:
+        # identical rendering to the Arrow twin: longs print as plain
+        # decimal under concat_ws, matching str(int(v))
+        full_sig = F.concat_ws(
+            ",",
+            *[F.element_at(F.col("sig"), i + 1) for i in range(num_hashes)],
+        )
+        head.append(_h64(full_sig).alias("__sigkey"))
+        out_cols.append("__sigkey")
     return sigs.select(
-        F.col(id_col),
+        *head,
         F.explode(
             F.array(
                 *[
@@ -369,7 +414,7 @@ def _banded(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "bb.band", "bb.bucket")
+    ).select(*out_cols, "bb.band", "bb.bucket")
 
 
 def _banded_with_buckets(
@@ -1329,7 +1374,9 @@ def minhash_drop_set(
     eagerly materialized and persisted (its heavyweight inputs are
     unpersisted before return) — callers unpersist it when done.
     """
-    banded = _banded(df, text_col, id_col, num_hashes, bands, k).persist()
+    banded = _banded(
+        df, text_col, id_col, num_hashes, bands, k, with_sig_key=True
+    ).persist()
     banded.count()  # eager: 4 downstream branches — an unmaterialized
     # cache re-computes the signature per branch inside one job (measured
     # 172 s vs 36 s on the bench corpus)
@@ -1378,69 +1425,53 @@ def minhash_drop_set(
     fb, fb_buckets, reps = _pass2_audience(banded, sh, failed_docs, id_col)
     extra_persists = []
     if pass2_impl == "auto":
-        # Two-tier estimate, each tier ONE small aggregate whose collect
-        # is a single number:
-        #
-        # Tier 1 - RAW bucket membership (per failed bucket,
-        # |bucket| x |failed|, summed), computable without the class-rep
-        # groupBy. It upper-bounds the rep-collapsed pair count, so a
-        # small raw estimate routes straight to the pair join (measured
-        # 5.4-5.6 s vs 7-8.4 s local on the filtered 5k-doc pipeline
-        # shape) with zero extra work.
-        #
-        # Tier 2 - only when tier 1 is large: the REP-COLLAPSED count
-        # (reps per failed bucket x failed). This is what tells a
-        # 20k-member duplicate cluster that collapses to ONE rep
-        # (look-alike adversary: pairs 10.6 s vs local 29 s under a
-        # raw-only estimate that mis-routed it) apart from a genuine
-        # mega-bucket of distinct classes (rep estimate 6M+: pairs
-        # 16.6 s vs local 6.8 s). Big regimes dwarf the extra jobs.
-        fail_counts = fb.groupBy("band", "bucket").agg(
-            F.count(F.lit(1)).alias("__nf")
+        # ONE small job decides the route (replaces the r8 two-tier
+        # estimate, whose two collects cost ~5 s of stage overhead on
+        # the bench shape — more than pass 2 itself). banded rows carry
+        # ``__sigkey`` (signature identity), so the rep-collapsed pair
+        # count is approximated per failed bucket as
+        # distinct-signatures × failures, all in one aggregate:
+        # identical shingle sets have identical signatures, so
+        # sig_est ≤ the exact rep-collapsed count. It is an
+        # UNDERESTIMATE when distinct classes collide on all
+        # num_hashes values — not rare for near-identical sets (a
+        # J=0.97 pair shares all 32 mins with p ≈ 0.38; measured 16.0M
+        # vs 23.7M exact on the dup-dense bench corpus) — but a
+        # mis-route is a bounded perf choice, never correctness: it
+        # happens only when the exact count sits within the collision
+        # factor above the cutover, where the pair form's prefiltered
+        # verify is still cheap. The regimes the r8 tiers separated
+        # still route the same way: a planted look-alike mega-cluster
+        # collapses to ONE signature (sig_est small → pairs), a
+        # genuine mega-bucket of distinct classes keeps distinct
+        # signatures (sig_est large → local).
+        failed_ids = failed_docs.select(
+            F.col("id_b").alias(id_col), F.lit(1).alias("__f")
         )
-        cand_counts = (
-            banded.join(
-                fail_counts.select("band", "bucket"),
-                ["band", "bucket"],
-                "left_semi",
-            )
+        est = (
+            banded.join(fb_buckets, ["band", "bucket"], "left_semi")
+            .join(failed_ids, id_col, "left")
             .groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("__nc"))
-        )
-        raw_est = (
-            cand_counts.join(fail_counts, ["band", "bucket"])
-            .agg(F.sum(F.col("__nc") * F.col("__nf")))
+            .agg(
+                F.sum("__f").alias("__nf"),
+                F.count_distinct("__sigkey").alias("__bsigs"),
+            )
+            .agg(F.sum(F.col("__nf") * F.col("__bsigs")))
             .collect()[0][0]
             or 0
         )
-        if raw_est < PASS2_LOCAL_MIN_EST_PAIRS:
-            pass2_impl = "pairs"
-        else:
-            reps = reps.persist()
-            extra_persists.append(reps)
-            rep_counts = (
-                banded.join(reps, id_col, "left_semi")
-                .join(fb_buckets, ["band", "bucket"], "left_semi")
-                .groupBy("band", "bucket")
-                .agg(F.count(F.lit(1)).alias("__nc"))
-            )
-            est = (
-                rep_counts.join(fail_counts, ["band", "bucket"])
-                .agg(F.sum(F.col("__nc") * F.col("__nf")))
-                .collect()[0][0]
-                or 0
-            )
-            pass2_impl = (
-                "local" if est >= PASS2_LOCAL_MIN_EST_PAIRS else "pairs"
-            )
+        pass2_impl = (
+            "local" if est >= PASS2_LOCAL_MIN_EST_PAIRS else "pairs"
+        )
     if pass2_impl == "pairs":
         dropped2 = _drop_set_pass2_pairs(
             banded, sh, verified, fb, reps, first, id_col, threshold
         )
     else:
         # the local form consumes fb twice (fail_rows + the fb_buckets
-        # chain) - persist per the recompute trap; reps is persisted
-        # above whenever auto reached tier 2
+        # chain) - persist per the recompute trap; reps has exactly ONE
+        # consumer per form (the estimator no longer reads it), so it
+        # stays lazy
         fb = fb.persist()
         fb.count()
         extra_persists.append(fb)

@@ -743,6 +743,70 @@ def test_banded_arrow_equals_expr(spark, docs):
             assert ab == eb and len(ab) > 0
 
 
+def test_banded_sig_key_parity_and_semantics(spark, docs):
+    """``with_sig_key`` must be BIT-identical across the twins (same
+    comma-joined decimal full-signature rendering through _h64), and
+    the key must be a signature identity: equal for identical shingle
+    sets regardless of token order / duplication (k=1), distinct for
+    different sets."""
+    frame = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma alpha beta alpha"),  # same k=1 shingle set as 1
+            (3, "alpha beta delta"),  # different set
+        ],
+        "doc_id long, text string",
+    )
+    for df in (docs, frame):
+        a = {
+            tuple(r)
+            for r in dedup._banded(
+                df, "text", "doc_id", 16, 4, 1, impl="arrow",
+                with_sig_key=True,
+            ).collect()
+        }
+        e = {
+            tuple(r)
+            for r in dedup._banded(
+                df, "text", "doc_id", 16, 4, 1, impl="expr",
+                with_sig_key=True,
+            ).collect()
+        }
+        assert a == e and len(a) > 0
+    keys = {
+        r["doc_id"]: r["__sigkey"]
+        for r in dedup._banded(
+            frame, "text", "doc_id", 16, 4, 1, with_sig_key=True
+        )
+        .select("doc_id", "__sigkey")
+        .distinct()
+        .collect()
+    }
+    assert keys[1] == keys[2] != keys[3]
+
+
+def test_minhash_drop_set_auto_routes_match_forms(spark, docs, monkeypatch):
+    """The auto estimator (single sig-collapsed job since r9) must
+    produce the same drop set whichever branch it picks; force BOTH
+    branches through the auto path by monkeypatching the cutover."""
+    kw = dict(num_hashes=8, bands=4, k=1, threshold=0.5)
+    want = {
+        r.doc_id
+        for r in dedup.minhash_drop_set(docs, pass2_impl="pairs", **kw).collect()
+    }
+    monkeypatch.setattr(dedup, "PASS2_LOCAL_MIN_EST_PAIRS", 1)  # → local
+    got_local = {
+        r.doc_id
+        for r in dedup.minhash_drop_set(docs, pass2_impl="auto", **kw).collect()
+    }
+    monkeypatch.setattr(dedup, "PASS2_LOCAL_MIN_EST_PAIRS", 10**18)  # → pairs
+    got_pairs = {
+        r.doc_id
+        for r in dedup.minhash_drop_set(docs, pass2_impl="auto", **kw).collect()
+    }
+    assert got_local == got_pairs == want and len(want) > 0
+
+
 def test_banded_non_long_id_falls_back_to_expr(spark):
     """A string id column must route to the expression form (the Arrow
     twin requires int64 ids) and still band correctly."""
