@@ -996,7 +996,9 @@ def contamination_flags(
     )
 
 
-def minhash_first_candidates(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_first_candidates(
+    banded: DataFrame, id_col: str = "doc_id", with_rows: bool = False
+):
     """Each doc's bucket-min candidates: for every band, the smallest id
     in the doc's bucket (when below its own) — distinct (id_b, id_a)
     rows, AT MOST ``bands`` per doc. JOIN-FREE by construction (a window
@@ -1010,17 +1012,29 @@ def minhash_first_candidates(banded: DataFrame, id_col: str = "doc_id") -> DataF
     fails verification and pushes everything into the pairwise fallback —
     measured 4984/4991 failures on the bench corpus. Up to ``bands``
     candidates keeps pass 1 O(docs × bands) while catching any dup that
-    is ITS bucket's minimum in at least one band."""
+    is ITS bucket's minimum in at least one band.
+
+    ``with_rows=True`` additionally returns the pre-distinct per-band
+    rows ``(id_col, id_a, __bsz)`` — ``__bsz`` is the bucket's size from
+    the SAME window pass (no extra shuffle), so
+    Σ ``__bsz`` over a doc's rows upper-bounds its pass-2 candidate
+    count (each qualifying bucket contributes at most |bucket| smaller
+    ids). :func:`minhash_drop_set` prices its pass-2 route from that
+    byproduct instead of paying a dedicated estimate job."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "bucket")
-    return (
-        banded.withColumn("__bucket_min", F.min(id_col).over(w))
-        .filter(F.col("__bucket_min") < F.col(id_col))
-        .select(
-            F.col(id_col).alias("id_b"), F.col("__bucket_min").alias("id_a")
-        )
-        .distinct()
+    marked = banded.withColumn("__bucket_min", F.min(id_col).over(w))
+    if with_rows:
+        marked = marked.withColumn("__bsz", F.count(F.lit(1)).over(w))
+    rows = marked.filter(F.col("__bucket_min") < F.col(id_col))
+    first = rows.select(
+        F.col(id_col).alias("id_b"), F.col("__bucket_min").alias("id_a")
+    ).distinct()
+    if not with_rows:
+        return first
+    return first, rows.select(
+        F.col(id_col), F.col("__bucket_min").alias("id_a"), F.col("__bsz")
     )
 
 
@@ -1099,12 +1113,20 @@ def _drop_set_pass2_pairs(
     positives), but a hint would outlive that assumption on adversarial
     data — AQE picks broadcast from the runtime size.
 
-    ``fb`` / ``reps`` are the (persisted) audience frames from
+    ``fb`` / ``reps`` are the audience frames from
     :func:`_pass2_audience`, computed once by the caller and shared with
-    the estimator and the local form.
+    the local form. ``reps=None`` skips the class collapse entirely —
+    the caller routes here only when the candidate-pair bound is already
+    small, where evaluating the class keys (an md5 per shingle) costs
+    more than the handful of duplicate verifies it would save; the
+    candidate superset changes nothing in the drop set (the invariant
+    is ∃ a verified earlier match, and every pair is exactly verified).
     """
     zcol = sh.select(F.col(id_col), F.size("__sh").alias("__z"))
-    banded_reps = banded.join(reps, id_col, "left_semi").join(zcol, id_col)
+    cand_side = (
+        banded if reps is None else banded.join(reps, id_col, "left_semi")
+    )
+    banded_reps = cand_side.join(zcol, id_col)
     fb_z = fb.join(zcol, id_col)
     rest = (
         banded_reps.alias("a")
@@ -1386,7 +1408,15 @@ def minhash_drop_set(
     # few MB of string arrays; eager count for the same reason as above.
     sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("__sh")).persist()
     sh.count()
-    first = minhash_first_candidates(banded, id_col)
+    _, cand_rows = minhash_first_candidates(banded, id_col, with_rows=True)
+    # Persist the per-band candidate rows and derive the distinct pair
+    # set FROM the cache: v1's job then materializes cand_rows as a side
+    # effect, so the tier-0 estimate below reads cached rows instead of
+    # re-running the (band, bucket) window over the whole banded frame.
+    cand_rows = cand_rows.persist()
+    first = cand_rows.select(
+        F.col(id_col).alias("id_b"), F.col("id_a")
+    ).distinct()
 
     def verified(pairs: DataFrame) -> DataFrame:
         # |union| = |a|+|b|-|∩| (shingle arrays are sets): per-side sizes
@@ -1411,11 +1441,18 @@ def minhash_drop_set(
 
     v1 = verified(first).persist()
     v1.count()  # eager, same reason
-    dropped1 = v1.filter(F.col("__j") >= threshold).select("id_b").distinct()
-    # Docs with candidates but no verified bucket-min match.
-    failed_docs = (
-        v1.select("id_b").distinct().join(dropped1, "id_b", "left_anti")
+    # ONE aggregation splits pass-1 outcomes — the best verified Jaccard
+    # per doc — where the r8 form paid two distinct shuffles plus an
+    # anti-join for the same dropped/failed partition of v1's docs.
+    # Persisted lazily: the first job that touches it (tier-0 estimate,
+    # or fb.count on the local route) materializes the cache before the
+    # multi-branch result action.
+    per_doc = (
+        v1.groupBy("id_b").agg(F.max("__j").alias("__jmax")).persist()
     )
+    dropped1 = per_doc.filter(F.col("__jmax") >= threshold).select("id_b")
+    # Docs with candidates but no verified bucket-min match.
+    failed_docs = per_doc.filter(F.col("__jmax") < threshold).select("id_b")
     # Pass-2 audience computed ONCE and shared by the estimator and both
     # forms. Everything stays LAZY unless a branch actually consumes a
     # frame more than once: an earlier cut eagerly persisted fb/reps and
@@ -1423,13 +1460,42 @@ def minhash_drop_set(
     # jobs cost a measured ~1.5-2 s on the common small-failure shape
     # (7.0-7.5 s vs 5.6 s explicit pairs).
     fb, fb_buckets, reps = _pass2_audience(banded, sh, failed_docs, id_col)
-    extra_persists = []
+    extra_persists = [per_doc, cand_rows]
+    collapse = True
+    if pass2_impl != "auto":
+        per_doc.count()  # explicit routes run no estimator job that
+        # would otherwise materialize the cache first
+    else:
+        # Tier 0, nearly free: Σ bucket sizes over the failed docs'
+        # qualifying band rows — a pass-1 window byproduct (__bsz from
+        # the SAME (band, bucket) window that computed the bucket min),
+        # so the bound costs one small aggregate over already-persisted
+        # lineage, not a dedicated bucket-membership job. Each
+        # qualifying bucket contributes at most |bucket| smaller-id
+        # candidates, so the sum upper-bounds the UNCOLLAPSED pass-2
+        # pair count: a small bound routes straight to the pair join
+        # with the class collapse skipped too (reps=None — evaluating
+        # an md5 per shingle to collapse a ~2k-pair audience cost more
+        # than the duplicate verifies it saved; measured ~2-3 s of
+        # estimate + class-key stages on the pipeline's low-failure
+        # shape).
+        raw_bound = (
+            cand_rows.join(
+                failed_docs.select(F.col("id_b").alias(id_col)),
+                id_col,
+                "left_semi",
+            )
+            .agg(F.sum("__bsz"))
+            .collect()[0][0]
+            or 0
+        )
+        if raw_bound < PASS2_LOCAL_MIN_EST_PAIRS:
+            pass2_impl = "pairs"
+            collapse = False
     if pass2_impl == "auto":
-        # ONE small job decides the route (replaces the r8 two-tier
-        # estimate, whose two collects cost ~5 s of stage overhead on
-        # the bench shape — more than pass 2 itself). banded rows carry
-        # ``__sigkey`` (signature identity), so the rep-collapsed pair
-        # count is approximated per failed bucket as
+        # Tier 1 (only when tier 0 is large), ONE small job: banded
+        # rows carry ``__sigkey`` (signature identity), so the
+        # rep-collapsed pair count is approximated per failed bucket as
         # distinct-signatures × failures, all in one aggregate:
         # identical shingle sets have identical signatures, so
         # sig_est ≤ the exact rep-collapsed count. It is an
@@ -1465,7 +1531,8 @@ def minhash_drop_set(
         )
     if pass2_impl == "pairs":
         dropped2 = _drop_set_pass2_pairs(
-            banded, sh, verified, fb, reps, first, id_col, threshold
+            banded, sh, verified, fb, reps if collapse else None, first,
+            id_col, threshold,
         )
     else:
         # the local form consumes fb twice (fail_rows + the fb_buckets
