@@ -111,9 +111,23 @@ def _permutation_params(num_hashes: int) -> list[tuple[int, int]]:
     return params
 
 
+def _class_key_col(sh_col) -> Column:
+    """Shingle-CLASS identity: md5 over the comma-joined SORTED full
+    per-shingle md5 hex digests of ``sh_col``. Hex digests are
+    fixed-alphabet, so the comma join cannot collide however weird the
+    tokens are; an md5 collision merging two classes is the only
+    residual failure mode. The Arrow banding twin renders the identical
+    byte string from the digests it already computes per gram."""
+    return F.md5(
+        F.concat_ws(
+            ",", F.array_sort(F.transform(sh_col, F.md5))
+        ).cast("binary")
+    )
+
+
 def minhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    num_hashes: int = 32, k: int = 3,
+    num_hashes: int = 32, k: int = 3, keep_shingles: bool = False,
 ) -> DataFrame:
     """Adds ``sig``: array of ``num_hashes`` min-hash values over word
     k-gram shingles.
@@ -157,11 +171,12 @@ def minhash_signature(
             lambda m, p: F.least(m, (h * p["a"] + p["b"]) % F.lit(_MERSENNE31)),
         ),
     )
-    return (
+    out = (
         out.withColumn("sig", sig)
         .withColumn("n_shingles", F.size("__sh"))
-        .drop("__sh", "__bh")
+        .drop("__bh")
     )
+    return out if keep_shingles else out.drop("__sh")
 
 
 def _band_value_exprs(num_hashes: int, bands: int) -> list[Column]:
@@ -182,11 +197,15 @@ def _band_value_exprs(num_hashes: int, bands: int) -> list[Column]:
 
 
 def _nonempty_sigs(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int, k: int
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, k: int,
+    keep_shingles: bool = False,
 ) -> DataFrame:
+    extra = ["__sh"] if keep_shingles else []
     sigs = (
-        minhash_signature(df, text_col, id_col, num_hashes, k)
-        .select(F.col(id_col), F.col("sig"), F.col("n_shingles"))
+        minhash_signature(
+            df, text_col, id_col, num_hashes, k, keep_shingles=keep_shingles
+        )
+        .select(F.col(id_col), F.col("sig"), F.col("n_shingles"), *extra)
         .filter(F.col("n_shingles") > 0)
     )
     return sigs
@@ -229,11 +248,19 @@ def _banded_rows_arrow(
     to the expression form otherwise). Bit-identical to the expression
     path — pinned by tests/test_operators.py parity tests.
 
-    ``with_sig_key`` (non-bucket layout only) adds ``__sigkey``: the
-    md5→first-15-hex-digits long (= ``_h64``) of the comma-joined
-    decimal rendering of the FULL signature — a per-doc signature
-    identity used by :func:`minhash_drop_set`'s pass-2 routing estimate
-    (identical shingle sets ⇒ identical signatures ⇒ identical key)."""
+    ``with_sig_key`` (non-bucket layout only) adds two per-doc identity
+    columns used by :func:`minhash_drop_set`:
+
+    - ``__sigkey``: the md5→first-15-hex-digits long (= ``_h64``) of
+      the comma-joined decimal rendering of the FULL signature — a
+      signature identity for the pass-2 routing estimate (identical
+      shingle sets ⇒ identical signatures ⇒ identical key);
+    - ``__classkey``: the exact shingle-class identity
+      (:func:`_class_key_col`), rendered from the per-gram md5 digests
+      this builder already computes — so the class-rep collapse costs
+      no extra hashing here, where the expression form pays an
+      interpreted md5 per shingle (measured 0.8-1.5 s on the bench
+      corpus when pass 2 evaluated it from the shingle frame)."""
     from pyspark.sql import types as T
 
     if with_sig_key and with_buckets:
@@ -252,7 +279,10 @@ def _banded_rows_arrow(
         fields = [
             T.StructField(id_col, T.LongType()),
             *(
-                [T.StructField("__sigkey", T.LongType(), False)]
+                [
+                    T.StructField("__sigkey", T.LongType(), False),
+                    T.StructField("__classkey", T.StringType(), False),
+                ]
                 if with_sig_key
                 else []
             ),
@@ -275,6 +305,7 @@ def _banded_rows_arrow(
             buckets: list = []
             bkts_col: list = []
             sigkeys: list = []
+            classkeys: list = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 if not isinstance(text, str):
                     continue  # NULL text: expression path drops it too
@@ -288,18 +319,32 @@ def _banded_rows_arrow(
                         " ".join(toks[i : i + k])
                         for i in range(len(toks) - k + 1)
                     }
-                xs = np.fromiter(
-                    (
-                        int(
-                            hashlib.md5(g.encode("utf-8")).hexdigest()[:15],
-                            16,
-                        )
-                        % M
+                if with_sig_key:
+                    # keep the full digests: the class key reuses them
+                    digs = [
+                        hashlib.md5(g.encode("utf-8")).hexdigest()
                         for g in grams
-                    ),
-                    dtype=np.int64,
-                    count=len(grams),
-                )
+                    ]
+                    xs = np.fromiter(
+                        (int(d[:15], 16) % M for d in digs),
+                        dtype=np.int64,
+                        count=len(digs),
+                    )
+                else:
+                    xs = np.fromiter(
+                        (
+                            int(
+                                hashlib.md5(g.encode("utf-8")).hexdigest()[
+                                    :15
+                                ],
+                                16,
+                            )
+                            % M
+                            for g in grams
+                        ),
+                        dtype=np.int64,
+                        count=len(grams),
+                    )
                 sig = ((xs[:, None] * A[None, :] + Bv[None, :]) % M).min(
                     axis=0
                 )
@@ -335,6 +380,11 @@ def _banded_rows_arrow(
                             ).hexdigest()[:15],
                             16,
                         )
+                        # = _class_key_col: md5 of the comma-joined
+                        # lexicographically-sorted full gram digests
+                        ck = hashlib.md5(
+                            ",".join(sorted(digs)).encode("utf-8")
+                        ).hexdigest()
                     for b in range(bands):
                         ids.append(did)
                         bandl.append(b)
@@ -343,6 +393,7 @@ def _banded_rows_arrow(
                         )
                         if with_sig_key:
                             sigkeys.append(sk)
+                            classkeys.append(ck)
             data = {id_col: pd.Series(ids, dtype="int64")}
             if with_buckets:
                 data["__bkts"] = pd.Series(bkts_col, dtype="object")
@@ -351,6 +402,7 @@ def _banded_rows_arrow(
             else:
                 if with_sig_key:
                     data["__sigkey"] = pd.Series(sigkeys, dtype="int64")
+                    data["__classkey"] = pd.Series(classkeys, dtype="object")
                 data["band"] = pd.Series(bandl, dtype="int32")
                 data["bucket"] = pd.Series(buckets, dtype="object")
             yield pd.DataFrame(data, columns=[f.name for f in fields])
@@ -388,7 +440,9 @@ def _banded(
             df, text_col, id_col, num_hashes, bands, k,
             with_buckets=False, with_sig_key=with_sig_key,
         )
-    sigs = _nonempty_sigs(df, text_col, id_col, num_hashes, k)
+    sigs = _nonempty_sigs(
+        df, text_col, id_col, num_hashes, k, keep_shingles=with_sig_key
+    )
     band_vals = _band_value_exprs(num_hashes, bands)
     head = [F.col(id_col)]
     out_cols = [id_col]
@@ -401,6 +455,8 @@ def _banded(
         )
         head.append(_h64(full_sig).alias("__sigkey"))
         out_cols.append("__sigkey")
+        head.append(_class_key_col(F.col("__sh")).alias("__classkey"))
+        out_cols.append("__classkey")
     return sigs.select(
         *head,
         F.explode(
@@ -1071,12 +1127,20 @@ def _pass2_audience(banded, sh, failed_docs, id_col):
     fb = banded.join(
         failed_docs.select(F.col("id_b").alias(id_col)), id_col, "left_semi"
     )
-    class_key = F.md5(
-        F.concat_ws(
-            ",", F.array_sort(F.transform("__sh", F.md5))
-        ).cast("binary")
-    )
     fb_buckets = fb.select("band", "bucket").distinct()
+    if "__classkey" in banded.columns:
+        # the banding pass already rendered the class key from the gram
+        # digests it computes anyway — grouping the persisted banded
+        # rows replaces an interpreted md5 PER SHINGLE over the shingle
+        # frame (measured 0.8-1.5 s on the bench corpus). Duplicate
+        # rows per doc (one per band) do not move the min.
+        reps = (
+            banded.join(fb_buckets, ["band", "bucket"], "left_semi")
+            .groupBy("__classkey")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        return fb, fb_buckets, reps
     cand_docs = (
         banded.join(fb_buckets, ["band", "bucket"], "left_semi")
         .select(id_col)
@@ -1084,7 +1148,7 @@ def _pass2_audience(banded, sh, failed_docs, id_col):
     )
     reps = (
         sh.join(cand_docs, id_col, "left_semi")
-        .groupBy(class_key.alias("__sk"))
+        .groupBy(_class_key_col(F.col("__sh")).alias("__sk"))
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )

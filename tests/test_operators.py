@@ -773,16 +773,16 @@ def test_banded_sig_key_parity_and_semantics(spark, docs):
             ).collect()
         }
         assert a == e and len(a) > 0
-    keys = {
-        r["doc_id"]: r["__sigkey"]
-        for r in dedup._banded(
-            frame, "text", "doc_id", 16, 4, 1, with_sig_key=True
-        )
-        .select("doc_id", "__sigkey")
+    rows = (
+        dedup._banded(frame, "text", "doc_id", 16, 4, 1, with_sig_key=True)
+        .select("doc_id", "__sigkey", "__classkey")
         .distinct()
         .collect()
-    }
+    )
+    keys = {r["doc_id"]: r["__sigkey"] for r in rows}
+    cls = {r["doc_id"]: r["__classkey"] for r in rows}
     assert keys[1] == keys[2] != keys[3]
+    assert cls[1] == cls[2] != cls[3]
 
 
 def test_minhash_drop_set_auto_routes_match_forms(spark, docs, monkeypatch):
