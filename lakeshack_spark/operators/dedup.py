@@ -1553,7 +1553,14 @@ def minhash_drop_set(
             .collect()[0][0]
             or 0
         )
-        if raw_bound < PASS2_LOCAL_MIN_EST_PAIRS:
+        if raw_bound == 0:
+            # zero failed docs, exactly: a failed doc always owns at
+            # least one candidate row whose bucket holds it AND a
+            # smaller id (__bsz >= 2), so the bound is 0 iff the pass-2
+            # audience is empty — skip its whole job chain (a clean
+            # corpus otherwise paid ~1-2 s of empty-frame stages).
+            pass2_impl = "none"
+        elif raw_bound < PASS2_LOCAL_MIN_EST_PAIRS:
             pass2_impl = "pairs"
             collapse = False
     if pass2_impl == "auto":
@@ -1593,7 +1600,9 @@ def minhash_drop_set(
         pass2_impl = (
             "local" if est >= PASS2_LOCAL_MIN_EST_PAIRS else "pairs"
         )
-    if pass2_impl == "pairs":
+    if pass2_impl == "none":
+        dropped2 = None
+    elif pass2_impl == "pairs":
         dropped2 = _drop_set_pass2_pairs(
             banded, sh, verified, fb, reps if collapse else None, first,
             id_col, threshold,
@@ -1609,11 +1618,11 @@ def minhash_drop_set(
         dropped2 = _drop_set_pass2_local(
             banded, sh, fb, fb_buckets, reps, id_col, threshold
         )
+    merged = (
+        dropped1 if dropped2 is None else dropped1.unionByName(dropped2)
+    )
     result = (
-        dropped1.unionByName(dropped2)
-        .distinct()
-        .select(F.col("id_b").alias(id_col))
-        .persist()
+        merged.distinct().select(F.col("id_b").alias(id_col)).persist()
     )
     # Materialize the (one-column) drop set eagerly so the big
     # intermediates can be released NOW: banded is O(docs × bands) rows

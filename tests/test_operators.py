@@ -807,6 +807,29 @@ def test_minhash_drop_set_auto_routes_match_forms(spark, docs, monkeypatch):
     assert got_local == got_pairs == want and len(want) > 0
 
 
+def test_minhash_drop_set_zero_failures_skips_pass2(spark, monkeypatch):
+    """raw_bound == 0 iff the pass-2 audience is empty (a failed doc
+    always has a candidate row with bucket size >= 2) — the auto route
+    must then skip BOTH pass-2 forms entirely and still return the
+    exact drop set (pass-1 verifies every exact-duplicate candidate)."""
+
+    def _boom(*a, **k):
+        raise AssertionError("pass 2 must not run with zero failures")
+
+    monkeypatch.setattr(dedup, "_drop_set_pass2_pairs", _boom)
+    monkeypatch.setattr(dedup, "_drop_set_pass2_local", _boom)
+    df = spark.createDataFrame(
+        [(i, f"w{i}a w{i}b w{i}c") for i in range(6)]
+        + [(100 + i, f"w{i}a w{i}b w{i}c") for i in range(3)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id
+        for r in dedup.minhash_drop_set(df, num_hashes=8, bands=4, k=1).collect()
+    }
+    assert got == {100, 101, 102}
+
+
 def test_banded_non_long_id_falls_back_to_expr(spark):
     """A string id column must route to the expression form (the Arrow
     twin requires int64 ids) and still band correctly."""
