@@ -1460,6 +1460,16 @@ def minhash_drop_set(
     eagerly materialized and persisted (its heavyweight inputs are
     unpersisted before return) — callers unpersist it when done.
     """
+    from pyspark.sql import types as T
+
+    id_is_long = isinstance(df.schema[id_col].dataType, T.LongType)
+    if pass2_impl == "local" and not id_is_long:
+        # the local form's mapInPandas contract is long ids (int64
+        # output schema + int() coercion in the group walk)
+        raise ValueError(
+            "pass2_impl='local' requires a long-typed id column; use "
+            "'pairs' (or 'auto', which routes non-long ids to it)"
+        )
     banded = _banded(
         df, text_col, id_col, num_hashes, bands, k, with_sig_key=True
     ).persist()
@@ -1598,7 +1608,9 @@ def minhash_drop_set(
             or 0
         )
         pass2_impl = (
-            "local" if est >= PASS2_LOCAL_MIN_EST_PAIRS else "pairs"
+            "local"
+            if est >= PASS2_LOCAL_MIN_EST_PAIRS and id_is_long
+            else "pairs"
         )
     if pass2_impl == "none":
         dropped2 = None

@@ -830,6 +830,24 @@ def test_minhash_drop_set_zero_failures_skips_pass2(spark, monkeypatch):
     assert got == {100, 101, 102}
 
 
+def test_minhash_drop_set_string_ids(spark):
+    """Non-long id columns route through the expression banding twin
+    and must never reach the local pass-2 form (its mapInPandas
+    contract is int64 ids): auto works end-to-end, explicit 'local'
+    refuses with a pointed error."""
+    df = spark.createDataFrame(
+        [("a", "x y z w"), ("b", "x y z w"), ("c", "p q r s")],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id
+        for r in dedup.minhash_drop_set(df, num_hashes=8, bands=4, k=1).collect()
+    }
+    assert got == {"b"}
+    with pytest.raises(ValueError, match="long-typed id"):
+        dedup.minhash_drop_set(df, num_hashes=8, bands=4, k=1, pass2_impl="local")
+
+
 def test_banded_non_long_id_falls_back_to_expr(spark):
     """A string id column must route to the expression form (the Arrow
     twin requires int64 ids) and still band correctly."""
