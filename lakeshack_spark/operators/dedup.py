@@ -1440,17 +1440,21 @@ def minhash_drop_set(
     pairs. Keep-earliest dedup only needs "∃ earlier verified match", and
     the FIRST candidate to try is available without any self-join:
 
-    - Pass 1: per (band, bucket), one ``groupBy`` computes the bucket's
-      min id; each doc's first candidate is the smallest bucket-min below
-      its own id across its bands. That is O(docs × bands) rows end to
-      end — no pair set is ever materialized — and one Jaccard verify per
-      doc.
-    - Pass 2: docs whose first candidate failed verification (LSH false
-      positives — rare by construction) fall back to a bucket-local
-      prefix-filtered verify RESTRICTED to those docs' buckets
-      (``pass2_impl="local"``, the default — see
-      :func:`_drop_set_pass2_local`; ``"pairs"`` keeps the r7 candidate
-      join, parity-pinned); any verified match drops them.
+    - Pass 1: per (band, bucket), one window computes the bucket's min
+      id; each doc verifies against its DISTINCT bucket-mins (at most
+      ``bands``). That is O(docs × bands) rows end to end — no pair set
+      is ever materialized.
+    - Pass 2: docs with no verified bucket-min match fall back to an
+      exact verify RESTRICTED to those docs' buckets. ``pass2_impl``:
+      ``"auto"`` (default) prices the route from pass-1 byproducts —
+      zero failures skip pass 2 outright; a small tier-0 pair bound
+      (Σ bucket sizes over the failed docs' candidate rows) picks the
+      pair join with the class collapse skipped; a large bound runs the
+      one-job signature-distinct estimate (``__sigkey``) to choose
+      between ``"pairs"`` (:func:`_drop_set_pass2_pairs`, class-rep
+      collapsed) and ``"local"`` (:func:`_drop_set_pass2_local`,
+      bucket-local prefix-filtered, long ids only); any verified match
+      drops the doc.
 
     The result is EXACTLY the distinct ``id_b`` set of
     ``minhash_verified_pairs`` (pinned by test): pass 1's candidate is
