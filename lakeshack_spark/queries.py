@@ -7667,10 +7667,10 @@ def version_diff_orders(spark, sf_dir):
 #: (VERDICT_r5 item 2, VERDICT_r6 item 5). Cumulative driver-hash
 #: coverage reached 164/164 in r8; the rotation now refreshes the
 #: STALEST proofs each round (testdata is regenerated between rounds, so
-#: the oldest proofs are the least trusted). Round-9 rotation
-#: (VERDICT_r8 item 3): the 21 entries whose newest proof is r5-era
-#: (three regenerations old) plus the 27 alphabetically-first of the 45
-#: r6-era entries; the remaining 18 r6-era names rotate in r10. Every
+#: the oldest proofs are the least trusted). Round-10 rotation
+#: (VERDICT_r9 item 1): the 18 entries whose newest proof is r6-era
+#: (the registry's oldest) plus the alphabetically-first 30 of the 48
+#: r7-era entries; the remaining 18 r7-era names rotate in r11. Every
 #: registered entry not named here follows in registration order, so the
 #: full corpus is unchanged — only the order rotates.
 _DRIVER_WINDOW = [
@@ -7678,56 +7678,56 @@ _DRIVER_WINDOW = [
     # zone-map prune are the reference's essence)
     "shack_pruned_lookup",
     "scan_filter_project",
-    # r5-era proofs (all 21 named by VERDICT_r8 item 3):
-    "agg_orders_by_status",
-    "anti_join_no_pending",
-    "array_functions_embeddings",
-    "bloom_semi_join_lineitem",
-    "case_bucket_totalprice",
-    "correlated_subquery_above_cust_avg",
-    "data_quality_orders",
-    "distinct_status_priority",
-    "events_hourly_stats",
-    "full_outer_daily_activity",
-    "in_list_filter",
-    "in_subquery_hot_parts",
-    "join_broadcast_dim",
-    "quantile_bins_orders",
-    "robust_outliers_orders",
-    "scalar_date_orders",
-    "scalar_string_part",
-    "scalar_subquery_above_avg",
-    "semi_join_big_spenders",
-    "set_ops_nations",
-    "window_running_and_lag",
-    # r6-era proofs, alphabetical first 27 of 45 (rest rotate in r10):
-    "bloom_index_point_lookup",
-    "bpe_pair_counts_docs",
-    "corr_lineitem_qty_tax",
-    "count_min_terms",
-    "dedup_cluster_labels",
-    "entity_resolution_parts",
-    "fuzzy_join_part_names",
-    "hashed_linear_quality_docs",
-    "heavy_hitter_terms",
-    "hll_index_distinct_orders",
-    "incremental_view_orders",
-    "interpolate_daily_spend",
-    "interval_join_click_purchase",
-    "inverted_index_search_docs",
-    "ivf_assign_cells",
-    "ivfpq_codes_embeddings",
-    "kcore_cosuppliers",
-    "kll_index_quantiles_orders",
-    "ks_price_by_status",
-    "ktruss_cosuppliers",
-    "merge_upsert_orders",
-    "metadata_agg_orders",
-    "minhash_drop_set_docs",
-    "mmr_rerank_embeddings",
-    "mor_delete_orders",
-    "multimodal_ppm_features",
-    "null_semantics_suite",
+    # r6-era proofs, the 18 remaining (VERDICT_r9 item 1):
+    "nullness_pruned_agg_docs",
+    "pack_token_windows_docs",
+    "pagerank_trade_network",
+    "pq_codes_embeddings",
+    "range_join_user_windows",
+    "rollup_cascade_events",
+    "scd2_merge_customer_segments",
+    "semdedup_embeddings",
+    "srp_near_dup_planted",
+    "stratified_take_docs",
+    "synth_source_docs",
+    "table_diff_orders",
+    "theta_index_overlap_orders",
+    "topk_orders",
+    "udtf_ngram_stats",
+    "versioned_merge_orders",
+    "vocab_encode_docs",
+    "wap_publish_orders",
+    # r7-era proofs, alphabetical first 30 of 48 (rest rotate in r11):
+    "benchmark_decontamination",
+    "bigram_lm_quality_docs",
+    "bm25_search_docs",
+    "boolean_search_docs",
+    "chunk_tokens_docs",
+    "csv_roundtrip_orders",
+    "drift_chi2_docs",
+    "epoch_shuffle_prefix_docs",
+    "funnel_signup_click_purchase",
+    "gap_fill_daily_spend",
+    "grouped_ols_slope_customers",
+    "grouped_percentiles_orders",
+    "hash_split_counts",
+    "incremental_dedup_new_docs",
+    "ivf_index_probe_topk",
+    "ivfpq_search_embeddings",
+    "jl_projection_embeddings",
+    "jsonl_roundtrip_docs",
+    "kll_grouped_quantiles_orders",
+    "kmeans_update_quantized",
+    "manifest_counts_orders",
+    "mask_pii_audit",
+    "mixture_sample_counts",
+    "multimodal_wav_features",
+    "ngram_containment_docs",
+    "orc_roundtrip_lineitem",
+    "pq_adc_topk_embeddings",
+    "q11_important_part_values",
+    "q12_priority_shipping_split",
+    "q22_idle_rich_customers",
 ]
 
 def _ordered_names() -> list[str]:
