@@ -81,14 +81,24 @@ def _is_simple_scan(df) -> bool:
     (measured: the bench's planted-rows unions lost their spread and
     srp/repeated-passages serialized when unions were rejected).
     Unknown/exotic plans conservatively return True (fall through to
-    the probe, preserving old behavior)."""
+    the probe, preserving old behavior). The node budget also fails
+    OPEN (VERDICT r9 #4): exhausting it means every node inspected so
+    far was an allowed scan/union shape, and a >64-node union of
+    single-row-group scans is precisely the serialization hazard —
+    skipping the probe there would silently lose the spread. The
+    budget exists only to bound the classifier's own walk, not to
+    veto the probe."""
     try:
         stack = [df._jdf.queryExecution().analyzed()]
         budget = 64
         while stack:
             budget -= 1
-            if budget < 0:  # pathologically wide/deep: skip the probe
-                return False
+            if budget < 0:
+                # Every node seen so far was an allowed shape — treat
+                # the (pathologically wide) tree as a scan and let the
+                # partition probe decide, preserving the spread on
+                # wide unions of under-partitioned scans.
+                return True
             node = stack.pop()
             kids = node.children()
             n = kids.size()

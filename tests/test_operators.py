@@ -297,6 +297,31 @@ def test_spread_small_input_short_circuits_complex_plans(spark):
         assert spread.count() == emb.count()
 
 
+def test_spread_budget_exhaustion_fails_open_on_wide_unions(spark):
+    """VERDICT r9 #4: a >64-node union of Project+Filter-over-scan
+    chains exhausts the classifier's node budget. All nodes are allowed
+    shapes and Union adds no shuffle, so the tree is EXACTLY the
+    single-row-group serialization hazard — budget exhaustion must
+    return True (probe) not False (silently skip the spread)."""
+    from lakeshack_spark import session as lss_session
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    branch = emb.select("vec_id").filter("vec_id >= 0")
+    wide = branch
+    for i in range(40):  # ≥120 nodes: 40×(Union+Project+Filter)+leaves
+        wide = wide.unionByName(branch.filter(f"vec_id != -{i + 1}"))
+    assert lss_session._is_simple_scan(wide)
+    out = lss_session.spread_small_input(wide)
+    par = spark.sparkContext.defaultParallelism
+    if wide.rdd.getNumPartitions() < par:
+        assert out is not wide
+        assert out.rdd.getNumPartitions() == par
+    # shuffle-bearing trees keep their fast-path pass-through even when
+    # wide: the first disallowed node still vetoes before the budget
+    agg_branch = emb.groupBy("vec_id").count()
+    assert lss_session.spread_small_input(agg_branch) is agg_branch
+
+
 def test_cosine_pandas_query_cap_guard(spark, monkeypatch):
     """VERDICT_r8 item 5: the collected-and-closed-over query matrix is
     driver-memory bounded, so past COSINE_TOPK_MAX_QUERIES the operator
