@@ -222,11 +222,13 @@ def _nonempty_sigs(
 #: the fallback for non-long id columns, and the parity-test twin.
 BANDED_IMPL = "arrow"
 
-#: minhash_drop_set pass-2 auto cutover: estimated signature-collapsed
-#: candidate pairs (Σ per failed bucket of distinct signatures ×
-#: |failed in bucket|) at or above this use the bucket-local
-#: prefix-filtered form; below it the plain pair join wins on fixed
-#: stage overhead. See the dispatch comment in minhash_drop_set.
+#: minhash_drop_set pass-2 auto cutover: estimated rep-collapsed
+#: candidate pairs (Σ per failed bucket of distinct shingle-classes ×
+#: |failed in bucket| — exact via ``__classkey`` on the Arrow banding
+#: path, a signature-keyed lower bound on the expression path) at or
+#: above this use the bucket-local prefix-filtered form; below it the
+#: plain pair join wins on fixed stage overhead. See the dispatch
+#: comment in minhash_drop_set.
 PASS2_LOCAL_MIN_EST_PAIRS = 500_000
 
 
@@ -434,15 +436,16 @@ def _banded(
     twin by default (:data:`BANDED_IMPL`); ``impl="expr"`` forces the
     expression form (always used for non-long id columns).
     ``with_sig_key`` adds a per-doc ``__sigkey`` long (``_h64`` of the
-    comma-joined full signature — see :func:`_banded_rows_arrow`)."""
+    comma-joined full signature — see :func:`_banded_rows_arrow`); the
+    Arrow twin ALSO emits ``__classkey`` (exact shingle-class identity,
+    free there), the expression twin deliberately does not (ADVICE r9 —
+    see the inline comment below)."""
     if _use_arrow_banding(df, id_col, impl):
         return _banded_rows_arrow(
             df, text_col, id_col, num_hashes, bands, k,
             with_buckets=False, with_sig_key=with_sig_key,
         )
-    sigs = _nonempty_sigs(
-        df, text_col, id_col, num_hashes, k, keep_shingles=with_sig_key
-    )
+    sigs = _nonempty_sigs(df, text_col, id_col, num_hashes, k)
     band_vals = _band_value_exprs(num_hashes, bands)
     head = [F.col(id_col)]
     out_cols = [id_col]
@@ -455,8 +458,14 @@ def _banded(
         )
         head.append(_h64(full_sig).alias("__sigkey"))
         out_cols.append("__sigkey")
-        head.append(_class_key_col(F.col("__sh")).alias("__classkey"))
-        out_cols.append("__classkey")
+        # NO ``__classkey`` here, deliberately (ADVICE r9): on this
+        # interpreted path ``_class_key_col`` is an md5 PER SHINGLE per
+        # doc — paying it for the WHOLE corpus at banding time costs
+        # more than the class collapse saves (a clean corpus pays it
+        # yet skips pass 2 entirely). :func:`_pass2_audience` computes
+        # it over just the pass-2 candidate audience instead (its
+        # no-classkey branch); the Arrow twin emits it at banding
+        # because the per-gram digests are already in hand there.
     return sigs.select(
         *head,
         F.explode(
@@ -1094,6 +1103,35 @@ def minhash_first_candidates(
     )
 
 
+def _tier1_pair_estimate(banded, fb_buckets, failed_docs, id_col) -> int:
+    """ONE-job rep-collapsed pair estimate for the drop-set auto route:
+    Σ per failed bucket of distinct shingle-classes × failures there.
+    Exact when the banded rows carry ``__classkey`` (Arrow banding —
+    the production path for long ids); a ``__sigkey``-keyed lower bound
+    otherwise (forced expression banding — see the dispatch comment in
+    :func:`minhash_drop_set`). A separate function so the routing rules
+    that must SKIP it (non-long ids, explicit routes, tier-0 small/zero
+    bounds) are pinnable by monkeypatch."""
+    est_key = (
+        "__classkey" if "__classkey" in banded.columns else "__sigkey"
+    )
+    failed_ids = failed_docs.select(
+        F.col("id_b").alias(id_col), F.lit(1).alias("__f")
+    )
+    return (
+        banded.join(fb_buckets, ["band", "bucket"], "left_semi")
+        .join(failed_ids, id_col, "left")
+        .groupBy("band", "bucket")
+        .agg(
+            F.sum("__f").alias("__nf"),
+            F.count_distinct(est_key).alias("__bcls"),
+        )
+        .agg(F.sum(F.col("__nf") * F.col("__bcls")))
+        .collect()[0][0]
+        or 0
+    )
+
+
 def _pass2_audience(banded, sh, failed_docs, id_col):
     """Shared pass-2 scoping: the failed docs' banded rows, the buckets
     they occupy, and the shingle-class representatives of every doc in
@@ -1577,44 +1615,37 @@ def minhash_drop_set(
         elif raw_bound < PASS2_LOCAL_MIN_EST_PAIRS:
             pass2_impl = "pairs"
             collapse = False
+    if pass2_impl == "auto" and not id_is_long:
+        # Tier 1 only arbitrates between the long-only local form and
+        # the pair join; a non-long id column always takes pairs, so
+        # the estimate job (a full aggregate over banded + a collect)
+        # would be pure waste (ADVICE r9) — route directly.
+        pass2_impl = "pairs"
     if pass2_impl == "auto":
-        # Tier 1 (only when tier 0 is large), ONE small job: banded
-        # rows carry ``__sigkey`` (signature identity), so the
-        # rep-collapsed pair count is approximated per failed bucket as
-        # distinct-signatures × failures, all in one aggregate:
-        # identical shingle sets have identical signatures, so
-        # sig_est ≤ the exact rep-collapsed count. It is an
-        # UNDERESTIMATE when distinct classes collide on all
-        # num_hashes values — not rare for near-identical sets (a
-        # J=0.97 pair shares all 32 mins with p ≈ 0.38; measured 16.0M
-        # vs 23.7M exact on the dup-dense bench corpus) — but a
-        # mis-route is a bounded perf choice, never correctness: it
-        # happens only when the exact count sits within the collision
-        # factor above the cutover, where the pair form's prefiltered
-        # verify is still cheap. The regimes the r8 tiers separated
-        # still route the same way: a planted look-alike mega-cluster
-        # collapses to ONE signature (sig_est small → pairs), a
-        # genuine mega-bucket of distinct classes keeps distinct
-        # signatures (sig_est large → local).
-        failed_ids = failed_docs.select(
-            F.col("id_b").alias(id_col), F.lit(1).alias("__f")
-        )
-        est = (
-            banded.join(fb_buckets, ["band", "bucket"], "left_semi")
-            .join(failed_ids, id_col, "left")
-            .groupBy("band", "bucket")
-            .agg(
-                F.sum("__f").alias("__nf"),
-                F.count_distinct("__sigkey").alias("__bsigs"),
-            )
-            .agg(F.sum(F.col("__nf") * F.col("__bsigs")))
-            .collect()[0][0]
-            or 0
-        )
+        # Tier 1 (only when tier 0 is large), ONE small job: the
+        # rep-collapsed pair count per failed bucket is
+        # distinct-classes × failures, all in one aggregate. On the
+        # Arrow banding path the rows carry ``__classkey`` (exact
+        # shingle-class identity, free there — the per-gram digests
+        # are already computed), so the estimate is EXACT per bucket
+        # (VERDICT r9 #6; measured cost parity with the sig-key
+        # aggregate: 0.84 s vs 1.11 s steady on a 200k-doc dup-dense
+        # corpus — the string-vs-long distinct agg is noise). A banded
+        # frame without the column (forced expression banding — ADVICE
+        # r9 dropped the per-shingle md5 class key from that
+        # interpreted path) falls back to ``__sigkey``: identical
+        # shingle sets have identical signatures, so sig_est ≤ the
+        # exact count, an UNDERESTIMATE when distinct classes collide
+        # on all num_hashes values (a J=0.97 pair shares all 32 mins
+        # with p ≈ 0.38; measured 16.0M vs 23.7M exact) — a mis-route
+        # there is a bounded perf choice, never correctness. Either
+        # way the regimes route as designed: a planted look-alike
+        # mega-cluster is ONE class (est small → pairs), a genuine
+        # mega-bucket of distinct classes keeps distinct keys
+        # (est large → local).
+        est = _tier1_pair_estimate(banded, fb_buckets, failed_docs, id_col)
         pass2_impl = (
-            "local"
-            if est >= PASS2_LOCAL_MIN_EST_PAIRS and id_is_long
-            else "pairs"
+            "local" if est >= PASS2_LOCAL_MIN_EST_PAIRS else "pairs"
         )
     if pass2_impl == "none":
         dropped2 = None

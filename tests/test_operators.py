@@ -769,11 +769,16 @@ def test_banded_arrow_equals_expr(spark, docs):
 
 
 def test_banded_sig_key_parity_and_semantics(spark, docs):
-    """``with_sig_key`` must be BIT-identical across the twins (same
-    comma-joined decimal full-signature rendering through _h64), and
-    the key must be a signature identity: equal for identical shingle
-    sets regardless of token order / duplication (k=1), distinct for
-    different sets."""
+    """``with_sig_key`` must be BIT-identical across the twins on the
+    columns both emit (same comma-joined decimal full-signature
+    rendering through _h64), and the key must be a signature identity:
+    equal for identical shingle sets regardless of token order /
+    duplication (k=1), distinct for different sets. ``__classkey`` is
+    Arrow-only since ADVICE r9 (the expression twin's per-shingle md5
+    cost the whole corpus at banding time; _pass2_audience computes it
+    over just the candidate audience) — its rendering parity with the
+    expression-side ``_class_key_col`` is pinned directly here so the
+    deferred fallback stays class-identical."""
     frame = spark.createDataFrame(
         [
             (1, "alpha beta gamma"),
@@ -782,21 +787,18 @@ def test_banded_sig_key_parity_and_semantics(spark, docs):
         ],
         "doc_id long, text string",
     )
+    shared = ["doc_id", "__sigkey", "band", "bucket"]
     for df in (docs, frame):
-        a = {
-            tuple(r)
-            for r in dedup._banded(
-                df, "text", "doc_id", 16, 4, 1, impl="arrow",
-                with_sig_key=True,
-            ).collect()
-        }
-        e = {
-            tuple(r)
-            for r in dedup._banded(
-                df, "text", "doc_id", 16, 4, 1, impl="expr",
-                with_sig_key=True,
-            ).collect()
-        }
+        arrow_banded = dedup._banded(
+            df, "text", "doc_id", 16, 4, 1, impl="arrow", with_sig_key=True
+        )
+        expr_banded = dedup._banded(
+            df, "text", "doc_id", 16, 4, 1, impl="expr", with_sig_key=True
+        )
+        assert "__classkey" in arrow_banded.columns
+        assert "__classkey" not in expr_banded.columns
+        a = {tuple(r) for r in arrow_banded.select(*shared).collect()}
+        e = {tuple(r) for r in expr_banded.select(*shared).collect()}
         assert a == e and len(a) > 0
     rows = (
         dedup._banded(frame, "text", "doc_id", 16, 4, 1, with_sig_key=True)
@@ -808,6 +810,19 @@ def test_banded_sig_key_parity_and_semantics(spark, docs):
     cls = {r["doc_id"]: r["__classkey"] for r in rows}
     assert keys[1] == keys[2] != keys[3]
     assert cls[1] == cls[2] != cls[3]
+    # cross-twin class-key rendering parity: the expression-side
+    # _class_key_col over the shingle frame must equal Arrow's
+    # __classkey doc-for-doc (what _pass2_audience's fallback relies on)
+    sh = frame.select(
+        F.col("doc_id"), dedup.shingles_col("text", 1).alias("__sh")
+    )
+    expr_cls = {
+        r["doc_id"]: r["ck"]
+        for r in sh.select(
+            "doc_id", dedup._class_key_col(F.col("__sh")).alias("ck")
+        ).collect()
+    }
+    assert expr_cls == cls
 
 
 def test_minhash_drop_set_auto_routes_match_forms(spark, docs, monkeypatch):
@@ -871,6 +886,51 @@ def test_minhash_drop_set_string_ids(spark):
     assert got == {"b"}
     with pytest.raises(ValueError, match="long-typed id"):
         dedup.minhash_drop_set(df, num_hashes=8, bands=4, k=1, pass2_impl="local")
+
+
+def test_minhash_drop_set_string_ids_skip_tier1_estimate(
+    spark, monkeypatch
+):
+    """ADVICE r9: tier 1 only arbitrates local-vs-pairs and non-long
+    ids can never take local — the estimate job (full aggregate over
+    banded + collect) must not run for them even when tier-0's bound
+    is large. Near-dup (not identical) docs fail pass 1 in a shared
+    bucket, so tier-0 is nonzero; the cutover is forced to 1 so any
+    tier-1 call would flip the route (and the boom catches it)."""
+
+    def _boom(*a, **k):
+        raise AssertionError("tier-1 estimate must not run for string ids")
+
+    monkeypatch.setattr(dedup, "_tier1_pair_estimate", _boom)
+    monkeypatch.setattr(dedup, "PASS2_LOCAL_MIN_EST_PAIRS", 1)
+    real_pairs = dedup._drop_set_pass2_pairs
+    calls = []
+
+    def _spy(*a, **k):
+        calls.append(1)
+        return real_pairs(*a, **k)
+
+    monkeypatch.setattr(dedup, "_drop_set_pass2_pairs", _spy)
+    # threshold 0.95 > J(a,b)=J(a,c)=10/11: every bucket-min verify
+    # FAILS, so tier-0's bound is nonzero and (cutover=1) cannot route
+    # early — old code would now run the tier-1 estimate (boom); the
+    # guard must route straight to the pair form instead.
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    df = spark.createDataFrame(
+        [("a", base), ("b", base + " extra1"), ("c", base + " extra2")],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id
+        for r in dedup.minhash_drop_set(
+            df, num_hashes=8, bands=4, k=1, threshold=0.95
+        ).collect()
+    }
+    assert got == set()  # nothing verifies at 0.95
+    assert calls, (
+        "pass-2 pairs never ran — the corpus produced no pass-1 "
+        "failures, so the tier-1 skip was not exercised"
+    )
 
 
 def test_banded_non_long_id_falls_back_to_expr(spark):
