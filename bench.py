@@ -257,6 +257,51 @@ def main() -> None:
     from lakeshack_spark.session import get_spark
     from lakeshack_spark.queries import queries
 
+    # ---- same-data code replay (runs FIRST, own subprocess/JVM) ----------
+    # r4 lesson: the driver regenerates testdata between rounds, so raw
+    # round-over-round deltas conflate code and data epoch — re-running
+    # the PREVIOUS round's bench.py (the driver's last `round N:`
+    # snapshot commit) on TODAY's files isolates the code delta. The
+    # replay runs BEFORE the main leg since r10 so the main leg can
+    # adjudicate its noise-band keys against the replay's numbers while
+    # its session and corpora are still alive (VERDICT r9 #2); only one
+    # JVM lives at a time either way, and page-cache equalization keeps
+    # the order swap fair (each leg warms the cache itself before
+    # timing). The CURRENT guard's sentinel is sampled throughout the
+    # replay window (VERDICT r9 #7): the replayed old bench's own guard
+    # lacks finalize(), so a window contended THROUGHOUT self-reports
+    # quiet — these samples, compared against the whole run's quietest,
+    # machine-flag exactly that. SPARK_GRAFT_REPLAY=0 skips (iterating
+    # locally); failures are recorded, not fatal.
+    replay_block: dict | None = None
+    replay_samples: list[float] = []
+    if os.environ.get("SPARK_GRAFT_REPLAY", "1") != "0":
+        import threading
+
+        stop_evt = threading.Event()
+
+        def _replay_sampler() -> None:
+            while not stop_evt.wait(20.0):
+                replay_samples.append(spin_sentinel())
+
+        replay_samples.append(spin_sentinel())
+        sampler = threading.Thread(target=_replay_sampler, daemon=True)
+        sampler.start()
+        try:
+            from tools.bench_replay import replay
+
+            # 1400s, not 900: the replayed bench (r9+) carries the
+            # contention guard — on a contended box its sections retry
+            # (bounded) and the replay leg slows exactly when the
+            # comparison matters most; a timeout would drop it.
+            replay_block = replay(timeout=1400)
+        except Exception as exc:  # the replay must never sink the bench
+            replay_block = {"error": str(exc)[:2000]}
+        finally:
+            stop_evt.set()
+            sampler.join(timeout=30)
+        replay_samples.append(spin_sentinel())
+
     spark = get_spark(app_name="lakeshack_bench")
     qs = queries()
 
@@ -421,14 +466,23 @@ def main() -> None:
     from lakeshack_spark.operators.dedup import simhash_near_pairs
     from lakeshack_spark.operators.graph import connected_components
 
+    # Per-attempt convergence-round walls (VERDICT r9 #5): the key swung
+    # 4.7–7.6 s across same-code runs — recording rounds × per-round
+    # wall separates round-count variance (data-epoch dependent) from
+    # box noise. Retried attempts append too (honesty trail).
+    cc_round_stats: list[list[dict]] = []
+
     def run_cc() -> float:
+        stats: list[dict] = []
         t0 = time.time()
         cc_pairs = simhash_near_pairs(
             docs.select("doc_id", "text"), max_hamming=3
         )
         connected_components(
-            cc_pairs, nodes=docs.select("doc_id"), node_col="doc_id"
+            cc_pairs, nodes=docs.select("doc_id"), node_col="doc_id",
+            round_stats=stats,
         ).write.format("noop").mode("overwrite").save()
+        cc_round_stats.append(stats)
         return time.time() - t0
 
     c_first, c_second = run_guarded("cc", lambda: (run_cc(), run_cc()))
@@ -594,6 +648,53 @@ def main() -> None:
     n_joined = salted_join(skew_left, skew_right, "k", salt_buckets=8).count()
     assert n_joined == n_li, f"salted join lost rows: {n_joined}/{n_li}"
 
+    # ---- noise-band key adjudication (VERDICT r9 #2) -----------------------
+    # The two sub-3-second keys that inverted vs the same-run replay in
+    # r8/r9 (srp, repeated_passages) get adjudicated ON the record: when
+    # the official steady loses to the replay, dedicated guarded
+    # re-measures run here — same session, same corpora, the "quiet
+    # re-measure" that previously lived only in SURVEY prose — and the
+    # emitted JSON carries both numbers plus a verdict. requiet ≤
+    # 1.1×replay reads as box noise; above that it is flagged a real
+    # regression for the round record.
+    adjudication: dict[str, dict] = {}
+
+    def _run_rp_once() -> float:
+        t0 = time.time()
+        repeated_passage_stats(quoted_docs, k=8, min_docs=2).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return time.time() - t0
+
+    replay_parsed = (
+        (replay_block or {}).get("parsed")
+        if isinstance(replay_block, dict)
+        else None
+    ) or {}
+    for adj_key, adj_official, adj_fn in (
+        ("srp_near_dup_steady", round(min(s_first, s_second), 3), run_srp),
+        (
+            "repeated_passages_steady",
+            round(min(rp_first, rp_second), 3),
+            _run_rp_once,
+        ),
+    ):
+        rep_val = replay_parsed.get(adj_key)
+        entry: dict = {"official": adj_official, "replay": rep_val}
+        if isinstance(rep_val, (int, float)) and adj_official > rep_val:
+            runs = run_guarded(
+                f"adjudicate_{adj_key}",
+                lambda fn=adj_fn: [round(fn(), 3) for _ in range(3)],
+            )
+            entry["requiet_runs"] = runs
+            entry["requiet_steady"] = min(runs)
+            entry["verdict"] = (
+                "noise" if min(runs) <= rep_val * 1.1 else "regression"
+            )
+        else:
+            entry["verdict"] = "ok" if rep_val is not None else "no_replay"
+        adjudication[adj_key] = entry
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -635,6 +736,9 @@ def main() -> None:
         "srp_near_dup_steady": round(min(s_first, s_second), 3),
         "cluster_labels": round(c_first, 3),
         "cluster_labels_steady": round(min(c_first, c_second), 3),
+        "cluster_labels_rounds": [len(s) for s in cc_round_stats],
+        "cluster_labels_round_secs": cc_round_stats,
+        "adjudication": adjudication,
         "repeated_passages": round(rp_first, 3),
         "repeated_passages_steady": round(min(rp_first, rp_second), 3),
         "salted_join_skew": round(sj_first, 3),
@@ -648,28 +752,24 @@ def main() -> None:
         "page_cache_warm_mb": cache_mb,
         "sf": sf_val,
     }
+    if replay_block is not None:
+        out["replay"] = replay_block
+    if replay_samples:
+        # VERDICT r9 #7: the replay window judged by THIS run's guard.
+        # Median vs the run-wide quietest sample (main-leg sentinels ∪
+        # replay-window samples) — a replay leg contended throughout
+        # shows a high ratio here even though its own (finalize-less,
+        # r8-era) guard self-reports quiet.
+        all_min = min(min(sentinels), min(replay_samples))
+        rs_sorted = sorted(replay_samples)
+        rs_median = rs_sorted[len(rs_sorted) // 2]
+        out["replay_contention"] = {
+            "samples_ms": replay_samples,
+            "median_ms": rs_median,
+            "ratio_vs_run_min": round(rs_median / max(all_min, 1e-9), 2),
+            "contended": rs_median > SENTINEL_RATIO_MAX * all_min,
+        }
     spark.stop()
-
-    # Same-data code replay (r4 lesson: the driver regenerates testdata
-    # between rounds, so raw round-over-round deltas conflate code and
-    # data epoch): re-run the PREVIOUS round's bench.py — the driver's
-    # last `round N:` snapshot commit — on TODAY's files in a throwaway
-    # worktree, and carry its numbers as the `replay` block. Runs after
-    # spark.stop() so only one JVM lives at a time; the page-cache
-    # equalization above means it does NOT inherit a cache advantage.
-    # SPARK_GRAFT_REPLAY=0 skips it (iterating locally); failures are
-    # recorded, not fatal.
-    if os.environ.get("SPARK_GRAFT_REPLAY", "1") != "0":
-        try:
-            from tools.bench_replay import replay
-
-            # 1400s, not 900: the replayed bench (r9+) carries the
-            # contention guard — on a contended box its sections retry
-            # (bounded) and the replay leg slows exactly when the
-            # comparison matters most; a timeout would drop it.
-            out["replay"] = replay(timeout=1400)
-        except Exception as exc:  # the replay must never sink the bench
-            out["replay"] = {"error": str(exc)[:2000]}
 
     # The driver keeps only the LAST 2000 chars of stdout (BENCH_r05 lesson:
     # the full record grew past that and the round recorded parsed:null), so
@@ -706,6 +806,22 @@ def main() -> None:
         "contended_after_retries": contended_after_retries,
         "sf": sf_val,
     }
+    # Adjudication verdicts ride the compact line only when a key
+    # actually lost to the replay (the full block is in bench_detail);
+    # same for a contended replay window.
+    adj_flags = {
+        k: {
+            "replay": v.get("replay"),
+            "requiet": v.get("requiet_steady"),
+            "verdict": v["verdict"],
+        }
+        for k, v in adjudication.items()
+        if v.get("verdict") not in ("ok", "no_replay")
+    }
+    if adj_flags:
+        compact["adjudication"] = adj_flags
+    if "replay_contention" in out:
+        compact["replay_contended"] = out["replay_contention"]["contended"]
     line = json.dumps(compact)
     if len(line) > 1500:  # belt-and-braces: never exceed the driver's tail
         compact.pop("queries")

@@ -91,6 +91,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str | None = None,
     max_rounds: int = 30,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """Label each node with the MINIMUM node id reachable from it:
     ``(node, cluster_id)``, one row per node, deterministic.
@@ -112,7 +113,15 @@ def connected_components(
     the propagate aggregation — no per-round |V|⋈|V| comparison join;
     each round's result is eagerly checkpointed so the next round's
     plan starts from materialized data.
+
+    ``round_stats``: pass a list to receive one ``{"round": i, "sec":
+    wall}`` dict per executed round (VERDICT r9 #5 — the bench records
+    these so convergence-round variance, which is data-epoch dependent,
+    separates from box noise in the wall-clock key). Timing is
+    per-round end to end (propagate + jump + checkpoint + probe); no
+    extra jobs run for it.
     """
+    import time as _time
     edges = _symmetrized_edges(pairs, id_a, id_b)
 
     endpoints = edges.select(F.col("src").alias("node"))
@@ -133,7 +142,8 @@ def connected_components(
         "node", F.col("node").alias("label")
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
+        _t0 = _time.time()
         # propagate: min label over self ∪ neighbors. The node's OWN
         # previous label rides along as ``old`` (neighbor messages
         # contribute null; max over one non-null + nulls recovers it),
@@ -169,6 +179,10 @@ def connected_components(
         changed = (
             jumped.filter(F.col("label") != F.col("old")).limit(1).count()
         )
+        if round_stats is not None:
+            round_stats.append(
+                {"round": rnd, "sec": round(_time.time() - _t0, 3)}
+            )
         labels = jumped.select("node", "label")
         if changed == 0:
             return labels.select("node", F.col("label").alias("cluster_id"))

@@ -52,6 +52,23 @@ def test_cc_long_path_converges_in_log_rounds(spark):
     assert set(got.values()) == {0} and len(got) == 33
 
 
+def test_cc_round_stats_instrumentation(spark):
+    """``round_stats`` (VERDICT r9 #5) must receive one {round, sec}
+    dict per executed round, labels unchanged, and no stats list must
+    mean no overhead path (default None)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    stats: list = []
+    got = _labels(graph.connected_components(pairs, round_stats=stats))
+    assert set(got.values()) == {0} and len(got) == 9
+    assert len(stats) >= 1
+    assert [s["round"] for s in stats] == list(range(len(stats)))
+    assert all(s["sec"] >= 0 for s in stats)
+    # identical labels without instrumentation
+    assert got == _labels(graph.connected_components(pairs))
+
+
 def test_cc_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):

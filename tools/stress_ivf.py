@@ -11,6 +11,21 @@ the corpus; recall 1.0 exactly at nprobe = C.
 
 Usage: python tools/stress_ivf.py [--vectors 50000] [--clusters 64]
        [--dim 32] [--queries 20] [--k 10]
+
+Scale-sweep mode (VERDICT r9 #3 — the 1M-vector evidence point):
+
+    python tools/stress_ivf.py --scale-sweep 50000,200000,1000000
+
+runs the build-once/probe-many index path at each corpus size with
+PLANTED duplicate queries (exact ×2.0 float32 scalings of corpus
+vectors: bit-identical direction, cosine exactly 1.0, same argmax
+cell), records per-stage walls — brute-force baseline, cell
+assignment, index build (assignment + cell-partitioned write), index
+probe — asserts planted recall@k == 1.0 at every size, and prints the
+per-stage scaling exponent between consecutive sizes
+(ln(t2/t1)/ln(n2/n1); 1.0 = linear in corpus size, ≈0 = probe cost
+decoupled from corpus size, which is the 100 TB claim for the
+partition-pruned probe).
 """
 
 from __future__ import annotations
@@ -33,7 +48,17 @@ def main() -> None:
     ap.add_argument("--noise", type=float, default=1.0,
                     help="cluster spread relative to unit-normal centers; "
                     "~1.0 overlaps clusters so true neighbors straddle cells")
+    ap.add_argument("--scale-sweep", default=None,
+                    help="comma-separated corpus sizes: run the persisted-"
+                    "index build/assign/probe scaling sweep instead of the "
+                    "recall curve (e.g. 50000,200000,1000000)")
+    ap.add_argument("--nprobe", type=int, default=8,
+                    help="probe width for the scale sweep")
     args = ap.parse_args()
+
+    if args.scale_sweep:
+        scale_sweep(args)
+        return
 
     import numpy as np
     import pyarrow as pa
@@ -114,6 +139,130 @@ def main() -> None:
         )
         if nprobe == C:
             assert recall == 1.0, f"nprobe=C must equal brute force, got {recall}"
+    spark.stop()
+
+
+def scale_sweep(args) -> None:
+    """Build/assign/probe walls across corpus sizes (see module doc)."""
+    import math
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakeshack_spark.operators import similarity
+    from lakeshack_spark.session import get_spark
+
+    sizes = [int(s) for s in args.scale_sweep.split(",")]
+    C, dim, qn, k, nprobe = (
+        args.clusters, args.dim, args.queries, args.k, args.nprobe
+    )
+    spark = get_spark(app_name="stress_ivf_sweep")
+    rng = np.random.default_rng(0)
+    centers = rng.normal(size=(C, dim))
+    centroids = spark.createDataFrame(
+        [(int(i), [float(x) for x in centers[i]]) for i in range(C)],
+        "centroid_id long, centroid array<double>",
+    )
+    results: list[dict] = []
+    for n in sizes:
+        assign_ids = rng.integers(0, C, size=n)
+        points = (
+            centers[assign_ids] + args.noise * rng.normal(size=(n, dim))
+        ).astype(np.float32)
+        # Planted duplicate queries: ×2.0 is an exact float32 scaling
+        # (exponent bump, mantissa intact) — bit-identical direction,
+        # cosine exactly 1.0 against the source, same cosine-argmax
+        # cell, so nprobe ≥ 1 probes the source's cell and recall@k of
+        # the plants is deterministically 1.0 when the path is correct.
+        src = np.arange(0, n, max(1, n // qn))[:qn]
+        qpts = points[src] * np.float32(2.0)
+        d = tempfile.mkdtemp(prefix=f"stress_ivf_sweep_{n}_")
+        pq.write_table(
+            pa.table({
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(
+                    [row for row in points], pa.list_(pa.float32())
+                ),
+            }),
+            f"{d}/vecs.parquet",
+        )
+        pq.write_table(
+            pa.table({
+                "vec_id": pa.array(np.arange(n, n + len(src)), pa.int64()),
+                "embedding": pa.array(
+                    [row for row in qpts], pa.list_(pa.float32())
+                ),
+            }),
+            f"{d}/queries.parquet",
+        )
+        vecs = (
+            spark.read.parquet(f"{d}/vecs.parquet").repartition(32).persist()
+        )
+        vecs.count()
+        queries = spark.read.parquet(f"{d}/queries.parquet")
+
+        t0 = time.time()
+        brute = similarity.cosine_topk(vecs, queries, k=k).collect()
+        brute_sec = time.time() - t0
+
+        t0 = time.time()
+        n_assigned = similarity.ivf_assign(vecs, centroids).count()
+        assign_sec = time.time() - t0
+        assert n_assigned == n
+
+        idx_path = f"{d}/ivf_index"
+        t0 = time.time()
+        similarity.ivf_index_write(vecs, centroids, idx_path)
+        build_sec = time.time() - t0
+
+        t0 = time.time()
+        probed = similarity.ivf_index_probe(
+            spark, idx_path, queries, centroids, k=k, nprobe=nprobe
+        ).collect()
+        probe_sec = time.time() - t0
+
+        # planted recall@k: every query must see its source vector
+        by_q: dict[int, set] = {}
+        for r in probed:
+            by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        recall = sum(
+            1 for i, s in enumerate(src) if int(s) in by_q.get(n + i, set())
+        ) / len(src)
+        brute_by_q: dict[int, set] = {}
+        for r in brute:
+            brute_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        brute_recall = sum(
+            1
+            for i, s in enumerate(src)
+            if int(s) in brute_by_q.get(n + i, set())
+        ) / len(src)
+        assert recall == 1.0, f"planted probe recall@{k} {recall} at n={n}"
+        assert brute_recall == 1.0, (
+            f"planted brute recall@{k} {brute_recall} at n={n}"
+        )
+        print(
+            f"n={n}: brute {brute_sec:.1f}s  assign {assign_sec:.1f}s  "
+            f"build {build_sec:.1f}s  probe(nprobe={nprobe}/{C}) "
+            f"{probe_sec:.1f}s  planted recall@{k} 1.0"
+        )
+        results.append({
+            "n": n, "brute": brute_sec, "assign": assign_sec,
+            "build": build_sec, "probe": probe_sec,
+        })
+        vecs.unpersist()
+        shutil.rmtree(d, ignore_errors=True)
+    for prev, cur in zip(results, results[1:]):
+        ratio = math.log(cur["n"] / prev["n"])
+        exps = {
+            stage: round(math.log(cur[stage] / prev[stage]) / ratio, 2)
+            for stage in ("brute", "assign", "build", "probe")
+        }
+        print(
+            f"scaling exponents {prev['n']}→{cur['n']} "
+            f"(1.0=linear): {exps}"
+        )
     spark.stop()
 
 
