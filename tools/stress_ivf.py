@@ -166,7 +166,11 @@ def scale_sweep(args) -> None:
         "centroid_id long, centroid array<double>",
     )
     results: list[dict] = []
-    for n in sizes:
+    # one uncounted warm-up size: the first Spark jobs of a session pay
+    # JIT/codegen + Python-worker spin-up, which otherwise lands
+    # entirely on the smallest timed size and corrupts the exponents
+    # (measured: assign "sped up" 2.5→0.7 s across a 20× size growth)
+    for n in [5_000] + sizes:
         assign_ids = rng.integers(0, C, size=n)
         points = (
             centers[assign_ids] + args.noise * rng.normal(size=(n, dim))
@@ -242,6 +246,10 @@ def scale_sweep(args) -> None:
         assert brute_recall == 1.0, (
             f"planted brute recall@{k} {brute_recall} at n={n}"
         )
+        vecs.unpersist()
+        shutil.rmtree(d, ignore_errors=True)
+        if n not in sizes:
+            continue  # warm-up size: asserted, not recorded
         print(
             f"n={n}: brute {brute_sec:.1f}s  assign {assign_sec:.1f}s  "
             f"build {build_sec:.1f}s  probe(nprobe={nprobe}/{C}) "
@@ -251,8 +259,6 @@ def scale_sweep(args) -> None:
             "n": n, "brute": brute_sec, "assign": assign_sec,
             "build": build_sec, "probe": probe_sec,
         })
-        vecs.unpersist()
-        shutil.rmtree(d, ignore_errors=True)
     for prev, cur in zip(results, results[1:]):
         ratio = math.log(cur["n"] / prev["n"])
         exps = {
