@@ -267,26 +267,20 @@ def main() -> None:
     # its session and corpora are still alive (VERDICT r9 #2); only one
     # JVM lives at a time either way, and page-cache equalization keeps
     # the order swap fair (each leg warms the cache itself before
-    # timing). The CURRENT guard's sentinel is sampled throughout the
-    # replay window (VERDICT r9 #7): the replayed old bench's own guard
-    # lacks finalize(), so a window contended THROUGHOUT self-reports
-    # quiet — these samples, compared against the whole run's quietest,
-    # machine-flag exactly that. SPARK_GRAFT_REPLAY=0 skips (iterating
-    # locally); failures are recorded, not fatal.
+    # timing). The CURRENT guard's sentinel is sampled at the EDGES of
+    # the replay window (VERDICT r9 #7): the replayed old bench's own
+    # guard lacks finalize(), so a window contended THROUGHOUT
+    # self-reports quiet — edge samples compared against the whole
+    # run's quietest machine-flag exactly that (the hazard is another
+    # suite sustained over many minutes; it doesn't start and stop
+    # precisely inside the replay). Sampling DURING the window would
+    # measure the replayed bench's own 32 busy cores, not external
+    # contention, so edges it is. SPARK_GRAFT_REPLAY=0 skips
+    # (iterating locally); failures are recorded, not fatal.
     replay_block: dict | None = None
     replay_samples: list[float] = []
     if os.environ.get("SPARK_GRAFT_REPLAY", "1") != "0":
-        import threading
-
-        stop_evt = threading.Event()
-
-        def _replay_sampler() -> None:
-            while not stop_evt.wait(20.0):
-                replay_samples.append(spin_sentinel())
-
-        replay_samples.append(spin_sentinel())
-        sampler = threading.Thread(target=_replay_sampler, daemon=True)
-        sampler.start()
+        replay_samples += [spin_sentinel(), spin_sentinel()]
         try:
             from tools.bench_replay import replay
 
@@ -297,10 +291,8 @@ def main() -> None:
             replay_block = replay(timeout=1400)
         except Exception as exc:  # the replay must never sink the bench
             replay_block = {"error": str(exc)[:2000]}
-        finally:
-            stop_evt.set()
-            sampler.join(timeout=30)
-        replay_samples.append(spin_sentinel())
+        time.sleep(1.0)  # let the replayed JVM's teardown settle
+        replay_samples += [spin_sentinel(), spin_sentinel()]
 
     spark = get_spark(app_name="lakeshack_bench")
     qs = queries()
@@ -755,16 +747,17 @@ def main() -> None:
     if replay_block is not None:
         out["replay"] = replay_block
     if replay_samples:
-        # VERDICT r9 #7: the replay window judged by THIS run's guard.
-        # Median vs the run-wide quietest sample (main-leg sentinels ∪
-        # replay-window samples) — a replay leg contended throughout
-        # shows a high ratio here even though its own (finalize-less,
-        # r8-era) guard self-reports quiet.
+        # VERDICT r9 #7: the replay window judged by THIS run's guard —
+        # edge samples (2 before, 2 after) vs the run-wide quietest
+        # sample (main-leg sentinels ∪ edge samples). A box contended
+        # by another sustained suite inflates the edges even though the
+        # replay's own (finalize-less, r8-era) guard self-reports
+        # quiet; the median-of-4 drops one-off scheduler blips.
         all_min = min(min(sentinels), min(replay_samples))
         rs_sorted = sorted(replay_samples)
         rs_median = rs_sorted[len(rs_sorted) // 2]
         out["replay_contention"] = {
-            "samples_ms": replay_samples,
+            "edge_samples_ms": replay_samples,
             "median_ms": rs_median,
             "ratio_vs_run_min": round(rs_median / max(all_min, 1e-9), 2),
             "contended": rs_median > SENTINEL_RATIO_MAX * all_min,
