@@ -1488,11 +1488,14 @@ def minhash_drop_set(
       zero failures skip pass 2 outright; a small tier-0 pair bound
       (Σ bucket sizes over the failed docs' candidate rows) picks the
       pair join with the class collapse skipped; a large bound runs the
-      one-job signature-distinct estimate (``__sigkey``) to choose
-      between ``"pairs"`` (:func:`_drop_set_pass2_pairs`, class-rep
-      collapsed) and ``"local"`` (:func:`_drop_set_pass2_local`,
-      bucket-local prefix-filtered, long ids only); any verified match
-      drops the doc.
+      one-job class-distinct estimate (:func:`_tier1_pair_estimate` —
+      exact via ``__classkey`` on the Arrow banding path, ``__sigkey``
+      lower bound otherwise; skipped outright for non-long ids, which
+      always take pairs) to choose between ``"pairs"``
+      (:func:`_drop_set_pass2_pairs`, class-rep collapsed) and
+      ``"local"`` (:func:`_drop_set_pass2_local`, bucket-local
+      prefix-filtered, long ids only); any verified match drops the
+      doc.
 
     The result is EXACTLY the distinct ``id_b`` set of
     ``minhash_verified_pairs`` (pinned by test): pass 1's candidate is
