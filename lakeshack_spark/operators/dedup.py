@@ -1632,8 +1632,9 @@ def minhash_drop_set(
         # shingle-class identity, free there — the per-gram digests
         # are already computed), so the estimate is EXACT per bucket
         # (VERDICT r9 #6; measured cost parity with the sig-key
-        # aggregate: 0.84 s vs 1.11 s steady on a 200k-doc dup-dense
-        # corpus — the string-vs-long distinct agg is noise). A banded
+        # aggregate: 5-trial medians 0.66 s vs 0.69 s on a 200k-doc
+        # dup-dense corpus — the string-vs-long distinct agg does not
+        # register above run noise). A banded
         # frame without the column (forced expression banding — ADVICE
         # r9 dropped the per-shingle md5 class key from that
         # interpreted path) falls back to ``__sigkey``: identical
