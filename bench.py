@@ -675,6 +675,16 @@ def main() -> None:
             round(min(rp_first, rp_second), 3),
             _run_rp_once,
         ),
+        # r10 trials showed these two drifting the same direction vs
+        # the replay three runs straight (+4–18%, inside the band each
+        # time but directionally consistent) — adjudicate them too so
+        # a real slow-creep can't hide in per-run noise forever.
+        ("drop_set_giant_cluster_steady", drop_set_steady, run_drop_set),
+        (
+            "cluster_labels_steady",
+            round(min(c_first, c_second), 3),
+            run_cc,
+        ),
     ):
         rep_val = replay_parsed.get(adj_key)
         entry: dict = {"official": adj_official, "replay": rep_val}
