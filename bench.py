@@ -77,6 +77,34 @@ SECTION_RETRIES = 2
 #: flag never blames the code for the box.
 STREAM_ROWS_PER_SEC_FLOOR = 15_000.0
 
+#: Adjudication tolerance: best(official, requiet) within this multiple
+#: of the same-run replay reads as box noise; beyond it, a flagged
+#: regression. 1.3 = the repo's documented run-to-run band on these
+#: overhead-dominated keys (SURVEY §6 / CLAUDE.md) — a 1.1× cut
+#: measurably mislabeled an untouched operator (official 1.555 vs
+#: replay 1.40, requiet hitting a late noisy patch, quiet-box record
+#: 1.65).
+ADJ_NOISE_BAND = 1.3
+
+
+def adjudication_verdict(
+    official: float, replay, requiet_runs: list[float] | None
+) -> str:
+    """Noise-vs-regression verdict for one adjudicated bench key.
+
+    ``ok`` — official didn't lose to the replay (or ``no_replay`` when
+    there is nothing to compare). Otherwise the best evidence for the
+    current code is min(official, best re-measure): within
+    ADJ_NOISE_BAND × replay it is ``noise``; beyond that,
+    ``regression``. Pure so tests/test_bench_guard.py can pin the
+    band semantics without running Spark."""
+    if not isinstance(replay, (int, float)):
+        return "no_replay"
+    if official <= replay:
+        return "ok"
+    best = min([official] + list(requiet_runs or []))
+    return "noise" if best <= replay * ADJ_NOISE_BAND else "regression"
+
 
 def _spin_once() -> float:
     t0 = time.perf_counter()
@@ -646,14 +674,8 @@ def main() -> None:
     # the official steady loses to the replay, dedicated guarded
     # re-measures run here — same session, same corpora, the "quiet
     # re-measure" that previously lived only in SURVEY prose — and the
-    # emitted JSON carries both numbers plus a verdict. The verdict band
-    # is the repo's DOCUMENTED ±30% run-to-run noise on sub-3-second
-    # keys (SURVEY §6 / CLAUDE.md), and the best of {official, requiet}
-    # is the evidence — a measured trial2 calibration: official 1.555
-    # vs replay 1.40 with requiet runs of 2.33/1.90/1.72 (a late noisy
-    # patch) is noise, not regression, under any honest reading of a
-    # key whose quiet-box record is 1.65.
-    ADJ_NOISE_BAND = 1.3
+    # emitted JSON carries both numbers plus a verdict (see
+    # adjudication_verdict for the band rationale).
     adjudication: dict[str, dict] = {}
 
     def _run_rp_once() -> float:
@@ -688,6 +710,7 @@ def main() -> None:
     ):
         rep_val = replay_parsed.get(adj_key)
         entry: dict = {"official": adj_official, "replay": rep_val}
+        runs = None
         if isinstance(rep_val, (int, float)) and adj_official > rep_val:
             runs = run_guarded(
                 f"adjudicate_{adj_key}",
@@ -695,14 +718,7 @@ def main() -> None:
             )
             entry["requiet_runs"] = runs
             entry["requiet_steady"] = min(runs)
-            best = min(min(runs), adj_official)
-            entry["verdict"] = (
-                "noise"
-                if best <= rep_val * ADJ_NOISE_BAND
-                else "regression"
-            )
-        else:
-            entry["verdict"] = "ok" if rep_val is not None else "no_replay"
+        entry["verdict"] = adjudication_verdict(adj_official, rep_val, runs)
         adjudication[adj_key] = entry
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

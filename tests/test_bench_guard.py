@@ -146,3 +146,20 @@ def test_stream_floor_status():
     assert bench.stream_floor_status(floor - 1, 0.1, True) == "contended"
     # floor only calibrated at sf0.1
     assert bench.stream_floor_status(1.0, 0.01, False) is True
+
+
+def test_adjudication_verdict_band():
+    v = bench.adjudication_verdict
+    # no replay value to compare against
+    assert v(2.0, None, None) == "no_replay"
+    assert v(2.0, "error", None) == "no_replay"
+    # official wins or ties: ok, regardless of re-measures
+    assert v(1.9, 2.0, None) == "ok"
+    assert v(2.0, 2.0, None) == "ok"
+    # official loses but best evidence is inside the documented band
+    assert v(1.555, 1.40, [2.332, 1.895, 1.724]) == "noise"  # the
+    # measured trial that mislabeled at a 1.1x band (srp, untouched code)
+    assert v(1.81, 1.40, None) == "noise"  # 1.81 <= 1.3 * 1.40 + eps
+    # best evidence beyond the band: a real regression flag
+    assert v(2.5, 1.40, [2.4, 2.6]) == "regression"
+    assert v(2.0, 1.0, None) == "regression"
