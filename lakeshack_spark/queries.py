@@ -7668,66 +7668,68 @@ def version_diff_orders(spark, sf_dir):
 #: coverage reached 164/164 in r8; the rotation now refreshes the
 #: STALEST proofs each round (testdata is regenerated between rounds, so
 #: the oldest proofs are the least trusted). Round-10 rotation
-#: (VERDICT_r9 item 1): the 18 entries whose newest proof is r6-era
-#: (the registry's oldest) plus the alphabetically-first 30 of the 48
-#: r7-era entries; the remaining 18 r7-era names rotate in r11. Every
-#: registered entry not named here follows in registration order, so the
-#: full corpus is unchanged — only the order rotates.
+#: (VERDICT_r9 item 1) refreshed the 18 r6-era proofs + the first 30
+#: r7-era names. Round-11 rotation (VERDICT_r10 item 2): the remaining
+#: 18 r7-era proofs plus the alphabetically-first 30 of the 48 r8-era
+#: proofs; the remaining 18 r8-era names (q5–q9, quality_score_docs …
+#: window_top2_per_customer) rotate in r12. Every registered entry not
+#: named here follows in registration order, so the full corpus is
+#: unchanged — only the order rotates.
 _DRIVER_WINDOW = [
     # core-op anchors (intentionally hashed every round: O1/O3/O6 scan +
     # zone-map prune are the reference's essence)
     "shack_pruned_lookup",
     "scan_filter_project",
-    # r6-era proofs, the 18 remaining (VERDICT_r9 item 1):
-    "nullness_pruned_agg_docs",
-    "pack_token_windows_docs",
-    "pagerank_trade_network",
-    "pq_codes_embeddings",
-    "range_join_user_windows",
-    "rollup_cascade_events",
-    "scd2_merge_customer_segments",
-    "semdedup_embeddings",
-    "srp_near_dup_planted",
-    "stratified_take_docs",
-    "synth_source_docs",
-    "table_diff_orders",
-    "theta_index_overlap_orders",
-    "topk_orders",
-    "udtf_ngram_stats",
-    "versioned_merge_orders",
-    "vocab_encode_docs",
-    "wap_publish_orders",
-    # r7-era proofs, alphabetical first 30 of 48 (rest rotate in r11):
-    "benchmark_decontamination",
-    "bigram_lm_quality_docs",
-    "bm25_search_docs",
-    "boolean_search_docs",
-    "chunk_tokens_docs",
-    "csv_roundtrip_orders",
-    "drift_chi2_docs",
-    "epoch_shuffle_prefix_docs",
-    "funnel_signup_click_purchase",
-    "gap_fill_daily_spend",
-    "grouped_ols_slope_customers",
-    "grouped_percentiles_orders",
-    "hash_split_counts",
-    "incremental_dedup_new_docs",
-    "ivf_index_probe_topk",
-    "ivfpq_search_embeddings",
-    "jl_projection_embeddings",
-    "jsonl_roundtrip_docs",
-    "kll_grouped_quantiles_orders",
-    "kmeans_update_quantized",
-    "manifest_counts_orders",
-    "mask_pii_audit",
-    "mixture_sample_counts",
-    "multimodal_wav_features",
-    "ngram_containment_docs",
-    "orc_roundtrip_lineitem",
-    "pq_adc_topk_embeddings",
-    "q11_important_part_values",
-    "q12_priority_shipping_split",
-    "q22_idle_rich_customers",
+    # r7-era proofs, the 18 remaining (VERDICT_r10 item 2):
+    "q4_order_priority_checking",
+    "quantized_embedding_stats",
+    "repeated_passages_docs",
+    "repetition_stats_docs",
+    "right_outer_order_lineitems",
+    "schema_evolution_orders",
+    "snapshot_agg_orders",
+    "string_agg_region_nations",
+    "term_drift_by_source",
+    "tfidf_top_terms_docs",
+    "time_travel_orders",
+    "time_travel_pruned_lookup",
+    "triangle_census_cosuppliers",
+    "unigram_lm_quality_docs",
+    "unpivot_order_measures",
+    "version_diff_orders",
+    "weighted_sample_docs",
+    "winnow_fingerprint_stats",
+    # r8-era proofs, alphabetical first 30 of 48 (rest rotate in r12):
+    "asof_join_events_orders",
+    "cosine_topk_bruteforce",
+    "cosine_topk_pandas_udf",
+    "cube_orders",
+    "dedup_events_first",
+    "dedup_exact_docs",
+    "dedup_normalized_docs",
+    "doc_fingerprint",
+    "docs_near_deduped",
+    "embedding_near_dup",
+    "grouping_sets_orders",
+    "ivf_topk_full_probe",
+    "json_extract_events",
+    "lang_id_docs",
+    "minhash_dedup_verified",
+    "ngram_jaccard_pairs",
+    "pivot_orderstatus",
+    "q10_returned_item_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q20_excess_quantity_suppliers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
 ]
 
 def _ordered_names() -> list[str]:
