@@ -86,24 +86,65 @@ STREAM_ROWS_PER_SEC_FLOOR = 15_000.0
 #: 1.65).
 ADJ_NOISE_BAND = 1.3
 
+#: Relative epsilon on the band boundary (ADVICE r10): 1.3 × 1.40 is
+#: 1.8199…97 in binary floating point, so an official sitting exactly on
+#: the documented ±30% edge (1.82) would flag 'regression' on a rounding
+#: artifact. The epsilon makes the boundary inclusive as documented.
+ADJ_BAND_EPS = 1e-9
+
 
 def adjudication_verdict(
-    official: float, replay, requiet_runs: list[float] | None
+    official: float,
+    replay,
+    requiet_runs: list[float] | None,
+    higher_is_better: bool = False,
 ) -> str:
     """Noise-vs-regression verdict for one adjudicated bench key.
 
     ``ok`` — official didn't lose to the replay (or ``no_replay`` when
     there is nothing to compare). Otherwise the best evidence for the
-    current code is min(official, best re-measure): within
-    ADJ_NOISE_BAND × replay it is ``noise``; beyond that,
-    ``regression``. Pure so tests/test_bench_guard.py can pin the
-    band semantics without running Spark."""
+    current code is the best of (official, re-measures): within the
+    ±ADJ_NOISE_BAND band of the replay it is ``noise``; beyond that,
+    ``regression``. ``higher_is_better`` inverts the comparison for
+    throughput keys (stream rows/s — VERDICT_r10 item 1), where losing
+    means official BELOW replay and the band divides instead of
+    multiplying. Pure so tests/test_bench_guard.py can pin the band
+    semantics without running Spark."""
     if not isinstance(replay, (int, float)):
         return "no_replay"
+    band = ADJ_NOISE_BAND * (1 + ADJ_BAND_EPS)
+    if higher_is_better:
+        if official >= replay:
+            return "ok"
+        best = max([official] + list(requiet_runs or []))
+        return "noise" if best * band >= replay else "regression"
     if official <= replay:
         return "ok"
     best = min([official] + list(requiet_runs or []))
-    return "noise" if best <= replay * ADJ_NOISE_BAND else "regression"
+    return "noise" if best <= replay * band else "regression"
+
+
+def select_headline_adjudications(
+    timings: dict, steady: dict, replay_queries: dict, cap: int = 4
+) -> list[str]:
+    """Headline keys whose official run loses to the same-run replay
+    beyond the noise band (VERDICT_r10 item 3: ivf_topk_full_probe's
+    median ran 1.6× its own first run with no on-record adjudication).
+
+    A key is selected only when its best-of-3 official (min of first and
+    steady — the replay's compact line carries first-run numbers, so the
+    comparison uses our strongest same-methodology evidence) still loses
+    beyond ADJ_NOISE_BAND. Worst ratio first, capped so a run-wide noisy
+    box can't triple the bench; pure for tests."""
+    losses = []
+    for name, first in timings.items():
+        rep = replay_queries.get(name)
+        if not isinstance(rep, (int, float)) or rep <= 0:
+            continue
+        best = min(first, steady.get(name, first))
+        if best > rep * ADJ_NOISE_BAND * (1 + ADJ_BAND_EPS):
+            losses.append((best / rep, name))
+    return [n for _, n in sorted(losses, reverse=True)[:cap]]
 
 
 def _spin_once() -> float:
@@ -308,6 +349,9 @@ def main() -> None:
     replay_block: dict | None = None
     replay_samples: list[float] = []
     if os.environ.get("SPARK_GRAFT_REPLAY", "1") != "0":
+        _spin_once()  # throwaway warm spin (ADVICE r10): the first spins
+        # of a cold process run slow (no JIT here, but allocator/cache
+        # warm-up is real) and would inflate the pre-replay edge samples
         replay_samples += [spin_sentinel(), spin_sentinel()]
         try:
             from tools.bench_replay import replay
@@ -721,6 +765,71 @@ def main() -> None:
         entry["verdict"] = adjudication_verdict(adj_official, rep_val, runs)
         adjudication[adj_key] = entry
 
+    # ---- streaming key adjudication (VERDICT r10 #1) -----------------------
+    # BENCH_r10 recorded stream rows/s below its own floor on a
+    # sentinel-quiet section (13.6k vs floor 15k) while the same-run
+    # replay of unchanged code read 24.3k — and the stream key sat
+    # OUTSIDE the adjudication machinery, leaving an unadjudicated
+    # "real regression" flag on code untouched since r6. Inverted
+    # comparison (higher is better): a floor miss at sf0.1 OR a loss to
+    # the replay triggers guarded re-measures, and the FLOOR verdict is
+    # then computed on the best quiet evidence this run — a quiet
+    # re-measure clearing the floor proves the official miss was a
+    # noise window the sentinels missed (the CLAUDE.md-documented
+    # failure mode), while re-measures that ALSO miss on a quiet
+    # section are the genuine regression the floor exists to catch.
+    rep_stream = replay_parsed.get("stream_merge_rows_per_sec")
+    stream_entry: dict = {
+        "official": stream_rows_per_sec,
+        "replay": rep_stream,
+        "higher_is_better": True,
+    }
+    stream_rate_runs = None
+    stream_needs_requiet = (
+        sf_dir.rstrip("/").endswith("sf0.1")
+        and stream_rows_per_sec < STREAM_ROWS_PER_SEC_FLOOR
+    ) or (
+        isinstance(rep_stream, (int, float))
+        and stream_rows_per_sec < rep_stream
+    )
+    if stream_needs_requiet:
+        stream_rate_runs = run_guarded(
+            "adjudicate_stream_merge_rows_per_sec",
+            lambda: [stream_section()[1] for _ in range(3)],
+        )
+        stream_entry["requiet_runs"] = stream_rate_runs
+        stream_entry["requiet_best"] = max(stream_rate_runs)
+    stream_entry["verdict"] = adjudication_verdict(
+        stream_rows_per_sec, rep_stream, stream_rate_runs,
+        higher_is_better=True,
+    )
+    adjudication["stream_merge_rows_per_sec"] = stream_entry
+
+    # ---- headline key auto-adjudication (VERDICT r10 #3) -------------------
+    # Any headline key whose best-of-3 official loses to the same-run
+    # replay beyond the band gets 3 guarded re-measures on the record
+    # (bounded at the worst 4 so a contended box can't triple the run).
+    replay_queries = replay_parsed.get("queries") or {}
+    for hl_name in select_headline_adjudications(
+        timings, steady, replay_queries
+    ):
+        hl_runs = run_guarded(
+            f"adjudicate_headline_{hl_name}",
+            lambda n=hl_name: [round(run(n), 3) for _ in range(3)],
+        )
+        adjudication[f"headline_{hl_name}"] = {
+            "official": timings[hl_name],
+            "official_steady": steady[hl_name],
+            "replay": replay_queries[hl_name],
+            "requiet_runs": hl_runs,
+            "requiet_steady": min(hl_runs),
+            "verdict": adjudication_verdict(
+                min(timings[hl_name], steady[hl_name]),
+                replay_queries[hl_name],
+                hl_runs,
+            ),
+        }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -740,10 +849,25 @@ def main() -> None:
         "sections": section_meta,
     }
     contended_after_retries = guard.contended_after_retries()
+    # Floor verdict on the best guarded evidence this run (VERDICT r10
+    # #1): max of the official rate and any adjudication re-measures —
+    # a quiet re-measure clearing the floor proves the code clears it;
+    # a "contended" label needs EVERY contributing section contended.
+    stream_floor_evidence = max(
+        [stream_rows_per_sec] + list(stream_rate_runs or [])
+    )
+    stream_floor_contended = section_meta["stream_merge"]["contended"]
+    if stream_rate_runs is not None:
+        stream_floor_contended = (
+            stream_floor_contended
+            and section_meta["adjudicate_stream_merge_rows_per_sec"][
+                "contended"
+            ]
+        )
     stream_floor_ok = stream_floor_status(
-        stream_rows_per_sec,
+        stream_floor_evidence,
         sf_val,
-        section_meta["stream_merge"]["contended"],
+        stream_floor_contended,
     )
     out = {
         "metric": "headline_queries_total",
@@ -773,6 +897,7 @@ def main() -> None:
         "stream_merge_versioned_rows_per_sec": stream_rows_per_sec,
         "stream_floor_ok": stream_floor_ok,
         "stream_floor_rows_per_sec": STREAM_ROWS_PER_SEC_FLOOR,
+        "stream_floor_evidence_rows_per_sec": stream_floor_evidence,
         "contention": contention,
         "contended_after_retries": contended_after_retries,
         "page_cache_warm_mb": cache_mb,
@@ -788,12 +913,18 @@ def main() -> None:
         # replay's own (finalize-less, r8-era) guard self-reports
         # quiet; the median-of-4 drops one-off scheduler blips.
         all_min = min(min(sentinels), min(replay_samples))
+        main_min = min(sentinels)  # main-leg-only baseline (ADVICE r10):
+        # a run-wide-contended box inflates the edge samples AND the
+        # combined min together, hiding itself from ratio_vs_run_min;
+        # the main leg's quietest sample (taken over a much longer
+        # window, post-retries) is the harder-to-fool denominator.
         rs_sorted = sorted(replay_samples)
         rs_median = rs_sorted[len(rs_sorted) // 2]
         out["replay_contention"] = {
             "edge_samples_ms": replay_samples,
             "median_ms": rs_median,
             "ratio_vs_run_min": round(rs_median / max(all_min, 1e-9), 2),
+            "ratio_vs_main_min": round(rs_median / max(main_min, 1e-9), 2),
             "contended": rs_median > SENTINEL_RATIO_MAX * all_min,
         }
     spark.stop()

@@ -163,3 +163,55 @@ def test_adjudication_verdict_band():
     # best evidence beyond the band: a real regression flag
     assert v(2.5, 1.40, [2.4, 2.6]) == "regression"
     assert v(2.0, 1.0, None) == "regression"
+
+
+def test_adjudication_band_boundary_is_inclusive():
+    # ADVICE r10: 1.3 * 1.40 = 1.8199...97 in binary — an official at
+    # exactly the documented 1.82 edge must read noise, not regression.
+    assert bench.adjudication_verdict(1.82, 1.40, None) == "noise"
+    assert bench.adjudication_verdict(1.83, 1.40, None) == "regression"
+
+
+def test_adjudication_verdict_inverted_throughput():
+    # VERDICT r10 #1: stream rows/s adjudication — higher is better.
+    v = bench.adjudication_verdict
+    assert v(25_000, None, None, higher_is_better=True) == "no_replay"
+    # official at or above replay: ok
+    assert v(25_000, 24_000, None, higher_is_better=True) == "ok"
+    assert v(24_000, 24_000, None, higher_is_better=True) == "ok"
+    # the r10 record itself: official 13,646 vs replay 24,268 — but a
+    # quiet re-measure at rehearsal level (23.9k) is inside the band
+    assert (
+        v(13_646, 24_268, [23_900, 24_100, 26_000], higher_is_better=True)
+        == "noise"
+    )
+    # no re-measure clearing the band: genuine regression
+    assert v(13_646, 24_268, None, higher_is_better=True) == "regression"
+    assert (
+        v(13_646, 24_268, [14_000, 13_900, 14_200], higher_is_better=True)
+        == "regression"
+    )
+    # inverted boundary is inclusive too: best * 1.3 == replay exactly
+    assert v(10_000, 13_000, None, higher_is_better=True) == "noise"
+    assert v(9_999, 13_000, None, higher_is_better=True) == "regression"
+
+
+def test_select_headline_adjudications():
+    sel = bench.select_headline_adjudications
+    timings = {"a": 2.0, "b": 1.0, "c": 5.0, "d": 3.0}
+    steady = {"a": 1.9, "b": 0.9, "c": 1.1, "d": 2.8}
+    # a loses beyond band (1.9 > 1.3*1.0); b inside band; c's STEADY
+    # saves it (1.1 <= 1.3*1.0) even though first lost 5x; d has no
+    # replay value to compare against.
+    replay_q = {"a": 1.0, "b": 0.8, "c": 1.0}
+    assert sel(timings, steady, replay_q) == ["a"]
+    # worst ratio first, capped
+    timings = {f"k{i}": float(i) for i in range(1, 8)}
+    steady = dict(timings)
+    replay_q = {k: 1.0 for k in timings}
+    assert sel(timings, steady, replay_q, cap=3) == ["k7", "k6", "k5"]
+    # non-numeric / zero replay values are skipped, empty replay → []
+    assert sel({"a": 9.0}, {"a": 9.0}, {"a": "err"}) == []
+    assert sel({"a": 9.0}, {"a": 9.0}, {}) == []
+    # band boundary inclusive: best == 1.3 * replay is NOT a loss
+    assert sel({"a": 1.3}, {"a": 1.3}, {"a": 1.0}) == []

@@ -170,7 +170,10 @@ def scale_sweep(args) -> None:
     # JIT/codegen + Python-worker spin-up, which otherwise lands
     # entirely on the smallest timed size and corrupts the exponents
     # (measured: assign "sped up" 2.5→0.7 s across a 20× size growth)
-    for n in [5_000] + sizes:
+    for loop_idx, n in enumerate([5_000] + sizes):
+        is_warmup = loop_idx == 0  # ADVICE r10: flag by position, not by
+        # size membership — a user sweeping n=5000 would otherwise record
+        # the JIT-inflated warm-up walls AND run that size twice
         assign_ids = rng.integers(0, C, size=n)
         points = (
             centers[assign_ids] + args.noise * rng.normal(size=(n, dim))
@@ -248,8 +251,8 @@ def scale_sweep(args) -> None:
         )
         vecs.unpersist()
         shutil.rmtree(d, ignore_errors=True)
-        if n not in sizes:
-            continue  # warm-up size: asserted, not recorded
+        if is_warmup:
+            continue  # warm-up pass: asserted, not recorded
         print(
             f"n={n}: brute {brute_sec:.1f}s  assign {assign_sec:.1f}s  "
             f"build {build_sec:.1f}s  probe(nprobe={nprobe}/{C}) "
