@@ -389,6 +389,7 @@ def k_core(
     id_b: str = "id_b",
     rounds: int | None = None,
     max_rounds: int = 30,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly delete
     every node whose degree is below ``k`` until the remaining subgraph
@@ -417,6 +418,13 @@ def k_core(
       hash gate (``kcore_cosuppliers``). Extra rounds past convergence
       are no-ops, so a fixed N ≥ peel depth equals the fixpoint.
 
+    ``round_stats``: pass a list to receive one ``{"round": i, "sec":
+    wall, "below": n}`` dict per executed round (``below`` = the exact
+    count of sub-threshold nodes that round, present only in
+    convergence mode where the scan already computes it — the
+    decade-up stress asserts its closed form per round). No extra jobs
+    run for it.
+
     Scale shape per round: one |E| degree aggregation (no exchange —
     edges stay hash-partitioned by ``src`` from
     :func:`_symmetrized_edges`, the groupBy reuses it), one filter, and
@@ -430,17 +438,30 @@ def k_core(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    import time as _time
+
     edges = _symmetrized_edges(pairs, id_a, id_b)
     spark = pairs.sparkSession
     n_rounds = rounds if rounds is not None else max_rounds
     for rnd in range(n_rounds):
+        _t0 = _time.time()
         deg = edges.groupBy("src").agg(F.count("*").alias("d"))
         keep = deg.filter(F.col("d") >= k).select("src")
+        n_below = None
         if rounds is None:
             # Exact convergence scan: one count over the sub-threshold
             # stratum. Runs on the checkpointed edges, so the lineage
             # re-evaluated here is one aggregation, not the history.
-            if deg.filter(F.col("d") < k).count() == 0:
+            n_below = deg.filter(F.col("d") < k).count()
+            if n_below == 0:
+                if round_stats is not None:
+                    round_stats.append(
+                        {
+                            "round": rnd,
+                            "sec": round(_time.time() - _t0, 3),
+                            "below": 0,
+                        }
+                    )
                 break
         survivors = edges.join(keep, "src", "semi").join(
             keep.select(F.col("src").alias("dst")), "dst", "semi"
@@ -453,6 +474,11 @@ def k_core(
             )
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", prev)
+        if round_stats is not None:
+            entry = {"round": rnd, "sec": round(_time.time() - _t0, 3)}
+            if n_below is not None:
+                entry["below"] = n_below
+            round_stats.append(entry)
     else:
         if rounds is None:
             raise RuntimeError(
@@ -558,6 +584,7 @@ def k_truss(
     v: str = "v",
     rounds: int | None = None,
     max_rounds: int = 20,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """k-truss: peel to the maximal subgraph where EVERY edge closes at
     least ``k−2`` triangles. Output ``(u, v, support)`` — surviving
@@ -576,18 +603,37 @@ def k_truss(
     (``ktruss_cosuppliers``) — fixed N ≥ peel depth equals the
     fixpoint. Rounds checkpoint eagerly (flat lineage), same discipline
     as the other iterative operators.
+
+    ``round_stats``: pass a list to receive one ``{"round": i, "sec":
+    wall, "below": n}`` dict per executed round (``below`` = exact
+    count of sub-support edges, convergence mode only — the decade-up
+    stress asserts its closed form). No extra jobs run for it.
     """
+    import time as _time
+
     if k < 3:
         raise ValueError(f"k must be >= 3 for a k-truss, got {k}")
     e = _canonical_edges(edges, u, v)
     n_rounds = rounds if rounds is not None else max_rounds
-    for _ in range(n_rounds):
+    for rnd in range(n_rounds):
+        _t0 = _time.time()
         handles: list = []
         sup = _edge_support(e, handles)
-        if rounds is None and sup.filter(F.col("support") < k - 2).count() == 0:
-            for h in handles:
-                h.unpersist()
-            break
+        n_below = None
+        if rounds is None:
+            n_below = sup.filter(F.col("support") < k - 2).count()
+            if n_below == 0:
+                for h in handles:
+                    h.unpersist()
+                if round_stats is not None:
+                    round_stats.append(
+                        {
+                            "round": rnd,
+                            "sec": round(_time.time() - _t0, 3),
+                            "below": 0,
+                        }
+                    )
+                break
         e = (
             sup.filter(F.col("support") >= k - 2)
             .select("a", "b")
@@ -597,6 +643,11 @@ def k_truss(
         # round's cached degree/orientation frames
         for h in handles:
             h.unpersist()
+        if round_stats is not None:
+            entry = {"round": rnd, "sec": round(_time.time() - _t0, 3)}
+            if n_below is not None:
+                entry["below"] = n_below
+            round_stats.append(entry)
     else:
         if rounds is None:
             raise RuntimeError(

@@ -296,3 +296,67 @@ def test_ktruss_matches_bruteforce(spark):
             (r.u, r.v): r.support for r in graph.k_truss(df, k=k).collect()
         }
         assert got == want, (k, got, want)
+
+
+def test_kcore_planted_block_closed_form_and_round_stats(spark):
+    """The decade-up stress construction (tools/stress_iterative), pinned
+    at unit scale: clique+tendril blocks peel EXACTLY one node per block
+    per round under k=2, and round_stats records the closed-form per-round
+    sub-threshold counts (VERDICT r10 #4)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.stress_iterative import (
+        KCORE_CLIQUE,
+        KCORE_STRIDE,
+        KCORE_TENDRIL,
+        kcore_block_edges,
+    )
+
+    n_blocks = 3
+    template = kcore_block_edges()
+    edges = [
+        (b * KCORE_STRIDE + u, b * KCORE_STRIDE + v)
+        for b in range(n_blocks)
+        for u, v in template
+    ]
+    df = spark.createDataFrame(edges, "u long, v long")
+    stats = []
+    core = graph.k_core(df, k=2, id_a="u", id_b="v", round_stats=stats)
+    got = {r.node: r.degree for r in core.collect()}
+    want = {
+        b * KCORE_STRIDE + i: KCORE_CLIQUE - 1
+        for b in range(n_blocks)
+        for i in range(KCORE_CLIQUE)
+    }
+    assert got == want
+    assert [s["below"] for s in stats] == [n_blocks] * KCORE_TENDRIL + [0]
+    assert [s["round"] for s in stats] == list(range(KCORE_TENDRIL + 1))
+    assert all(s["sec"] >= 0 for s in stats)
+
+
+def test_ktruss_planted_block_matches_pure_python_oracle(spark):
+    """One k-truss stress block through Spark ≡ the pure-Python peel
+    oracle: final per-edge supports exact, per-round removal counts
+    exact (the cascade is multi-round by construction)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.stress_iterative import (
+        KTRUSS_W,
+        ktruss_block_edges,
+        ktruss_block_truth,
+    )
+
+    expect_sup, removed = ktruss_block_truth()
+    assert len(removed) >= 3  # genuinely multi-round cascade
+    df = spark.createDataFrame(ktruss_block_edges(), "u long, v long")
+    stats = []
+    truss = graph.k_truss(
+        df, k=KTRUSS_W + 2, u="u", v="v", round_stats=stats
+    )
+    got = {(r.u, r.v): r.support for r in truss.collect()}
+    assert got == expect_sup
+    assert [s["below"] for s in stats] == removed
