@@ -970,7 +970,7 @@ def main() -> None:
     adj_flags = {
         k: {
             "replay": v.get("replay"),
-            "requiet": v.get("requiet_steady"),
+            "requiet": v.get("requiet_steady", v.get("requiet_best")),
             "verdict": v["verdict"],
         }
         for k, v in adjudication.items()
