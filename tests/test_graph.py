@@ -360,3 +360,32 @@ def test_ktruss_planted_block_matches_pure_python_oracle(spark):
     got = {(r.u, r.v): r.support for r in truss.collect()}
     assert got == expect_sup
     assert [s["below"] for s in stats] == removed
+
+
+def test_pagerank_planted_block_matches_scalar_oracle(spark):
+    """One K_{a,b} stress block through Spark ≡ the two-class scalar
+    recurrence: heterogeneous outdegs (b vs a) with every node's rank
+    int64-exact."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.stress_iterative import (
+        PR_SIDE_A,
+        PR_SIDE_B,
+        pagerank_block_edges,
+        pagerank_block_truth,
+    )
+
+    df = spark.createDataFrame(pagerank_block_edges(), "u long, v long")
+    ra, rb = pagerank_block_truth(n_iter=4)
+    assert ra != rb  # the two degree classes must actually differ
+    got = {
+        r.node: r.rank
+        for r in graph.pagerank(df, n_iter=4, id_a="u", id_b="v").collect()
+    }
+    want = {
+        i: (ra if i < PR_SIDE_A else rb)
+        for i in range(PR_SIDE_A + PR_SIDE_B)
+    }
+    assert got == want

@@ -285,6 +285,70 @@ def _planted_blocks(spark, template: list[tuple[int, int]], n_blocks: int,
     )
 
 
+#: PageRank block: complete bipartite K_{a,b} — heterogeneous degrees
+#: (side-A nodes have degree b, side-B degree a), so the per-edge
+#: ``(d·rank) div (100·outdeg)`` term is exercised with two distinct
+#: outdegs, and by symmetry every node of a side carries EXACTLY the
+#: side's scalar recurrence value: rA' = t + b·((85·rB) div (100·a)),
+#: rB' = t + a·((85·rA) div (100·b)) — int64-exact, replayed in pure
+#: Python as the oracle. A uniform-degree construction could not
+#: distinguish outdeg mix-ups; this one can.
+PR_SIDE_A = 5
+PR_SIDE_B = 20
+PR_STRIDE = 32
+
+
+def pagerank_block_edges() -> list[tuple[int, int]]:
+    a, b = PR_SIDE_A, PR_SIDE_B
+    return [(i, a + j) for i in range(a) for j in range(b)]
+
+
+def pagerank_block_truth(n_iter: int, damping_pct: int = 85,
+                         scale: int = 10**9) -> tuple[int, int]:
+    """(rank of every side-A node, rank of every side-B node) after
+    n_iter exact integer power iterations — the pure-Python oracle."""
+    a, b = PR_SIDE_A, PR_SIDE_B
+    tele = (100 - damping_pct) * scale // 100
+    ra = rb = scale
+    for _ in range(n_iter):
+        ra, rb = (
+            tele + b * ((damping_pct * rb) // (100 * a)),
+            tele + a * ((damping_pct * ra) // (100 * b)),
+        )
+    return ra, rb
+
+
+def stress_pagerank_planted(spark, target_edges: int,
+                            n_iter: int = 8) -> None:
+    template = pagerank_block_edges()
+    a, b = PR_SIDE_A, PR_SIDE_B
+    n_blocks = max(1, target_edges // len(template))
+    edges = _planted_blocks(spark, template, n_blocks, PR_STRIDE).persist()
+    n_edges = edges.count()
+
+    ra, rb = pagerank_block_truth(n_iter)
+    t0 = time.monotonic()
+    ranks = pagerank(edges, n_iter=n_iter, id_a="u", id_b="v").persist()
+    n_nodes = ranks.count()
+    total = time.monotonic() - t0
+
+    assert n_nodes == n_blocks * (a + b), (n_nodes, n_blocks)
+    bad = ranks.filter(
+        F.when(F.col("node") % PR_STRIDE < a, F.col("rank") != ra).otherwise(
+            F.col("rank") != rb
+        )
+    ).count()
+    assert bad == 0, f"{bad} nodes off the scalar closed form ({ra}, {rb})"
+    print(
+        f"pagerank_planted: |E| {n_edges} ({n_blocks} K_{{{a},{b}}} "
+        f"blocks) {n_iter} rounds -> {n_nodes} nodes, every rank "
+        f"int64-exact vs the scalar recurrence ({ra}, {rb}) in "
+        f"{total:.2f}s"
+    )
+    ranks.unpersist()
+    edges.unpersist()
+
+
 def stress_kcore_planted(spark, target_edges: int) -> None:
     from lakeshack_spark.operators.graph import k_core
 
@@ -395,6 +459,7 @@ def main() -> None:
         for sz in peel_sizes:
             stress_kcore_planted(spark, sz)
             stress_ktruss_planted(spark, sz)
+            stress_pagerank_planted(spark, sz)
     finally:
         spark.stop()
 
