@@ -198,6 +198,7 @@ def pagerank(
     id_b: str = "id_b",
     damping_pct: int = 85,
     scale: int = 10**9,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """PageRank over the undirected (symmetrized) graph, in EXACT
     integer fixed-point arithmetic: ``(node, rank)`` with ranks in units
@@ -227,7 +228,13 @@ def pagerank(
     fixed (power iteration), no convergence scan needed; ranks overflow
     int64 only past ~9e18/(damping·scale) total mass — 9e6 nodes at the
     default scale; shrink ``scale`` for bigger graphs.
+
+    ``round_stats``: pass a list to receive one ``{"round": i, "sec":
+    wall}`` dict per power iteration (join + aggregate + checkpoint),
+    same convention as the other iterative operators. No extra jobs.
     """
+    import time as _time
+
     if not 0 < damping_pct < 100:
         raise ValueError("damping_pct must be in (0, 100)")
     edges = _symmetrized_edges(pairs, id_a, id_b)
@@ -257,7 +264,8 @@ def pagerank(
     ranks = universe.select(
         "node", F.lit(int(scale)).cast("long").alias("rank")
     ).localCheckpoint(eager=True)
-    for _ in range(n_iter):
+    for rnd in range(n_iter):
+        _t0 = _time.time()
         contrib = (
             edges.join(ranks, edges.src == ranks.node)
             .select(
@@ -279,6 +287,10 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
         ranks = nxt
+        if round_stats is not None:
+            round_stats.append(
+                {"round": rnd, "sec": round(_time.time() - _t0, 3)}
+            )
     return ranks
 
 

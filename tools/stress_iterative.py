@@ -327,8 +327,11 @@ def stress_pagerank_planted(spark, target_edges: int,
     n_edges = edges.count()
 
     ra, rb = pagerank_block_truth(n_iter)
+    stats: list[dict] = []
     t0 = time.monotonic()
-    ranks = pagerank(edges, n_iter=n_iter, id_a="u", id_b="v").persist()
+    ranks = pagerank(
+        edges, n_iter=n_iter, id_a="u", id_b="v", round_stats=stats
+    ).persist()
     n_nodes = ranks.count()
     total = time.monotonic() - t0
 
@@ -339,11 +342,13 @@ def stress_pagerank_planted(spark, target_edges: int,
         )
     ).count()
     assert bad == 0, f"{bad} nodes off the scalar closed form ({ra}, {rb})"
+    assert len(stats) == n_iter
+    walls = " ".join(f"{s['sec']:.2f}" for s in stats)
     print(
         f"pagerank_planted: |E| {n_edges} ({n_blocks} K_{{{a},{b}}} "
         f"blocks) {n_iter} rounds -> {n_nodes} nodes, every rank "
         f"int64-exact vs the scalar recurrence ({ra}, {rb}) in "
-        f"{total:.2f}s"
+        f"{total:.2f}s; round walls {walls}"
     )
     ranks.unpersist()
     edges.unpersist()
