@@ -751,6 +751,17 @@ def main() -> None:
             round(min(c_first, c_second), 3),
             run_cc,
         ),
+        # r11: the remaining two compact-line steady keys join the list
+        # so NO perf key on the record sits outside adjudication (the
+        # r10 stream-floor lesson generalized — a trial-3 rehearsal
+        # caught pipeline at 12.7 s vs its own 6.9–7.8 s quiet trials,
+        # exactly the unadjudicated-outlier shape).
+        ("pipeline_clean_corpus_steady", pipeline_steady, run_pipeline),
+        (
+            "salted_join_skew_steady",
+            round(min(sj_first, sj_second), 3),
+            run_salted,
+        ),
     ):
         rep_val = replay_parsed.get(adj_key)
         entry: dict = {"official": adj_official, "replay": rep_val}
