@@ -389,3 +389,25 @@ def test_pagerank_planted_block_matches_scalar_oracle(spark):
         for i in range(PR_SIDE_A + PR_SIDE_B)
     }
     assert got == want
+
+
+def test_triangle_planted_block_matches_pure_python_census(spark):
+    """One stress block through triangle_stats ≡ the pure-Python census
+    (nodes, edges, wedges, triangles, and the one-division clustering
+    coefficient bit-exact)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.stress_iterative import (
+        ktruss_block_edges,
+        triangle_block_truth,
+    )
+
+    truth = triangle_block_truth()
+    df = spark.createDataFrame(ktruss_block_edges(), "u long, v long")
+    row = graph.triangle_stats(df, u="u", v="v").collect()[0]
+    assert {k: row[k] for k in truth} == truth
+    assert row["global_clustering"] == (
+        3.0 * truth["n_triangles"] / truth["n_wedges"]
+    )

@@ -354,6 +354,62 @@ def stress_pagerank_planted(spark, target_edges: int,
     edges.unpersist()
 
 
+def triangle_block_truth() -> dict:
+    """Pure-Python exact census of ONE k-truss stress block (reused —
+    cycle power + tendril gives heterogeneous degrees): n_nodes,
+    n_edges, n_wedges (Σ C(d,2)), n_triangles. Blocks are disjoint and
+    identical, so global counts are B × these."""
+    E = set(ktruss_block_edges())
+    adj: dict[int, set] = {}
+    for a, b in E:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n_tri = sum(len(adj[a] & adj[b]) for a, b in E) // 3
+    n_wedges = sum(d * (d - 1) // 2 for d in map(len, adj.values()))
+    return {
+        "n_nodes": len(adj),
+        "n_edges": len(E),
+        "n_wedges": n_wedges,
+        "n_triangles": n_tri,
+    }
+
+
+def stress_triangle_planted(spark, target_edges: int) -> None:
+    """Exact triangle census at scale: the degree-ordered wedge-closure
+    join (triangle_stats) over disjoint k-truss-template blocks, every
+    count asserted against the pure-Python block census × B, and the
+    clustering coefficient against the identical one-division float
+    expression (exact: ints < 2^53, one correctly-rounded division)."""
+    from lakeshack_spark.operators.graph import triangle_stats
+
+    template = ktruss_block_edges()
+    truth = triangle_block_truth()
+    n_blocks = max(1, target_edges // len(template))
+    edges = _planted_blocks(
+        spark, template, n_blocks, KTRUSS_STRIDE
+    ).persist()
+    edges.count()
+
+    t0 = time.monotonic()
+    row = triangle_stats(edges, u="u", v="v").collect()[0]
+    total = time.monotonic() - t0
+
+    want = {k: v * n_blocks for k, v in truth.items()}
+    got = {k: row[k] for k in want}
+    assert got == want, (got, want)
+    expect_cc = 3.0 * want["n_triangles"] / want["n_wedges"]
+    assert row["global_clustering"] == expect_cc, (
+        row["global_clustering"], expect_cc
+    )
+    print(
+        f"triangle_planted: |E| {want['n_edges']} ({n_blocks} blocks) -> "
+        f"census exact ({want['n_triangles']} triangles, "
+        f"{want['n_wedges']} wedges, clustering "
+        f"{row['global_clustering']:.6f}) in {total:.2f}s"
+    )
+    edges.unpersist()
+
+
 def stress_kcore_planted(spark, target_edges: int) -> None:
     from lakeshack_spark.operators.graph import k_core
 
@@ -465,6 +521,7 @@ def main() -> None:
             stress_kcore_planted(spark, sz)
             stress_ktruss_planted(spark, sz)
             stress_pagerank_planted(spark, sz)
+            stress_triangle_planted(spark, sz)
     finally:
         spark.stop()
 
