@@ -284,3 +284,29 @@ def test_scd2_merge_branches(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, again.collect())
     )
+
+
+def test_asof_planted_grid_construction_closed_form(spark):
+    """The stress_asof construction at unit scale: every left row's
+    backward match is the closed-form grid slot (tools/stress_asof)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from pyspark.sql import functions as F
+
+    from tools.stress_asof import STEP, VAL_MULT, build_sides
+
+    left, right = build_sides(spark, 500)
+    out = asof_join(
+        left, right, on="key", left_time="t", right_time="rt",
+        left_key="id",
+    )
+    assert out.count() == 500
+    bad = out.filter(
+        F.expr(
+            f"quote != key * {VAL_MULT} + (t div {STEP}) "
+            f"or rt != (t div {STEP}) * {STEP}"
+        )
+    ).count()
+    assert bad == 0
