@@ -310,3 +310,24 @@ def test_asof_planted_grid_construction_closed_form(spark):
         )
     ).count()
     assert bad == 0
+
+
+def test_sessionize_planted_construction_closed_form(spark):
+    """The stress_sessionize construction at unit scale: session breaks
+    exactly at block boundaries, session_id == 1 + (j div BLOCK)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from pyspark.sql import functions as F
+
+    from lakeshack_spark.operators.relational import sessionize
+    from tools.stress_sessionize import BLOCK, GAP_THRESHOLD, build_events
+
+    ev = build_events(spark, 3 * 1000)  # 3 full users
+    out = sessionize(ev, user_col="user_id", time_col="ts",
+                     gap=GAP_THRESHOLD)
+    assert out.count() == 3000
+    assert out.filter(
+        F.expr(f"session_id != 1 + (j div {BLOCK})")
+    ).count() == 0
