@@ -7667,69 +7667,70 @@ def version_diff_orders(spark, sf_dir):
 #: (VERDICT_r5 item 2, VERDICT_r6 item 5). Cumulative driver-hash
 #: coverage reached 164/164 in r8; the rotation now refreshes the
 #: STALEST proofs each round (testdata is regenerated between rounds, so
-#: the oldest proofs are the least trusted). Round-10 rotation
-#: (VERDICT_r9 item 1) refreshed the 18 r6-era proofs + the first 30
-#: r7-era names. Round-11 rotation (VERDICT_r10 item 2): the remaining
-#: 18 r7-era proofs plus the alphabetically-first 30 of the 48 r8-era
-#: proofs; the remaining 18 r8-era names (q5–q9, quality_score_docs …
-#: window_top2_per_customer) rotate in r12. Every registered entry not
-#: named here follows in registration order, so the full corpus is
+#: the oldest proofs are the least trusted). Round-11 rotation
+#: (VERDICT_r10 item 2) refreshed the 18 r7-era proofs + the first 30
+#: r8-era names. Round-12 rotation (VERDICT_r11 item 1): the remaining
+#: 18 r8-era proofs (q5–q9, quality_score_docs …
+#: window_top2_per_customer) plus the alphabetically-first 30 of the 47
+#: r9-era proofs; the remaining 17 r9-era names (kll-onward through
+#: window_running_and_lag) lead the r13 window. Every registered entry
+#: not named here follows in registration order, so the full corpus is
 #: unchanged — only the order rotates.
 _DRIVER_WINDOW = [
     # core-op anchors (intentionally hashed every round: O1/O3/O6 scan +
     # zone-map prune are the reference's essence)
     "shack_pruned_lookup",
     "scan_filter_project",
-    # r7-era proofs, the 18 remaining (VERDICT_r10 item 2):
-    "q4_order_priority_checking",
-    "quantized_embedding_stats",
-    "repeated_passages_docs",
-    "repetition_stats_docs",
-    "right_outer_order_lineitems",
-    "schema_evolution_orders",
-    "snapshot_agg_orders",
-    "string_agg_region_nations",
-    "term_drift_by_source",
-    "tfidf_top_terms_docs",
-    "time_travel_orders",
-    "time_travel_pruned_lookup",
-    "triangle_census_cosuppliers",
-    "unigram_lm_quality_docs",
-    "unpivot_order_measures",
-    "version_diff_orders",
-    "weighted_sample_docs",
-    "winnow_fingerprint_stats",
-    # r8-era proofs, alphabetical first 30 of 48 (rest rotate in r12):
-    "asof_join_events_orders",
-    "cosine_topk_bruteforce",
-    "cosine_topk_pandas_udf",
-    "cube_orders",
-    "dedup_events_first",
-    "dedup_exact_docs",
-    "dedup_normalized_docs",
-    "doc_fingerprint",
-    "docs_near_deduped",
-    "embedding_near_dup",
-    "grouping_sets_orders",
-    "ivf_topk_full_probe",
-    "json_extract_events",
-    "lang_id_docs",
-    "minhash_dedup_verified",
-    "ngram_jaccard_pairs",
-    "pivot_orderstatus",
-    "q10_returned_item_revenue",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_count_by_part",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q20_excess_quantity_suppliers",
-    "q21_waiting_suppliers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
+    # r8-era proofs, the 18 remaining (VERDICT_r11 item 1):
+    "q5_revenue_by_nation",
+    "q6_forecast_revenue",
+    "q7_volume_by_year",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "quality_score_docs",
+    "retention_cohorts_events",
+    "rollup_lineitem",
+    "salted_agg_lineitem",
+    "sessionize_users",
+    "simhash_near_pairs",
+    "sketch_distinct_and_quantiles",
+    "token_stats_by_lang",
+    "top_terms",
+    "window_range_frame_orders",
+    "window_rank_suite",
+    "window_share_of_total",
+    "window_top2_per_customer",
+    # r9-era proofs, alphabetical first 30 of 47 (rest rotate in r13):
+    "agg_orders_by_status",
+    "anti_join_no_pending",
+    "array_functions_embeddings",
+    "bloom_index_point_lookup",
+    "bpe_pair_counts_docs",
+    "case_bucket_totalprice",
+    "corr_lineitem_qty_tax",
+    "correlated_subquery_above_cust_avg",
+    "count_min_terms",
+    "data_quality_orders",
+    "dedup_cluster_labels",
+    "distinct_status_priority",
+    "entity_resolution_parts",
+    "events_hourly_stats",
+    "full_outer_daily_activity",
+    "fuzzy_join_part_names",
+    "hashed_linear_quality_docs",
+    "heavy_hitter_terms",
+    "hll_index_distinct_orders",
+    "in_list_filter",
+    "in_subquery_hot_parts",
+    "incremental_view_orders",
+    "interpolate_daily_spend",
+    "interval_join_click_purchase",
+    "inverted_index_search_docs",
+    "ivf_assign_cells",
+    "ivfpq_codes_embeddings",
+    "join_broadcast_dim",
+    "kcore_cosuppliers",
+    "kll_index_quantiles_orders",
 ]
 
 def _ordered_names() -> list[str]:
