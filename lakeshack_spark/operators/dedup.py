@@ -46,7 +46,8 @@ def exact_dedup_rows(
     distinct text, with ALL columns intact (``exact_dedup`` returns group
     summaries; this returns the surviving corpus). One shuffle on the
     text digest with map-side partial ``min_by`` — the same
-    partial-combine shape as ``asof_join``, so the post-shuffle volume is
+    partial-combine shape as ``asof_join(strategy="join")``, so the
+    post-shuffle volume is
     one candidate row per distinct text per map partition, not the full
     corpus."""
     keeper = F.min_by(F.struct(*df.columns), F.col(id_col)).alias("__keep")

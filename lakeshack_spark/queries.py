@@ -1031,7 +1031,12 @@ def anti_join_no_pending(spark, sf_dir):
 )
 def asof_join_events_orders(spark, sf_dir):
     """As-of (backward) join: each purchase event picks the latest order of
-    the same user at-or-before the event time (operators.relational)."""
+    the same user at-or-before the event time (operators.relational).
+    Default union carry-forward strategy: one |L|+|R| shuffle on the user
+    key + per-key time sort + running last() — no join, so the
+    intermediate tracks the inputs, not per-user order history (the join
+    strategy's intermediate was the r11 scale soft spot; r12 stress:
+    2.2 s vs 31.7 s at 10M probes, exponent 0.71 → 0.19)."""
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")

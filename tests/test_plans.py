@@ -91,11 +91,49 @@ def test_ivf_assign_is_map_side(spark):
     assert "Window" not in plan, plan
 
 
-def test_asof_join_partial_aggregates_before_shuffle(spark):
-    """The as-of pick-one must be an aggregation with map-side partial
-    combine (shuffle carries one candidate per left row), never a window
-    over the full join output."""
+def test_asof_join_union_strategy_single_shuffle_no_join(spark):
+    """The default (union carry-forward) as-of must never join: ONE hash
+    exchange on the key over the |L|+|R| union, one sort, one running
+    Window — the intermediate tracks the inputs, not the per-key quote
+    history (r12: 2.2 s vs the join form's 31.7 s at 10M probes)."""
+    import re
+
     plan = plans.explain_str(q("asof_join_events_orders", spark))
+    assert "Join" not in plan, plan
+    # one Exchange NODE in the plan tree (formatted explain also repeats
+    # the operator name in its "(9) Exchange" detail header — count tree
+    # entries, which read "Exchange (9)")
+    assert len(re.findall(r"Exchange \(\d+\)", plan)) == 1, plan
+    assert "Window" in plan, plan
+    assert "last(__rrow" in plan, plan
+
+
+def test_asof_join_strategy_partial_aggregates_before_shuffle(spark):
+    """The join-strategy as-of (kept for extreme single-key skew, where
+    AQE can split join partitions but not a window key) must stay an
+    aggregation with map-side partial combine (shuffle carries one
+    candidate per left row), never a window over the full join output."""
+    from lakeshack_spark.operators.relational import asof_join
+    from lakeshack_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("ts_ns"))
+    )
+    o = load_table(spark, SF, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 1000).alias(
+            "order_ns"
+        ),
+    )
+    out = asof_join(
+        ev, o, on="user_id", left_time="ts_ns", right_time="order_ns",
+        left_key="event_id", right_tiebreak="o_orderkey", strategy="join",
+    )
+    plan = plans.explain_str(out)
     assert "Window" not in plan, plan
     assert "partial_max_by" in plan, plan
 

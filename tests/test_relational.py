@@ -38,12 +38,13 @@ def quotes_trades(spark):
 def _by_quote(df):
     return {r["quote_id"]: r for r in df.collect()}
 
-def test_backward_with_tiebreak(spark, quotes_trades):
+@pytest.mark.parametrize("strategy", ["union", "join"])
+def test_backward_with_tiebreak(spark, quotes_trades, strategy):
     quotes, trades = quotes_trades
     out = _by_quote(
         asof_join(
             quotes, trades, on="sym", left_time="qts", right_time="tts",
-            left_key="quote_id", right_tiebreak="trade_id",
+            left_key="quote_id", right_tiebreak="trade_id", strategy=strategy,
         )
     )
     assert len(out) == 5
@@ -59,12 +60,14 @@ def test_backward_with_tiebreak(spark, quotes_trades):
     assert out[5]["trade_id"] is None
 
 
-def test_forward(spark, quotes_trades):
+@pytest.mark.parametrize("strategy", ["union", "join"])
+def test_forward(spark, quotes_trades, strategy):
     quotes, trades = quotes_trades
     out = _by_quote(
         asof_join(
             quotes, trades, on="sym", left_time="qts", right_time="tts",
             left_key="quote_id", right_tiebreak="trade_id", direction="forward",
+            strategy=strategy,
         )
     )
     # forward = least (tts, trade_id) with tts >= qts
@@ -86,13 +89,53 @@ def test_no_left_key_groups_all_columns(spark, quotes_trades):
     assert got[4]["trade_id"] is None
 
 
-def test_column_collision_suffix(spark):
+@pytest.mark.parametrize("strategy", ["union", "join"])
+def test_column_collision_suffix(spark, strategy):
     left = spark.createDataFrame([(1, "k", 10, 1.0)], "id long, k string, t long, price double")
     right = spark.createDataFrame([("k", 5, 2.0)], "k string, rt long, price double")
-    out = asof_join(left, right, on="k", left_time="t", right_time="rt", left_key="id")
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt",
+                    left_key="id", strategy=strategy)
     assert set(out.columns) == {"id", "k", "t", "price", "rt", "price_right"}
     row = out.collect()[0]
     assert (row["price"], row["price_right"]) == (1.0, 2.0)
+
+
+@pytest.mark.parametrize("strategy", ["union", "join"])
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_null_semantics(spark, strategy, direction):
+    """NULL probe times / NULL keys never match (the equi+inequality
+    predicate is null-rejecting in the join form; the union form must
+    agree), and NULL-time or NULL-key quotes can never be carried."""
+    left = spark.createDataFrame(
+        [(1, "A", None), (2, None, 100), (3, "A", 100)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("A", None, 1.0), (None, 50, 2.0), ("A", 90, 3.0), ("A", 150, 4.0)],
+        "k string, rt long, price double",
+    )
+    out = {
+        r["id"]: r["price"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            left_key="id", direction=direction, strategy=strategy,
+        ).collect()
+    }
+    assert out[1] is None and out[2] is None
+    assert out[3] == (3.0 if direction == "backward" else 4.0)
+
+
+def test_asof_union_preserves_duplicate_left_rows(spark):
+    """The union strategy needs no unique left id: exact-duplicate probe
+    rows each survive with their own match (the join form without
+    left_key collapses them — its documented group-by-all fallback)."""
+    left = spark.createDataFrame(
+        [("A", 100), ("A", 100), ("A", 200)], "k string, t long"
+    )
+    right = spark.createDataFrame([("A", 90, 1.0)], "k string, rt long, price double")
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt")
+    assert out.count() == 3
+    assert out.filter("price = 1.0").count() == 3
 
 
 # ----------------------------------------------------------- range join

@@ -1,13 +1,18 @@
 """As-of join decade-up stress: planted grid matches at 1M and 10M left
 rows, every match CLOSED-FORM exact.
 
-The as-of join (operators.relational.asof_join) is the one relational
-operator whose intermediate blows past its inputs: the equi-join on the
-key keeps every right row at-or-before each left row (avg R/2 matches
-per left row) before max_by collapses the group — the 100 TB question
-is whether the map-side partial combine really keeps the SHUFFLE at
-|left| rows while the join intermediate is |left|·R/2. This tool plants
-a closed-form instance and measures exactly that shape:
+The as-of join has two strategies (operators.relational.asof_join) and
+this tool races both on the same planted truth. The join strategy's
+intermediate blows past its inputs: the equi-join on the key keeps
+every right row at-or-before each left row (avg R/2 matches per left
+row) before max_by collapses the group, so even with the map-side
+partial combine keeping the SHUFFLE at |left| rows, the |left|·R/2
+intermediate scan dominates (r11 measured exponent 0.71 across the
+decade). The union carry-forward strategy (default since r12) never
+joins — one |L|+|R| shuffle + per-key sort + running last() — so its
+cost tracks the inputs: r12 measured 1.45 s @ 1M → 2.24 s @ 10M
+(exponent 0.19) vs the join form's 6.8 s → 31.7 s. This tool plants a
+closed-form instance and measures exactly that shape:
 
 - right side: K keys × R grid quotes per key at times g·S, value
   key·1000003 + g (derivable from the key and grid slot alone);
@@ -20,7 +25,10 @@ a closed-form instance and measures exactly that shape:
 
 Sizes default to 1M and 10M left rows against 10k keys × 100 quotes
 (1M right rows; ~50 right matches per left row on average, i.e. a
-~500M-row join intermediate at the 10M point). Usage:
+~500M-row join intermediate at the 10M point — which only the join
+strategy ever materializes; the union strategy's intermediate is the
+11M-row union itself). Both strategies run per size, both asserted
+against the same closed form. Usage:
 
     python tools/stress_asof.py [left_sizes_csv]
 """
@@ -69,7 +77,9 @@ def build_sides(spark, n_left: int):
     return left, right
 
 
-def stress_asof(spark, n_left: int, warmup: bool = False) -> None:
+def stress_asof(
+    spark, n_left: int, strategy: str, warmup: bool = False
+) -> None:
     left, right = build_sides(spark, n_left)
     left = left.persist()
     right = right.persist()
@@ -78,7 +88,7 @@ def stress_asof(spark, n_left: int, warmup: bool = False) -> None:
     t0 = time.monotonic()
     out = asof_join(
         left, right, on="key", left_time="t", right_time="rt",
-        left_key="id",
+        left_key="id", strategy=strategy,
     ).persist()
     n_out = out.count()
     total = time.monotonic() - t0
@@ -94,12 +104,16 @@ def stress_asof(spark, n_left: int, warmup: bool = False) -> None:
     ).count()
     assert bad == 0, f"{bad} rows off the closed-form as-of match"
     avg_matches = (R_QUOTES + 1) / 2
+    shape = (
+        f"|L|+|R| = {n_l + n_r} scan intermediate"
+        if strategy == "union"
+        else f"~{int(n_l * avg_matches)} join intermediate"
+    )
     tag = " (warm-up, uncounted)" if warmup else ""
     print(
-        f"asof_planted{tag}: left {n_l} x right {n_r} ({K_KEYS} keys, "
-        f"~{avg_matches:.0f} matches/row -> ~{int(n_l * avg_matches)} "
-        f"join intermediate) in {total:.2f}s; every match closed-form "
-        f"exact"
+        f"asof_planted[{strategy}]{tag}: left {n_l} x right {n_r} "
+        f"({K_KEYS} keys, ~{avg_matches:.0f} matches/row -> {shape}) in "
+        f"{total:.2f}s; every match closed-form exact"
     )
     out.unpersist()
     left.unpersist()
@@ -116,9 +130,10 @@ def main() -> None:
     try:
         # uncounted warm-up (positional, not size-membership — the
         # stress_ivf ADVICE r10 rule)
-        stress_asof(spark, 50_000, warmup=True)
+        stress_asof(spark, 50_000, "union", warmup=True)
         for n in sizes:
-            stress_asof(spark, n)
+            for strategy in ("union", "join"):
+                stress_asof(spark, n, strategy)
     finally:
         spark.stop()
 
