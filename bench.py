@@ -125,22 +125,38 @@ def adjudication_verdict(
 
 
 def select_headline_adjudications(
-    timings: dict, steady: dict, replay_queries: dict, cap: int = 4
+    timings: dict,
+    steady: dict,
+    replay_queries: dict,
+    cap: int = 4,
+    replay_steady: dict | None = None,
 ) -> list[str]:
     """Headline keys whose official run loses to the same-run replay
     beyond the noise band (VERDICT_r10 item 3: ivf_topk_full_probe's
     median ran 1.6× its own first run with no on-record adjudication).
 
     A key is selected only when its best-of-3 official (min of first and
-    steady — the replay's compact line carries first-run numbers, so the
-    comparison uses our strongest same-methodology evidence) still loses
-    beyond ADJ_NOISE_BAND. Worst ratio first, capped so a run-wide noisy
-    box can't triple the bench; pure for tests."""
+    steady) still loses beyond ADJ_NOISE_BAND against the replay's own
+    best evidence: min of its first-run and steady numbers when the
+    replay's full record is available (ADVICE r11 — best-vs-first was
+    asymmetric, so regressions smaller than the per-query codegen margin
+    could never be selected), falling back to first-run-only for old
+    replays whose compact line is all we could parse. Worst ratio first,
+    capped so a run-wide noisy box can't triple the bench; pure for
+    tests."""
     losses = []
     for name, first in timings.items():
-        rep = replay_queries.get(name)
-        if not isinstance(rep, (int, float)) or rep <= 0:
+        reps = [
+            v
+            for v in (
+                replay_queries.get(name),
+                (replay_steady or {}).get(name),
+            )
+            if isinstance(v, (int, float)) and v > 0
+        ]
+        if not reps:
             continue
+        rep = min(reps)
         best = min(first, steady.get(name, first))
         if best > rep * ADJ_NOISE_BAND * (1 + ADJ_BAND_EPS):
             losses.append((best / rep, name))
@@ -789,7 +805,12 @@ def main() -> None:
     # noise window the sentinels missed (the CLAUDE.md-documented
     # failure mode), while re-measures that ALSO miss on a quiet
     # section are the genuine regression the floor exists to catch.
-    rep_stream = replay_parsed.get("stream_merge_rows_per_sec")
+    # compact-line name first, full-record name second (bench_replay
+    # prefers the full record since r12)
+    rep_stream = replay_parsed.get(
+        "stream_merge_rows_per_sec",
+        replay_parsed.get("stream_merge_versioned_rows_per_sec"),
+    )
     stream_entry: dict = {
         "official": stream_rows_per_sec,
         "replay": rep_stream,
@@ -821,22 +842,41 @@ def main() -> None:
     # replay beyond the band gets 3 guarded re-measures on the record
     # (bounded at the worst 4 so a contended box can't triple the run).
     replay_queries = replay_parsed.get("queries") or {}
+    replay_steady = replay_parsed.get("queries_steady") or {}
+    if replay_parsed and not replay_queries:
+        # ADVICE r11: a replay record without per-query timings (e.g. a
+        # compact line that popped 'queries' past the driver's tail)
+        # silently disabled headline adjudication — say so on the record
+        # instead.
+        adjudication["headline_replay_queries"] = {
+            "verdict": "no_replay",
+            "note": (
+                "replay record carried no per-query timings; headline "
+                "auto-adjudication disabled this run"
+            ),
+        }
     for hl_name in select_headline_adjudications(
-        timings, steady, replay_queries
+        timings, steady, replay_queries, replay_steady=replay_steady
     ):
         hl_runs = run_guarded(
             f"adjudicate_headline_{hl_name}",
             lambda n=hl_name: [round(run(n), 3) for _ in range(3)],
         )
+        hl_reps = [
+            v
+            for v in (replay_queries.get(hl_name), replay_steady.get(hl_name))
+            if isinstance(v, (int, float)) and v > 0
+        ]
         adjudication[f"headline_{hl_name}"] = {
             "official": timings[hl_name],
             "official_steady": steady[hl_name],
-            "replay": replay_queries[hl_name],
+            "replay": replay_queries.get(hl_name),
+            "replay_steady": replay_steady.get(hl_name),
             "requiet_runs": hl_runs,
             "requiet_steady": min(hl_runs),
             "verdict": adjudication_verdict(
                 min(timings[hl_name], steady[hl_name]),
-                replay_queries[hl_name],
+                min(hl_reps),
                 hl_runs,
             ),
         }

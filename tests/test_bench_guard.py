@@ -215,3 +215,41 @@ def test_select_headline_adjudications():
     assert sel({"a": 9.0}, {"a": 9.0}, {}) == []
     # band boundary inclusive: best == 1.3 * replay is NOT a loss
     assert sel({"a": 1.3}, {"a": 1.3}, {"a": 1.0}) == []
+    # ADVICE r11: replay best = min(first, steady) — a loss invisible
+    # against the replay's codegen-inclusive first run is selected once
+    # its steady number is available
+    assert sel({"a": 2.0}, {"a": 2.0}, {"a": 1.8}) == []
+    assert sel(
+        {"a": 2.0}, {"a": 2.0}, {"a": 1.8}, replay_steady={"a": 1.0}
+    ) == ["a"]
+    # steady-only replay evidence works when first-run is absent
+    assert sel({"a": 2.0}, {"a": 2.0}, {}, replay_steady={"a": 1.0}) == ["a"]
+    # non-numeric steady values are skipped, not fatal
+    assert sel(
+        {"a": 2.0}, {"a": 2.0}, {"a": 1.8}, replay_steady={"a": "err"}
+    ) == []
+
+
+def test_bench_replay_pick_parsed_prefers_full_record():
+    """ADVICE r11: the replay must prefer the full-record line (which
+    carries 'queries'/'queries_steady') over the compact last line,
+    which pops 'queries' past the driver's 1500-char tail."""
+    import json as _json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.bench_replay import pick_parsed
+
+    full = {"metric": "m", "queries": {"a": 1.0}, "queries_steady": {"a": 0.9}}
+    compact = {"metric": "m", "value": 1.0}
+    out = "\n".join(["noise", _json.dumps(full), _json.dumps(compact)])
+    parsed, which = pick_parsed(out)
+    assert which == "full" and parsed["queries"] == {"a": 1.0}
+    # compact-only output (old replays): last JSON line, marked
+    parsed, which = pick_parsed(_json.dumps(compact))
+    assert which == "compact_no_queries" and parsed == compact
+    # unparseable / merged progress chunks are skipped, not fatal
+    parsed, which = pick_parsed("{broken\n" + _json.dumps(compact))
+    assert parsed == compact
+    assert pick_parsed("no json at all") == (None, "none")

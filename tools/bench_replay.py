@@ -55,6 +55,32 @@ def resolve_previous_round_ref() -> tuple[str, str] | None:
     return None
 
 
+def pick_parsed(stdout: str) -> tuple[dict | None, str]:
+    """Pick the replayed bench's record from its stdout JSON lines.
+
+    The replayed bench (r5+) prints the FULL record on an earlier line
+    and a compact line last; the compact line POPS 'queries' past the
+    driver's 1500-char tail, which silently disabled the caller's
+    headline adjudication (ADVICE r11). Prefer the last line that still
+    carries per-query timings — it also brings 'queries_steady',
+    enabling best-vs-best comparison — and say which line was used so a
+    missing-queries replay is visible on the record. Pure for tests."""
+    parsed_lines = []
+    for line in stdout.strip().splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                parsed_lines.append(json.loads(line))
+            except json.JSONDecodeError:
+                continue  # progress-bar chunk merged into the line
+    if not parsed_lines:
+        return None, "none"
+    full = [p for p in parsed_lines if isinstance(p.get("queries"), dict)]
+    if full:
+        return full[-1], "full"
+    return parsed_lines[-1], "compact_no_queries"
+
+
 def replay(ref: str | None = None, timeout: int = 900) -> dict:
     if ref is None:
         resolved = resolve_previous_round_ref()
@@ -90,12 +116,12 @@ def replay(ref: str | None = None, timeout: int = 900) -> dict:
         if proc.returncode != 0:
             result["error"] = (proc.stderr or proc.stdout)[-2000:]
             return result
-        for line in reversed(proc.stdout.strip().splitlines()):
-            line = line.strip()
-            if line.startswith("{"):
-                result["parsed"] = json.loads(line)
-                return result
-        result["error"] = "no JSON line in replayed bench output"
+        parsed, which = pick_parsed(proc.stdout)
+        if parsed is None:
+            result["error"] = "no JSON line in replayed bench output"
+            return result
+        result["parsed"] = parsed
+        result["parsed_line"] = which
         return result
     except subprocess.TimeoutExpired:
         result["error"] = f"replay timed out after {timeout}s"

@@ -72,8 +72,12 @@ def stress_sessionize(spark, n_rows: int, warmup: bool = False) -> None:
     n_sessions = (
         out.select("user_id", "session_id").distinct().count()
     )
-    assert n_sessions == n_users * sessions_per_user, (
-        n_sessions, n_users, sessions_per_user
+    # A non-multiple-of-EVENTS_PER_USER size leaves a partial last user
+    # with ceil(m/BLOCK) sessions of their own (ADVICE r11).
+    tail = n % EVENTS_PER_USER
+    expected_sessions = n_users * sessions_per_user + -(-tail // BLOCK)
+    assert n_sessions == expected_sessions, (
+        n_sessions, expected_sessions, n_users, sessions_per_user, tail
     )
     tag = " (warm-up, uncounted)" if warmup else ""
     print(
