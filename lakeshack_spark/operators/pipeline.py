@@ -55,6 +55,7 @@ def clean_corpus(
     cfg: CleanConfig = CleanConfig(),
     text_col: str = "text",
     id_col: str = "doc_id",
+    stage_stats: list | None = None,
 ) -> DataFrame:
     """Returns the cleaned corpus: language/quality/repetition-filtered,
     PII-masked (``text_masked`` column), exact-deduped, and near-deduped
@@ -88,7 +89,17 @@ def clean_corpus(
     handle a long-lived session must ``unpersist()`` when done. (An
     earlier version leaked the drop-set cache with no caller-visible
     handle, one retained frame per invocation.)
+
+    ``stage_stats`` (the graph.round_stats convention, VERDICT_r11 item
+    3's spike profile): pass a list to receive ``(stage, wall_sec)``
+    tuples for the three job boundaries — ``survivors_materialize``
+    (scan + quality trio + PII + exact dedup, pinned eagerly here ONLY
+    when profiling, so the drop-set wall reads cache instead of folding
+    the upstream in), ``drop_set`` (the multi-pass LSH discovery), and
+    ``anti_join_materialize``. ``None`` (default) adds zero work — the
+    non-profiled path is unchanged.
     """
+    import time as _time
     from lakeshack_spark.session import spread_small_input
 
     # The quality trio's per-row expression trees serialize on one core
@@ -112,6 +123,13 @@ def clean_corpus(
     df = dedup.exact_dedup_rows(df, text_col, id_col)
     if cfg.near_dedup:
         df = df.persist()
+        if stage_stats is not None:
+            t0 = _time.time()
+            df.count()
+            stage_stats.append(
+                ("survivors_materialize", round(_time.time() - t0, 3))
+            )
+            t0 = _time.time()
         # Drop-set (not all-pairs) discovery: a corpus with big duplicate
         # clusters has ~cluster² verified pairs but only needs one
         # verified earlier-match per doc — minhash_drop_set verifies
@@ -120,10 +138,17 @@ def clean_corpus(
             df.select(id_col, text_col), text_col, id_col,
             threshold=cfg.jaccard_threshold, **cfg.minhash_cfg,
         )
+        if stage_stats is not None:
+            stage_stats.append(("drop_set", round(_time.time() - t0, 3)))
+            t0 = _time.time()
         survivors = df
         df = df.join(drops, id_col, "left_anti").persist()
         df.count()  # eager: pin the result BEFORE releasing its lineage's
         # caches (a lazy persist would recompute per consumer — CLAUDE.md)
+        if stage_stats is not None:
+            stage_stats.append(
+                ("anti_join_materialize", round(_time.time() - t0, 3))
+            )
         drops.unpersist()
         survivors.unpersist()
     return df

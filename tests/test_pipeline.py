@@ -32,6 +32,24 @@ def test_clean_corpus_monotone_and_deterministic(spark, docs):
     assert "text_masked" in out1.columns
 
 
+def test_clean_corpus_stage_stats(spark, docs):
+    """The profiling hook (VERDICT_r11 item 3) records exactly the three
+    job boundaries, in order, without changing the result."""
+    cfg = CleanConfig()
+    stages: list = []
+    out = clean_corpus(docs, cfg, stage_stats=stages)
+    assert [s for s, _ in stages] == [
+        "survivors_materialize", "drop_set", "anti_join_materialize",
+    ]
+    assert all(isinstance(w, float) and w >= 0 for _, w in stages)
+    ids_profiled = sorted(r.doc_id for r in out.select("doc_id").collect())
+    out.unpersist()
+    plain = clean_corpus(docs, cfg)
+    ids_plain = sorted(r.doc_id for r in plain.select("doc_id").collect())
+    plain.unpersist()
+    assert ids_profiled == ids_plain
+
+
 def test_clean_keep_earliest_rule(spark, docs):
     cfg = CleanConfig()
     out = clean_corpus(docs, cfg)
