@@ -246,6 +246,16 @@ def test_bench_replay_pick_parsed_prefers_full_record():
     out = "\n".join(["noise", _json.dumps(full), _json.dumps(compact)])
     parsed, which = pick_parsed(out)
     assert which == "full" and parsed["queries"] == {"a": 1.0}
+    # a small compact line carries 'queries' too — the full record
+    # (with queries_steady) must still win
+    compact_q = {"metric": "m", "value": 1.0, "queries": {"a": 1.1}}
+    parsed, which = pick_parsed(
+        "\n".join([_json.dumps(full), _json.dumps(compact_q)])
+    )
+    assert which == "full" and parsed["queries_steady"] == {"a": 0.9}
+    # queries-but-no-steady output (old replays): marked as such
+    parsed, which = pick_parsed(_json.dumps(compact_q))
+    assert which == "queries_no_steady" and parsed == compact_q
     # compact-only output (old replays): last JSON line, marked
     parsed, which = pick_parsed(_json.dumps(compact))
     assert which == "compact_no_queries" and parsed == compact

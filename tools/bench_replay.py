@@ -75,10 +75,21 @@ def pick_parsed(stdout: str) -> tuple[dict | None, str]:
                 continue  # progress-bar chunk merged into the line
     if not parsed_lines:
         return None, "none"
-    full = [p for p in parsed_lines if isinstance(p.get("queries"), dict)]
-    if full:
-        return full[-1], "full"
-    return parsed_lines[-1], "compact_no_queries"
+    # A compact line under the tail limit ALSO carries 'queries' (same
+    # first-run values) but never 'queries_steady' — rank full-record
+    # lines above it so best-vs-best adjudication keeps its evidence.
+    def rank(p: dict) -> int:
+        if isinstance(p.get("queries_steady"), dict):
+            return 2
+        if isinstance(p.get("queries"), dict):
+            return 1
+        return 0
+
+    best = max(rank(p) for p in parsed_lines)
+    picked = [p for p in parsed_lines if rank(p) == best][-1]
+    return picked, {2: "full", 1: "queries_no_steady", 0: "compact_no_queries"}[
+        best
+    ]
 
 
 def replay(ref: str | None = None, timeout: int = 900) -> dict:

@@ -126,13 +126,20 @@ def main() -> None:
         for s in (sys.argv[1] if len(sys.argv) > 1 else "1000000,10000000").split(",")
         if s
     ]
+    # second arg: strategies csv (default both) — e.g. union-only for a
+    # 100M decade point where the join form's ~5G-row intermediate is
+    # pure wait, not signal
+    strategies = [
+        s for s in (sys.argv[2] if len(sys.argv) > 2 else "union,join").split(",")
+        if s
+    ]
     spark = get_spark(app_name="stress_asof")
     try:
         # uncounted warm-up (positional, not size-membership — the
         # stress_ivf ADVICE r10 rule)
-        stress_asof(spark, 50_000, "union", warmup=True)
+        stress_asof(spark, 50_000, strategies[0], warmup=True)
         for n in sizes:
-            for strategy in ("union", "join"):
+            for strategy in strategies:
                 stress_asof(spark, n, strategy)
     finally:
         spark.stop()
