@@ -125,6 +125,51 @@ def test_asof_null_semantics(spark, strategy, direction):
     assert out[3] == (3.0 if direction == "backward" else 4.0)
 
 
+def test_asof_strategies_agree_on_adversarial_matrix(spark):
+    """Union and join strategies are the SAME operator: on a seeded
+    matrix dense with equal-time ties, duplicate quote times, missing
+    keys, and NULLs in every role, both directions must return
+    identical row sets (the tiebreak makes the pick deterministic)."""
+    import random
+
+    rng = random.Random(42)
+    syms = ["A", "B", "C", "D", "E"]
+    left_rows = [
+        (
+            i,
+            rng.choice(syms + [None]),
+            rng.choice([None] + list(range(0, 50))),
+        )
+        for i in range(300)
+    ]
+    right_rows = [
+        (
+            rng.choice(syms + [None]),
+            rng.choice([None] + list(range(0, 50))),
+            float(j),
+            j,
+        )
+        for j in range(120)
+    ]
+    left = spark.createDataFrame(left_rows, "id long, k string, t long")
+    right = spark.createDataFrame(
+        right_rows, "k string, rt long, price double, trade_id long"
+    )
+    for direction in ("backward", "forward"):
+        results = {}
+        for strategy in ("union", "join"):
+            out = asof_join(
+                left, right, on="k", left_time="t", right_time="rt",
+                left_key="id", right_tiebreak="trade_id",
+                direction=direction, strategy=strategy,
+            )
+            results[strategy] = sorted(
+                (r["id"], r["rt"], r["price"], r["trade_id"])
+                for r in out.collect()
+            )
+        assert results["union"] == results["join"], direction
+
+
 def test_asof_union_preserves_duplicate_left_rows(spark):
     """The union strategy needs no unique left id: exact-duplicate probe
     rows each survive with their own match (the join form without
