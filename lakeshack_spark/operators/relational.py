@@ -52,9 +52,12 @@ def asof_join(
     partition pre-collapses to ONE candidate per left row before the
     shuffle — the shuffle carries |left| rows, but the join intermediate
     itself is |left|·(avg matches/row) and dominates when per-key quote
-    history is deep. Prefer it only when one key is EXTREMELY hot (AQE
-    skew-join splits join partitions; a window key cannot be split) or
-    when the right side is broadcast-small. Requires ``left_key`` to be
+    history is deep. Prefer it only when one key is EXTREMELY hot (a
+    broadcast-small right side keeps the join map-side and the partial
+    combine parallel, while a window key cannot be split: measured on
+    the 10M-probe single-key stress leg, join 10.0 s vs union 30.8 s —
+    the exact inverse of the balanced-key decade, union 2.2 s vs join
+    31.7 s; ``tools/stress_asof.py ... hotkey``). Requires ``left_key`` to be
     a unique left row id (omit it to group by all left columns instead):
     with a non-unique key the group mixes several left rows, and the
     any_value(left)/max_by(right) pair could come from DIFFERENT left

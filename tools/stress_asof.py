@@ -53,24 +53,29 @@ VAL_MULT = 1_000_003
 SCATTER = 2_654_435_761  # Knuth multiplicative constant — deterministic
 
 
-def build_sides(spark, n_left: int):
+def build_sides(spark, n_left: int, n_keys: int = K_KEYS):
+    """Planted grid over ``n_keys`` keys; ``n_keys=1`` is the hot-key
+    worst case for the union strategy (EVERY row lands in one window
+    group — the caveat asof_join's docstring documents: a window key
+    cannot be AQE-skew-split, so the group sorts/buffers on one task
+    with spill). The closed form is key-count independent."""
     par = spark.sparkContext.defaultParallelism
     t_range = R_QUOTES * STEP
     left = (
         spark.range(n_left, numPartitions=par)
         .select(
             F.col("id"),
-            (F.col("id") % K_KEYS).alias("key"),
+            (F.col("id") % n_keys).alias("key"),
             ((F.col("id") * SCATTER) % t_range).alias("t"),
         )
     )
     right = (
-        spark.range(K_KEYS * R_QUOTES, numPartitions=par)
+        spark.range(n_keys * R_QUOTES, numPartitions=par)
         .select(
-            (F.col("id") % K_KEYS).alias("key"),
-            F.expr(f"(id div {K_KEYS}) * {STEP}").alias("rt"),
+            (F.col("id") % n_keys).alias("key"),
+            F.expr(f"(id div {n_keys}) * {STEP}").alias("rt"),
             F.expr(
-                f"(id % {K_KEYS}) * {VAL_MULT} + (id div {K_KEYS})"
+                f"(id % {n_keys}) * {VAL_MULT} + (id div {n_keys})"
             ).alias("quote"),
         )
     )
@@ -78,9 +83,10 @@ def build_sides(spark, n_left: int):
 
 
 def stress_asof(
-    spark, n_left: int, strategy: str, warmup: bool = False
+    spark, n_left: int, strategy: str, warmup: bool = False,
+    n_keys: int = K_KEYS,
 ) -> None:
-    left, right = build_sides(spark, n_left)
+    left, right = build_sides(spark, n_left, n_keys)
     left = left.persist()
     right = right.persist()
     n_l, n_r = left.count(), right.count()
@@ -110,10 +116,11 @@ def stress_asof(
         else f"~{int(n_l * avg_matches)} join intermediate"
     )
     tag = " (warm-up, uncounted)" if warmup else ""
+    hot = " HOT-KEY" if n_keys == 1 else ""
     print(
         f"asof_planted[{strategy}]{tag}: left {n_l} x right {n_r} "
-        f"({K_KEYS} keys, ~{avg_matches:.0f} matches/row -> {shape}) in "
-        f"{total:.2f}s; every match closed-form exact"
+        f"({n_keys}{hot} keys, ~{avg_matches:.0f} matches/row -> {shape}) "
+        f"in {total:.2f}s; every match closed-form exact"
     )
     out.unpersist()
     left.unpersist()
@@ -133,14 +140,17 @@ def main() -> None:
         s for s in (sys.argv[2] if len(sys.argv) > 2 else "union,join").split(",")
         if s
     ]
+    # third arg: "hotkey" collapses the grid to ONE key — the union
+    # strategy's documented worst case (one window group on one task)
+    n_keys = 1 if (len(sys.argv) > 3 and sys.argv[3] == "hotkey") else K_KEYS
     spark = get_spark(app_name="stress_asof")
     try:
         # uncounted warm-up (positional, not size-membership — the
         # stress_ivf ADVICE r10 rule)
-        stress_asof(spark, 50_000, strategies[0], warmup=True)
+        stress_asof(spark, 50_000, strategies[0], warmup=True, n_keys=n_keys)
         for n in sizes:
             for strategy in strategies:
-                stress_asof(spark, n, strategy)
+                stress_asof(spark, n, strategy, n_keys=n_keys)
     finally:
         spark.stop()
 
