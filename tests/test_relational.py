@@ -147,7 +147,10 @@ def test_asof_strategies_agree_on_adversarial_matrix(spark):
             rng.choice(syms + [None]),
             rng.choice([None] + list(range(0, 50))),
             float(j),
-            j,
+            # occasional NULL tiebreaks: struct-compare treats NULL as
+            # smallest in max_by/min_by; the union sort's nulls-first
+            # (asc) / nulls-last (desc) defaults must agree
+            None if j % 11 == 0 else j,
         )
         for j in range(120)
     ]
@@ -155,6 +158,10 @@ def test_asof_strategies_agree_on_adversarial_matrix(spark):
     right = spark.createDataFrame(
         right_rows, "k string, rt long, price double, trade_id long"
     )
+
+    def key(row):
+        return tuple((v is None, v) for v in row)
+
     for direction in ("backward", "forward"):
         results = {}
         for strategy in ("union", "join"):
@@ -164,8 +171,11 @@ def test_asof_strategies_agree_on_adversarial_matrix(spark):
                 direction=direction, strategy=strategy,
             )
             results[strategy] = sorted(
-                (r["id"], r["rt"], r["price"], r["trade_id"])
-                for r in out.collect()
+                (
+                    (r["id"], r["rt"], r["price"], r["trade_id"])
+                    for r in out.collect()
+                ),
+                key=key,
             )
         assert results["union"] == results["join"], direction
 
