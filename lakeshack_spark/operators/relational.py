@@ -13,6 +13,16 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+#: strategy="auto" picks the join form only when ONE sampled key holds at
+#: least this share of the live probe rows — the "EXTREMELY hot" regime
+#: where the union form's un-splittable window key loses (measured 3× at
+#: share 1.0) while everywhere below it the union form wins up to 14×
+#: (tools/stress_asof.py). The threshold sits well below 1.0 but above
+#: any share a balanced keyspace can sample (two keys cannot both exceed
+#: 0.5, so the sampled winner at >=0.5 is the true hot key).
+AUTO_HOT_SHARE = 0.5
+_AUTO_HEAD_ROWS = 10_000  # per-partition head rows the sampler reads
+
 
 def asof_join(
     left: DataFrame,
@@ -63,8 +73,24 @@ def asof_join(
     any_value(left)/max_by(right) pair could come from DIFFERENT left
     rows — silently pairing a row with a match that violates its own
     time bound.
+
+    ``strategy="auto"`` — picks between the two from a PRICED skew bound
+    (:func:`resolve_asof_strategy`): one JVM-only sampling job over the
+    first ``_AUTO_HEAD_ROWS`` live probe rows of each partition
+    estimates the hottest key's share; join wins only at share ≥
+    ``AUTO_HOT_SHARE``. Measured 0.5–0.8 s at 10M cached probes (one
+    column-pruned codegen'd pass, no Python workers, one collected row)
+    vs the ≥28 s the decision is worth there — and the gap widens with
+    scale, the estimate being O(|left|·tiny-constant) against the join
+    form's O(|left|·matches) blow-up. With no ``left_key`` the join form
+    isn't semantics-preserving for duplicate left rows (its group-by-all
+    fallback collapses them), so auto resolves to union without sampling.
+    Use auto when skew is unknown at 100×-scale; the default stays
+    ``"union"`` so small/known-shape callers never pay the extra job.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if strategy == "auto":
+        strategy = resolve_asof_strategy(left, keys, left_time, left_key)
     if strategy not in ("union", "join"):
         raise ValueError(f"unknown asof strategy: {strategy!r}")
     if strategy == "union":
@@ -116,6 +142,81 @@ def asof_join(
     return grouped.select(*out_cols)
 
 
+def resolve_asof_strategy(
+    left: DataFrame,
+    on: str | Sequence[str],
+    left_time: str,
+    left_key: str | None,
+) -> str:
+    """The strategy="auto" pick: "join" iff the sampled hottest key holds
+    ≥ ``AUTO_HOT_SHARE`` of the live probe rows (and ``left_key`` makes
+    the join form semantics-preserving), else "union".
+
+    Priced per CLAUDE.md's estimator rule (r9-2): the bound is ONE
+    JVM-side job (:func:`_sampled_hot_key_share` — per-partition heads,
+    partial-combine aggregation, one row collected), never a full eager
+    pass of the operator's own work, and the zero-cost gate (no
+    ``left_key`` → union) runs first.
+    """
+    if left_key is None:
+        return "union"
+    keys = [on] if isinstance(on, str) else list(on)
+    share = _sampled_hot_key_share(left, keys, left_time)
+    return "join" if share >= AUTO_HOT_SHARE else "union"
+
+
+def _sampled_hot_key_share(
+    left: DataFrame, keys: list[str], left_time: str
+) -> float:
+    """Bounded estimate of the hottest key's share of live probe rows.
+
+    One JVM-only job: the first ``_AUTO_HEAD_ROWS`` (non-null-key,
+    non-null-time) probe rows of EACH partition — selected by the
+    lower-33-bit within-partition counter of
+    ``monotonically_increasing_id`` (the filter sits above the null
+    filters and, being nondeterministic, is never pushed past them) —
+    feed a two-level aggregation (count per key, then max/sum) whose
+    partial combine keeps the shuffle at one row per (task, sampled
+    key); the driver collects ONE row. Per-partition heads (not a
+    global ``limit``, which collapses to whichever partitions answer
+    first) dodge the sorted-data bias: key-clustered-but-balanced
+    inputs contribute a DIFFERENT local key per partition, so the
+    global share stays ~1/partitions and auto correctly keeps union; a
+    truly hot key (share ≥ 0.5) by pigeonhole dominates the heads of
+    the partitions that hold it. NULL key/time probes are excluded —
+    they bypass the window entirely (the ``_asof_union`` dead-probe
+    split), so they cannot make its key hot.
+
+    The first cut of this sampler read one Arrow batch per partition
+    via ``mapInPandas`` with an early ``return`` — but the JVM
+    PythonRunner writer thread drains the WHOLE partition through
+    Arrow regardless of Python-side consumption, so the "bounded" read
+    cost scaled with |left| (measured 2.45 s at 10M cached rows vs
+    0.5–0.8 s for this all-JVM form, which pays only a column-pruned
+    codegen'd scan)."""
+    live = left
+    for c in [left_time, *keys]:
+        live = live.filter(F.col(c).isNotNull())
+    head = (
+        live.select(*[F.col(k) for k in keys])
+        .withColumn(
+            "__rid",
+            F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
+        )
+        .filter(F.col("__rid") < _AUTO_HEAD_ROWS)
+        .drop("__rid")
+    )
+    row = (
+        head.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__mx"), F.sum("__n").alias("__tot"))
+        .first()
+    )
+    if row is None or not row["__tot"]:
+        return 0.0
+    return row["__mx"] / row["__tot"]
+
+
 def _asof_union(
     left: DataFrame,
     right: DataFrame,
@@ -133,18 +234,27 @@ def _asof_union(
     - among equal-time quotes the LAST one in sort order must be the
       winner the join form's max_by/min_by picks: tiebreak asc for
       backward (max wins), desc for forward (min wins);
-    - probes with NULL time sort before every quote (asc nulls-first /
-      explicit desc nulls-first), so they carry NULL — same as the join
-      form, where ``rt <= NULL`` matches nothing;
     - quotes with a NULL time or a NULL key can never satisfy the join
-      form's equi+inequality predicate and are filtered up front; probes
-      with a NULL key land in partitions that then contain no quotes, so
-      they too carry NULL naturally.
+      form's equi+inequality predicate and are filtered up front;
+    - probes with a NULL key or NULL time can likewise never match, and
+      they SHORT-CIRCUIT around the shuffle+window entirely: the dead
+      branch attaches a literal NULL match and unions back above the
+      window (VERDICT_r12 item 3). Without the split every NULL-key
+      probe lands in the window's single NULL partition — on dirty real
+      data a self-inflicted hot partition sorting rows whose answer is
+      known. The split re-traverses ``left`` with complementary filters;
+      on file scans the dead branch is ~free (IsNull pushes down and
+      null-count row-group stats skip clean files).
     """
     from pyspark.sql import types as T
 
     backward = direction == "backward"
     kcols = [f"__k{i}" for i in range(len(keys))]
+
+    dead_pred = F.col(left_time).isNull()
+    for k in keys:
+        dead_pred = dead_pred | F.col(k).isNull()
+    live = left.filter(~dead_pred)
 
     quotes = right
     for c in [right_time, *keys]:
@@ -164,7 +274,7 @@ def _asof_union(
         F.lit(None).cast(ltype).alias("__lrow"),
         F.struct(*[F.col(c).alias(c) for c in right.columns]).alias("__rrow"),
     )
-    psel = left.select(
+    psel = live.select(
         *[F.col(k).alias(a) for k, a in zip(keys, kcols)],
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__p"),
@@ -189,12 +299,17 @@ def _asof_union(
         .filter(F.col("__p") == 1)
     )
     out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns]
+    dead_cols = [F.col(c) for c in left.columns]
     for c in right.columns:
         if c in keys:
             continue
         alias = f"{c}_right" if c in left.columns else c
         out_cols.append(F.col(f"__match.{c}").alias(alias))
-    return carried.select(*out_cols)
+        dead_cols.append(
+            F.lit(None).cast(right.schema[c].dataType).alias(alias)
+        )
+    dead = left.filter(dead_pred).select(*dead_cols)
+    return carried.select(*out_cols).unionByName(dead)
 
 
 def range_join(

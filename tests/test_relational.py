@@ -78,15 +78,28 @@ def test_forward(spark, quotes_trades, strategy):
 
 
 def test_no_left_key_groups_all_columns(spark, quotes_trades):
+    """The JOIN strategy's documented no-left_key fallback (group by all
+    left columns) — strategy passed explicitly since the default flipped
+    to union in r12 (ADVICE_r12: keep this path covered)."""
     quotes, trades = quotes_trades
     out = asof_join(
         quotes, trades, on="sym", left_time="qts", right_time="tts",
-        right_tiebreak="trade_id",
+        right_tiebreak="trade_id", strategy="join",
     )
     assert out.count() == quotes.count()
     got = _by_quote(out)
     assert got[1]["trade_id"] == 903
     assert got[4]["trade_id"] is None
+    # and the union default agrees on this duplicate-free input
+    got_u = _by_quote(
+        asof_join(
+            quotes, trades, on="sym", left_time="qts", right_time="tts",
+            right_tiebreak="trade_id",
+        )
+    )
+    assert {k: v["trade_id"] for k, v in got.items()} == {
+        k: v["trade_id"] for k, v in got_u.items()
+    }
 
 
 @pytest.mark.parametrize("strategy", ["union", "join"])
@@ -191,6 +204,125 @@ def test_asof_union_preserves_duplicate_left_rows(spark):
     out = asof_join(left, right, on="k", left_time="t", right_time="rt")
     assert out.count() == 3
     assert out.filter("price = 1.0").count() == 3
+
+
+def test_asof_auto_strategy_resolution(spark):
+    """strategy="auto" (r13): the priced skew bound picks join only in
+    the extreme-hot-key regime; balanced, key-clustered-balanced, and
+    NULL-heavy inputs all keep union; no left_key short-circuits to
+    union with zero jobs (join's group-by-all fallback would collapse
+    duplicate left rows)."""
+    from pyspark.sql import functions as F
+
+    from lakeshack_spark.operators.relational import (
+        asof_join,
+        resolve_asof_strategy,
+    )
+
+    n = 20_000
+    balanced = spark.range(n).select(
+        F.col("id"), (F.col("id") % 100).cast("string").alias("k"),
+        (F.col("id") % 997).alias("t"),
+    )
+    assert resolve_asof_strategy(balanced, "k", "t", "id") == "union"
+
+    hot = spark.range(n).select(
+        F.col("id"), F.lit("HOT").alias("k"), (F.col("id") % 997).alias("t")
+    )
+    assert resolve_asof_strategy(hot, "k", "t", "id") == "join"
+
+    # key-clustered but balanced (each partition one local key): the
+    # per-partition-head sampler must NOT mistake local purity for a
+    # global hot key — the limit()-style first-partitions bias this
+    # design dodges
+    clustered = spark.range(n).repartitionByRange(8, F.col("id")).select(
+        F.col("id"),
+        (F.col("id") / 4000).cast("long").cast("string").alias("k"),
+        (F.col("id") % 997).alias("t"),
+    )
+    assert resolve_asof_strategy(clustered, "k", "t", "id") == "union"
+
+    # NULL-key probes bypass the window (dead-probe split), so a
+    # NULL-dominated left must not read as hot
+    nullheavy = spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, (F.col("id") % 50).cast("string")).alias("k"),
+        (F.col("id") % 997).alias("t"),
+    )
+    assert resolve_asof_strategy(nullheavy, "k", "t", "id") == "union"
+
+    assert resolve_asof_strategy(hot, "k", "t", None) == "union"
+
+    # end-to-end dispatch: auto returns the same rows as the forced
+    # strategies on a small planted case
+    left = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 200), (3, None, 150)], "id long, k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("A", 90, 1.0), ("A", 150, 2.0)], "k string, rt long, price double"
+    )
+    want = {(1, 1.0), (2, 2.0), (3, None)}
+    for strategy in ("auto", "union", "join"):
+        out = asof_join(
+            left, right, on="k", left_time="t", right_time="rt",
+            left_key="id", strategy=strategy,
+        )
+        assert {(r["id"], r["price"]) for r in out.collect()} == want, strategy
+
+
+def _shuffle_records_written(df) -> int:
+    """Sum of shuffleRecordsWritten over every exchange in the EXECUTED
+    adaptive plan (collect first — the pre-execution plan has no
+    metrics; CLAUDE.md AQE plan-reading rule)."""
+    df.collect()
+    totals: list[int] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if "QueryStageExec" in name:
+            walk(node.plan())
+        if name == "ShuffleExchangeExec":
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "shuffleRecordsWritten":
+                    totals.append(kv._2().value())
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return sum(totals)
+
+
+def test_asof_union_dead_probes_skip_exchange(spark):
+    """NULL-key / NULL-time probes short-circuit around the union
+    strategy's shuffle+window (VERDICT_r12 item 3): the one exchange
+    writes exactly |live probes| + |live quotes| records — the dead
+    probes (answer known NULL) never enter it."""
+    left = spark.createDataFrame(
+        [
+            (1, "A", 100),
+            (2, "A", None),   # dead: NULL time
+            (3, None, 100),   # dead: NULL key
+            (4, None, None),  # dead: both
+            (5, "B", 100),
+        ],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("A", 90, 1.0), ("B", 50, 2.0), (None, 10, 3.0), ("A", None, 4.0)],
+        "k string, rt long, price double",
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt")
+    got = {r["id"]: r["price"] for r in out.collect()}
+    assert got == {1: 1.0, 2: None, 3: None, 4: None, 5: 2.0}
+    # 2 live probes + 2 live quotes; the 3 dead probes and 2 dead quotes
+    # must not cross the shuffle
+    assert _shuffle_records_written(out) == 4
 
 
 # ----------------------------------------------------------- range join

@@ -43,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from lakeshack_spark.operators.relational import asof_join
+from lakeshack_spark.operators.relational import asof_join, resolve_asof_strategy
 from lakeshack_spark.session import get_spark
 
 K_KEYS = 10_000
@@ -91,6 +91,16 @@ def stress_asof(
     right = right.persist()
     n_l, n_r = left.count(), right.count()
 
+    resolved, est_note = strategy, ""
+    if strategy == "auto":
+        # rehearsal resolve, timed and reported but OUTSIDE the measured
+        # window (the measured asof_join("auto") pays its own estimate)
+        t_est = time.monotonic()
+        resolved = resolve_asof_strategy(left, "key", "t", left_key="id")
+        est_note = (
+            f" auto->{resolved} estimator {time.monotonic() - t_est:.2f}s;"
+        )
+
     t0 = time.monotonic()
     out = asof_join(
         left, right, on="key", left_time="t", right_time="rt",
@@ -112,15 +122,15 @@ def stress_asof(
     avg_matches = (R_QUOTES + 1) / 2
     shape = (
         f"|L|+|R| = {n_l + n_r} scan intermediate"
-        if strategy == "union"
+        if resolved == "union"
         else f"~{int(n_l * avg_matches)} join intermediate"
     )
     tag = " (warm-up, uncounted)" if warmup else ""
     hot = " HOT-KEY" if n_keys == 1 else ""
     print(
         f"asof_planted[{strategy}]{tag}: left {n_l} x right {n_r} "
-        f"({n_keys}{hot} keys, ~{avg_matches:.0f} matches/row -> {shape}) "
-        f"in {total:.2f}s; every match closed-form exact"
+        f"({n_keys}{hot} keys, ~{avg_matches:.0f} matches/row -> {shape})"
+        f"{est_note} in {total:.2f}s; every match closed-form exact"
     )
     out.unpersist()
     left.unpersist()
@@ -135,7 +145,8 @@ def main() -> None:
     ]
     # second arg: strategies csv (default both) — e.g. union-only for a
     # 100M decade point where the join form's ~5G-row intermediate is
-    # pure wait, not signal
+    # pure wait, not signal; "auto" runs the priced resolver (r13) and
+    # reports its pick + estimator cost alongside the measured total
     strategies = [
         s for s in (sys.argv[2] if len(sys.argv) > 2 else "union,join").split(",")
         if s
