@@ -7675,67 +7675,75 @@ def version_diff_orders(spark, sf_dir):
 #: the oldest proofs are the least trusted). Round-11 rotation
 #: (VERDICT_r10 item 2) refreshed the 18 r7-era proofs + the first 30
 #: r8-era names. Round-12 rotation (VERDICT_r11 item 1): the remaining
-#: 18 r8-era proofs (q5–q9, quality_score_docs …
-#: window_top2_per_customer) plus the alphabetically-first 30 of the 47
-#: r9-era proofs; the remaining 17 r9-era names (kll-onward through
-#: window_running_and_lag) lead the r13 window. Every registered entry
-#: not named here follows in registration order, so the full corpus is
-#: unchanged — only the order rotates.
+#: 18 r8-era proofs + the alphabetically-first 30 of the 47 r9-era
+#: proofs. Round-13 rotation (VERDICT_r12 item 1): the 18 remaining
+#: r9-era proofs (judge histogram: bloom_semi_join_lineitem …
+#: window_running_and_lag — 18, not 17; the old "kll-onward" phrasing
+#: under-counted by one because kll_index_quantiles_orders had already
+#: rotated in r12), PLUS asof_join_events_orders prepended out of turn:
+#: its physical plan flipped to the union carry-forward strategy in r12
+#: AFTER its last driver hash (r11 witnessed the join plan), and any
+#: entry whose operator plan changes re-enters the next window. Filled
+#: to 50 with the alphabetically-first 29 of the 48 r10-era proofs.
+#: Every registered entry not named here follows in registration order,
+#: so the full corpus is unchanged — only the order rotates.
 _DRIVER_WINDOW = [
     # core-op anchors (intentionally hashed every round: O1/O3/O6 scan +
     # zone-map prune are the reference's essence)
     "shack_pruned_lookup",
     "scan_filter_project",
-    # r8-era proofs, the 18 remaining (VERDICT_r11 item 1):
-    "q5_revenue_by_nation",
-    "q6_forecast_revenue",
-    "q7_volume_by_year",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "quality_score_docs",
-    "retention_cohorts_events",
-    "rollup_lineitem",
-    "salted_agg_lineitem",
-    "sessionize_users",
-    "simhash_near_pairs",
-    "sketch_distinct_and_quantiles",
-    "token_stats_by_lang",
-    "top_terms",
-    "window_range_frame_orders",
-    "window_rank_suite",
-    "window_share_of_total",
-    "window_top2_per_customer",
-    # r9-era proofs, alphabetical first 30 of 47 (rest rotate in r13):
-    "agg_orders_by_status",
-    "anti_join_no_pending",
-    "array_functions_embeddings",
-    "bloom_index_point_lookup",
-    "bpe_pair_counts_docs",
-    "case_bucket_totalprice",
-    "corr_lineitem_qty_tax",
-    "correlated_subquery_above_cust_avg",
-    "count_min_terms",
-    "data_quality_orders",
-    "dedup_cluster_labels",
-    "distinct_status_priority",
-    "entity_resolution_parts",
-    "events_hourly_stats",
-    "full_outer_daily_activity",
-    "fuzzy_join_part_names",
-    "hashed_linear_quality_docs",
-    "heavy_hitter_terms",
-    "hll_index_distinct_orders",
-    "in_list_filter",
-    "in_subquery_hot_parts",
-    "incremental_view_orders",
-    "interpolate_daily_spend",
-    "interval_join_click_purchase",
-    "inverted_index_search_docs",
-    "ivf_assign_cells",
-    "ivfpq_codes_embeddings",
-    "join_broadcast_dim",
-    "kcore_cosuppliers",
-    "kll_index_quantiles_orders",
+    # plan-changed re-entry (VERDICT_r12 item 1): r12 shipped the union
+    # as-of strategy; the driver hash must re-witness the new plan.
+    "asof_join_events_orders",
+    # r9-era proofs, the 18 remaining (VERDICT_r12 item 1):
+    "bloom_semi_join_lineitem",
+    "ks_price_by_status",
+    "ktruss_cosuppliers",
+    "merge_upsert_orders",
+    "metadata_agg_orders",
+    "minhash_drop_set_docs",
+    "mmr_rerank_embeddings",
+    "mor_delete_orders",
+    "multimodal_ppm_features",
+    "null_semantics_suite",
+    "quantile_bins_orders",
+    "robust_outliers_orders",
+    "scalar_date_orders",
+    "scalar_string_part",
+    "scalar_subquery_above_avg",
+    "semi_join_big_spenders",
+    "set_ops_nations",
+    "window_running_and_lag",
+    # r10-era proofs, alphabetical first 29 of 48 (rest rotate in r14):
+    "benchmark_decontamination",
+    "bigram_lm_quality_docs",
+    "bm25_search_docs",
+    "boolean_search_docs",
+    "chunk_tokens_docs",
+    "csv_roundtrip_orders",
+    "drift_chi2_docs",
+    "epoch_shuffle_prefix_docs",
+    "funnel_signup_click_purchase",
+    "gap_fill_daily_spend",
+    "grouped_ols_slope_customers",
+    "grouped_percentiles_orders",
+    "hash_split_counts",
+    "incremental_dedup_new_docs",
+    "ivf_index_probe_topk",
+    "ivfpq_search_embeddings",
+    "jl_projection_embeddings",
+    "jsonl_roundtrip_docs",
+    "kll_grouped_quantiles_orders",
+    "kmeans_update_quantized",
+    "manifest_counts_orders",
+    "mask_pii_audit",
+    "mixture_sample_counts",
+    "multimodal_wav_features",
+    "ngram_containment_docs",
+    "nullness_pruned_agg_docs",
+    "orc_roundtrip_lineitem",
+    "pack_token_windows_docs",
+    "pagerank_trade_network",
 ]
 
 def _ordered_names() -> list[str]:
