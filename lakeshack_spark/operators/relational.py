@@ -197,14 +197,15 @@ def _sampled_hot_key_share(
     live = left
     for c in [left_time, *keys]:
         live = live.filter(F.col(c).isNotNull())
+    rid = "__asof_auto_rid"  # not a plausible user key name
     head = (
         live.select(*[F.col(k) for k in keys])
         .withColumn(
-            "__rid",
+            rid,
             F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)),
         )
-        .filter(F.col("__rid") < _AUTO_HEAD_ROWS)
-        .drop("__rid")
+        .filter(F.col(rid) < _AUTO_HEAD_ROWS)
+        .drop(rid)
     )
     row = (
         head.groupBy(*[F.col(k) for k in keys])

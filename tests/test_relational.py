@@ -253,6 +253,20 @@ def test_asof_auto_strategy_resolution(spark):
 
     assert resolve_asof_strategy(hot, "k", "t", None) == "union"
 
+    # multi-key `on`: the sampler groups by ALL key columns, so a hot
+    # composite key reads hot even when each component alone is balanced
+    # (k1, k2 each uniform over 2 values, but (0, 1) holds every row)
+    composite_hot = spark.range(n).select(
+        F.col("id"), F.lit(0).alias("k1"), F.lit(1).alias("k2"),
+        (F.col("id") % 997).alias("t"),
+    )
+    assert resolve_asof_strategy(composite_hot, ["k1", "k2"], "t", "id") == "join"
+    composite_bal = spark.range(n).select(
+        F.col("id"), (F.col("id") % 7).alias("k1"), (F.col("id") % 11).alias("k2"),
+        (F.col("id") % 997).alias("t"),
+    )
+    assert resolve_asof_strategy(composite_bal, ["k1", "k2"], "t", "id") == "union"
+
     # end-to-end dispatch: auto returns the same rows as the forced
     # strategies on a small planted case
     left = spark.createDataFrame(
