@@ -253,6 +253,10 @@ def test_asof_auto_strategy_resolution(spark):
 
     assert resolve_asof_strategy(hot, "k", "t", None) == "union"
 
+    # empty left (or all-NULL probes): the sampler sees no live rows,
+    # share reads 0.0, auto keeps the default
+    assert resolve_asof_strategy(balanced.limit(0), "k", "t", "id") == "union"
+
     # multi-key `on`: the sampler groups by ALL key columns, so a hot
     # composite key reads hot even when each component alone is balanced
     # (k1, k2 each uniform over 2 values, but (0, 1) holds every row)
