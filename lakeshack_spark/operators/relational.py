@@ -194,6 +194,18 @@ def _sampled_hot_key_share(
     cost scaled with |left| (measured 2.45 s at 10M cached rows vs
     0.5–0.8 s for this all-JVM form, which pays only a column-pruned
     codegen'd scan)."""
+    row = _hot_key_share_plan(left, keys, left_time).first()
+    if row is None or not row["__tot"]:
+        return 0.0
+    return row["__mx"] / row["__tot"]
+
+
+def _hot_key_share_plan(
+    left: DataFrame, keys: list[str], left_time: str
+) -> DataFrame:
+    """The sampler's lazy one-row plan, split out so tests can pin its
+    shape: all-JVM (no Python eval nodes) — the no-CSE/PythonRunner
+    traps must never creep back into a cost ESTIMATOR."""
     live = left
     for c in [left_time, *keys]:
         live = live.filter(F.col(c).isNotNull())
@@ -207,15 +219,11 @@ def _sampled_hot_key_share(
         .filter(F.col(rid) < _AUTO_HEAD_ROWS)
         .drop(rid)
     )
-    row = (
+    return (
         head.groupBy(*[F.col(k) for k in keys])
         .agg(F.count(F.lit(1)).alias("__n"))
         .agg(F.max("__n").alias("__mx"), F.sum("__n").alias("__tot"))
-        .first()
     )
-    if row is None or not row["__tot"]:
-        return 0.0
-    return row["__mx"] / row["__tot"]
 
 
 def _asof_union(

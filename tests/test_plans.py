@@ -138,6 +138,27 @@ def test_asof_join_strategy_partial_aggregates_before_shuffle(spark):
     assert "partial_max_by" in plan, plan
 
 
+def test_asof_auto_sampler_plan_is_all_jvm(spark):
+    """The strategy="auto" skew estimator must stay all-JVM: its first
+    cut sampled via mapInPandas with an early return, and the JVM
+    PythonRunner writer drained the whole partition through Arrow
+    anyway, making the "bounded" estimate scale with |left| (2.45 s vs
+    0.5-0.8 s at 10M). No Python eval node may creep back into a cost
+    ESTIMATOR, and its aggregation must keep map-side partial combine
+    (partial_count before the exchange)."""
+    from lakeshack_spark.operators.relational import _hot_key_share_plan
+    from lakeshack_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events").select(
+        "user_id", F.col("ts").alias("ts_ns")
+    )
+    plan = plans.explain_str(_hot_key_share_plan(ev, ["user_id"], "ts_ns"))
+    for py_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert py_node not in plan, plan
+    assert "partial_count" in plan, plan
+
+
 def test_hash_split_is_map_only(spark):
     """Dataset splitting must never shuffle (pure column transform)."""
     from lakeshack_spark.operators import sampling
