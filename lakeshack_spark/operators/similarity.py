@@ -13,8 +13,13 @@ Two physical strategies behind one logical operator:
   the oracle verifies it).
 
 All arithmetic is double-precision with a fixed fold order so results are
-reproducible across engines and runs. Scores stay in whole-stage codegen
-(higher-order functions, no Python).
+reproducible across engines and runs. Since r13 the exact cosine family
+defaults to a BIT-IDENTICAL vectorized Arrow scorer
+(:data:`COSINE_SCORE_IMPL`; see :func:`_seq_block_dot` for the exactness
+argument) — higher-order-function folds never enter whole-stage codegen
+(they evaluate interpreted, CLAUDE.md), so "stay JVM-side" was costing
+~µs per array element; the expression twins remain behind ``impl="expr"``
+and parity is pinned to the last bit by tests.
 """
 
 from __future__ import annotations
@@ -53,6 +58,151 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_d(a, b) / (norm_d(a) * norm_d(b))
 
 
+#: Default scoring implementation for the EXACT cosine family
+#: (``cosine_topk`` / ``ivf_assign`` / ``ivf_topk``): "arrow" routes the
+#: per-row fold work through a BIT-IDENTICAL vectorized NumPy pass
+#: (r13 optimization; see :func:`_seq_block_dot` for the exactness
+#: argument), "expr" keeps the interpreted higher-order-function fold.
+#: Values are equal to the last bit either way — the hash-gated oracle
+#: entries pass on both — so this is a pure physical-plan choice:
+#: HOF lambdas never enter whole-stage codegen (CLAUDE.md), and the
+#: interpreted fold measured ~1.2 s just to assign 2000×8 cells at
+#: sf0.1 where the Arrow pass is milliseconds per batch.
+COSINE_SCORE_IMPL = "arrow"
+
+
+def _seq_block_dot(A, Q):
+    """(n,d)×(q,d) → (n,q) dot products, accumulated COLUMN BY COLUMN so
+    every cell is the same left-to-right IEEE-double fold as
+    :func:`dot_d` (each elementwise product is one correctly-rounded
+    double op, each ``+=`` adds them in index order; NumPy ufuncs do not
+    fuse multiply-add). Bit-identical to the interpreted expression fold
+    — np.matmul/BLAS is NOT (pairwise/FMA reassociation), which is why
+    :func:`cosine_topk_pandas` is only rank-exact while this path is
+    value-exact."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], Q.shape[0]))
+    for j in range(A.shape[1]):
+        acc += A[:, j, None] * Q[None, :, j]
+    return acc
+
+
+def _seq_norm(A):
+    """Row norms with the same sequential fold as :func:`norm_d`."""
+    import numpy as np
+
+    acc = np.zeros(A.shape[0])
+    for j in range(A.shape[1]):
+        acc += A[:, j] * A[:, j]
+    return np.sqrt(acc)
+
+
+def _split_valid_rows(series, d: int | None):
+    """(valid_ndarray_mask, float64 matrix of the valid rows, dims).
+
+    A row is "valid" when it is a non-null sequence of length ``d`` —
+    the expression fold yields NULL for NULL/ragged rows (zip_with pads
+    with NULL), and the Arrow twins reproduce that NULL instead of
+    scoring. ``d=None`` takes the first non-null row's length."""
+    import numpy as np
+
+    vals = series.to_numpy()
+    lens = np.array(
+        [len(v) if v is not None else -1 for v in vals], dtype=np.int64
+    )
+    if d is None:
+        pos = np.flatnonzero(lens >= 0)
+        d = int(lens[pos[0]]) if len(pos) else 0
+    valid = lens == d
+    if valid.any():
+        mat = np.stack(vals[valid]).astype(np.float64)
+    else:
+        mat = np.zeros((0, d))
+    return valid, mat, d
+
+
+def _require_nonzero(norms, what: str) -> None:
+    """ANSI twin: the expression path raises DIVIDE_BY_ZERO on a
+    zero-norm vector (Spark 4 ANSI double division), so the Arrow path
+    must fail too rather than silently emit inf/NaN cosines."""
+    import numpy as np
+
+    if np.any(norms == 0.0):
+        raise ValueError(
+            f"zero-norm {what} vector: cosine is undefined (the "
+            "expression path raises DIVIDE_BY_ZERO here under ANSI)"
+        )
+
+
+def _cosine_pairs_arrow(pairs: DataFrame, qv_col: str, cv_col: str) -> DataFrame:
+    """(query_id, neighbor_id, cosine) from paired-vector rows, scored in
+    one vectorized Arrow pass per batch — bit-identical to
+    ``dot_d(qv,cv)/(norm_d(qv)*norm_d(cv))`` (see :func:`_seq_block_dot`).
+    Rows whose vectors are NULL or length-mismatched get NULL cosine,
+    matching the expression fold's zip_with-pads-with-NULL semantics."""
+    import pandas as pd
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qvals = pdf[qv_col].to_numpy()
+            cvals = pdf[cv_col].to_numpy()
+            n = len(pdf)
+            qlens = np.array(
+                [len(v) if v is not None else -1 for v in qvals]
+            )
+            clens = np.array(
+                [len(v) if v is not None else -1 for v in cvals]
+            )
+            valid = (qlens >= 0) & (qlens == clens)
+            cos = np.full(n, np.nan)
+            for d in np.unique(qlens[valid]):
+                grp = valid & (qlens == d)
+                Q = np.stack(qvals[grp]).astype(np.float64)
+                C = np.stack(cvals[grp]).astype(np.float64)
+                acc = np.zeros(int(grp.sum()))
+                qn = np.zeros(int(grp.sum()))
+                cn = np.zeros(int(grp.sum()))
+                for j in range(int(d)):
+                    acc += Q[:, j] * C[:, j]
+                    qn += Q[:, j] * Q[:, j]
+                    cn += C[:, j] * C[:, j]
+                qn = np.sqrt(qn)
+                cn = np.sqrt(cn)
+                _require_nonzero(qn, "query")
+                _require_nonzero(cn, "candidate")
+                cos[grp] = acc / (qn * cn)
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].astype("int64"),
+                    "neighbor_id": pdf["neighbor_id"].astype("int64"),
+                    "cosine": cos,
+                }
+            )
+            if not valid.all():
+                # true NULL (not NaN): NULL ranks LAST under desc
+                # ordering while NaN ranks FIRST — the expression twin
+                # emits NULL for these rows
+                cos_n = pd.array(cos, dtype="Float64")
+                cos_n[~valid] = pd.NA
+                out["cosine"] = cos_n
+            yield out
+
+    return pairs.mapInPandas(score, out_schema)
+
+
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """Two-stage per-query top-k over (query_id, neighbor_id, cosine) rows.
 
@@ -87,19 +237,132 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _cosine_scores_vs_queries_arrow(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame | None:
+    """(query_id, neighbor_id, cosine) — every candidate scored against
+    the collected query matrix in one Arrow pass, bit-identical to the
+    expression fold (``dot_d(qv,cv)/(norm_d(qv)*norm_d(cv))``; see
+    :func:`_seq_block_dot`). Self-pairs are dropped in-batch, NULL/ragged
+    candidates (and NULL query vectors) emit NULL cosine exactly like the
+    zip_with-padded fold. Returns ``None`` when the shape doesn't fit
+    the arrow contract (query batch over the driver-memory cap,
+    heterogeneous query dims, non-long ids) — callers fall back to the
+    expression path."""
+    import numpy as np
+    import pandas as pd
+
+    if not isinstance(
+        vectors.schema[id_col].dataType, T.LongType
+    ) or not isinstance(queries.schema[id_col].dataType, T.LongType):
+        return None
+    qrows = (
+        queries.select(id_col, vec_col)
+        .limit(COSINE_TOPK_MAX_QUERIES + 1)
+        .collect()
+    )
+    if len(qrows) > COSINE_TOPK_MAX_QUERIES:
+        return None
+    qids = np.array([int(r[id_col]) for r in qrows], dtype=np.int64)
+    qvecs = [r[vec_col] for r in qrows]
+    dims = {len(v) for v in qvecs if v is not None}
+    if len(dims) > 1:
+        return None
+    d = dims.pop() if dims else 0
+    q_valid = np.array([v is not None for v in qvecs])
+    nq = len(qids)
+    qmat = (
+        np.array([list(v) for v, ok in zip(qvecs, q_valid) if ok])
+        .astype(np.float64)
+        .reshape(int(q_valid.sum()), d)
+    )
+    qn = _seq_norm(qmat)
+    if nq:
+        _require_nonzero(qn, "query")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            valid, C, _d = _split_valid_rows(pdf[vec_col], d)
+            cosmat = np.full((n, nq), np.nan)
+            nullmask = np.zeros((n, nq), dtype=bool)
+            nullmask[~valid, :] = True
+            nullmask[:, ~q_valid] = True
+            if valid.any() and q_valid.any():
+                cn = _seq_norm(C)
+                _require_nonzero(cn, "candidate")
+                dots = _seq_block_dot(C, qmat)
+                sub = dots / (qn[None, :] * cn[:, None])
+                block = np.full((int(valid.sum()), nq), np.nan)
+                block[:, q_valid] = sub
+                cosmat[valid, :] = block
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            neighbor = np.repeat(ids, nq)
+            query = np.tile(qids, n)
+            keep = neighbor != query  # self-pairs drop, as in the join
+            cos_flat = cosmat.reshape(-1)
+            null_flat = nullmask.reshape(-1)
+            out = pd.DataFrame(
+                {
+                    "query_id": query[keep],
+                    "neighbor_id": neighbor[keep],
+                    "cosine": cos_flat[keep],
+                }
+            )
+            if null_flat[keep].any():
+                cos_n = pd.array(cos_flat[keep], dtype="Float64")
+                cos_n[null_flat[keep]] = pd.NA
+                out["cosine"] = cos_n
+            yield out
+
+    return vectors.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Returns (query_id, neighbor_id, cosine, rank). The query side is
     broadcast (queries are assumed ≪ candidates); ties broken by neighbor
     id so results are fully deterministic.
-    """
+
+    ``impl`` (default :data:`COSINE_SCORE_IMPL`): ``"arrow"`` scores each
+    candidate batch against the collected query matrix in one vectorized
+    NumPy pass that reproduces the expression fold BIT-EXACTLY
+    (:func:`_seq_block_dot` — unlike :func:`cosine_topk_pandas`, which is
+    only rank-exact); ``"expr"`` keeps the interpreted JVM fold. The
+    arrow path falls back to ``"expr"`` when the query batch exceeds
+    :data:`COSINE_TOPK_MAX_QUERIES` (driver-memory bound), when query
+    dims are heterogeneous, or when ``id_col`` is not long-typed.
+    Both paths feed the same two-stage per-query top-k."""
+    impl = COSINE_SCORE_IMPL if impl is None else impl
+    if impl == "arrow":
+        scored = _cosine_scores_vs_queries_arrow(
+            vectors, queries, id_col, vec_col
+        )
+        if scored is not None:
+            return _topk_per_query(scored, k)
+    elif impl != "expr":
+        raise ValueError(f"unknown cosine_topk impl: {impl!r}")
     # Norms are precomputed PER SIDE (once per query row in the broadcast
     # build, once per candidate row before the join) instead of inside a
     # per-pair cosine_col: with q queries that's one norm fold per
@@ -329,6 +592,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid",
+    impl: str | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (by cosine), entirely
     map-side: returns the input plus ``cell``.
@@ -349,8 +613,23 @@ def ivf_assign(
     Each centroid's norm is precomputed in Python with the same
     sequential IEEE-double fold as :func:`dot_d`, so cosine values are
     bit-identical to the previous in-plan computation.
+
+    ``impl`` (default :data:`COSINE_SCORE_IMPL`): ``"arrow"`` runs the
+    argmax in a vectorized Arrow pass whose per-centroid cosines are
+    BIT-IDENTICAL to the expression fold (:func:`_seq_block_dot`) with
+    the same tie rule (equal sims → smallest cid) and the same
+    NULL/ragged-row outcome (all-NULL sims → smallest cid, pinned by
+    test) — still map-side, no Exchange. ``"expr"`` keeps the
+    interpreted in-plan fold. Unlike :func:`ivf_assign_arrow` (the
+    matmul bulk tier, final-ulp inexact), this twin is safe for the
+    hash-gated entries.
     """
+    impl = COSINE_SCORE_IMPL if impl is None else impl
     entries = _centroid_entries(centroids, centroid_id_col, centroid_vec_col)
+    if impl == "arrow":
+        return _assign_cells_arrow(vectors, entries, vec_col)
+    if impl != "expr":
+        raise ValueError(f"unknown ivf_assign impl: {impl!r}")
     return _assign_cells(vectors, entries, vec_col)
 
 
@@ -413,6 +692,57 @@ def _assign_cells(vectors: DataFrame, entries, vec_col: str) -> DataFrame:
     return out.withColumn("cell", (-best["neg_cid"]).cast("long")).drop("__vnorm")
 
 
+def _assign_cells_arrow(vectors: DataFrame, entries, vec_col: str) -> DataFrame:
+    """Bit-exact Arrow twin of :func:`_assign_cells`: per-centroid cosine
+    via the sequential column fold (:func:`_seq_block_dot` — identical
+    doubles to the interpreted ``transform`` lambda), argmax with the
+    same lexicographic (sim, −cid) rule: NaN sims rank GREATEST (Spark
+    struct ordering), ties break to the smallest cid (iterating the
+    cid-sorted entries with a strict > keeps the first winner — same
+    winner as max-by-neg_cid). Rows whose vector is NULL or
+    length-mismatched get all-NULL sims in the expression path, whose
+    array_max then ties every struct and picks the smallest cid — the
+    twin assigns them ``min(cid)`` directly (pinned by parity test).
+    Zero-norm vectors raise, as the expression path does under ANSI
+    double division. Map-side: one MapInPandas node, no Exchange."""
+    import numpy as np
+
+    cids = [cid for cid, _cv, _cn in entries]
+    d = len(entries[0][1]) if entries else 0
+    cmat = np.array([cv for _cid, cv, _cn in entries], dtype=np.float64)
+    cnorm = np.array([cn for _cid, _cv, cn in entries], dtype=np.float64)
+    cid_arr = np.array(cids, dtype=np.int64)
+    if vectors.columns and "cell" in vectors.columns:
+        vectors = vectors.drop("cell")
+    out_schema = T.StructType(
+        list(vectors.schema.fields) + [T.StructField("cell", T.LongType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            valid, X, _d = _split_valid_rows(pdf[vec_col], d)
+            cells = np.full(len(pdf), cids[0] if cids else 0, dtype=np.int64)
+            if valid.any() and len(cids):
+                vnorm = _seq_norm(X)
+                _require_nonzero(vnorm, "input")
+                _require_nonzero(cnorm, "centroid")
+                sims = _seq_block_dot(X, cmat) / (
+                    vnorm[:, None] * cnorm[None, :]
+                )
+                # NaN sims are GREATEST in the struct ordering; argmax
+                # over the inf-mapped key picks the FIRST max = smallest
+                # cid on ties, matching max-by-(sim, neg_cid)
+                key = np.where(np.isnan(sims), np.inf, sims)
+                cells[valid] = cid_arr[np.argmax(key, axis=1)]
+            pdf = pdf.copy()
+            pdf["cell"] = cells
+            yield pdf
+
+    return vectors.mapInPandas(assign, out_schema)
+
+
 def sample_centroids(
     vectors: DataFrame, n: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -453,6 +783,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only candidates whose IVF cell is among the
     query's ``nprobe`` nearest centroids. With ``nprobe >= n_centroids``
@@ -464,9 +795,26 @@ def ivf_topk(
     rule), ``slice`` the first ``nprobe``, explode. The centroid set is
     collected ONCE for both the assignment and the probe step — no
     crossJoin, no per-query window, no extra centroid-side jobs.
-    """
+
+    ``impl`` (default :data:`COSINE_SCORE_IMPL`): ``"arrow"`` routes the
+    two O(n)-row fold workloads — cell assignment and candidate scoring
+    — through bit-exact vectorized Arrow passes (:func:`_seq_block_dot`);
+    probe-cell selection stays in-plan (O(queries) rows). ``"expr"``
+    keeps every fold interpreted in the JVM. Identical values and ranks
+    either way; non-long id columns always take ``"expr"``."""
+    impl = COSINE_SCORE_IMPL if impl is None else impl
+    if impl == "arrow" and not isinstance(
+        vectors.schema[id_col].dataType, T.LongType
+    ):
+        impl = "expr"
+    if impl not in ("arrow", "expr"):
+        raise ValueError(f"unknown ivf_topk impl: {impl!r}")
     entries = _centroid_entries(centroids)
-    cells = _assign_cells(vectors, entries, vec_col)
+    cells = (
+        _assign_cells_arrow(vectors, entries, vec_col)
+        if impl == "arrow"
+        else _assign_cells(vectors, entries, vec_col)
+    )
     probe_cells = F.slice(
         F.sort_array(
             _scored_centroids(entries, vec_col, norm_d(F.col(vec_col))), asc=False
@@ -478,7 +826,20 @@ def ivf_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.explode(F.transform(probe_cells, lambda t: -t["neg_cid"])).alias("cell"),
-    ).withColumn("__qn", norm_d(F.col("__qv")))
+    )
+    if impl == "arrow":
+        pairs = (
+            cells.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("__cv"),
+                "cell",
+            )
+            .join(F.broadcast(probes), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id", "__qv", "__cv")
+        )
+        return _topk_per_query(_cosine_pairs_arrow(pairs, "__qv", "__cv"), k)
+    probes = probes.withColumn("__qn", norm_d(F.col("__qv")))
     # Per-side norm precompute (see cosine_topk): one fold per candidate
     # row / probe row, never per scored pair; bit-identical values.
     cand = cells.select(

@@ -3119,3 +3119,141 @@ def test_interpolate_fill_semantics(spark):
 
     with _pytest.raises(ValueError, match="start"):
         interpolate_fill(obs, "k", "t", "v", 5, 4)
+
+
+# ------------------------- r13: bit-exact Arrow twins (cosine family)
+
+def _edge_vec_frames(spark):
+    """Clean + NULL + ragged vectors, and a 2-centroid set: the frame the
+    expression-path edge semantics were pinned on (NULL/ragged rows get
+    NULL cosine in scoring and the smallest cid in assignment)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [1.0, 1.0, 0.0]),
+        (3, None),
+        (4, [1.0, 2.0]),
+    ]
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        T.StructType(
+            [
+                T.StructField("centroid_id", T.LongType()),
+                T.StructField("centroid", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    return spark.createDataFrame(rows, schema), cents
+
+
+def test_cosine_topk_arrow_is_bit_exact_twin(spark):
+    """impl='arrow' must equal impl='expr' in EVERY cell — cosine doubles
+    to the last bit (the sequential-fold contract that keeps the
+    hash-gated entries oracle-exact), ranks, and the NULL cosines of
+    NULL/ragged candidates (NULL, not NaN: NULL ranks last under desc
+    while NaN would rank first)."""
+    df, _ = _edge_vec_frames(spark)
+    q = df.filter(F.col("vec_id") < 2)
+    e = sorted(map(tuple, similarity.cosine_topk(df, q, k=10, impl="expr").collect()))
+    a = sorted(map(tuple, similarity.cosine_topk(df, q, k=10, impl="arrow").collect()))
+    assert e == a and len(e) == 8
+
+    emb = load_table(spark, SF, "embeddings")
+    q3 = emb.filter(F.col("vec_id") < 3)
+    e = sorted(map(tuple, similarity.cosine_topk(emb, q3, k=5, impl="expr").collect()))
+    a = sorted(map(tuple, similarity.cosine_topk(emb, q3, k=5, impl="arrow").collect()))
+    assert e == a and len(e) == 15
+
+
+def test_ivf_assign_arrow_exact_twin_and_ties(spark):
+    """Assignment parity on the edge frame: NULL and ragged vectors take
+    the smallest cid (all-NULL sims tie in the expression path's
+    array_max, which then maxes neg_cid), equidistant vectors tie toward
+    the smaller cid, and real-table assignments agree cell-for-cell."""
+    df, cents = _edge_vec_frames(spark)
+    e = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.ivf_assign(df, cents, impl="expr").collect()
+    )
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.ivf_assign(df, cents, impl="arrow").collect()
+    )
+    assert e == a == [(0, 0), (1, 1), (2, 0), (3, 0), (4, 0)]
+
+    emb = load_table(spark, SF, "embeddings")
+    cents8 = similarity.sample_centroids(emb, 8)
+    e = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.ivf_assign(emb, cents8, impl="expr").collect()
+    )
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in similarity.ivf_assign(emb, cents8, impl="arrow").collect()
+    )
+    assert e == a
+
+
+def test_ivf_topk_arrow_is_bit_exact_twin(spark):
+    emb = load_table(spark, SF, "embeddings")
+    q3 = emb.filter(F.col("vec_id") < 3)
+    cents8 = similarity.sample_centroids(emb, 8)
+    e = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                emb, q3, cents8, k=5, nprobe=8, impl="expr"
+            ).collect(),
+        )
+    )
+    a = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                emb, q3, cents8, k=5, nprobe=8, impl="arrow"
+            ).collect(),
+        )
+    )
+    assert e == a and len(e) == 15
+
+
+def test_cosine_arrow_zero_norm_raises_like_ansi(spark):
+    """The expression path raises DIVIDE_BY_ZERO (Spark 4 ANSI double
+    division) on a zero-norm vector; the Arrow twin must fail too, not
+    silently emit inf/NaN cosines."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0])], schema
+    )
+    q = df.filter(F.col("vec_id") == 0)
+    with pytest.raises(Exception, match="zero-norm|DIVIDE_BY_ZERO"):
+        similarity.cosine_topk(df, q, k=2, impl="arrow").collect()
+
+
+def test_cosine_topk_arrow_plan_keeps_two_stage_window(spark):
+    """The arrow scorer replaces only the scoring leg: the two-stage
+    per-query top-k (partial __part/__prank window before the global
+    rank) must survive, and the scorer must be a single MapInPandas
+    with no extra Exchange below it."""
+    emb = load_table(spark, SF, "embeddings")
+    q3 = emb.filter(F.col("vec_id") < 3)
+    plan = similarity.cosine_topk(emb, q3, k=5, impl="arrow")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert plan.count("Window") >= 2 and "__prank" in plan, plan
+    assert "MapInPandas" in plan, plan
