@@ -232,11 +232,19 @@ BANDED_IMPL = "arrow"
 #: comment in minhash_drop_set.
 PASS2_LOCAL_MIN_EST_PAIRS = 500_000
 
+#: minhash_drop_set input shape (r13): True fuses the banded rows and
+#: the shingle frame into ONE per-doc Arrow pass+cache (see the perdoc
+#: branch in :func:`minhash_drop_set`); False keeps the r12 two-pass
+#: shape. A module flag so interleaved A/B measurement and parity tests
+#: can flip it in-process; the fused default is the measured winner.
+DROP_SET_FUSED = True
+
 
 def _banded_rows_arrow(
     df: DataFrame, text_col: str, id_col: str,
     num_hashes: int, bands: int, k: int, with_buckets: bool,
     with_sig_key: bool = False,
+    perdoc_shingles: bool = False,
 ) -> DataFrame:
     """Arrow twin of :func:`_banded` / :func:`_banded_with_buckets`:
     tokenize (single-space split, exactly ``F.split(text, " ")``
@@ -263,15 +271,37 @@ def _banded_rows_arrow(
       this builder already computes — so the class-rep collapse costs
       no extra hashing here, where the expression form pays an
       interpreted md5 per shingle (measured 0.8-1.5 s on the bench
-      corpus when pass 2 evaluated it from the shingle frame)."""
+      corpus when pass 2 evaluated it from the shingle frame).
+
+    ``perdoc_shingles`` (r13; requires ``with_sig_key``) switches the
+    OUTPUT LAYOUT to one row per doc: ``(id, __sh, __sigkey,
+    __classkey, __buckets)`` where ``__sh`` is the doc's distinct-gram
+    SET (sorted — every consumer is order-insensitive: sizes,
+    ``array_intersect`` sizes, sorted class digests, Python sets) and
+    ``__buckets[b]`` is band b's bucket hex. :func:`minhash_drop_set`
+    persists THIS frame once and derives both its banded rows
+    (``posexplode``) and its shingle frame (projection) from the one
+    cache — the corpus is scanned and tokenized ONCE instead of twice,
+    one eager count instead of two, and the per-doc layout stores the
+    sig/class keys once instead of once per band."""
     from pyspark.sql import types as T
 
     if with_sig_key and with_buckets:
         raise ValueError("with_sig_key is only supported without buckets")
+    if perdoc_shingles and not with_sig_key:
+        raise ValueError("perdoc_shingles requires with_sig_key")
     params = _permutation_params(num_hashes)
     rpb = num_hashes // bands
     M = _MERSENNE31
-    if with_buckets:
+    if perdoc_shingles:
+        fields = [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("__sh", T.ArrayType(T.StringType()), False),
+            T.StructField("__sigkey", T.LongType(), False),
+            T.StructField("__classkey", T.StringType(), False),
+            T.StructField("__buckets", T.ArrayType(T.StringType()), False),
+        ]
+    elif with_buckets:
         fields = [
             T.StructField(id_col, T.LongType()),
             T.StructField("__bkts", T.ArrayType(T.LongType()), False),
@@ -302,16 +332,71 @@ def _banded_rows_arrow(
 
         A = np.array([a for a, _ in params], dtype=np.int64)
         Bv = np.array([b for _, b in params], dtype=np.int64)
+        # Memoization, r13 (pure speedups — every value computed exactly
+        # as before, just not twice). ``gmemo`` maps a gram to its
+        # (digest-hex, int63 base hash): with k=1 the grams are distinct
+        # WORDS and documents share most of their vocabulary, so the
+        # per-gram md5 (the builder's hot cost, ~1 µs/call) collapses to
+        # one call per distinct gram. Task-lived, capped (clear-on-
+        # overflow, Zipf keeps the head hot) so a huge all-distinct
+        # vocabulary can't grow executor memory unboundedly. ``tmemo``
+        # maps a full text to its per-doc outputs: duplicate clusters —
+        # the exact shape this operator exists for — repeat identical
+        # texts thousands of times, and every output (buckets, sigkey,
+        # classkey) is text-determined, id-independent. BATCH-lived: its
+        # keys are references into strings the current Arrow batch holds
+        # anyway, so it adds zero retained memory.
+        gmemo: dict = {}
+
+        def gram_hash(g):
+            got = gmemo.get(g)
+            if got is None:
+                if len(gmemo) >= 262144:
+                    gmemo.clear()
+                dig = hashlib.md5(g.encode("utf-8")).hexdigest()
+                got = (dig, int(dig[:15], 16) % M)
+                gmemo[g] = got
+            return got
+
         for pdf in batches:
+            tmemo: dict = {}
             ids: list = []
             bandl: list = []
             buckets: list = []
             bkts_col: list = []
             sigkeys: list = []
             classkeys: list = []
+            shs: list = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 if not isinstance(text, str):
                     continue  # NULL text: expression path drops it too
+                hit = tmemo.get(text)
+                if hit is not None:
+                    did = int(did)
+                    if perdoc_shingles:
+                        sh_list, bvals, sk, ck = hit
+                        ids.append(did)
+                        shs.append(sh_list)
+                        sigkeys.append(sk)
+                        classkeys.append(ck)
+                        bkts_col.append(bvals)
+                    elif with_buckets:
+                        bk = hit
+                        for b in range(bands):
+                            ids.append(did)
+                            bandl.append(b)
+                            buckets.append(bk[b])
+                            bkts_col.append(bk)
+                    else:
+                        bvals, sk, ck = hit
+                        for b in range(bands):
+                            ids.append(did)
+                            bandl.append(b)
+                            buckets.append(bvals[b])
+                            if with_sig_key:
+                                sigkeys.append(sk)
+                                classkeys.append(ck)
+                    continue
                 toks = text.split(" ")
                 if len(toks) < k:
                     continue  # zero shingles
@@ -324,27 +409,15 @@ def _banded_rows_arrow(
                     }
                 if with_sig_key:
                     # keep the full digests: the class key reuses them
-                    digs = [
-                        hashlib.md5(g.encode("utf-8")).hexdigest()
-                        for g in grams
-                    ]
-                    xs = np.fromiter(
-                        (int(d[:15], 16) % M for d in digs),
-                        dtype=np.int64,
-                        count=len(digs),
-                    )
+                    digs = []
+                    xs = np.empty(len(grams), dtype=np.int64)
+                    for i, g in enumerate(grams):
+                        dig, x = gram_hash(g)
+                        digs.append(dig)
+                        xs[i] = x
                 else:
                     xs = np.fromiter(
-                        (
-                            int(
-                                hashlib.md5(g.encode("utf-8")).hexdigest()[
-                                    :15
-                                ],
-                                16,
-                            )
-                            % M
-                            for g in grams
-                        ),
+                        (gram_hash(g)[1] for g in grams),
                         dtype=np.int64,
                         count=len(grams),
                     )
@@ -366,12 +439,14 @@ def _banded_rows_arrow(
                         )
                         for s in svals
                     ]
+                    tmemo[text] = bk
                     for b in range(bands):
                         ids.append(did)
                         bandl.append(b)
                         buckets.append(bk[b])
                         bkts_col.append(bk)
                 else:
+                    sk = ck = None
                     if with_sig_key:
                         # same rendering as the band slices (comma-joined
                         # decimal), over the FULL signature, through _h64
@@ -388,17 +463,34 @@ def _banded_rows_arrow(
                         ck = hashlib.md5(
                             ",".join(sorted(digs)).encode("utf-8")
                         ).hexdigest()
-                    for b in range(bands):
+                    bvals = [
+                        hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in svals
+                    ]
+                    if perdoc_shingles:
+                        sh_list = sorted(grams)
+                        tmemo[text] = (sh_list, bvals, sk, ck)
                         ids.append(did)
-                        bandl.append(b)
-                        buckets.append(
-                            hashlib.md5(svals[b].encode("utf-8")).hexdigest()
-                        )
-                        if with_sig_key:
-                            sigkeys.append(sk)
-                            classkeys.append(ck)
+                        shs.append(sh_list)
+                        sigkeys.append(sk)
+                        classkeys.append(ck)
+                        bkts_col.append(bvals)
+                    else:
+                        tmemo[text] = (bvals, sk, ck)
+                        for b in range(bands):
+                            ids.append(did)
+                            bandl.append(b)
+                            buckets.append(bvals[b])
+                            if with_sig_key:
+                                sigkeys.append(sk)
+                                classkeys.append(ck)
             data = {id_col: pd.Series(ids, dtype="int64")}
-            if with_buckets:
+            if perdoc_shingles:
+                data["__sh"] = pd.Series(shs, dtype="object")
+                data["__sigkey"] = pd.Series(sigkeys, dtype="int64")
+                data["__classkey"] = pd.Series(classkeys, dtype="object")
+                data["__buckets"] = pd.Series(bkts_col, dtype="object")
+            elif with_buckets:
                 data["__bkts"] = pd.Series(bkts_col, dtype="object")
                 data["band"] = pd.Series(bandl, dtype="int32")
                 data["bucket"] = pd.Series(buckets, dtype="int64")
@@ -1516,18 +1608,48 @@ def minhash_drop_set(
             "pass2_impl='local' requires a long-typed id column; use "
             "'pairs' (or 'auto', which routes non-long ids to it)"
         )
-    banded = _banded(
-        df, text_col, id_col, num_hashes, bands, k, with_sig_key=True
-    ).persist()
-    banded.count()  # eager: 4 downstream branches — an unmaterialized
-    # cache re-computes the signature per branch inside one job (measured
-    # 172 s vs 36 s on the bench corpus)
-    # The shingle-set frame feeds both sides of BOTH verify joins plus the
-    # size column — five consumers, each of which would re-tokenize the
-    # whole corpus (the same no-CSE trap as banded). One cached copy is a
-    # few MB of string arrays; eager count for the same reason as above.
-    sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("__sh")).persist()
-    sh.count()
+    perdoc = None
+    if DROP_SET_FUSED and _use_arrow_banding(df, id_col, None):
+        # ONE corpus scan+tokenize pass (r13): the per-doc Arrow frame
+        # carries the shingle set, both identity keys, and every band
+        # bucket, so the banded rows and the shingle frame are cheap
+        # PROJECTIONS of the one cache (posexplode unpacks in-row, no
+        # shuffle) — where the r12 shape paid two full tokenize+hash
+        # passes (Arrow banding + expression shingles) and two eager
+        # counts. The shingle sets here are sorted distinct grams;
+        # every consumer is order-insensitive (sizes, array_intersect
+        # sizes, sorted class digests, Python sets — see
+        # :func:`_banded_rows_arrow`).
+        perdoc = _banded_rows_arrow(
+            df, text_col, id_col, num_hashes, bands, k,
+            with_buckets=False, with_sig_key=True, perdoc_shingles=True,
+        ).persist()
+        perdoc.count()  # eager: many downstream branches — an
+        # unmaterialized cache re-computes the tokenize+hash lineage per
+        # branch inside one job (measured 172 s vs 36 s on the bench
+        # corpus for the old banded frame)
+        banded = perdoc.select(
+            F.col(id_col),
+            F.col("__sigkey"),
+            F.col("__classkey"),
+            F.posexplode("__buckets").alias("band", "bucket"),
+        )
+        sh = perdoc.select(F.col(id_col), F.col("__sh"))
+    else:
+        banded = _banded(
+            df, text_col, id_col, num_hashes, bands, k, with_sig_key=True
+        ).persist()
+        banded.count()  # eager: 4 downstream branches — an unmaterialized
+        # cache re-computes the signature per branch inside one job (measured
+        # 172 s vs 36 s on the bench corpus)
+        # The shingle-set frame feeds both sides of BOTH verify joins plus the
+        # size column — five consumers, each of which would re-tokenize the
+        # whole corpus (the same no-CSE trap as banded). One cached copy is a
+        # few MB of string arrays; eager count for the same reason as above.
+        sh = df.select(
+            F.col(id_col), shingles_col(text_col, k).alias("__sh")
+        ).persist()
+        sh.count()
     _, cand_rows = minhash_first_candidates(banded, id_col, with_rows=True)
     # Persist the per-band candidate rows and derive the distinct pair
     # set FROM the cache: v1's job then materializes cand_rows as a side
@@ -1682,9 +1804,12 @@ def minhash_drop_set(
     # executor memory across invocations in a long-lived session. The
     # returned frame is persisted; callers unpersist it when done.
     result.count()
-    banded.unpersist()
+    if perdoc is not None:
+        perdoc.unpersist()
+    else:
+        banded.unpersist()
+        sh.unpersist()
     v1.unpersist()
-    sh.unpersist()
     for frame in extra_persists:
         frame.unpersist()
     return result

@@ -825,6 +825,71 @@ def test_banded_sig_key_parity_and_semantics(spark, docs):
     assert expr_cls == cls
 
 
+def test_banded_perdoc_fused_layout_parity(spark, docs):
+    """The r13 fused per-doc layout (one row per doc: shingle set, both
+    identity keys, every band bucket — minhash_drop_set's single corpus
+    pass) must carry exactly the information of the two frames it
+    replaces: posexploding ``__buckets`` reproduces the banded
+    ``with_sig_key`` rows bit-for-bit, and ``__sh`` is the sorted
+    expression shingle set doc-for-doc (sorted is safe: every drop-set
+    consumer is order-insensitive — sizes, array_intersect sizes,
+    sorted class digests, Python sets). The adversarial frame plants
+    exact-duplicate texts (the text memo) and shared vocabulary (the
+    gram memo) so both memoized fast paths are exercised against the
+    memo-free expression twin."""
+    adversarial = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, " "),
+            (3, "a  b "),
+            (4, "héllo wörld héllo"),
+            (5, "x x x"),
+            (6, None),
+            (7, "one two three four five"),
+            (8, "one"),
+            (9, "same exact duplicate text"),
+            (10, "same exact duplicate text"),
+            (11, "same exact duplicate text"),
+            (12, "duplicate exact same text"),  # same k=1 set, other order
+        ],
+        "doc_id long, text string",
+    )
+    for frame in (docs, adversarial):
+        for k in (1, 3):
+            perdoc = dedup._banded_rows_arrow(
+                frame, "text", "doc_id", 16, 4, k,
+                with_buckets=False, with_sig_key=True,
+                perdoc_shingles=True,
+            )
+            exploded = {
+                tuple(r)
+                for r in perdoc.select(
+                    "doc_id", "__sigkey", "__classkey",
+                    F.posexplode("__buckets").alias("band", "bucket"),
+                ).collect()
+            }
+            base = {
+                tuple(r)
+                for r in dedup._banded(
+                    frame, "text", "doc_id", 16, 4, k,
+                    impl="arrow", with_sig_key=True,
+                ).collect()
+            }
+            assert exploded == base and len(base) > 0
+            got_sh = {
+                r["doc_id"]: list(r["__sh"])
+                for r in perdoc.select("doc_id", "__sh").collect()
+            }
+            want_sh = {
+                r["doc_id"]: sorted(r["s"])
+                for r in frame.select(
+                    "doc_id", dedup.shingles_col("text", k).alias("s")
+                ).collect()
+                if r["s"] is not None and len(r["s"]) > 0
+            }
+            assert got_sh == want_sh
+
+
 def test_minhash_drop_set_auto_routes_match_forms(spark, docs, monkeypatch):
     """The auto estimator (single sig-collapsed job since r9) must
     produce the same drop set whichever branch it picks; force BOTH
