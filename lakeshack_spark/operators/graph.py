@@ -104,7 +104,11 @@ def connected_components(
     never appear in ``pairs``.
 
     Scale shape per round: one edge⋈label join shuffling |E| rows on the
-    node key, one |V| min-aggregation, one |V|⋈|V| pointer-jump join.
+    node key, one |V| min-aggregation (eagerly materialized — the
+    pointer jump self-joins it, and an unmaterialized propagate subtree
+    would evaluate the edge join once PER CONSUMER; r13 measured the
+    materialization −11..−32% at 0.5M-10M edges, tie at bench scale),
+    one |V|⋈|V| pointer-jump join.
     Rounds: O(log diameter) ≤ ``max_rounds`` (raises if not converged —
     a real 100 TB run sets this to ~2·log2(V) and alerts, rather than
     silently emitting half-merged clusters). Convergence is detected by
@@ -157,11 +161,20 @@ def connected_components(
             "label",
             F.lit(None).cast("long").alias("old"),
         )
+        # The jump below consumes ``propagated`` TWICE (left side + the
+        # lookup side of its self-join); left lazy, the whole propagate
+        # subtree — including the |E|⋈|V| edge join — evaluates once per
+        # consumer inside one job. Materializing the |V|-row aggregate
+        # first halves that: measured interleaved A/B at 10M edges /
+        # 5M nodes 91-127 s vs 102-148 s lazy (−11..−14%, and −32% at
+        # 0.5M edges), exact tie on the 5k-node bench graph where the
+        # extra checkpoint job is overhead-free (tools/measure_cc.py).
         propagated = (
             labels.select("node", "label", F.col("label").alias("old"))
             .union(neighbor_msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+            .localCheckpoint(eager=True)
         )
         # jump: label <- label's label (pointer halving)
         lookup = propagated.select(

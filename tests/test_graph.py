@@ -411,3 +411,36 @@ def test_triangle_planted_block_matches_pure_python_census(spark):
     assert row["global_clustering"] == (
         3.0 * truth["n_triangles"] / truth["n_wedges"]
     )
+
+
+def test_cc_materializes_propagated_each_round(spark, monkeypatch):
+    """r13: the pointer jump self-joins ``propagated``, so the propagate
+    aggregation (whose lineage holds the round's |E|join|V| edge join)
+    must be EAGERLY checkpointed before the jump — left lazy, the
+    subtree evaluates once per consumer inside one job (measured
+    −11..−32% at 0.5M-10M edges, tools/measure_cc.py). Pin: exactly TWO
+    eager localCheckpoint calls per round on the round's 3-column
+    (node, label, old) frames — propagated AND jumped; a reversion to
+    the lazy shape drops it to one."""
+    # Spark 4: concrete frames are pyspark.sql.classic.dataframe.DataFrame,
+    # which overrides localCheckpoint — patch the class that resolves.
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls: list[list[str]] = []
+    orig = DataFrame.localCheckpoint
+
+    def counting(self, eager=True):
+        calls.append(sorted(self.columns))
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    stats: list = []
+    got = _labels(graph.connected_components(pairs, round_stats=stats))
+    assert set(got.values()) == {0} and len(got) == 9
+    rounds = len(stats)
+    assert rounds >= 2  # pointer jumping on a 9-node path: >1 round
+    per_round = [c for c in calls if c == ["label", "node", "old"]]
+    assert len(per_round) == 2 * rounds, (len(per_round), rounds, calls)
