@@ -1031,11 +1031,35 @@ def main() -> None:
         compact["adjudication"] = adj_flags
     if "replay_contention" in out:
         compact["replay_contended"] = out["replay_contention"]["contended"]
+    print(compact_line(compact))
+
+
+COMPACT_LINE_MAX = 1500
+
+
+def compact_line(compact: dict) -> str:
+    """Serialize the FINAL stdout line, shedding optional keys before
+    contract-required ones when the driver's tail budget is exceeded.
+
+    The driver contract is ONE JSON line carrying metric/value/unit/
+    queries/sf; everything else riding the compact line is convenience
+    that also lives, in full, on the earlier full-record stdout line and
+    in bench_detail.json. Shedding order: the adjudication flags first
+    (the bulkiest optional block — six noise flags measured 517 chars on
+    a contended window, exactly what pushed one line to 1776 chars and,
+    under the old pop-queries-only rule, dropped the contract-required
+    `queries` map from the final line), then the contended-section list,
+    then — only if somehow still over budget — `queries` itself as the
+    last resort. Mutates ``compact``.
+    """
     line = json.dumps(compact)
-    if len(line) > 1500:  # belt-and-braces: never exceed the driver's tail
-        compact.pop("queries")
-        line = json.dumps(compact)
-    print(line)
+    for victim in ("adjudication", "contended_after_retries", "queries"):
+        if len(line) <= COMPACT_LINE_MAX:
+            break
+        if victim in compact:
+            compact.pop(victim)
+            line = json.dumps(compact)
+    return line
 
 
 if __name__ == "__main__":

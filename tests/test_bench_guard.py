@@ -263,3 +263,48 @@ def test_bench_replay_pick_parsed_prefers_full_record():
     parsed, which = pick_parsed("{broken\n" + _json.dumps(compact))
     assert parsed == compact
     assert pick_parsed("no json at all") == (None, "none")
+
+
+def test_compact_line_sheds_optional_keys_before_queries():
+    """The FINAL stdout line must keep the contract-required `queries`
+    map: over the tail budget, bench sheds its own optional blocks
+    (adjudication flags, contended-section list — both duplicated on
+    the full-record line and in bench_detail.json) before ever touching
+    `queries` (r13 epoch-2: six noise flags pushed the line to 1776
+    chars and the old rule popped `queries` first)."""
+    import json as _json
+
+    base = {
+        "metric": "headline_queries_total",
+        "value": 17.445,
+        "unit": "sec",
+        "queries": {f"query_name_number_{i}": 1.234 for i in range(17)},
+        "value_steady": 12.253,
+        "sf": 0.1,
+    }
+    # small line passes through untouched
+    small = dict(base)
+    assert _json.loads(bench.compact_line(small)) == base
+
+    # oversized optional blocks shed in order; queries survives
+    big = dict(base)
+    big["adjudication"] = {
+        f"adjudicate_headline_key_{i}": {
+            "replay": 1.722, "requiet": 0.843, "verdict": "noise"
+        }
+        for i in range(12)
+    }
+    big["contended_after_retries"] = [f"contended_section_{i}" for i in range(30)]
+    parsed = _json.loads(bench.compact_line(big))
+    assert len(_json.dumps(parsed)) <= bench.COMPACT_LINE_MAX
+    assert parsed["queries"] == base["queries"]
+    assert "adjudication" not in parsed
+
+    # queries goes ONLY as the last resort, when it alone busts the budget
+    huge = dict(base)
+    huge["queries"] = {
+        f"impossibly_long_query_name_padding_{i:04d}": 0.123 for i in range(60)
+    }
+    parsed = _json.loads(bench.compact_line(huge))
+    assert "queries" not in parsed
+    assert parsed["metric"] == base["metric"] and parsed["sf"] == 0.1
