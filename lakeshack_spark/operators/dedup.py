@@ -239,6 +239,32 @@ PASS2_LOCAL_MIN_EST_PAIRS = 500_000
 #: can flip it in-process; the fused default is the measured winner.
 DROP_SET_FUSED = True
 
+#: minhash_verified_pairs fused-route cutover (r14, VERDICT_r13 item 3):
+#: an input whose optimizer-ESTIMATED size reaches this takes the fused
+#: per-doc route (one Arrow tokenize+hash pass, eagerly
+#: localCheckpoint'ed, feeding banding AND verify) instead of the lazy
+#: two-pass shape. The bound is the zero-job Catalyst sizeInBytes
+#: estimate — deliberately crude but safe in the direction that
+#: matters: an UNDER-threshold input keeps the historical lazy contract
+#: (no job at construction, fully composable), and the only mis-route
+#: cost is one cheap checkpoint of a small actual row set when a
+#: filtered subset of a big table inflates the estimate (non-CBO Filter
+#: keeps its child's sizeInBytes). 256 MB ≈ where a second full
+#: tokenize pass of the corpus costs more than materializing the
+#: per-doc frame once.
+VERIFIED_FUSED_MIN_INPUT_BYTES = 256 * 1024 * 1024
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's zero-job size estimate for ``df`` (bytes). Falls back
+    to 0 (= route lazy) if the JVM estimate is unavailable."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # pragma: no cover - py4j edge
+        return 0
+
 
 def _banded_rows_arrow(
     df: DataFrame, text_col: str, id_col: str,
@@ -299,7 +325,7 @@ def _banded_rows_arrow(
             T.StructField("__sh", T.ArrayType(T.StringType()), False),
             T.StructField("__sigkey", T.LongType(), False),
             T.StructField("__classkey", T.StringType(), False),
-            T.StructField("__buckets", T.ArrayType(T.StringType()), False),
+            T.StructField("__buckets", T.ArrayType(T.LongType()), False),
         ]
     elif with_buckets:
         fields = [
@@ -309,6 +335,17 @@ def _banded_rows_arrow(
             T.StructField("bucket", T.LongType(), False),
         ]
     else:
+        # The drop-set-private sig-key layout (r14) narrows ``bucket``
+        # to the 60-bit ``_h64`` long — every one of minhash_drop_set's
+        # (band, bucket) exchanges then moves an 8-byte long instead of
+        # a 32-char hex string (guide §2.3 narrower types; a truncation
+        # collision can only MERGE buckets, i.e. only ever ADDS
+        # candidate pairs, and every candidate is exactly verified, so
+        # the drop set is unchanged — the same argument that lets
+        # minhash_lsh_pairs use _h64 buckets against its all-pairs
+        # oracle). The public layout (minhash_index) keeps the full
+        # md5-hex bucket: it is a materialized, engine-portable index
+        # schema, not an internal shuffle key.
         fields = [
             T.StructField(id_col, T.LongType()),
             *(
@@ -320,7 +357,9 @@ def _banded_rows_arrow(
                 else []
             ),
             T.StructField("band", T.IntegerType(), False),
-            T.StructField("bucket", T.StringType(), False),
+            T.StructField(
+                "bucket", T.LongType() if with_sig_key else T.StringType()
+            ),
         ]
     schema = T.StructType(fields)
 
@@ -463,10 +502,24 @@ def _banded_rows_arrow(
                         ck = hashlib.md5(
                             ",".join(sorted(digs)).encode("utf-8")
                         ).hexdigest()
-                    bvals = [
-                        hashlib.md5(s.encode("utf-8")).hexdigest()
-                        for s in svals
-                    ]
+                    if with_sig_key:
+                        # drop-set-private layout: the 60-bit _h64 long
+                        # (= int of the first 15 hex digits), not the
+                        # full hex — see the schema comment above
+                        bvals = [
+                            int(
+                                hashlib.md5(s.encode("utf-8")).hexdigest()[
+                                    :15
+                                ],
+                                16,
+                            )
+                            for s in svals
+                        ]
+                    else:
+                        bvals = [
+                            hashlib.md5(s.encode("utf-8")).hexdigest()
+                            for s in svals
+                        ]
                     if perdoc_shingles:
                         sh_list = sorted(grams)
                         tmemo[text] = (sh_list, bvals, sk, ck)
@@ -499,7 +552,9 @@ def _banded_rows_arrow(
                     data["__sigkey"] = pd.Series(sigkeys, dtype="int64")
                     data["__classkey"] = pd.Series(classkeys, dtype="object")
                 data["band"] = pd.Series(bandl, dtype="int32")
-                data["bucket"] = pd.Series(buckets, dtype="object")
+                data["bucket"] = pd.Series(
+                    buckets, dtype="int64" if with_sig_key else "object"
+                )
             yield pd.DataFrame(data, columns=[f.name for f in fields])
 
     from lakeshack_spark.session import spread_small_input
@@ -559,6 +614,10 @@ def _banded(
         # it over just the pass-2 candidate audience instead (its
         # no-classkey branch); the Arrow twin emits it at banding
         # because the per-gram digests are already in hand there.
+    # sig-key layout (drop-set private): long _h64 buckets, matching the
+    # Arrow twin's r14 narrowing (see _banded_rows_arrow's schema
+    # comment); the public bare layout keeps the md5-hex bucket.
+    bucket_of = _h64 if with_sig_key else F.md5
     return sigs.select(
         *head,
         F.explode(
@@ -566,7 +625,7 @@ def _banded(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.md5(band_vals[b]).alias("bucket"),
+                        bucket_of(band_vals[b]).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -668,6 +727,7 @@ def minhash_verified_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_hashes: int = 64, bands: int = 16, k: int = 1,
     threshold: float = 0.9,
+    fused: bool | None = None,
 ) -> DataFrame:
     """The full two-stage near-dedup discovery pipeline: MinHash+LSH
     banding proposes candidate pairs (sub-quadratic), exact shingle-set
@@ -680,14 +740,80 @@ def minhash_verified_pairs(
     equals the all-pairs exact answer (16 bands × 4 rows: a J=0.9 pair is
     missed with p ≈ (1−0.9⁴)¹⁶ ≈ 2e-8), which is what makes the whole
     banding path checkable against a SQL oracle.
+
+    ``fused`` (r14, VERDICT_r13 item 3 — the priced dispatch that
+    answers the r13 laziness question): the lazy shape tokenizes the
+    corpus FOUR times per run (the Arrow banding pass under both sides
+    of the band self-join, the expression shingle pass under both sides
+    of the verify join). The fused route runs the tokenize+hash pass
+    ONCE — the drop-set per-doc layout ``(id, __sh, __buckets)`` — and
+    eagerly ``localCheckpoint``\\ s it; banding rows and shingle sides
+    are then projections of the materialized frame. ``localCheckpoint``
+    (not ``persist``) is what preserves the composition contract: there
+    is no cache handle for the caller to leak — the checkpointed blocks
+    are released by the ContextCleaner when the returned frame's RDD is
+    garbage collected. The trade is one materialization job at
+    CONSTRUCTION time, so small inputs should keep the lazy shape:
+    ``fused=None`` (default) routes by the zero-job Catalyst size
+    estimate (≥ :data:`VERIFIED_FUSED_MIN_INPUT_BYTES` and a long id
+    column → fused), ``True``/``False`` force a route. Both routes are
+    BIT-IDENTICAL: the per-doc buckets are the same ``_h64`` longs the
+    lazy banding uses, ``__sh`` is the same distinct gram set (sorted —
+    every verify consumer is order-insensitive), and the verify is the
+    same integer-|∩|/|∪| double quotient (parity-pinned in
+    tests/test_operators.py).
     """
-    cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, k)
-    # Shingle arrays are SETS (array_distinct), so |union| = |a|+|b|-|∩|
-    # exactly: per-side sizes computed once per document replace the
-    # per-pair array_union build — the verify stage does one set
-    # intersection per candidate instead of two set operations.
-    # Identical jaccard values (integer identity, same double division).
-    sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("__sh"))
+    if fused is None:
+        fused = (
+            _use_arrow_banding(df, id_col, None)
+            and _plan_size_bytes(df) >= VERIFIED_FUSED_MIN_INPUT_BYTES
+        )
+    if fused:
+        if not _use_arrow_banding(df, id_col, None):
+            raise ValueError(
+                "fused=True requires a long-typed id column (the per-doc "
+                "Arrow layout); use fused=False or 'auto' (None)"
+            )
+        perdoc = _banded_rows_arrow(
+            df, text_col, id_col, num_hashes, bands, k,
+            with_buckets=False, with_sig_key=True, perdoc_shingles=True,
+        ).select(id_col, "__sh", "__buckets").localCheckpoint(eager=True)
+        banded = perdoc.select(
+            F.col(id_col),
+            F.posexplode("__buckets").alias("band", "bucket"),
+            F.element_at(F.col("__buckets"), 1).alias("__bkt0"),
+        )
+        a0 = banded.alias("a")
+        b0 = banded.alias("b")
+        # identical self-join + band-0 pre-dedup as minhash_lsh_pairs —
+        # same _h64 long buckets, so the candidate set is equal row for
+        # row; both join sides read the one checkpointed frame.
+        cands = (
+            a0.join(
+                b0,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .filter(
+                (F.col("a.band") == 0)
+                | (F.col("a.__bkt0") != F.col("b.__bkt0"))
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        sh = perdoc.select(F.col(id_col), F.col("__sh"))
+    else:
+        cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, k)
+        # Shingle arrays are SETS (array_distinct), so |union| = |a|+|b|-|∩|
+        # exactly: per-side sizes computed once per document replace the
+        # per-pair array_union build — the verify stage does one set
+        # intersection per candidate instead of two set operations.
+        # Identical jaccard values (integer identity, same double division).
+        sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("__sh"))
     a = sh.select(
         F.col(id_col).alias("id_a"),
         F.col("__sh").alias("__sh_a"),
@@ -1173,12 +1299,19 @@ def minhash_first_candidates(
     is ITS bucket's minimum in at least one band.
 
     ``with_rows=True`` additionally returns the pre-distinct per-band
-    rows ``(id_col, id_a, __bsz)`` — ``__bsz`` is the bucket's size from
-    the SAME window pass (no extra shuffle), so
+    rows ``(id_col, band, bucket, id_a, __bsz)`` — ``__bsz`` is the
+    bucket's size from the SAME window pass (no extra shuffle), so
     Σ ``__bsz`` over a doc's rows upper-bounds its pass-2 candidate
     count (each qualifying bucket contributes at most |bucket| smaller
     ids). :func:`minhash_drop_set` prices its pass-2 route from that
-    byproduct instead of paying a dedicated estimate job."""
+    byproduct instead of paying a dedicated estimate job, and (r14)
+    :func:`_pass2_audience` scopes pass 2 from these cached rows instead
+    of re-deriving the failed docs' bucket membership from ``banded``:
+    a failed doc's banded rows MISSING here are exactly the buckets it
+    is the minimum of, and a bucket where the failed doc is the minimum
+    cannot hold any smaller-id candidate — dropping those rows loses no
+    pass-2 pair (both pass-2 forms require ``a.id < b.id`` within the
+    shared bucket)."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "bucket")
@@ -1192,7 +1325,11 @@ def minhash_first_candidates(
     if not with_rows:
         return first
     return first, rows.select(
-        F.col(id_col), F.col("__bucket_min").alias("id_a"), F.col("__bsz")
+        F.col(id_col),
+        F.col("band"),
+        F.col("bucket"),
+        F.col("__bucket_min").alias("id_a"),
+        F.col("__bsz"),
     )
 
 
@@ -1225,10 +1362,21 @@ def _tier1_pair_estimate(banded, fb_buckets, failed_docs, id_col) -> int:
     )
 
 
-def _pass2_audience(banded, sh, failed_docs, id_col):
+def _pass2_audience(banded, sh, failed_docs, id_col, cand_rows=None):
     """Shared pass-2 scoping: the failed docs' banded rows, the buckets
     they occupy, and the shingle-class representatives of every doc in
     those buckets.
+
+    ``cand_rows`` (r14): the persisted pass-1 window byproduct
+    ``(id, band, bucket, id_a, __bsz)``. When given, ``fb`` and
+    ``fb_buckets`` are PROJECTIONS of that cache instead of a fresh
+    ``banded`` semi-join lineage — the failed docs' qualifying rows were
+    already computed by the pass-1 window, so pass 2's scoping jobs read
+    cached rows rather than re-deriving the (band, bucket) membership.
+    Exactness: the rows cand_rows lacks (a failed doc's rows in buckets
+    it is the MINIMUM of) cannot contribute a pass-2 pair — both forms
+    require a smaller-id partner in the shared bucket, and none exists
+    below the bucket minimum (see :func:`minhash_first_candidates`).
 
     Class collapse: an identical shingle SET (not just identical text —
     e.g. word-order rotations of a template under k=1) ⇒ identical
@@ -1255,9 +1403,18 @@ def _pass2_audience(banded, sh, failed_docs, id_col):
     min is too: the restricted min equals the global min, exactly. With
     zero failures this whole branch aggregates nothing.
     """
-    fb = banded.join(
-        failed_docs.select(F.col("id_b").alias(id_col)), id_col, "left_semi"
-    )
+    if cand_rows is not None:
+        fb = cand_rows.join(
+            failed_docs.select(F.col("id_b").alias(id_col)),
+            id_col,
+            "left_semi",
+        ).select(id_col, "band", "bucket")
+    else:
+        fb = banded.join(
+            failed_docs.select(F.col("id_b").alias(id_col)),
+            id_col,
+            "left_semi",
+        )
     fb_buckets = fb.select("band", "bucket").distinct()
     if "__classkey" in banded.columns:
         # the banding pass already rendered the class key from the gram
@@ -1560,6 +1717,7 @@ def minhash_drop_set(
     k: int = 1,
     threshold: float = 0.9,
     pass2_impl: str = "auto",
+    stage_stats: list | None = None,
 ) -> DataFrame:
     """The near-dedup DROP SET — ids that have at least one verified
     (Jaccard ≥ threshold) near-duplicate with a SMALLER id — without
@@ -1597,8 +1755,26 @@ def minhash_drop_set(
     ~25k verifies). Returns a one-column DataFrame named ``id_col``,
     eagerly materialized and persisted (its heavyweight inputs are
     unpersisted before return) — callers unpersist it when done.
+
+    ``stage_stats``: pass a list to receive ``(stage, wall_sec)`` tuples
+    at the operator's job boundaries (the clean_corpus/round_stats
+    convention) — ``banding_materialize`` (the tokenize+hash pass +
+    cache pin), ``pass1_verify`` (bucket-min window + exact verify),
+    ``route:<impl>`` (the pricing collects, tagged with the route
+    picked) and ``pass2_result`` (fallback verify + result pin).
+    ``None`` (default) adds zero work and zero extra jobs.
     """
+    import time as _time
+
     from pyspark.sql import types as T
+
+    _t0 = _time.time()
+
+    def _stat(name: str) -> None:
+        nonlocal _t0
+        if stage_stats is not None:
+            stage_stats.append((name, round(_time.time() - _t0, 3)))
+        _t0 = _time.time()
 
     id_is_long = isinstance(df.schema[id_col].dataType, T.LongType)
     if pass2_impl == "local" and not id_is_long:
@@ -1650,6 +1826,7 @@ def minhash_drop_set(
             F.col(id_col), shingles_col(text_col, k).alias("__sh")
         ).persist()
         sh.count()
+    _stat("banding_materialize")
     _, cand_rows = minhash_first_candidates(banded, id_col, with_rows=True)
     # Persist the per-band candidate rows and derive the distinct pair
     # set FROM the cache: v1's job then materializes cand_rows as a side
@@ -1681,33 +1858,39 @@ def minhash_drop_set(
         ).otherwise(F.lit(0.0))
         return j.select("id_a", "id_b", jac.alias("__j"))
 
-    v1 = verified(first).persist()
-    v1.count()  # eager, same reason
     # ONE aggregation splits pass-1 outcomes — the best verified Jaccard
     # per doc — where the r8 form paid two distinct shuffles plus an
-    # anti-join for the same dropped/failed partition of v1's docs.
-    # Persisted lazily: the first job that touches it (tier-0 estimate,
-    # or fb.count on the local route) materializes the cache before the
-    # multi-branch result action.
+    # anti-join for the same dropped/failed partition of v1's docs. v1
+    # itself is NOT persisted (r14): per_doc is its only consumer, so
+    # the old v1.persist+count paid a cache write and a full extra job
+    # barrier to materialize rows read exactly once. Eagerly counting
+    # per_doc instead materializes the verify ONCE inside this job
+    # (cand_rows materializes as a side effect, so every later consumer
+    # — the tier-0 bound, `first` in pass 2 — reads cache) and the
+    # multi-consumer fan-out (dropped1 + failed_docs) reads the per-doc
+    # cache, per the CLAUDE.md branch-recomputation rule.
+    v1 = verified(first)
     per_doc = (
         v1.groupBy("id_b").agg(F.max("__j").alias("__jmax")).persist()
     )
+    per_doc.count()
+    _stat("pass1_verify")
     dropped1 = per_doc.filter(F.col("__jmax") >= threshold).select("id_b")
     # Docs with candidates but no verified bucket-min match.
     failed_docs = per_doc.filter(F.col("__jmax") < threshold).select("id_b")
     # Pass-2 audience computed ONCE and shared by the estimator and both
-    # forms. Everything stays LAZY unless a branch actually consumes a
-    # frame more than once: an earlier cut eagerly persisted fb/reps and
-    # ran a rep-collapsed estimate up front, and those 3 extra small
-    # jobs cost a measured ~1.5-2 s on the common small-failure shape
-    # (7.0-7.5 s vs 5.6 s explicit pairs).
-    fb, fb_buckets, reps = _pass2_audience(banded, sh, failed_docs, id_col)
+    # forms (fb/fb_buckets are projections of the cand_rows cache —
+    # see _pass2_audience). Everything stays LAZY unless a branch
+    # actually consumes a frame more than once: an earlier cut eagerly
+    # persisted fb/reps and ran a rep-collapsed estimate up front, and
+    # those 3 extra small jobs cost a measured ~1.5-2 s on the common
+    # small-failure shape (7.0-7.5 s vs 5.6 s explicit pairs).
+    fb, fb_buckets, reps = _pass2_audience(
+        banded, sh, failed_docs, id_col, cand_rows
+    )
     extra_persists = [per_doc, cand_rows]
     collapse = True
-    if pass2_impl != "auto":
-        per_doc.count()  # explicit routes run no estimator job that
-        # would otherwise materialize the cache first
-    else:
+    if pass2_impl == "auto":
         # Tier 0, nearly free: Σ bucket sizes over the failed docs'
         # qualifying band rows — a pass-1 window byproduct (__bsz from
         # the SAME (band, bucket) window that computed the bucket min),
@@ -1774,6 +1957,7 @@ def minhash_drop_set(
         pass2_impl = (
             "local" if est >= PASS2_LOCAL_MIN_EST_PAIRS else "pairs"
         )
+    _stat(f"route:{pass2_impl}")
     if pass2_impl == "none":
         dropped2 = None
     elif pass2_impl == "pairs":
@@ -1783,12 +1967,11 @@ def minhash_drop_set(
         )
     else:
         # the local form consumes fb twice (fail_rows + the fb_buckets
-        # chain) - persist per the recompute trap; reps has exactly ONE
+        # chain) — since r14 fb is a PROJECTION of the cand_rows cache
+        # (a cache read + one broadcast semi join per consumer), so the
+        # old persist+count job bought nothing; reps has exactly ONE
         # consumer per form (the estimator no longer reads it), so it
         # stays lazy
-        fb = fb.persist()
-        fb.count()
-        extra_persists.append(fb)
         dropped2 = _drop_set_pass2_local(
             banded, sh, fb, fb_buckets, reps, id_col, threshold
         )
@@ -1800,16 +1983,17 @@ def minhash_drop_set(
     )
     # Materialize the (one-column) drop set eagerly so the big
     # intermediates can be released NOW: banded is O(docs × bands) rows
-    # and v1 carries shingle-join lineage — leaving them cached leaks
-    # executor memory across invocations in a long-lived session. The
-    # returned frame is persisted; callers unpersist it when done.
+    # and the per-doc/cand_rows caches carry shingle/window lineage —
+    # leaving them cached leaks executor memory across invocations in a
+    # long-lived session. The returned frame is persisted; callers
+    # unpersist it when done.
     result.count()
+    _stat("pass2_result")
     if perdoc is not None:
         perdoc.unpersist()
     else:
         banded.unpersist()
         sh.unpersist()
-    v1.unpersist()
     for frame in extra_persists:
         frame.unpersist()
     return result

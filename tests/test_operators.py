@@ -718,6 +718,85 @@ def test_minhash_drop_set_equals_pairwise_drop_set(spark, docs):
     assert got == want and len(want) > 0
 
 
+def test_verified_pairs_fused_equals_lazy(spark, docs):
+    """r14 (VERDICT_r13 item 3): the fused per-doc route of
+    minhash_verified_pairs must be BIT-identical to the lazy two-pass
+    shape — same candidate set (same _h64 long buckets + band-0
+    pre-dedup), same exact-Jaccard doubles — on the docs fixture, on a
+    planted exact-duplicate cluster, and on the adversarial frame. The
+    auto dispatch must keep small inputs on the lazy route (no
+    construction-time checkpoint job), and fused=True must reject
+    non-long ids."""
+    dup = docs.limit(4).withColumn("doc_id", F.col("doc_id") + 10_000)
+    planted = docs.unionByName(dup)
+    adversarial = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, " "),
+            (3, "a  b "),
+            (4, "héllo wörld héllo"),
+            (5, "x x x"),
+            (6, None),
+            (7, "one two three four five"),
+            (8, "one"),
+            (9, "one two three four five"),  # exact dup of 7
+        ],
+        "doc_id long, text string",
+    )
+    for frame, kw in (
+        (docs, dict(num_hashes=16, bands=8, k=1, threshold=0.5)),
+        (planted, dict(num_hashes=32, bands=8, k=1, threshold=0.9)),
+        (adversarial, dict(num_hashes=16, bands=4, k=1, threshold=0.5)),
+    ):
+        lazy = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.minhash_verified_pairs(
+                frame, fused=False, **kw
+            ).collect()
+        )
+        fused = sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in dedup.minhash_verified_pairs(
+                frame, fused=True, **kw
+            ).collect()
+        )
+        assert fused == lazy and len(lazy) > 0
+    # auto dispatch: a tiny input's Catalyst size estimate is far below
+    # the cutover, so the plan must stay lazy (no checkpointed
+    # LogicalRDD from a construction-time job)
+    auto = dedup.minhash_verified_pairs(docs)
+    assert "LogicalRDD" not in auto._jdf.queryExecution().optimizedPlan().toString()
+    # forced fused on a non-long id column is a contract error
+    sdocs = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    with pytest.raises(ValueError, match="long-typed id"):
+        dedup.minhash_verified_pairs(sdocs, fused=True)
+
+
+def test_drop_set_bucket_dtypes(spark, docs):
+    """r14 narrowing pin: the drop-set-private sig-key layouts carry
+    LONG buckets (8 bytes through every (band, bucket) exchange) on BOTH
+    twins, while the public minhash_index layout keeps the md5-hex
+    STRING bucket — it is a materialized, engine-portable index schema."""
+    from pyspark.sql import types as T
+
+    for impl in ("arrow", "expr"):
+        b = dedup._banded(
+            docs, "text", "doc_id", 16, 4, 1, impl=impl, with_sig_key=True
+        )
+        assert isinstance(b.schema["bucket"].dataType, T.LongType), impl
+    perdoc = dedup._banded_rows_arrow(
+        docs, "text", "doc_id", 16, 4, 1,
+        with_buckets=False, with_sig_key=True, perdoc_shingles=True,
+    )
+    assert isinstance(
+        perdoc.schema["__buckets"].dataType.elementType, T.LongType
+    )
+    idx = dedup.minhash_index(docs)
+    assert isinstance(idx.schema["bucket"].dataType, T.StringType)
+
+
 def test_banded_arrow_equals_expr(spark, docs):
     """The Arrow banding twin must be BIT-identical to the expression
     path — same md5 base hashes, same int64 permutation mins, same
