@@ -271,6 +271,7 @@ def _banded_rows_arrow(
     num_hashes: int, bands: int, k: int, with_buckets: bool,
     with_sig_key: bool = False,
     perdoc_shingles: bool = False,
+    perdoc_buckets: bool = False,
 ) -> DataFrame:
     """Arrow twin of :func:`_banded` / :func:`_banded_with_buckets`:
     tokenize (single-space split, exactly ``F.split(text, " ")``
@@ -316,10 +317,25 @@ def _banded_rows_arrow(
         raise ValueError("with_sig_key is only supported without buckets")
     if perdoc_shingles and not with_sig_key:
         raise ValueError("perdoc_shingles requires with_sig_key")
+    if perdoc_buckets and (with_buckets or with_sig_key or perdoc_shingles):
+        raise ValueError("perdoc_buckets is a standalone layout")
     params = _permutation_params(num_hashes)
     rpb = num_hashes // bands
     M = _MERSENNE31
-    if perdoc_shingles:
+    if perdoc_buckets:
+        # ONE compact row per doc: just the _h64 long band buckets —
+        # the cheapest materializable proxy of the banding pass (r14,
+        # the fused minhash_verified_pairs route checkpoints this; the
+        # heavyweight shingle sets deliberately do NOT ride it — a
+        # checkpointed row is deserialized WHOLE by every consumer, so
+        # fat rows re-pay their bytes per read while the verify-side
+        # tokenize is a cheap codegen split the lazy shape already
+        # runs).
+        fields = [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("__buckets", T.ArrayType(T.LongType()), False),
+        ]
+    elif perdoc_shingles:
         fields = [
             T.StructField(id_col, T.LongType()),
             T.StructField("__sh", T.ArrayType(T.StringType()), False),
@@ -412,7 +428,10 @@ def _banded_rows_arrow(
                 hit = tmemo.get(text)
                 if hit is not None:
                     did = int(did)
-                    if perdoc_shingles:
+                    if perdoc_buckets:
+                        ids.append(did)
+                        bkts_col.append(hit)
+                    elif perdoc_shingles:
                         sh_list, bvals, sk, ck = hit
                         ids.append(did)
                         shs.append(sh_list)
@@ -470,7 +489,7 @@ def _banded_rows_arrow(
                     for b in range(bands)
                 ]
                 did = int(did)
-                if with_buckets:
+                if with_buckets or perdoc_buckets:
                     bk = [
                         int(
                             hashlib.md5(s.encode("utf-8")).hexdigest()[:15],
@@ -479,11 +498,15 @@ def _banded_rows_arrow(
                         for s in svals
                     ]
                     tmemo[text] = bk
-                    for b in range(bands):
+                    if perdoc_buckets:
                         ids.append(did)
-                        bandl.append(b)
-                        buckets.append(bk[b])
                         bkts_col.append(bk)
+                    else:
+                        for b in range(bands):
+                            ids.append(did)
+                            bandl.append(b)
+                            buckets.append(bk[b])
+                            bkts_col.append(bk)
                 else:
                     sk = ck = None
                     if with_sig_key:
@@ -538,7 +561,9 @@ def _banded_rows_arrow(
                                 sigkeys.append(sk)
                                 classkeys.append(ck)
             data = {id_col: pd.Series(ids, dtype="int64")}
-            if perdoc_shingles:
+            if perdoc_buckets:
+                data["__buckets"] = pd.Series(bkts_col, dtype="object")
+            elif perdoc_shingles:
                 data["__sh"] = pd.Series(shs, dtype="object")
                 data["__sigkey"] = pd.Series(sigkeys, dtype="int64")
                 data["__classkey"] = pd.Series(classkeys, dtype="object")
@@ -742,26 +767,26 @@ def minhash_verified_pairs(
     banding path checkable against a SQL oracle.
 
     ``fused`` (r14, VERDICT_r13 item 3 — the priced dispatch that
-    answers the r13 laziness question): the lazy shape tokenizes the
-    corpus FOUR times per run (the Arrow banding pass under both sides
-    of the band self-join, the expression shingle pass under both sides
-    of the verify join). The fused route runs the tokenize+hash pass
-    ONCE — the drop-set per-doc layout ``(id, __sh, __buckets)`` — and
-    eagerly ``localCheckpoint``\\ s it; banding rows and shingle sides
-    are then projections of the materialized frame. ``localCheckpoint``
-    (not ``persist``) is what preserves the composition contract: there
-    is no cache handle for the caller to leak — the checkpointed blocks
-    are released by the ContextCleaner when the returned frame's RDD is
-    garbage collected. The trade is one materialization job at
-    CONSTRUCTION time, so small inputs should keep the lazy shape:
-    ``fused=None`` (default) routes by the zero-job Catalyst size
-    estimate (≥ :data:`VERIFIED_FUSED_MIN_INPUT_BYTES` and a long id
-    column → fused), ``True``/``False`` force a route. Both routes are
-    BIT-IDENTICAL: the per-doc buckets are the same ``_h64`` longs the
-    lazy banding uses, ``__sh`` is the same distinct gram set (sorted —
-    every verify consumer is order-insensitive), and the verify is the
-    same integer-|∩|/|∪| double quotient (parity-pinned in
-    tests/test_operators.py).
+    answers the r13 laziness question): the lazy shape runs the
+    md5+permutation Arrow BANDING pass twice per run (once under each
+    side of the band self-join — the exchange is not reused at the BHJ
+    shape, and forcing SMJ to reuse it measured 5× slower on dup-dense
+    corpora, r13). The fused route runs that pass ONCE, into a compact
+    per-doc bucket proxy ``(id, __buckets)`` that is eagerly
+    ``localCheckpoint``\\ ed; both self-join sides are projections of
+    the materialized frame. ``localCheckpoint`` (not ``persist``) is
+    what preserves the composition contract: there is no cache handle
+    for the caller to leak — the checkpointed blocks are released by
+    the ContextCleaner when the returned frame's RDD is garbage
+    collected. The verify stage deliberately keeps the lazy expression
+    shingles (see the inline comment). The trade is one materialization
+    job at CONSTRUCTION time, so small inputs should keep the lazy
+    shape: ``fused=None`` (default) routes by the zero-job Catalyst
+    size estimate (≥ :data:`VERIFIED_FUSED_MIN_INPUT_BYTES` and a long
+    id column → fused), ``True``/``False`` force a route. Both routes
+    are BIT-IDENTICAL: the per-doc buckets are the same ``_h64`` longs
+    the lazy banding uses and the verify is the same integer-|∩|/|∪|
+    double quotient (parity-pinned in tests/test_operators.py).
     """
     if fused is None:
         fused = (
@@ -774,10 +799,21 @@ def minhash_verified_pairs(
                 "fused=True requires a long-typed id column (the per-doc "
                 "Arrow layout); use fused=False or 'auto' (None)"
             )
+        # Checkpoint ONLY the compact per-doc bucket proxy (id + bands
+        # longs): the md5+permutation banding pass is the expensive
+        # tokenize, and it is the only thing worth materializing. A
+        # first cut checkpointed the full per-doc layout (__sh shingle
+        # sets included) and LOST the 1M-doc A/B 38 vs 25 s — a
+        # checkpointed row deserializes WHOLE for every consumer, so
+        # the fat shingle arrays re-paid their bytes four times while
+        # the verify-side expression tokenize they replaced is a cheap
+        # codegen split. The verify below therefore keeps the lazy
+        # shape's expression shingles (guide §8: materialize the small
+        # proxy, recompute the cheap part).
         perdoc = _banded_rows_arrow(
             df, text_col, id_col, num_hashes, bands, k,
-            with_buckets=False, with_sig_key=True, perdoc_shingles=True,
-        ).select(id_col, "__sh", "__buckets").localCheckpoint(eager=True)
+            with_buckets=False, perdoc_buckets=True,
+        ).localCheckpoint(eager=True)
         banded = perdoc.select(
             F.col(id_col),
             F.posexplode("__buckets").alias("band", "bucket"),
@@ -805,15 +841,14 @@ def minhash_verified_pairs(
             )
             .distinct()
         )
-        sh = perdoc.select(F.col(id_col), F.col("__sh"))
     else:
         cands = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, k)
-        # Shingle arrays are SETS (array_distinct), so |union| = |a|+|b|-|∩|
-        # exactly: per-side sizes computed once per document replace the
-        # per-pair array_union build — the verify stage does one set
-        # intersection per candidate instead of two set operations.
-        # Identical jaccard values (integer identity, same double division).
-        sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("__sh"))
+    # Shingle arrays are SETS (array_distinct), so |union| = |a|+|b|-|∩|
+    # exactly: per-side sizes computed once per document replace the
+    # per-pair array_union build — the verify stage does one set
+    # intersection per candidate instead of two set operations.
+    # Identical jaccard values (integer identity, same double division).
+    sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("__sh"))
     a = sh.select(
         F.col(id_col).alias("id_a"),
         F.col("__sh").alias("__sh_a"),

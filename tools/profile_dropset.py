@@ -98,9 +98,7 @@ def main() -> None:
                         "trial": i,
                         "total": total,
                         "stages": stages,
-                        "sentinel_ms": [
-                            round(s * 1000, 1) for s in edge0 + edge1
-                        ],
+                        "sentinel_ms": [round(s, 1) for s in edge0 + edge1],
                     }
                 ),
                 flush=True,
