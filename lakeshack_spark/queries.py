@@ -7688,62 +7688,77 @@ def version_diff_orders(spark, sf_dir):
 #: Every registered entry not named here follows in registration order,
 #: so the full corpus is unchanged — only the order rotates.
 _DRIVER_WINDOW = [
+    # Round-14 rotation (VERDICT_r13 item 1): (a) every entry whose
+    # physical plan changed in r13 without re-entering that round's
+    # window — the Arrow cosine-scorer family (cosine_topk_bruteforce,
+    # ivf_assign_cells, ivfpq_codes_embeddings, semdedup_embeddings;
+    # ivfpq_search_embeddings and kmeans_update_quantized were already
+    # hashed in r13 on the new plans) and the CC materialization pair
+    # (dedup_cluster_labels, entity_resolution_parts); (b)
+    # minhash_drop_set_docs, whose plan changes AGAIN this round (r14
+    # long buckets + job restructure); (c) the 19 remaining r10-era
+    # proofs; filled to 50 with the alphabetically-first 23 r11-era
+    # proofs (which happen to re-prove the r14-touched dedup family:
+    # minhash_dedup_verified, docs_near_deduped, dedup_exact_docs,
+    # ngram_jaccard_pairs). No proof in this window is older than r10,
+    # and after this round none in the corpus is older than r11.
     # core-op anchors (intentionally hashed every round: O1/O3/O6 scan +
     # zone-map prune are the reference's essence)
     "shack_pruned_lookup",
     "scan_filter_project",
-    # plan-changed re-entry (VERDICT_r12 item 1): r12 shipped the union
-    # as-of strategy; the driver hash must re-witness the new plan.
-    "asof_join_events_orders",
-    # r9-era proofs, the 18 remaining (VERDICT_r12 item 1):
-    "bloom_semi_join_lineitem",
-    "ks_price_by_status",
-    "ktruss_cosuppliers",
-    "merge_upsert_orders",
-    "metadata_agg_orders",
+    # (a) r13 plan-changed re-entries:
+    "cosine_topk_bruteforce",
+    "ivf_assign_cells",
+    "ivfpq_codes_embeddings",
+    "dedup_cluster_labels",
+    "entity_resolution_parts",
+    # (b) r14 plan-changed re-entry:
     "minhash_drop_set_docs",
-    "mmr_rerank_embeddings",
-    "mor_delete_orders",
-    "multimodal_ppm_features",
-    "null_semantics_suite",
-    "quantile_bins_orders",
-    "robust_outliers_orders",
-    "scalar_date_orders",
-    "scalar_string_part",
-    "scalar_subquery_above_avg",
-    "semi_join_big_spenders",
-    "set_ops_nations",
-    "window_running_and_lag",
-    # r10-era proofs, alphabetical first 29 of 48 (rest rotate in r14):
-    "benchmark_decontamination",
-    "bigram_lm_quality_docs",
-    "bm25_search_docs",
-    "boolean_search_docs",
-    "chunk_tokens_docs",
-    "csv_roundtrip_orders",
-    "drift_chi2_docs",
-    "epoch_shuffle_prefix_docs",
-    "funnel_signup_click_purchase",
-    "gap_fill_daily_spend",
-    "grouped_ols_slope_customers",
-    "grouped_percentiles_orders",
-    "hash_split_counts",
-    "incremental_dedup_new_docs",
-    "ivf_index_probe_topk",
-    "ivfpq_search_embeddings",
-    "jl_projection_embeddings",
-    "jsonl_roundtrip_docs",
-    "kll_grouped_quantiles_orders",
-    "kmeans_update_quantized",
-    "manifest_counts_orders",
-    "mask_pii_audit",
-    "mixture_sample_counts",
-    "multimodal_wav_features",
-    "ngram_containment_docs",
-    "nullness_pruned_agg_docs",
-    "orc_roundtrip_lineitem",
-    "pack_token_windows_docs",
-    "pagerank_trade_network",
+    # (c) r10-era proofs, the 19 remaining:
+    "pq_adc_topk_embeddings",
+    "pq_codes_embeddings",
+    "q11_important_part_values",
+    "q12_priority_shipping_split",
+    "q22_idle_rich_customers",
+    "range_join_user_windows",
+    "rollup_cascade_events",
+    "scd2_merge_customer_segments",
+    "semdedup_embeddings",
+    "srp_near_dup_planted",
+    "stratified_take_docs",
+    "synth_source_docs",
+    "table_diff_orders",
+    "theta_index_overlap_orders",
+    "topk_orders",
+    "udtf_ngram_stats",
+    "versioned_merge_orders",
+    "vocab_encode_docs",
+    "wap_publish_orders",
+    # r11-era proofs, alphabetical first 23 of 47 (rest stay current
+    # through selfcheck; every one has a driver hash from r11):
+    "cosine_topk_pandas_udf",
+    "cube_orders",
+    "dedup_events_first",
+    "dedup_exact_docs",
+    "dedup_normalized_docs",
+    "doc_fingerprint",
+    "docs_near_deduped",
+    "embedding_near_dup",
+    "grouping_sets_orders",
+    "ivf_topk_full_probe",
+    "json_extract_events",
+    "lang_id_docs",
+    "minhash_dedup_verified",
+    "ngram_jaccard_pairs",
+    "pivot_orderstatus",
+    "q10_returned_item_revenue",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_count_by_part",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
 ]
 
 def _ordered_names() -> list[str]:

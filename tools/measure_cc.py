@@ -102,9 +102,94 @@ def cc_lazy(
     raise RuntimeError("did not converge")
 
 
+def cc_aqe_off(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_rounds: int = 30,
+    round_stats: list | None = None,
+) -> DataFrame:
+    """The shipped r13 shape with the per-round ``propagated``
+    checkpoint taken under SCOPED AQE-off (the _symmetrized_edges
+    precedent): the checkpointed LogicalRDD then keeps
+    HashPartitioning(node) instead of Unknown, so the pointer jump's
+    lookup side joins without re-shuffling |V|. Kept as a measurement
+    twin for VERDICT_r13 item 4 (re-measure at >=50M edges; the 10M
+    measurement was a wash)."""
+    edges = _symmetrized_edges(pairs, id_a, id_b)
+    endpoints = edges.select(F.col("src").alias("node"))
+    if nodes is not None:
+        nc = node_col or nodes.columns[0]
+        universe = (
+            nodes.select(F.col(nc).cast("long").alias("node"))
+            .union(endpoints)
+            .distinct()
+        )
+    else:
+        universe = endpoints.distinct()
+    labels = universe.select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    spark = pairs.sparkSession
+    for rnd in range(max_rounds):
+        _t0 = time.time()
+        neighbor_msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"),
+            "label",
+            F.lit(None).cast("long").alias("old"),
+        )
+        prop_lazy = (
+            labels.select("node", "label", F.col("label").alias("old"))
+            .union(neighbor_msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+        )
+        prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            propagated = prop_lazy.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
+        lookup = propagated.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        jumped = (
+            propagated.join(lookup, propagated.label == lookup.l_node, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("l_label"), F.col("label")).alias("label"),
+                "old",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.filter(F.col("label") != F.col("old")).limit(1).count()
+        )
+        if round_stats is not None:
+            round_stats.append(
+                {"round": rnd, "sec": round(time.time() - _t0, 3)}
+            )
+        labels = jumped.select("node", "label")
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError("did not converge")
+
+
+VARIANTS = {
+    "shipped": connected_components,
+    "lazy": cc_lazy,
+    "aqe_off": cc_aqe_off,
+}
+
+
 def main() -> None:
     n_edges = int(float(sys.argv[1]) * 1e6) if len(sys.argv) > 1 else 10_000_000
     ab_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    variant_names = (
+        sys.argv[3].split(",") if len(sys.argv) > 3 else ["shipped", "lazy"]
+    )
     n_nodes = n_edges // 2
     spark = lss.get_spark(app_name="measure_cc")
     spark.sparkContext.setLogLevel("ERROR")
@@ -126,8 +211,9 @@ def main() -> None:
     print(f"edges: {pairs.count():,} over ~{n_nodes:,} nodes", flush=True)
 
     results = {}
+    first_name = variant_names[0]
     for ab in range(ab_rounds):
-        for name, fn in (("shipped", connected_components), ("lazy", cc_lazy)):
+        for name, fn in [(n, VARIANTS[n]) for n in variant_names]:
             spark.sparkContext.setJobDescription(f"cc_{name}_ab{ab}")
             stats: list = []
             t0 = time.time()
@@ -141,16 +227,20 @@ def main() -> None:
                 f"labels {cnt:,}",
                 flush=True,
             )
-            if ab == 0 and name == "shipped":
-                results["shipped_out"] = out
-            if ab == 0 and name == "lazy":
-                a = results.pop("shipped_out")
+            if ab == 0 and name == first_name:
+                results["first_out"] = out
+            elif ab == 0 and "first_out" in results:
+                a = results["first_out"]
                 d1 = a.exceptAll(out).count()
                 d2 = out.exceptAll(a).count()
-                print(f"parity exceptAll: {d1} / {d2}", flush=True)
+                print(
+                    f"parity exceptAll vs {first_name}: {d1} / {d2}",
+                    flush=True,
+                )
                 assert d1 == 0 and d2 == 0, "label mismatch"
+    results.pop("first_out", None)
 
-    for name in ("shipped", "lazy"):
+    for name in variant_names:
         rs = results[name]
         print(
             f"{name:12s} min {min(rs):.2f}  median "
