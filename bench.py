@@ -1049,15 +1049,31 @@ def compact_line(compact: dict) -> str:
     a contended window, exactly what pushed one line to 1776 chars and,
     under the old pop-queries-only rule, dropped the contract-required
     `queries` map from the final line), then the contended-section list,
-    then — only if somehow still over budget — `queries` itself as the
-    last resort. Mutates ``compact``.
+    then — only if somehow still over budget — `queries` is TRUNCATED to
+    the largest-timing subset that fits, marked `queries_truncated`
+    (ADVICE r13: the key must never disappear from the final line while
+    any subset of it fits; an empty map that still busts the budget
+    falls back to the old wholesale pop). Mutates ``compact``.
     """
     line = json.dumps(compact)
-    for victim in ("adjudication", "contended_after_retries", "queries"):
+    for victim in ("adjudication", "contended_after_retries"):
         if len(line) <= COMPACT_LINE_MAX:
             break
         if victim in compact:
             compact.pop(victim)
+            line = json.dumps(compact)
+    if len(line) > COMPACT_LINE_MAX and "queries" in compact:
+        q = dict(compact["queries"])
+        compact["queries"] = q
+        compact["queries_truncated"] = True
+        smallest_first = sorted(q, key=lambda k: (q[k], k))
+        while smallest_first and len(json.dumps(compact)) > COMPACT_LINE_MAX:
+            q.pop(smallest_first.pop(0))
+        line = json.dumps(compact)
+        if len(line) > COMPACT_LINE_MAX:
+            # degenerate budget: even an empty map busts it — old rule
+            compact.pop("queries")
+            compact.pop("queries_truncated")
             line = json.dumps(compact)
     return line
 

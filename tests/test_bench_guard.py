@@ -300,11 +300,30 @@ def test_compact_line_sheds_optional_keys_before_queries():
     assert parsed["queries"] == base["queries"]
     assert "adjudication" not in parsed
 
-    # queries goes ONLY as the last resort, when it alone busts the budget
+    # when queries alone busts the budget it is TRUNCATED to the
+    # largest-timing subset that fits, never dropped wholesale while any
+    # subset fits (ADVICE r13)
     huge = dict(base)
     huge["queries"] = {
-        f"impossibly_long_query_name_padding_{i:04d}": 0.123 for i in range(60)
+        f"impossibly_long_query_name_padding_{i:04d}": float(i) for i in range(60)
     }
     parsed = _json.loads(bench.compact_line(huge))
-    assert "queries" not in parsed
+    assert len(_json.dumps(parsed)) <= bench.COMPACT_LINE_MAX
+    assert parsed["queries_truncated"] is True
+    kept = parsed["queries"]
+    assert 0 < len(kept) < 60
+    # the kept subset is the LARGEST timings
+    assert set(kept) == {
+        f"impossibly_long_query_name_padding_{i:04d}"
+        for i in range(60 - len(kept), 60)
+    }
     assert parsed["metric"] == base["metric"] and parsed["sf"] == 0.1
+
+    # degenerate budget (even an empty map busts it): old wholesale pop
+    import unittest.mock as _mock
+
+    tiny = dict(base)
+    tiny["queries"] = {f"q{i}": 1.0 for i in range(40)}
+    with _mock.patch.object(bench, "COMPACT_LINE_MAX", 80):
+        parsed = _json.loads(bench.compact_line(tiny))
+    assert "queries" not in parsed and "queries_truncated" not in parsed
