@@ -169,13 +169,28 @@ def connected_components(
         # 5M nodes 91-127 s vs 102-148 s lazy (−11..−14%, and −32% at
         # 0.5M edges), exact tie on the 5k-node bench graph where the
         # extra checkpoint job is overhead-free (tools/measure_cc.py).
-        propagated = (
+        # The checkpoint is taken with AQE disabled for just this query
+        # (the _symmetrized_edges precedent, r14 / VERDICT_r13 item 4):
+        # under AQE the checkpointed LogicalRDD reports Unknown
+        # partitioning and the jump re-shuffles the |V| lookup side
+        # every round; with AQE off it keeps HashPartitioning(node).
+        # Re-measured at 50M edges / 25M nodes, interleaved 2×2: AQE-off
+        # 670/571 s vs shipped 828/613 s (−7..−19%, parity exceptAll
+        # 0/0; the r13 10M measurement was a wash, and the 0.5M/bench
+        # shapes re-measured a tie — plans/r14/cc_aqeoff_ab.txt).
+        prop_lazy = (
             labels.select("node", "label", F.col("label").alias("old"))
             .union(neighbor_msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
-            .localCheckpoint(eager=True)
         )
+        spark = prop_lazy.sparkSession
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            propagated = prop_lazy.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         # jump: label <- label's label (pointer halving)
         lookup = propagated.select(
             F.col("node").alias("l_node"), F.col("label").alias("l_label")

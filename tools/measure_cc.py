@@ -177,10 +177,84 @@ def cc_aqe_off(
     raise RuntimeError("did not converge")
 
 
+def cc_aqe_on(pairs, **kw):
+    """The r13 shipped shape, kept verbatim for A/B: the per-round
+    propagate checkpoint taken under the session's AQE (its LogicalRDD
+    then reports Unknown partitioning and the jump re-shuffles the |V|
+    lookup side every round — the form connected_components shipped
+    between r13 and the r14 AQE-off scoping)."""
+    return _cc_checkpoint_form(pairs, scoped_aqe_off=False, **kw)
+
+
+def _cc_checkpoint_form(
+    pairs: DataFrame,
+    scoped_aqe_off: bool,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+    max_rounds: int = 30,
+    round_stats: list | None = None,
+) -> DataFrame:
+    edges = _symmetrized_edges(pairs, id_a, id_b)
+    endpoints = edges.select(F.col("src").alias("node"))
+    universe = endpoints.distinct()
+    labels = universe.select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    spark = pairs.sparkSession
+    for rnd in range(max_rounds):
+        _t0 = time.time()
+        neighbor_msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"),
+            "label",
+            F.lit(None).cast("long").alias("old"),
+        )
+        prop_lazy = (
+            labels.select("node", "label", F.col("label").alias("old"))
+            .union(neighbor_msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+        )
+        if scoped_aqe_off:
+            prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                propagated = prop_lazy.localCheckpoint(eager=True)
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", prev)
+        else:
+            propagated = prop_lazy.localCheckpoint(eager=True)
+        lookup = propagated.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        jumped = (
+            propagated.join(lookup, propagated.label == lookup.l_node, "left")
+            .select(
+                "node",
+                F.coalesce(F.col("l_label"), F.col("label")).alias("label"),
+                "old",
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.filter(F.col("label") != F.col("old")).limit(1).count()
+        )
+        if round_stats is not None:
+            round_stats.append(
+                {"round": rnd, "sec": round(time.time() - _t0, 3)}
+            )
+        labels = jumped.select("node", "label")
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("cluster_id"))
+    raise RuntimeError("did not converge")
+
+
 VARIANTS = {
     "shipped": connected_components,
     "lazy": cc_lazy,
     "aqe_off": cc_aqe_off,
+    "aqe_on": cc_aqe_on,
 }
 
 
