@@ -896,15 +896,18 @@ def _simhash_fp_arrow_udf():
     token set, same md5-hex[:15]→int63 hash, same ±1 per-bit fold, same
     positive-counter mask sum; NULL text → 0 like the coalesce branch).
 
-    Why it exists — and why it is NOT the default: the expression form is
-    a nested HOF (aggregate(zip_with(...)) over the token-hash array)
-    which never enters whole-stage codegen, the regime where Arrow UDFs
-    beat built-ins 7× for text.repetition_stats. HERE the two measured
-    EQUAL (4.1 s either way for the 5000-doc sf0.1 fingerprint stage):
-    the per-token md5 dominates both paths identically, and the HOF fold
-    is a linear single pass (no O(n²) re-evaluation for repetition_stats'
-    shape to amplify). Kept as an option with parity pinned in tests so
-    the measurement is not re-litigated each round."""
+    The expression form is a nested HOF (aggregate(zip_with(...)) over
+    the token-hash array) which never enters whole-stage codegen, the
+    regime where Arrow UDFs beat built-ins 7× for
+    text.repetition_stats. Early rounds measured the two EQUAL on this
+    stage (per-token md5 dominating both); the r14 re-measurement
+    (VERDICT_r13 item 6, tools/measure_srp_simhash.py,
+    plans/r14/simhash_wide_ab.jsonl) has the Arrow pass winning every
+    interleaved round at every doc length tried — 0.54-0.71 vs
+    1.0-1.4 s on the real 5k-doc sf0.1 corpus, growing to ~2× at 400
+    words — so it is the default since r14 (see :func:`simhash`).
+    Parity is pinned in tests; the expression twin remains the
+    cross-engine reference."""
     import hashlib
 
     import numpy as np
@@ -947,17 +950,24 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
-    impl: str = "expr",
+    impl: str | None = None,
 ) -> DataFrame:
     """Adds ``simhash``: 64-bit fingerprint — bit j is 1 iff the sum over
     distinct tokens of ±1 (sign of md5-derived bit j of the token) is
     positive. Near-identical token sets → small hamming distance.
 
-    ``impl="expr"`` (default) is the pure-expression form;
-    ``impl="arrow"`` computes the same fingerprint in an Arrow-batched
-    pandas UDF — measured EQUAL at bench scale (md5-per-token dominates
-    both), see _simhash_fp_arrow_udf. Values are bit-identical; pinned
-    by test."""
+    ``impl=None`` (default) routes full-width fingerprints through the
+    Arrow twin (r14, VERDICT_r13 item 6): re-measured interleaved on
+    this epoch (tools/measure_srp_simhash.py + the real sf0.1 corpus,
+    plans/r14/simhash_wide_ab.jsonl), the Arrow pass wins at EVERY
+    tested shape — real 5k-doc/54-word corpus 0.54-0.71 vs 1.0-1.4 s
+    (4/4 rounds), 30k synthetic docs 0.8-1.0 vs 1.2-1.5 s at 60 words
+    up to 2.7-4.8 vs 6.4-8.8 s at 400 words — the r13 expr-wins reading
+    did not reproduce. ``impl="expr"`` keeps the pure-expression form
+    (the cross-engine-readable reference and the only form for
+    truncated ``bits``); values are bit-identical, pinned by test."""
+    if impl is None:
+        impl = "arrow" if min(bits, 63) == 63 else "expr"
     if impl == "arrow" and min(bits, 63) == 63:
         return df.withColumn(
             "simhash",

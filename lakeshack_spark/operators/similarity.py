@@ -24,6 +24,8 @@ and parity is pinned to the last bit by tests.
 
 from __future__ import annotations
 
+import pandas as pd  # module level: pandas_udf type-hint resolution needs
+# pd in module globals under `from __future__ import annotations`
 from pyspark.sql import (
     Column,
     DataFrame,
@@ -885,12 +887,60 @@ def _srp_hyperplanes(n_bits: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def _srp_bits_arrow_udf(planes):
+    """Arrow-batched twin of srp_signature's bit transform —
+    bit-identical to ``when(dot_d(vec, plane) >= 0, 1).otherwise(0)``
+    per plane: float→double casts are exact, :func:`_seq_block_dot`
+    reproduces the sequential IEEE fold, and NULL/ragged rows (whose
+    expression dot folds to NULL, so every bit lands in otherwise(0))
+    come back as all-zero bit arrays. Exists for the wide-vector
+    regime: the expression form evaluates n_bits interpreted HOF folds
+    of dim elements PER ROW (HOF lambdas never enter codegen), so its
+    cost is ~µs × n_bits × dim, while one vectorized pass amortizes
+    across the batch. Measured interleaved
+    (tools/measure_srp_simhash.py, r14): the twin wins 10× at 256 dims,
+    5× at 64 dims × 200k rows, and still 0.43 vs 0.59 s at the 6k-row
+    bench shape — srp_signature dispatches on dim
+    (:data:`SRP_ARROW_MIN_DIM`)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    Q = np.array(planes, dtype=np.float64)  # (n_bits, dim)
+    d = Q.shape[1]
+
+    @pandas_udf("array<int>")
+    def bits(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        valid, X, _ = _split_valid_rows(vecs, d)
+        dots = _seq_block_dot(X, Q)  # (n_valid, n_bits), sequential fold
+        out = np.zeros((len(vecs), Q.shape[0]), dtype=np.int32)
+        out[valid] = (dots >= 0).astype(np.int32)
+        return pd.Series(list(out))
+
+    return bits
+
+
+#: srp_signature auto-dispatch cutover: at or above this embedding
+#: dimension the Arrow twin scores the sign bits (one vectorized pass
+#: per batch) instead of n_bits interpreted HOF folds per row. Measured
+#: interleaved at n_bits=64 (tools/measure_srp_simhash.py, r14,
+#: plans/r14/srp_wide_ab.jsonl): arrow wins every tested shape —
+#: 200k vectors: 2.5 vs 25 s at 256 dims (10×), 1.2-1.6 vs 10-11 s at
+#: 128, 0.8-1.0 vs 4.7-5.5 s at 64; and still 0.43-0.46 vs 0.59-1.09 s
+#: at the 6k-row × 64-dim bench shape (4/4 rounds). Below 64 dims the
+#: interpreted fold is small enough that the boundary cost could win —
+#: untested, so the expression form keeps that regime.
+SRP_ARROW_MIN_DIM = 64
+
+
 def srp_signature(
     vectors: DataFrame,
     n_bits: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    impl: str | None = None,
 ) -> DataFrame:
     """Adds ``srp_bits``: array of ``n_bits`` sign bits (1 if the vector's
     dot product with hyperplane i is >= 0). The hyperplane matrix enters
@@ -915,6 +965,17 @@ def srp_signature(
             )
         dim = len(head[0])
     planes = _srp_hyperplanes(n_bits, dim)
+    if impl is None:
+        impl = "arrow" if dim >= SRP_ARROW_MIN_DIM else "expr"
+    if impl == "arrow":
+        # wide-vector regime: one vectorized bit-exact pass per batch
+        # (see _srp_bits_arrow_udf) instead of n_bits interpreted folds
+        # of dim elements per row
+        return vectors.withColumn(
+            "srp_bits", _srp_bits_arrow_udf(planes)(F.col(vec_col))
+        )
+    if impl != "expr":
+        raise ValueError(f"unknown srp_signature impl: {impl!r}")
     planes_lit = F.expr(
         "array("
         + ",".join(

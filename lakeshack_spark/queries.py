@@ -7758,7 +7758,9 @@ _DRIVER_WINDOW = [
     "q16_supplier_count_by_part",
     "q17_small_quantity_revenue",
     "q18_large_orders",
-    "q19_disjunctive_revenue",
+    # r14 plan-changed (simhash Arrow default): re-enters in place of
+    # the next alphabetical r11 fill (q19) — plan-changed trumps stale.
+    "simhash_near_pairs",
 ]
 
 def _ordered_names() -> list[str]:

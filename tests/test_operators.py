@@ -598,6 +598,57 @@ def test_srp_signature_matches_python(spark, vecs_with_dups):
         assert got[r.vec_id] == py_srp_bits(list(r.embedding)), r.vec_id
 
 
+def test_srp_signature_arrow_equals_expr(spark, vecs_with_dups):
+    """r14 (VERDICT_r13 item 6): the Arrow SRP twin must be BIT-identical
+    to the expression form — float→double casts are exact and
+    _seq_block_dot reproduces the sequential IEEE fold — including the
+    NULL/ragged edge rows whose expression dot folds to NULL and every
+    bit lands in otherwise(0). The auto dispatch keeps the bench's
+    narrow dims on expr and flips to arrow at SRP_ARROW_MIN_DIM."""
+    from pyspark.sql import types as T
+
+    dim = len(vecs_with_dups.select("embedding").first()[0])
+    edge = spark.createDataFrame(
+        [
+            (90_001, None),
+            (90_002, [float(i) for i in range(dim - 1)]),  # ragged short
+            (90_003, [float(i) for i in range(dim + 1)]),  # ragged long
+            (90_004, [0.0] * dim),  # zero vector: dot 0.0 >= 0 -> bit 1
+        ],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    for frame in (vecs_with_dups, edge):
+        e = {
+            r.vec_id: list(r.srp_bits)
+            for r in similarity.srp_signature(
+                frame, n_bits=16, dim=dim, impl="expr"
+            ).collect()
+        }
+        a = {
+            r.vec_id: list(r.srp_bits)
+            for r in similarity.srp_signature(
+                frame, n_bits=16, dim=dim, impl="arrow"
+            ).collect()
+        }
+        assert a == e and len(e) > 0
+    # dispatch: narrow dims stay on the expression plan (no Python node)
+    narrow = similarity.srp_signature(vecs_with_dups, n_bits=16, dim=dim)
+    assert "ArrowEvalPython" not in narrow._jdf.queryExecution().executedPlan().toString() or dim >= similarity.SRP_ARROW_MIN_DIM
+    wide = spark.createDataFrame(
+        [(1, [0.5] * similarity.SRP_ARROW_MIN_DIM)],
+        "vec_id long, embedding array<double>",
+    )
+    auto_wide = similarity.srp_signature(
+        wide, n_bits=8, dim=similarity.SRP_ARROW_MIN_DIM
+    )
+    assert "ArrowEvalPython" in auto_wide._jdf.queryExecution().executedPlan().toString()
+
+
 def test_srp_near_dup_finds_planted_pairs(spark, vecs_with_dups):
     srp = {
         (r.id_a, r.id_b)
