@@ -32,6 +32,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+#: connected_components' per-round propagate checkpoint takes the
+#: scoped-AQE-off form (keeps HashPartitioning(node), saving the jump's
+#: per-round |V| lookup exchange) only at or above this node count —
+#: measured interleaved at four sizes (r14, VERDICT_r13 item 4,
+#: plans/r14/cc_aqeoff_ab.txt): a win at 25M nodes (−7..−19%), a wash
+#: at 5M (r13), a tie at 250k, and a LOSS on the 5k-node bench graph
+#: (the static-partition-count propagate shuffle pays rounds ×
+#: empty-task overhead that AQE coalescing removes). The threshold
+#: sits between the wash and the win, biased high.
+CC_AQEOFF_MIN_NODES = 10_000_000
+
+
 def _symmetrized_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
     """Directed edge set: both orientations, no self loops, distinct —
     repartitioned by the join key BEFORE checkpointing, so every round's
@@ -145,6 +157,11 @@ def connected_components(
     labels = universe.select(
         "node", F.col("node").alias("label")
     ).localCheckpoint(eager=True)
+    # |V| dispatch for the per-round propagate checkpoint's AQE scoping
+    # (see the comment inside the loop). The count reads the labels
+    # checkpoint just materialized — one cheap job, amortized over
+    # O(log diameter) rounds.
+    scoped_aqe_off = labels.count() >= CC_AQEOFF_MIN_NODES
 
     for rnd in range(max_rounds):
         _t0 = _time.time()
@@ -170,27 +187,38 @@ def connected_components(
         # 0.5M edges), exact tie on the 5k-node bench graph where the
         # extra checkpoint job is overhead-free (tools/measure_cc.py).
         # The checkpoint is taken with AQE disabled for just this query
-        # (the _symmetrized_edges precedent, r14 / VERDICT_r13 item 4):
-        # under AQE the checkpointed LogicalRDD reports Unknown
-        # partitioning and the jump re-shuffles the |V| lookup side
-        # every round; with AQE off it keeps HashPartitioning(node).
-        # Re-measured at 50M edges / 25M nodes, interleaved 2×2: AQE-off
-        # 670/571 s vs shipped 828/613 s (−7..−19%, parity exceptAll
-        # 0/0; the r13 10M measurement was a wash, and the 0.5M/bench
-        # shapes re-measured a tie — plans/r14/cc_aqeoff_ab.txt).
+        # (the _symmetrized_edges precedent, r14 / VERDICT_r13 item 4)
+        # WHEN the node universe is large: under AQE the checkpointed
+        # LogicalRDD reports Unknown partitioning and the jump
+        # re-shuffles the |V| lookup side every round; with AQE off it
+        # keeps HashPartitioning(node). The trade is scale-dependent
+        # and measured at four sizes (plans/r14/cc_aqeoff_ab.txt,
+        # interleaved flag-only twins): 25M nodes AQE-off WINS both
+        # rounds (670/571 vs 828/613 s — the saved per-round |V|
+        # exchange), 5M a wash (r13), 250k an exact tie, and on the
+        # 5k-node bench graph AQE-off LOSES all four rounds (3.7-4.7
+        # vs 2.7-3.5 s: the static shuffle-partition-count propagate
+        # exchange pays rounds × empty-task overhead that AQE
+        # coalescing removes). Hence the |V| dispatch — the threshold
+        # sits between the measured wash at 5M and the measured win at
+        # 25M, biased high so small/medium graphs keep AQE's
+        # coalescing.
         prop_lazy = (
             labels.select("node", "label", F.col("label").alias("old"))
             .union(neighbor_msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
         )
-        spark = prop_lazy.sparkSession
-        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
+        if scoped_aqe_off:
+            spark = prop_lazy.sparkSession
+            prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                propagated = prop_lazy.localCheckpoint(eager=True)
+            finally:
+                spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        else:
             propagated = prop_lazy.localCheckpoint(eager=True)
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         # jump: label <- label's label (pointer halving)
         lookup = propagated.select(
             F.col("node").alias("l_node"), F.col("label").alias("l_label")
