@@ -444,3 +444,22 @@ def test_cc_materializes_propagated_each_round(spark, monkeypatch):
     assert rounds >= 2  # pointer jumping on a 9-node path: >1 round
     per_round = [c for c in calls if c == ["label", "node", "old"]]
     assert len(per_round) == 2 * rounds, (len(per_round), rounds, calls)
+
+
+def test_cc_aqeoff_dispatch_arms_agree(spark, monkeypatch):
+    """r14: the per-round propagate checkpoint takes the scoped-AQE-off
+    form only at |V| >= CC_AQEOFF_MIN_NODES (measured a LOSS on small
+    graphs, a win at 25M nodes — plans/r14/cc_aqeoff_ab.txt). Pin both
+    dispatch arms: forcing the threshold to 1 routes a tiny graph
+    through the scoped arm, labels must be identical to the default
+    (AQE-on) arm, and the session's AQE flag must be restored."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)] + [(20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    base = _labels(graph.connected_components(pairs))
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    monkeypatch.setattr(graph, "CC_AQEOFF_MIN_NODES", 1)
+    scoped = _labels(graph.connected_components(pairs))
+    assert scoped == base
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev
